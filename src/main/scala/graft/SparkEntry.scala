@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{RefOracle, RefQueries}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears here as a named
+  * query over the shared fixtures, with (where SQL-expressible) a DuckDB
+  * oracle that must hash-match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (the pipeline's daily-stats aggregation, SURVEY §2.9)
+    * on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RefQueries.statsDaily(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_overview" -> (RefQueries.q01Overview _),
+    "q02_top_posts" -> (RefQueries.q02TopPosts _),
+    "q03_by_hour" -> (RefQueries.q03ByHour _),
+    "q04_by_weekday" -> (RefQueries.q04ByWeekday _),
+    "q05_active_authors" -> (RefQueries.q05ActiveAuthors _),
+    "q06_content_types" -> (RefQueries.q06ContentTypes _),
+    "q07_engagement" -> (RefQueries.q07Engagement _),
+    "q08_comment_coverage" -> (RefQueries.q08CommentCoverage _),
+    "q09_top_commenters" -> (RefQueries.q09TopCommenters _),
+    "q10_daily_trends" -> (RefQueries.q10DailyTrends _),
+    "q11_title_text" -> (RefQueries.q11TitleText _),
+    "q12_correlation" -> (RefQueries.q12Correlation _),
+    "q13_weekly" -> (RefQueries.q13Weekly _),
+    "q14_quality" -> (RefQueries.q14Quality _),
+    "q15_performance_view" -> (RefQueries.q15PerformanceView _),
+    "stats_daily" -> (RefQueries.statsDaily _),
+    "transform_posts" -> (RefQueries.transformPosts _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_overview" -> RefOracle.q01,
+    "q02_top_posts" -> RefOracle.q02,
+    "q03_by_hour" -> RefOracle.q03,
+    "q04_by_weekday" -> RefOracle.q04,
+    "q05_active_authors" -> RefOracle.q05,
+    "q06_content_types" -> RefOracle.q06,
+    "q07_engagement" -> RefOracle.q07,
+    "q08_comment_coverage" -> RefOracle.q08,
+    "q09_top_commenters" -> RefOracle.q09,
+    "q10_daily_trends" -> RefOracle.q10,
+    "q11_title_text" -> RefOracle.q11,
+    "q12_correlation" -> RefOracle.q12,
+    "q13_weekly" -> RefOracle.q13,
+    "q14_quality" -> RefOracle.q14,
+    "q15_performance_view" -> RefOracle.q15,
+    "stats_daily" -> RefOracle.statsDaily,
+    "transform_posts" -> RefOracle.transformPosts
+  )
 }

@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.RedditModel
+
+/** The reference's full analytical query surface (analysis.sql:1-184,
+  * 15 queries + 1 view) plus the pipeline's own daily-stats aggregation
+  * (script.py:259-286), re-expressed as Catalyst logical plans via the
+  * DataFrame API. One function per query; each has a matching DuckDB
+  * oracle in [[RefOracle]].
+  *
+  * Determinism rules shared with the oracle:
+  *  - every ORDER BY is a total order (unique tie-break key appended);
+  *  - every floating aggregate is rounded to 6 decimals ON BOTH SIDES;
+  *  - integer means are computed as sum/count (exact, partition-order
+  *    independent) rather than a floating accumulation;
+  *  - timestamps in outputs are emitted as epoch millis (BIGINT).
+  */
+object RefQueries {
+
+  /** Exact mean of an integral column: sum is a Long (deterministic),
+    * single division at the end. Matches oracle `CAST(SUM(x) AS
+    * DOUBLE)/COUNT(x)`.
+    */
+  private def avgI(c: Column): Column =
+    round(sum(c).cast("double") / count(c), 6)
+
+  /** Mean of a double column (rounded; tiny partial-agg reorder noise is
+    * far below 1e-6 for these magnitudes).
+    */
+  private def avgF(c: Column): Column = round(avg(c), 6)
+
+  /** Epoch millis of a (NTZ) timestamp. The fixtures' parquet timestamps
+    * are timezone-naive (Spark reads them as TIMESTAMP_NTZ); the session
+    * TZ is pinned UTC, so the NTZ→LTZ cast interprets them as UTC —
+    * exactly what DuckDB's `epoch_ms` does with its naive TIMESTAMP.
+    */
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** NTZ timestamp literal (matches the fixtures' column type). */
+  private def tsNtz(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  private def posts(spark: SparkSession, sfDir: String): DataFrame =
+    RedditModel.posts(spark, sfDir)
+
+  private def comments(spark: SparkSession, sfDir: String): DataFrame =
+    RedditModel.comments(spark, sfDir)
+
+  /** Q1 — per-subreddit overview (analysis.sql:5-15): multi-agg groupBy. */
+  def q01Overview(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"subreddit")
+      .agg(
+        count(lit(1)).as("total_posts"),
+        avgI($"score").as("avg_score"),
+        avgI($"num_comments").as("avg_comments"),
+        max($"score").as("highest_score"),
+        min($"score").as("lowest_score"))
+      .orderBy($"total_posts".desc, $"subreddit")
+
+  /** Q2 — top post(s) per subreddit (analysis.sql:17-32): the correlated
+    * `score IN (SELECT MAX(score) ...)` groupwise-max, kept as a join
+    * against the per-group max so ties are preserved exactly like the
+    * IN-form. The 5-row max side is auto-broadcast.
+    */
+  def q02TopPosts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = posts(spark, sfDir)
+    val mx = p.groupBy($"subreddit".as("mx_subreddit"))
+      .agg(max($"score").as("max_score"))
+    p.join(broadcast(mx),
+        p("subreddit") === mx("mx_subreddit") && p("score") === mx("max_score"))
+      .select(p("subreddit"), p("title"), p("author"), p("score"),
+        p("num_comments"), p("upvote_ratio"),
+        epochMs(p("created_utc")).as("created_ms"), p("id"))
+      .orderBy($"score".desc, $"id")
+  }
+
+  /** Q3 — posting patterns by hour (analysis.sql:34-42). */
+  def q03ByHour(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"hour_posted")
+      .agg(
+        count(lit(1)).as("post_count"),
+        avgI($"score").as("avg_score"),
+        avgI($"num_comments").as("avg_comments"))
+      .orderBy($"hour_posted")
+
+  /** Q4 — patterns by weekday, Monday=0 (analysis.sql:44-60); simple CASE
+    * with no ELSE → NULL off-range (F4).
+    */
+  def q04ByWeekday(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"day_of_week")
+      .agg(
+        count(lit(1)).as("post_count"),
+        avgI($"score").as("avg_score"))
+      .withColumn("day_name",
+        when($"day_of_week" === 0, "Monday")
+          .when($"day_of_week" === 1, "Tuesday")
+          .when($"day_of_week" === 2, "Wednesday")
+          .when($"day_of_week" === 3, "Thursday")
+          .when($"day_of_week" === 4, "Friday")
+          .when($"day_of_week" === 5, "Saturday")
+          .when($"day_of_week" === 6, "Sunday"))
+      .select($"day_of_week", $"day_name", $"post_count", $"avg_score")
+      .orderBy($"day_of_week")
+
+  /** Q5 — most active authors (analysis.sql:62-73, the commented-out
+    * query, with its syntax fixed): filter + groupBy + HAVING + top-k.
+    */
+  def q05ActiveAuthors(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .filter($"author" =!= "[deleted]")
+      .groupBy($"author")
+      .agg(
+        count(lit(1)).as("post_count"),
+        avgI($"score").as("avg_score"),
+        sum($"num_comments").as("total_comments_received"))
+      .filter($"post_count" > 1)
+      .orderBy($"post_count".desc, $"avg_score".desc, $"author")
+      .limit(20)
+
+  /** Q6 — content type analysis (analysis.sql:75-84): conditional sums. */
+  def q06ContentTypes(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"subreddit")
+      .agg(
+        sum(when($"is_video", 1).otherwise(0)).as("video_posts"),
+        sum(when($"has_selftext", 1).otherwise(0)).as("text_posts"),
+        sum(when($"is_original_content", 1).otherwise(0)).as("oc_posts"),
+        sum(when($"over_18", 1).otherwise(0)).as("nsfw_posts"),
+        count(lit(1)).as("total_posts"))
+      .orderBy($"subreddit")
+
+  /** Q7 — engagement by score category (analysis.sql:86-95); the
+    * category string sorts lexically, matching SQLite TEXT order.
+    */
+  def q07Engagement(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"subreddit", $"score_category")
+      .agg(
+        count(lit(1)).as("post_count"),
+        avgF($"engagement_rate").as("avg_engagement_rate"),
+        avgF($"upvote_ratio").as("avg_upvote_ratio"))
+      .orderBy($"subreddit", $"score_category")
+
+  /** Q8 — comment coverage (analysis.sql:97-105): LEFT JOIN keeps
+    * zero-comment subreddits with COUNT=0 / AVG=NULL (§7.4.7).
+    */
+  def q08CommentCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = posts(spark, sfDir).select($"id", $"subreddit")
+    val c = comments(spark, sfDir)
+      .select($"id".as("c_id"), $"post_id", $"score".as("c_score"),
+        $"author".as("c_author"))
+    p.join(c, p("id") === c("post_id"), "left")
+      .groupBy($"subreddit")
+      .agg(
+        count($"c_id").as("total_comments"),
+        round(sum($"c_score").cast("double") / count($"c_score"), 6)
+          .as("avg_comment_score"),
+        countDistinct($"c_author").as("unique_commenters"))
+      .orderBy($"subreddit")
+  }
+
+  /** Q9 — top commenters per subreddit (analysis.sql:107-118): the golden
+    * query (example.csv): inner join + 2-key group + HAVING >= 3.
+    */
+  def q09TopCommenters(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = posts(spark, sfDir).select($"id", $"subreddit")
+    val c = comments(spark, sfDir)
+      .filter($"author" =!= "[deleted]")
+      .select($"id".as("c_id"), $"post_id", $"score".as("c_score"),
+        $"author")
+    p.join(c, p("id") === c("post_id"))
+      .groupBy($"subreddit", $"author")
+      .agg(
+        count($"c_id").as("comment_count"),
+        avgI($"c_score").as("avg_comment_score"))
+      .filter($"comment_count" >= 3)
+      .orderBy($"subreddit", $"comment_count".desc, $"author")
+  }
+
+  /** Q10 — daily trends (analysis.sql:120-129): 2-key group on a
+    * date-truncated timestamp.
+    */
+  def q10DailyTrends(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy(to_date($"created_utc").cast("string").as("date"), $"subreddit")
+      .agg(
+        count(lit(1)).as("daily_posts"),
+        avgI($"score").as("avg_daily_score"),
+        max($"score").as("max_daily_score"))
+      .orderBy($"date".desc, $"subreddit")
+
+  /** Q11 — title text insights (analysis.sql:131-138). Runs on the STORED
+    * (regex-cleaned) title exactly like the reference — the clean strips
+    * '?', so question_rate is structurally 0; faithful by design.
+    */
+  def q11TitleText(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"subreddit")
+      .agg(
+        avgI($"title_length").as("avg_title_length"),
+        round(sum(when($"title".like("%?%"), 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("question_rate"),
+        round(sum(when(upper($"title") === $"title", 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("all_caps_rate"))
+      .orderBy($"subreddit")
+
+  /** Q12 — characteristic↔performance correlation (analysis.sql:140-148):
+    * Pearson corr ×3 (the reference SQL is aspirational — stock SQLite
+    * has no CORR — semantics documented as Pearson, SURVEY A10).
+    */
+  def q12Correlation(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .filter($"score" > 0)
+      .groupBy($"subreddit")
+      .agg(
+        round(corr($"title_length", $"score"), 6).as("title_length_score_corr"),
+        round(corr($"selftext_length", $"score"), 6).as("selftext_length_score_corr"),
+        round(corr($"hour_posted", $"score"), 6).as("hour_score_corr"))
+      .orderBy($"subreddit")
+
+  /** The reproducible as-of date replacing the reference's wall-clock
+    * `DATE('now')` (§7.4.4); 28 days keeps every group ≥2 rows at sf0.01
+    * so sample-stddev never hits the n=1 NULL/NaN divergence.
+    */
+  val weeklyAsOf = "1995-06-01 00:00:00"
+  val weeklyFrom = "1995-05-04 00:00:00"
+
+  /** Q13 — weekly performance summary (analysis.sql:150-161): relative
+    * date-range filter + stddev + countDistinct.
+    */
+  def q13Weekly(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .filter($"created_utc" >= tsNtz(weeklyFrom) &&
+        $"created_utc" < tsNtz(weeklyAsOf))
+      .groupBy($"subreddit")
+      .agg(
+        count(lit(1)).as("posts_this_week"),
+        avgI($"score").as("avg_score"),
+        when(count(lit(1)) >= 2, round(stddev_samp($"score"), 6))
+          .as("score_std_dev"),
+        avgI($"num_comments").as("avg_comments"),
+        countDistinct($"author").as("unique_authors"))
+      .orderBy($"avg_score".desc, $"subreddit")
+
+  /** Q14 — content quality indicators (analysis.sql:163-170): conditional
+    * AVG with implicit ELSE NULL (A7) and boolean-sum percentage (F5/F6).
+    */
+  def q14Quality(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .groupBy($"subreddit")
+      .agg(
+        round(sum(when($"is_original_content", $"score")).cast("double")
+          / count(when($"is_original_content", $"score")), 6)
+          .as("avg_oc_score"),
+        round(sum(when(!$"is_original_content", $"score")).cast("double")
+          / count(when(!$"is_original_content", $"score")), 6)
+          .as("avg_non_oc_score"),
+        round(sum($"is_original_content".cast("int")).cast("double")
+          * 100.0 / count(lit(1)), 6).as("oc_percentage"))
+      .orderBy($"subreddit")
+
+  /** Q15 — the `post_performance` view (analysis.sql:172-183): left-closed
+    * tiering CASE (distinct from T7's bins — do not unify, §7.4.2) + the
+    * only window function, RANK per subreddit. Also registered as a temp
+    * view (K4).
+    */
+  def q15PerformanceView(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"subreddit").orderBy($"score".desc)
+    val v = posts(spark, sfDir)
+      .select($"id", $"subreddit", $"score",
+        when($"score" >= 1000, "Viral")
+          .when($"score" >= 100, "Popular")
+          .when($"score" >= 10, "Good")
+          .otherwise("Low").as("performance_tier"),
+        rank().over(w).as("rank_in_subreddit"))
+    v.createOrReplaceTempView("post_performance")
+    v.orderBy($"subreddit", $"rank_in_subreddit", $"id")
+  }
+
+  /** Bounds replacing `DATE('now')` in the stats query (script.py:274). */
+  val statsFrom = "1995-01-01 00:00:00"
+  val statsTo = "1996-01-01 00:00:00"
+
+  /** The pipeline's flagship aggregation (script.py:264-276): filter +
+    * 2-key groupBy + 4 aggregates; feeds the upsert sink (K3).
+    */
+  def statsDaily(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .filter($"created_utc" >= tsNtz(statsFrom) &&
+        $"created_utc" < tsNtz(statsTo))
+      .groupBy($"subreddit", to_date($"created_utc").cast("string").as("date"))
+      .agg(
+        count(lit(1)).as("total_posts"),
+        avgI($"score").as("avg_score"),
+        avgI($"num_comments").as("avg_comments"),
+        max($"score").as("top_post_score"))
+      .orderBy($"subreddit", $"date")
+
+  /** The full derived-column surface (T1..T11) exposed directly so the
+    * oracle hash-checks every transform formula row-by-row.
+    */
+  def transformPosts(spark: SparkSession, sfDir: String): DataFrame =
+    posts(spark, sfDir)
+      .select($"id", $"title", $"selftext", $"author", $"subreddit",
+        $"score", $"num_comments", $"title_length", $"selftext_length",
+        $"has_selftext", $"hour_posted", $"day_of_week",
+        round($"engagement_rate", 6).as("engagement_rate"),
+        $"score_category", round($"upvote_ratio", 6).as("upvote_ratio"),
+        epochMs($"created_utc").as("created_ms"),
+        $"is_video", $"is_original_content", $"over_18", $"stickied",
+        $"locked")
+      .orderBy($"id")
+
+  // Scala 2.13 + Spark: $"..." interpolator needs an implicits import per
+  // SparkSession; use a top-level shim instead so query bodies stay terse.
+  private implicit class ColInterp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
