@@ -86,13 +86,13 @@ object RefOracle {
 """
 
   private def avgI(x: String): String =
-    s"round(CAST(SUM($x) AS DOUBLE) / COUNT($x), 6)"
+    s"(round(CAST(SUM($x) AS DOUBLE) / COUNT($x), 6) + 0.0)"
 
   val q01: String = modelCte + """
 SELECT subreddit,
   COUNT(*) AS total_posts,
-  round(CAST(SUM(score) AS DOUBLE) / COUNT(score), 6) AS avg_score,
-  round(CAST(SUM(num_comments) AS DOUBLE) / COUNT(num_comments), 6) AS avg_comments,
+  (round(CAST(SUM(score) AS DOUBLE) / COUNT(score), 6) + 0.0) AS avg_score,
+  (round(CAST(SUM(num_comments) AS DOUBLE) / COUNT(num_comments), 6) + 0.0) AS avg_comments,
   MAX(score) AS highest_score,
   MIN(score) AS lowest_score
 FROM posts GROUP BY subreddit
@@ -144,15 +144,15 @@ FROM posts GROUP BY subreddit ORDER BY subreddit"""
   val q07: String = modelCte + """
 SELECT subreddit, score_category,
   COUNT(*) AS post_count,
-  round(AVG(engagement_rate), 6) AS avg_engagement_rate,
-  round(AVG(upvote_ratio), 6) AS avg_upvote_ratio
+  (round(AVG(engagement_rate), 6) + 0.0) AS avg_engagement_rate,
+  (round(AVG(upvote_ratio), 6) + 0.0) AS avg_upvote_ratio
 FROM posts GROUP BY subreddit, score_category
 ORDER BY subreddit, score_category"""
 
   val q08: String = modelCte + """
 SELECT p.subreddit,
   COUNT(c.id) AS total_comments,
-  round(CAST(SUM(c.score) AS DOUBLE) / COUNT(c.score), 6) AS avg_comment_score,
+  (round(CAST(SUM(c.score) AS DOUBLE) / COUNT(c.score), 6) + 0.0) AS avg_comment_score,
   COUNT(DISTINCT c.author) AS unique_commenters
 FROM posts p LEFT JOIN comments c ON p.id = c.post_id
 GROUP BY p.subreddit ORDER BY p.subreddit"""
@@ -160,7 +160,7 @@ GROUP BY p.subreddit ORDER BY p.subreddit"""
   val q09: String = modelCte + """
 SELECT p.subreddit, c.author,
   COUNT(c.id) AS comment_count,
-  round(CAST(SUM(c.score) AS DOUBLE) / COUNT(c.score), 6) AS avg_comment_score
+  (round(CAST(SUM(c.score) AS DOUBLE) / COUNT(c.score), 6) + 0.0) AS avg_comment_score
 FROM posts p JOIN comments c ON p.id = c.post_id
 WHERE c.author <> '[deleted]'
 GROUP BY p.subreddit, c.author
@@ -178,15 +178,15 @@ ORDER BY date DESC, subreddit"""
   val q11: String = modelCte + s"""
 SELECT subreddit,
   ${avgI("title_length")} AS avg_title_length,
-  round(CAST(SUM(CASE WHEN title LIKE '%?%' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS question_rate,
-  round(CAST(SUM(CASE WHEN upper(title) = title THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS all_caps_rate
+  (round(CAST(SUM(CASE WHEN title LIKE '%?%' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS question_rate,
+  (round(CAST(SUM(CASE WHEN upper(title) = title THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS all_caps_rate
 FROM posts GROUP BY subreddit ORDER BY subreddit"""
 
   val q12: String = modelCte + """
 SELECT subreddit,
-  round(corr(title_length, score), 6) AS title_length_score_corr,
-  round(corr(selftext_length, score), 6) AS selftext_length_score_corr,
-  round(corr(hour_posted, score), 6) AS hour_score_corr
+  (round(corr(title_length, score), 6) + 0.0) AS title_length_score_corr,
+  (round(corr(selftext_length, score), 6) + 0.0) AS selftext_length_score_corr,
+  (round(corr(hour_posted, score), 6) + 0.0) AS hour_score_corr
 FROM posts WHERE score > 0
 GROUP BY subreddit ORDER BY subreddit"""
 
@@ -194,7 +194,7 @@ GROUP BY subreddit ORDER BY subreddit"""
 SELECT subreddit,
   COUNT(*) AS posts_this_week,
   ${avgI("score")} AS avg_score,
-  CASE WHEN COUNT(*) >= 2 THEN round(stddev_samp(score), 6) END AS score_std_dev,
+  CASE WHEN COUNT(*) >= 2 THEN (round(stddev_samp(score), 6) + 0.0) END AS score_std_dev,
   ${avgI("num_comments")} AS avg_comments,
   COUNT(DISTINCT author) AS unique_authors
 FROM posts
@@ -204,12 +204,12 @@ GROUP BY subreddit ORDER BY avg_score DESC, subreddit"""
 
   val q14: String = modelCte + """
 SELECT subreddit,
-  round(CAST(SUM(CASE WHEN is_original_content THEN score END) AS DOUBLE)
-    / COUNT(CASE WHEN is_original_content THEN score END), 6) AS avg_oc_score,
-  round(CAST(SUM(CASE WHEN NOT is_original_content THEN score END) AS DOUBLE)
-    / COUNT(CASE WHEN NOT is_original_content THEN score END), 6) AS avg_non_oc_score,
-  round(CAST(SUM(CAST(is_original_content AS INTEGER)) AS DOUBLE)
-    * CAST(100.0 AS DOUBLE) / COUNT(*), 6) AS oc_percentage
+  (round(CAST(SUM(CASE WHEN is_original_content THEN score END) AS DOUBLE)
+    / COUNT(CASE WHEN is_original_content THEN score END), 6) + 0.0) AS avg_oc_score,
+  (round(CAST(SUM(CASE WHEN NOT is_original_content THEN score END) AS DOUBLE)
+    / COUNT(CASE WHEN NOT is_original_content THEN score END), 6) + 0.0) AS avg_non_oc_score,
+  (round(CAST(SUM(CAST(is_original_content AS INTEGER)) AS DOUBLE)
+    * CAST(100.0 AS DOUBLE) / COUNT(*), 6) + 0.0) AS oc_percentage
 FROM posts GROUP BY subreddit ORDER BY subreddit"""
 
   val q15: String = modelCte + """
@@ -235,8 +235,8 @@ ORDER BY subreddit, date"""
   val transformPosts: String = modelCte + """
 SELECT id, title, selftext, author, subreddit, score, num_comments,
   title_length, selftext_length, has_selftext, hour_posted, day_of_week,
-  round(engagement_rate, 6) AS engagement_rate, score_category,
-  round(upvote_ratio, 6) AS upvote_ratio,
+  (round(engagement_rate, 6) + 0.0) AS engagement_rate, score_category,
+  (round(upvote_ratio, 6) + 0.0) AS upvote_ratio,
   epoch_ms(created_utc) AS created_ms,
   is_video, is_original_content, over_18, stickied, locked
 FROM posts ORDER BY id"""

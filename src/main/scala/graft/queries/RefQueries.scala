@@ -20,17 +20,25 @@ import graft.model.RedditModel
   */
 object RefQueries {
 
+  /** Round to 6 decimals AND normalize IEEE signed zero: DuckDB's round
+    * keeps -0.0 (e.g. 0/(negative)) while Spark's BigDecimal-based round
+    * emits +0.0 — numerically equal but distinct under a value hash.
+    * `x + 0.0` maps -0.0 → +0.0 in round-to-nearest; oracle SQL does the
+    * same (`+ 0.0`). Apply to EVERY float output column on both sides.
+    */
+  private[queries] def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
   /** Exact mean of an integral column: sum is a Long (deterministic),
     * single division at the end. Matches oracle `CAST(SUM(x) AS
     * DOUBLE)/COUNT(x)`.
     */
   private def avgI(c: Column): Column =
-    round(sum(c).cast("double") / count(c), 6)
+    r6(sum(c).cast("double") / count(c))
 
   /** Mean of a double column (rounded; tiny partial-agg reorder noise is
     * far below 1e-6 for these magnitudes).
     */
-  private def avgF(c: Column): Column = round(avg(c), 6)
+  private def avgF(c: Column): Column = r6(avg(c))
 
   /** Epoch millis of a (NTZ) timestamp. The fixtures' parquet timestamps
     * are timezone-naive (Spark reads them as TIMESTAMP_NTZ); the session
@@ -158,7 +166,7 @@ object RefQueries {
       .groupBy($"subreddit")
       .agg(
         count($"c_id").as("total_comments"),
-        round(sum($"c_score").cast("double") / count($"c_score"), 6)
+        r6(sum($"c_score").cast("double") / count($"c_score"))
           .as("avg_comment_score"),
         countDistinct($"c_author").as("unique_commenters"))
       .orderBy($"subreddit")
@@ -203,10 +211,10 @@ object RefQueries {
       .groupBy($"subreddit")
       .agg(
         avgI($"title_length").as("avg_title_length"),
-        round(sum(when($"title".like("%?%"), 1).otherwise(0)).cast("double")
-          / count(lit(1)), 6).as("question_rate"),
-        round(sum(when(upper($"title") === $"title", 1).otherwise(0))
-          .cast("double") / count(lit(1)), 6).as("all_caps_rate"))
+        r6(sum(when($"title".like("%?%"), 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("question_rate"),
+        r6(sum(when(upper($"title") === $"title", 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("all_caps_rate"))
       .orderBy($"subreddit")
 
   /** Q12 — characteristic↔performance correlation (analysis.sql:140-148):
@@ -218,9 +226,9 @@ object RefQueries {
       .filter($"score" > 0)
       .groupBy($"subreddit")
       .agg(
-        round(corr($"title_length", $"score"), 6).as("title_length_score_corr"),
-        round(corr($"selftext_length", $"score"), 6).as("selftext_length_score_corr"),
-        round(corr($"hour_posted", $"score"), 6).as("hour_score_corr"))
+        r6(corr($"title_length", $"score")).as("title_length_score_corr"),
+        r6(corr($"selftext_length", $"score")).as("selftext_length_score_corr"),
+        r6(corr($"hour_posted", $"score")).as("hour_score_corr"))
       .orderBy($"subreddit")
 
   /** The reproducible as-of date replacing the reference's wall-clock
@@ -241,7 +249,7 @@ object RefQueries {
       .agg(
         count(lit(1)).as("posts_this_week"),
         avgI($"score").as("avg_score"),
-        when(count(lit(1)) >= 2, round(stddev_samp($"score"), 6))
+        when(count(lit(1)) >= 2, r6(stddev_samp($"score")))
           .as("score_std_dev"),
         avgI($"num_comments").as("avg_comments"),
         countDistinct($"author").as("unique_authors"))
@@ -254,14 +262,14 @@ object RefQueries {
     posts(spark, sfDir)
       .groupBy($"subreddit")
       .agg(
-        round(sum(when($"is_original_content", $"score")).cast("double")
-          / count(when($"is_original_content", $"score")), 6)
+        r6(sum(when($"is_original_content", $"score")).cast("double")
+          / count(when($"is_original_content", $"score")))
           .as("avg_oc_score"),
-        round(sum(when(!$"is_original_content", $"score")).cast("double")
-          / count(when(!$"is_original_content", $"score")), 6)
+        r6(sum(when(!$"is_original_content", $"score")).cast("double")
+          / count(when(!$"is_original_content", $"score")))
           .as("avg_non_oc_score"),
-        round(sum($"is_original_content".cast("int")).cast("double")
-          * 100.0 / count(lit(1)), 6).as("oc_percentage"))
+        r6(sum($"is_original_content".cast("int")).cast("double")
+          * 100.0 / count(lit(1))).as("oc_percentage"))
       .orderBy($"subreddit")
 
   /** Q15 — the `post_performance` view (analysis.sql:172-183): left-closed
@@ -309,8 +317,8 @@ object RefQueries {
       .select($"id", $"title", $"selftext", $"author", $"subreddit",
         $"score", $"num_comments", $"title_length", $"selftext_length",
         $"has_selftext", $"hour_posted", $"day_of_week",
-        round($"engagement_rate", 6).as("engagement_rate"),
-        $"score_category", round($"upvote_ratio", 6).as("upvote_ratio"),
+        r6($"engagement_rate").as("engagement_rate"),
+        $"score_category", r6($"upvote_ratio").as("upvote_ratio"),
         epochMs($"created_utc").as("created_ms"),
         $"is_video", $"is_original_content", $"over_18", $"stickied",
         $"locked")
