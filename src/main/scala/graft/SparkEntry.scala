@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.TextAnalysis
 import graft.queries.{RefOracle, RefQueries}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -34,7 +35,12 @@ object SparkEntry {
     "q14_quality" -> (RefQueries.q14Quality _),
     "q15_performance_view" -> (RefQueries.q15PerformanceView _),
     "stats_daily" -> (RefQueries.statsDaily _),
-    "transform_posts" -> (RefQueries.transformPosts _)
+    "transform_posts" -> (RefQueries.transformPosts _),
+    // extension tier: text analysis over the documents table
+    "ta_tokens" -> (TextAnalysis.taTokens _),
+    "ta_quality" -> (TextAnalysis.taQuality _),
+    "ta_langid" -> (TextAnalysis.taLangId _),
+    "ta_fingerprint" -> (TextAnalysis.taFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -54,6 +60,10 @@ object SparkEntry {
     "q14_quality" -> RefOracle.q14,
     "q15_performance_view" -> RefOracle.q15,
     "stats_daily" -> RefOracle.statsDaily,
-    "transform_posts" -> RefOracle.transformPosts
+    "transform_posts" -> RefOracle.transformPosts,
+    "ta_tokens" -> TextAnalysis.taTokensSql,
+    "ta_quality" -> TextAnalysis.taQualitySql,
+    "ta_langid" -> TextAnalysis.taLangIdSql,
+    "ta_fingerprint" -> TextAnalysis.taFingerprintSql
   )
 }

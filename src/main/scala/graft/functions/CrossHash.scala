@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing primitives.
+  *
+  * The correctness oracle (DuckDB) must reproduce every hash-derived
+  * value bit-for-bit, so none of Spark's native hashes (xxhash64,
+  * murmur3) are usable — their algorithms differ from DuckDB's `hash()`.
+  * `md5` is the one hash both engines implement identically; we parse
+  * the first 15 hex chars (60 bits, fits a signed 64-bit) into a long:
+  *
+  *  - Spark : `conv(substring(md5(s), 1, 15), 16, 10)` cast to long
+  *  - DuckDB: `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`
+  *
+  * At 100 TB one would swap this for `xxhash64` (no oracle to match,
+  * ~20× cheaper than md5); the operator shapes are hash-agnostic —
+  * every consumer takes the hash as a `Column` so the swap is one line.
+  */
+object CrossHash {
+
+  /** Modulus for minhash/fingerprint modular arithmetic: the largest
+    * 31-bit prime. Keeps every intermediate product within a signed
+    * 64-bit: a*h ≤ 1e6 * (P-1) < 2^51.
+    */
+  val P: Long = 1000000007L
+
+  /** 60-bit hash of a string column (see object doc). Non-negative. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** md5Long reduced mod P — safe operand for (a*h + b) % P families. */
+  def md5Mod(c: Column): Column = md5Long(c) % P
+
+  // ---- oracle-side (DuckDB SQL) fragments; MUST mirror the above ----
+
+  def md5LongSql(e: String): String =
+    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  def md5ModSql(e: String): String = s"(${md5LongSql(e)} % $P)"
+}

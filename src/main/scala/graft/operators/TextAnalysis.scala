@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
+import graft.functions.CrossHash.{md5ModSql, P}
+import graft.functions.Determinism.{r6, r6Sql}
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` fixture (doc_id, text, lang, source, n_chars).
+  * Extension tier beyond the reference's surface (SURVEY.md §4.3): the
+  * reference's only text ops are length/regex-clean/LIKE
+  * (reference script.py:198-216, analysis.sql:131-138); these generalize
+  * them to the ops an LLM-corpus pipeline needs.
+  *
+  * Scale posture: every operator here is a narrow projection + per-row
+  * codegen'd expression — no shuffle, no UDF, no driver loop. On a real
+  * cluster each executor streams its parquet split through
+  * whole-stage-codegen; the only shuffle anywhere is the final
+  * presentation ORDER BY (which a 100 TB run would drop).
+  *
+  * Each query has a DuckDB oracle twin (the `*Sql` vals) built from the
+  * same constants — see [[graft.functions.CrossHash]] for the
+  * cross-engine hashing contract.
+  */
+object TextAnalysis {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace tokenization, identical in Java regex and RE2. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs | single digits | single
+    * punctuation (GPT-2-style digit splitting, ASCII-only for regex
+    * parity; the oracle uses the same pattern in RE2).
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  private val StopPattern = "\\b(the|a|of|and|in|to|is)\\b"
+
+  // ------------------------------------------------------------------
+  // ta_tokens — token counting (whitespace + BPE-ish regex)
+  // ------------------------------------------------------------------
+
+  def taTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit(BpePattern)).as("bpe_tokens"),
+      length(col("text")).cast("int").as("chars"),
+      size(array_distinct(tokens(lower(col("text"))))).as("distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  val taTokensSql: String = s"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+  CAST(length(text) AS INTEGER) AS chars,
+  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS INTEGER) AS distinct_tokens
+FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // ta_quality — quality scoring (length / punct / stopword ratios)
+  // ------------------------------------------------------------------
+
+  def taQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val words = size(tokens(col("text")))
+    val chars = length(col("text")).cast("int")
+    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val digits = regexp_count(col("text"), lit("[0-9]"))
+    val alpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val stops = regexp_count(lower(col("text")), lit(StopPattern))
+    // ratio terms appear in the same order/associativity as the oracle
+    // SQL so the doubles are bitwise identical.
+    val stopR = stops.cast("double") / words
+    val alphaR = alpha.cast("double") / chars
+    val punctR = punct.cast("double") / chars
+    d.select(
+      col("doc_id"),
+      chars.as("chars"),
+      words.as("words"),
+      punct.as("punct_chars"),
+      digits.as("digit_chars"),
+      stops.as("stopword_hits"),
+      r6(punctR).as("punct_ratio"),
+      r6(stopR).as("stopword_ratio"),
+      r6(alphaR).as("alpha_ratio"),
+      r6(digits.cast("double") / chars).as("digit_ratio"),
+      r6(stopR * lit(2.0) + alphaR - punctR * lit(3.0) +
+        least(words.cast("double") / lit(100.0), lit(1.0)))
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taQualitySql: String = {
+    val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val chars = "length(text)"
+    val punct = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    val digits = "len(regexp_extract_all(text, '[0-9]'))"
+    val alpha = "len(regexp_extract_all(text, '[a-zA-Z]'))"
+    val stops = s"len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b'))"
+    val stopR = s"(CAST($stops AS DOUBLE) / $words)"
+    val alphaR = s"(CAST($alpha AS DOUBLE) / $chars)"
+    val punctR = s"(CAST($punct AS DOUBLE) / $chars)"
+    s"""
+SELECT doc_id,
+  CAST($chars AS INTEGER) AS chars,
+  CAST($words AS INTEGER) AS words,
+  CAST($punct AS INTEGER) AS punct_chars,
+  CAST($digits AS INTEGER) AS digit_chars,
+  CAST($stops AS INTEGER) AS stopword_hits,
+  ${r6Sql(punctR)} AS punct_ratio,
+  ${r6Sql(stopR)} AS stopword_ratio,
+  ${r6Sql(alphaR)} AS alpha_ratio,
+  ${r6Sql(s"(CAST($digits AS DOUBLE) / $chars)")} AS digit_ratio,
+  ${r6Sql(s"$stopR * CAST(2.0 AS DOUBLE) + $alphaR - $punctR * CAST(3.0 AS DOUBLE) + least(CAST($words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))")} AS quality_score
+FROM documents ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // ta_langid — n-gram-marker language ID heuristic
+  // ------------------------------------------------------------------
+
+  /** (lang, marker-regex) profiles, checked in this priority order for
+    * argmax tie-breaks. On this synthetic fixture the text carries no
+    * real language signal (shared vocabulary; `lang` labels are
+    * independent of content), so the value verified is the heuristic's
+    * determinism, not its accuracy; real profiles plug into the same
+    * operator shape.
+    */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|is|a)\\b",
+    "de" -> "\\b(der|und|die)\\b",
+    "es" -> "\\b(el|los|es)\\b",
+    "fr" -> "\\b(le|la|est)\\b",
+    "zh" -> "[一-鿿]")
+
+  def taLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = LangProfiles.map { case (l, pat) =>
+      l -> regexp_count(lower(col("text")), lit(pat))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      coalesce(acc, when(s === m, lit(l)))
+    }
+    docs(spark, sfDir).select(
+      col("doc_id") +: col("lang") +:
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        pred.as("predicted_lang") :+
+        (pred === col("lang")).as("label_match"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val taLangIdSql: String = {
+    val scores = LangProfiles.map { case (l, pat) =>
+      l -> s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER)"
+    }
+    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val pred = scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""
+SELECT doc_id, lang,
+  ${scores.map { case (l, s) => s"$s AS score_$l" }.mkString(",\n  ")},
+  $pred AS predicted_lang,
+  ($pred = lang) AS label_match
+FROM documents ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // ta_fingerprint — rolling-hash document fingerprint
+  // ------------------------------------------------------------------
+
+  /** Polynomial rolling hash over the (lowercased) token stream:
+    * fp = fold(0, (acc, h) => (acc*31 + h) mod P) with h = md5-hash of
+    * each token mod P. Order-sensitive (unlike a token-set hash) so
+    * re-ordered documents fingerprint differently; all integer math so
+    * the oracle matches exactly.
+    */
+  def taFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val hashes = transform(toks, t => CrossHash.md5Mod(t))
+    val fp = aggregate(hashes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      fp.as("fingerprint"),
+      CrossHash.md5Long(array_join(slice(toks, 1, 3), " ")).as("head_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taFingerprintSql: String = {
+    val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    s"""
+SELECT doc_id,
+  CAST(len($toks) AS INTEGER) AS n_tokens,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform($toks, t -> ${md5ModSql("t")})),
+    (acc, x) -> ((acc * 31) + x) % $P) AS fingerprint,
+  ${CrossHash.md5LongSql(s"array_to_string($toks[1:3], ' ')")} AS head_hash
+FROM documents ORDER BY doc_id"""
+  }
+}

@@ -20,13 +20,10 @@ import graft.model.RedditModel
   */
 object RefQueries {
 
-  /** Round to 6 decimals AND normalize IEEE signed zero: DuckDB's round
-    * keeps -0.0 (e.g. 0/(negative)) while Spark's BigDecimal-based round
-    * emits +0.0 — numerically equal but distinct under a value hash.
-    * `x + 0.0` maps -0.0 → +0.0 in round-to-nearest; oracle SQL does the
-    * same (`+ 0.0`). Apply to EVERY float output column on both sides.
+  /** See [[graft.functions.Determinism.r6]] — rounds to 6 decimals and
+    * normalizes IEEE -0.0; applied to EVERY float output on both sides.
     */
-  private[queries] def r6(c: Column): Column = round(c, 6) + lit(0.0)
+  private[queries] def r6(c: Column): Column = graft.functions.Determinism.r6(c)
 
   /** Exact mean of an integral column: sum is a Long (deterministic),
     * single division at the end. Matches oracle `CAST(SUM(x) AS
