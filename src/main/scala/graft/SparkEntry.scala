@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import graft.queries.{RefOracle, RefQueries}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -40,7 +40,15 @@ object SparkEntry {
     "ta_tokens" -> (TextAnalysis.taTokens _),
     "ta_quality" -> (TextAnalysis.taQuality _),
     "ta_langid" -> (TextAnalysis.taLangId _),
-    "ta_fingerprint" -> (TextAnalysis.taFingerprint _)
+    "ta_fingerprint" -> (TextAnalysis.taFingerprint _),
+    // extension tier: deduplication family
+    "dd_exact" -> (Dedup.ddExact _),
+    "dd_minhash" -> (Dedup.ddMinhash _),
+    "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    "dd_simhash" -> (Dedup.ddSimhash _),
+    "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
+    "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_embed_cosine" -> (Dedup.ddEmbedCosine _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -64,6 +72,13 @@ object SparkEntry {
     "ta_tokens" -> TextAnalysis.taTokensSql,
     "ta_quality" -> TextAnalysis.taQualitySql,
     "ta_langid" -> TextAnalysis.taLangIdSql,
-    "ta_fingerprint" -> TextAnalysis.taFingerprintSql
+    "ta_fingerprint" -> TextAnalysis.taFingerprintSql,
+    "dd_exact" -> Dedup.ddExactSql,
+    "dd_minhash" -> Dedup.ddMinhashSql,
+    "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
+    "dd_simhash" -> Dedup.ddSimhashSql,
+    "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
+    "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
+    "dd_embed_cosine" -> Dedup.ddEmbedCosineSql
   )
 }

@@ -1,0 +1,417 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
+import graft.functions.CrossHash.{md5LongSql, md5ModSql, P}
+import graft.functions.Determinism.{r6, r6Sql}
+import graft.model.RedditModel
+import graft.operators.TextAnalysis.{docs, tokens}
+import graft.queries.RefOracle
+
+/** Deduplication operator family for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, char-n-gram Jaccard, embedding-cosine.
+  * Extension tier beyond the reference (whose only dedup is the PK
+  * constraint on load, reference script.py:49,78).
+  *
+  * Scale posture (the design constraint for each operator):
+  *  - exact: hash-groupBy with map-side partial aggregation — the only
+  *    shuffle carries one row per distinct key.
+  *  - MinHash signatures: per-row array lambdas, NO shuffle; LSH banding
+  *    turns the O(n²) pair space into an equi-join on band keys
+  *    (shuffle ∝ corpus size, not pairs); only candidates pay the exact
+  *    Jaccard verification.
+  *  - SimHash: explode+groupBy keeps one pass over tokens; partial agg
+  *    reduces shuffle volume to 60 longs per doc. Pairing uses 15-bit
+  *    chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *  - n-gram Jaccard: length-bucket blocking with neighbor-bucket
+  *    explode — an equi-join, not a theta join, so it shuffles instead
+  *    of falling into a nested-loop cross product.
+  *  - embedding cosine: norms precomputed once per vector; the all-pairs
+  *    form is the exactness baseline (the LSH-bucketed scale path is
+  *    [[Similarity.simLshAnn]]).
+  *
+  * Every hash is md5-derived so the DuckDB oracle reproduces results
+  * bit-for-bit (see [[graft.functions.CrossHash]]).
+  */
+object Dedup {
+
+  // ---- MinHash parameters (16 = 4 bands × 4 rows) ----
+  val K = 16
+  val Bands = 4
+  val R = 4
+  val As: Seq[Long] = (0 until K).map(i => 37L + 101L * i)
+  val Bs: Seq[Long] = (0 until K).map(i => 17L + 997L * i)
+  val MinhashJaccardMin = 0.5
+  val NgramJaccardMin = 0.6
+  val CosineMin = 0.45
+  val SimhashBits = 60 // md5Long yields 60 bits
+  val HammingMax = 3
+
+  // ------------------------------------------------------------------
+  // dd_exact — exact dedup by content hash (comments table)
+  // ------------------------------------------------------------------
+
+  /** Classic exact dedup: group by content hash, keep the smallest id as
+    * the deterministic survivor. One shuffle, partial-agg combined.
+    */
+  def ddExact(spark: SparkSession, sfDir: String): DataFrame =
+    RedditModel.comments(spark, sfDir)
+      .groupBy(md5(col("body")).as("body_key"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("id")).as("survivor_id"))
+      .orderBy(col("body_key"))
+
+  val ddExactSql: String = RefOracle.modelCte + """
+SELECT md5(body) AS body_key, COUNT(*) AS cnt, MIN(id) AS survivor_id
+FROM comments GROUP BY md5(body) ORDER BY body_key"""
+
+  // ------------------------------------------------------------------
+  // dd_minhash — per-doc MinHash signature (word-3-gram shingles)
+  // ------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles of a lowercased token array.
+    *
+    * PERF: `toks` MUST be a materialized attribute (a named column from
+    * a lower Project), never an inline expression — the lambda body
+    * references it 3× per shingle, and a non-attribute Column embeds a
+    * copy of its whole tree at each reference, turning shingling into
+    * O(tokens²) re-splits per document (measured 10× slowdown at sf0.1).
+    */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One row per (doc, distinct shingle hash). The md5 is computed ONCE
+    * per shingle here; a pure array-lambda formulation would let
+    * Catalyst's CollapseProject inline the hash array into each of the
+    * 16 minhash expressions and recompute md5 16× (measured 18 s at
+    * sf0.1 → ~2 s in this shape).
+    */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .select(col("doc_id"), CrossHash.md5Mod(col("sh")).as("h"))
+
+  /** MinHash signature via groupBy: 16 `min((a*h+b) mod P)` aggregates in
+    * one pass; partial aggregation means the shuffle carries 16 longs per
+    * doc regardless of corpus size.
+    */
+  private def signature(spark: SparkSession, sfDir: String): DataFrame =
+    shingleRows(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("h") * lit(As(0)) + lit(Bs(0))) % lit(P)).as("mh_0"),
+        (1 until K).map(i =>
+          min((col("h") * lit(As(i)) + lit(Bs(i))) % lit(P)).as(s"mh_$i")): _*)
+
+  def ddMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    signature(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Oracle CTE: doc_id, shingle list `s`, shingle-hash list `hs`. */
+  private val shingleCteSql: String = s"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(t) - 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), hashed AS (
+  SELECT doc_id, s, list_transform(s, x -> ${md5ModSql("x")}) AS hs FROM sh
+)"""
+
+  private def minhashColsSql: Seq[String] =
+    (0 until K).map(i =>
+      s"list_min(list_transform(hs, h -> ((h * ${As(i)}) + ${Bs(i)}) % $P))")
+
+  val ddMinhashSql: String = shingleCteSql + s"""
+SELECT doc_id,
+  ${minhashColsSql.zipWithIndex.map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n  ")}
+FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // dd_minhash_lsh — banded LSH candidates + exact Jaccard verify
+  // ------------------------------------------------------------------
+
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    // sorted distinct shingle-hash sets for the exact-Jaccard verify
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("s"))
+      .select(col("doc_id"), sort_array(array_distinct(
+        transform(col("s"), x => CrossHash.md5Mod(x)))).as("hs"))
+    // band key = "_"-joined 4-row slice of the signature
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws("_", (0 until R).map(r =>
+        col(s"mh_${b * R + r}").cast("string")): _*))
+    val bands = signature(spark, sfDir).select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    val inter = graft.functions.SortedIntersectCount
+      .intersectCount(col("ha"), col("hb"))
+    val jac = inter.cast("double") / (size(col("ha")) + size(col("hb")) - inter)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+      .filter(col("jaccard") >= MinhashJaccardMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ddMinhashLshSql: String = {
+    val mhCols = minhashColsSql.zipWithIndex
+      .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"CAST(mh_${b * R + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    shingleCteSql + s""", sig AS (
+  SELECT doc_id, s,
+    $mhCols
+  FROM hashed WHERE len(s) > 0
+), bands AS (
+  $bandSelects
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), hsets AS (
+  SELECT doc_id, list_distinct(hs) AS hd FROM hashed
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_filter(x.hd, g -> list_contains(y.hd, g))) AS i,
+    len(x.hd) AS na, len(y.hd) AS nb
+  FROM cands c
+  JOIN hsets x ON x.doc_id = c.doc_a
+  JOIN hsets y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+  ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
+FROM verified
+WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin
+ORDER BY doc_a, doc_b"""
+  }
+
+  // ------------------------------------------------------------------
+  // dd_simhash — per-doc 60-bit SimHash signature
+  // ------------------------------------------------------------------
+
+  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = transform(tokens(lower(col("text"))), t => CrossHash.md5Long(t))
+    val exploded = docs(spark, sfDir)
+      .select(col("doc_id"), explode(hs).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val agged = exploded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), bitSums: _*)
+    val sim = (0 until SimhashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col("doc_id"), col("n_tokens"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle CTE chain ending in `sig(doc_id, n_tokens, simhash)`. */
+  private val simhashCteSql: String = {
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+  SELECT doc_id,
+    unnest(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      x -> ${md5LongSql("x")})) AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+    $bitSums
+  FROM t GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, n_tokens, $sim AS simhash FROM b
+)"""
+  }
+
+  val ddSimhashSql: String = simhashCteSql + """
+SELECT doc_id, n_tokens, simhash FROM sig ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // dd_simhash_pairs — near-dup pairs by hamming ≤ 3 (chunk banding)
+  // ------------------------------------------------------------------
+
+  def ddSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = ddSimhash(spark, sfDir).select(col("doc_id"), col("simhash"))
+    // 4 chunks of 15 bits; hamming ≤ 3 ⇒ at least one chunk equal
+    val chunks = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "val")))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ddSimhashPairsSql: String = {
+    val chunkSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS val FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    simhashCteSql + s""", banded AS (
+  $chunkSelects
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= $HammingMax
+ORDER BY doc_a, doc_b"""
+  }
+
+  // ------------------------------------------------------------------
+  // dd_ngram_jaccard — char-5-gram Jaccard with length-bucket blocking
+  // ------------------------------------------------------------------
+
+  /** Length-bucket width: pairs may differ by at most BucketW-1 chars,
+    * found via neighbor-bucket explode (an equi-join — the scale-safe
+    * shape of a |Δlen|<w theta join). 16 keeps the candidate fraction
+    * ~3% of the pair space while covering real near-dups, whose edit
+    * distance (hence length delta) is small by definition of the op.
+    */
+  val BucketW = 16
+
+  /** Declarative twin of [[graft.functions.CharGramHashSet]] (kept for
+    * the property test that pins the custom expression to the built-in
+    * formulation): distinct character 5-grams as sorted md5-derived
+    * longs. The query path uses the custom expression — per-element
+    * lambda interpretation made this form ~10 s of the sf0.1 bench.
+    */
+  def charGramHashesDeclarative(c: Column): Column =
+    when(length(c) >= 5,
+      sort_array(array_distinct(transform(sequence(lit(1), length(c) - 4),
+        i => CrossHash.md5Mod(c.substr(i, lit(5)))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.CharGramHashSet.register(spark)
+    val base = docs(spark, sfDir)
+      .select(
+        col("doc_id"), col("n_chars"),
+        floor(col("n_chars") / BucketW).as("bkt"),
+        graft.functions.CharGramHashSet.gramHashes(lower(col("text"))).as("g"))
+    val left = base.select(col("doc_id").as("doc_a"),
+      col("n_chars").as("len_a"), col("bkt"), col("g").as("ga"))
+    val right = base.select(col("doc_id").as("doc_b"),
+        col("n_chars").as("len_b"), col("g").as("gb"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val inter = graft.functions.SortedIntersectCount
+      .intersectCount(col("ga"), col("gb"))
+    val jac = inter.cast("double") /
+      (size(col("ga")) + size(col("gb")) - inter)
+    left.join(right, Seq("bkt"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) < BucketW)
+      .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+      .filter(col("jaccard") >= NgramJaccardMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle computes the same exact Jaccard relationally (unnest + gram
+    * join) — a deliberately different plan than Spark's array-intersect,
+    * which is what makes the cross-check meaningful.
+    */
+  val ddNgramJaccardSql: String = s"""WITH base AS (
+  SELECT doc_id, n_chars,
+    list_distinct(list_transform(range(1, length(lower(text)) - 3),
+      i -> ${md5ModSql("substr(lower(text), i, 5)")})) AS g
+  FROM documents
+), grams AS (
+  SELECT doc_id, n_chars, unnest(g) AS gr FROM base
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b
+    ON a.gr = b.gr AND a.doc_id < b.doc_id
+    AND abs(a.n_chars - b.n_chars) < $BucketW
+  GROUP BY a.doc_id, b.doc_id
+), sized AS (
+  SELECT i.doc_a, i.doc_b, i.i, len(x.g) AS na, len(y.g) AS nb
+  FROM inter i
+  JOIN base x ON x.doc_id = i.doc_a
+  JOIN base y ON y.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b,
+  ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
+FROM sized
+WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $NgramJaccardMin
+ORDER BY doc_a, doc_b"""
+
+  // ------------------------------------------------------------------
+  // dd_embed_cosine — embedding near-dup by cosine similarity
+  // ------------------------------------------------------------------
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** All-pairs cosine over the custom codegen'd
+    * [[graft.functions.DotProduct]] expression (the declarative
+    * higher-order-function form is CodegenFallback and ~20× slower —
+    * see that class's doc). Same left-fold order as the oracle.
+    */
+  def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(col("v"), col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = gdot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cos.as("c"))
+      .filter(col("c") >= CosineMin)
+      .select(col("vec_a"), col("vec_b"), r6(col("c")).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Oracle-side sequential dot product over 1-based list indices. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+      (acc, v) -> acc + v)"""
+
+  val ddEmbedCosineSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ${dotSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm) AS c
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine
+FROM pairs WHERE c >= $CosineMin
+ORDER BY vec_a, vec_b"""
+}
