@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.queries.{RefOracle, RefQueries}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -48,7 +48,10 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
-    "dd_embed_cosine" -> (Dedup.ddEmbedCosine _)
+    "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
+    // extension tier: similarity search
+    "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
+    "sim_lsh_ann" -> (Similarity.simLshAnn _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -79,6 +82,8 @@ object SparkEntry {
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
-    "dd_embed_cosine" -> Dedup.ddEmbedCosineSql
+    "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
+    "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
+    "sim_lsh_ann" -> Similarity.simLshAnnSql
   )
 }

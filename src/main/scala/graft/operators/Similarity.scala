@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
+import graft.functions.Determinism.{r6, r6Sql}
+import graft.operators.Dedup.embeddings
+
+/** Similarity search (approximate nearest neighbor) over the
+  * `embeddings` fixture (vec_id, embedding float[64], label).
+  *
+  * Two tiers, as a large-scale pipeline needs both:
+  *  - [[simBruteforceTopk]] — exact cosine top-k for a fixed query set.
+  *    The correctness baseline; cost is O(|queries| × corpus), fine for
+  *    few queries, not for knn-join workloads.
+  *  - [[simLshAnn]] — random-hyperplane LSH: 6 sign bits bucket the
+  *    corpus (~1/64 of the space per bucket), queries probe their own
+  *    bucket plus all hamming-1 neighbors (7 of 64 buckets), and only
+  *    candidates pay the exact cosine. At 100 TB the bucket column is
+  *    a partition key: the probe join is an equi-join on bucket, so
+  *    each query shuffles to ≤7 partitions instead of broadcasting the
+  *    corpus.
+  *
+  * All dot products run through the codegen'd
+  * [[graft.functions.DotProduct]]; hyperplane components are dyadic
+  * rationals (k/1024 with k from a fixed LCG) embedded literally in
+  * both the Spark plan and the oracle SQL, so bucket assignment is
+  * bitwise-identical in both engines.
+  */
+object Similarity {
+
+  /** Number of fixed query vectors (the lowest vec_ids). */
+  val NQueries = 8
+
+  /** Neighbors returned per query. */
+  val TopK = 5
+
+  /** LSH sign bits (2^6 = 64 buckets). */
+  val NPlanes = 6
+
+  val Dim = 64
+
+  /** Deterministic hyperplane components: k/1024 with k ∈ [-512, 512)
+    * from a 64-bit LCG (constants from Knuth's MMIX). Dyadic rationals
+    * are exactly representable, so `lit(k/1024.0)` here and
+    * `k / CAST(1024.0 AS DOUBLE)` in DuckDB are the same double.
+    */
+  val PlaneInts: Seq[Seq[Long]] = {
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11) % 1024) - 512
+    }
+    Seq.fill(NPlanes)(Seq.fill(Dim)(next()))
+  }
+
+  private def planes: Seq[Seq[Double]] = PlaneInts.map(_.map(_ / 1024.0))
+
+  /** 6-bit LSH bucket of an `array<double>` column. */
+  def bucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(DotProduct.dot(v, typedlit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def base(spark: SparkSession, sfDir: String): DataFrame = {
+    DotProduct.register(spark)
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", DotProduct.dot(col("v"), col("v")))
+  }
+
+  // ------------------------------------------------------------------
+  // sim_bruteforce_topk — exact cosine top-k for NQueries query vectors
+  // ------------------------------------------------------------------
+
+  def simBruteforceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("c")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle-side sequential dot product (same fold order as DotProduct). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+      (acc, v) -> acc + v)"""
+
+  val simBruteforceTopkSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < $NQueries
+), scored AS (
+  SELECT q.query_id, n.vec_id,
+    ${dotSql("q.qv", "n.v")} / sqrt(q.qn * n.nrm) AS c
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("c")} AS cosine
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_lsh_ann — hyperplane-LSH bucketed ANN with hamming-1 probing
+  // ------------------------------------------------------------------
+
+  def simLshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir).withColumn("bkt", bucket(col("v")))
+    val probes = col("qb") +: (0 until NPlanes).map(j =>
+      col("qb").bitwiseXOR(lit(1 << j)))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bkt").as("qb"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array(probes: _*)).as("bkt"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    q.join(e, Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("c")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simLshAnnSql: String = {
+    val planesSql = PlaneInts.map(_.mkString("[", ", ", "]"))
+    val bucketSql = planesSql.zipWithIndex.map { case (p, j) =>
+      val h = s"list_transform(CAST($p AS BIGINT[]), k -> k / CAST(1024.0 AS DOUBLE))"
+      s"(CASE WHEN ${dotSql("v", h)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeSelects = ("SELECT query_id, qv, qn, qb AS bkt FROM q" +:
+      (0 until NPlanes).map(j =>
+        s"SELECT query_id, qv, qn, xor(qb, ${1 << j}) AS bkt FROM q"))
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm, $bucketSql AS bkt FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb FROM n
+  WHERE vec_id < $NQueries
+), probes AS (
+  $probeSelects
+), scored AS (
+  SELECT p.query_id, n.vec_id,
+    ${dotSql("p.qv", "n.v")} / sqrt(p.qn * n.nrm) AS c
+  FROM probes p JOIN n ON n.bkt = p.bkt AND n.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("c")} AS cosine
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+  }
+}
