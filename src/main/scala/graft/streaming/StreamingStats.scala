@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Determinism.{r6, r6Sql}
+
+/** Structured-Streaming tier: the reference's daily-stats pattern
+  * (SURVEY.md §2.9/§2.12) as an incremental computation over the
+  * `events` fixture (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (a per-subreddit driver loop,
+  * reference script.py:339-353); its daily aggregation is re-expressed
+  * here as a watermarked tumbling-window aggregation, which is the
+  * streaming-native form of the same query: late events inside the
+  * 1-hour watermark still update their day bucket, and state for
+  * closed windows is dropped, bounding memory at any input scale.
+  *
+  * [[dailyEventStats]] is transport-agnostic: the same transform runs
+  * over `readStream` (incremental) or `read` (backfill) — the batch
+  * query [[evDailyStats]] IS the backfill run, which the driver's
+  * DuckDB oracle cross-checks.
+  */
+object StreamingStats {
+
+  /** The streaming transform: watermark + 1-day tumbling window. */
+  def dailyEventStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        r6(sum(col("value"))).as("total_value"),
+        r6(avg(col("value"))).as("avg_value"))
+      .select(
+        to_date(col("window.start")).cast("string").as("day"),
+        col("event_type"), col("n_events"), col("approx_users"),
+        col("total_value"), col("avg_value"))
+
+  /** Start the incremental run (tests drive this via MemoryStream). */
+  def startMemorySink(events: DataFrame, queryName: String) =
+    dailyEventStats(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** Batch twin over the parquet fixture — the backfill path, and the
+    * oracle-checked correctness anchor for the streaming transform
+    * (same plan minus watermark). `approx_users` is exact here so the
+    * oracle can check it; the streaming variant returns the HLL sketch
+    * approximation (documented divergence: sketches are for streams).
+    */
+  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; read nanos as long and convert with integer `div`
+    * (a double division would lose precision past 2^53 nanos).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def evDailyStats(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        r6(sum(col("value"))).as("total_value"),
+        r6(sum(col("value")) / count(col("value"))).as("avg_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  val evDailyStatsSql: String = s"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS exact_users,
+  ${r6Sql("SUM(value)")} AS total_value,
+  ${r6Sql("(SUM(value) / COUNT(value))")} AS avg_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY day, event_type"""
+}
