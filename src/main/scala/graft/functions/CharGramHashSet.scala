@@ -83,7 +83,7 @@ object CharGramHashSet {
   val N = 5
 
   /** First 60 bits of md5 (== first 15 hex chars) mod [[CrossHash.P]]. */
-  private[functions] def hash(md: MessageDigest, s: String): Long = {
+  def hash(md: MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     var v = 0L

@@ -61,7 +61,10 @@ object Load {
       case Some(cur) =>
         val w = Window.partitionBy(col("subreddit"), col("date"))
           .orderBy(col("loaded_at").desc)
-        cur.unionByName(stamped)
+        // stored rows carry no sequence — they are by definition older
+        // than any incoming batch, so they merge at seq 0
+        cur.withColumn("loaded_at", lit(0L))
+          .unionByName(stamped)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn")

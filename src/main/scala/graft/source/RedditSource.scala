@@ -85,7 +85,8 @@ class FixtureSource(sfDir: String) extends RedditSource {
   override def fetchComments(spark: SparkSession, postId: String,
       limit: Int): DataFrame =
     RedditModel.comments(spark, sfDir)
-      .filter(col("post_id") === postId && col("body").isNotNull)
+      .filter(col("post_id").cast("string") === postId &&
+        col("body").isNotNull)
       .orderBy(col("id"))
       .limit(limit)
 }

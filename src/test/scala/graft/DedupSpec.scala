@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CharGramHashSet, CrossHash, DotProduct, SortedIntersectCount}
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity operators, and the custom Catalyst expressions
+  * pinned against their declarative (built-in-function) twins.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("CharGramHashSet equals the declarative md5/conv formulation") {
+    import spark.implicits._
+    CharGramHashSet.register(spark)
+    val texts = Seq("hello world, this is a gram test", "abcde", "abcd",
+      "", "ααβγδε unicode γράμματα", "aaaaaaaa")
+    val df = texts.toDF("t")
+    val rows = df.select(
+      CharGramHashSet.gramHashes(col("t")).as("fast"),
+      Dedup.charGramHashesDeclarative(col("t")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("DotProduct equals the declarative zip_with/aggregate fold") {
+    import spark.implicits._
+    DotProduct.register(spark)
+    val df = Seq((Seq(1.5, -2.0, 3.25), Seq(0.5, 4.0, -1.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>"), col("b").cast("array<double>"))
+    val r = df.select(
+      DotProduct.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v).as("slow")).collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(0) == 1.5 * 0.5 + -2.0 * 4.0 + 3.25 * -1.0)
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    SortedIntersectCount.register(spark)
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap
+      (Seq.empty[Long], Seq(1L, 2L)), // empty side
+      (Seq(4L, 8L), Seq(4L, 8L)), // identical
+      (Seq(1L, 2L), Seq(3L, 4L))) // disjoint
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      SortedIntersectCount.intersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("slow")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("minhash signature estimates Jaccard (identical docs agree fully)") {
+    val sig = Dedup.ddMinhash(spark, sf()).collect()
+    assert(sig.nonEmpty)
+    // signatures are within the modular hash range
+    sig.foreach { r =>
+      (0 until Dedup.K).foreach { i =>
+        val v = r.getAs[Long](s"mh_$i")
+        assert(v >= 0 && v < CrossHash.P)
+      }
+    }
+  }
+
+  test("dd_exact groups duplicate bodies under one survivor") {
+    val df = Dedup.ddExact(spark, sf())
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // survivor is the min id of its group: spot-check a duplicated key
+    val dup = rows.filter(_.getAs[Long]("cnt") > 1)
+    assert(dup.nonEmpty, "fixture should contain duplicate comment bodies")
+  }
+
+  test("LSH candidates are a superset of high-jaccard verified pairs") {
+    // every emitted pair must meet the verification threshold
+    val pairs = Dedup.ddMinhashLsh(spark, sf("sf0.01")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r =>
+      assert(r.getAs[Double]("jaccard") >= Dedup.MinhashJaccardMin))
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val rows = Dedup.ddSimhashPairs(spark, sf("sf0.01")).collect()
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= Dedup.HammingMax))
+  }
+
+  test("brute-force topk is sorted and self-free; LSH returns same shape") {
+    val bf = Similarity.simBruteforceTopk(spark, sf("sf0.01")).collect()
+    assert(bf.length == Similarity.NQueries * Similarity.TopK)
+    bf.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.toSeq == cs.sortBy(-_).toSeq) // descending within query
+    }
+    assert(bf.forall(r =>
+      r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    val ann = Similarity.simLshAnn(spark, sf("sf0.01")).collect()
+    assert(ann.forall(_.getAs[Int]("rank") <= Similarity.TopK))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+import graft.sink.Load
+import graft.source.FixtureSource
+
+/** Sink semantics (K1–K3) and pipeline orchestration (§2.14). */
+class LoadPipelineSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_wh_").toString
+
+  test("K3 upsert replaces on (subreddit, date) and re-runs idempotently") {
+    import spark.implicits._
+    val wh = tmpDir()
+    val b1 = Seq(("r/a", "2025-01-01", 10L), ("r/b", "2025-01-01", 5L))
+      .toDF("subreddit", "date", "total_posts")
+    Load.upsertStats(b1, spark, wh)
+    // replace r/a with new value, add r/c
+    val b2 = Seq(("r/a", "2025-01-01", 99L), ("r/c", "2025-01-02", 1L))
+      .toDF("subreddit", "date", "total_posts")
+    Load.upsertStats(b2, spark, wh)
+    val out = spark.read.parquet(s"$wh/subreddit_stats")
+    assert(out.count() == 3) // keys: a@01, b@01, c@02 — no duplicates
+    val a = out.filter(col("subreddit") === "r/a").collect().head
+    assert(a.getAs[Long]("total_posts") == 99L) // latest wins
+    // idempotency: re-upsert the identical batch changes nothing
+    Load.upsertStats(b2, spark, wh)
+    val again = spark.read.parquet(s"$wh/subreddit_stats")
+    assert(again.count() == 3)
+    assert(again.filter(col("subreddit") === "r/a").collect().head
+      .getAs[Long]("total_posts") == 99L)
+  }
+
+  test("K1 append dedups the batch on id before write") {
+    import spark.implicits._
+    val wh = tmpDir()
+    val batch = Seq(("p1", 5), ("p1", 5), ("p2", 7)).toDF("id", "score")
+    Load.appendPosts(batch, wh)
+    assert(spark.read.parquet(s"$wh/posts").count() == 2)
+  }
+
+  test("pipeline runs end-to-end on the fixture source") {
+    val wh = tmpDir()
+    val p = new Pipeline(spark, new FixtureSource(sf()), wh)
+    val n = p.runPipeline("1-URGENT", limit = 40, extractComments = true,
+      topPosts = 3, commentLimit = 5).get
+    assert(n == 40)
+    assert(spark.read.parquet(s"$wh/posts").count() == 40)
+    val stats = spark.read.parquet(s"$wh/subreddit_stats")
+    assert(stats.count() > 0)
+    assert(stats.columns.contains("avg_score"))
+    // comments fetched for the top posts (some may legitimately be empty)
+    val comments = spark.read.parquet(s"$wh/comments")
+    assert(comments.count() > 0)
+    assert(comments.select("extracted_at").collect().forall(!_.isNullAt(0)))
+  }
+
+  test("pipeline isolates per-subreddit failures (fail-soft, §2.14)") {
+    val wh = tmpDir()
+    val failing = new FixtureSource(sf()) {
+      override def fetchPosts(spark: org.apache.spark.sql.SparkSession,
+          subreddit: String, limit: Int, sort: String) =
+        if (subreddit == "boom") throw new RuntimeException("api down")
+        else super.fetchPosts(spark, subreddit, limit, sort)
+    }
+    val p = new Pipeline(spark, failing, wh)
+    val results = p.runAll(Seq("1-URGENT", "boom", "5-LOW"), limit = 10,
+      extractComments = false)
+    assert(results("boom").isFailure)
+    assert(results("1-URGENT").isSuccess && results("5-LOW").isSuccess)
+    // the healthy subreddits still loaded
+    assert(spark.read.parquet(s"$wh/posts").count() == 20)
+  }
+
+  test("empty extract short-circuits without writing (P10 guard)") {
+    val wh = tmpDir()
+    val p = new Pipeline(spark, new FixtureSource(sf()), wh)
+    assert(p.runPipeline("no-such-subreddit").get == 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/posts")))
+  }
+}
