@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb ~4 s of one-time session setup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the JVM/codegen/shuffle paths and the bench SF's parquet
+    // footers so the first timed query doesn't absorb one-time setup.
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("orders", "lineitem", "documents", "embeddings", "events")
+        .foreach { t =>
+          try spark.read.parquet(s"$sfDir/$t.parquet").count()
+          catch { case _: Throwable => () }
+        }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
