@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CharGramHashSet, DotProduct, SortedIntersectCount}
+
+/** Spark extensions entry point: registers the engine's custom
+  * Catalyst expressions so ANY session created with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) can call them from SQL
+  * text — `SELECT graft_dot(a, b)` — as well as via the Column API.
+  * The per-session `register(spark)` helpers on each function object
+  * remain for sessions created without extensions (the driver's
+  * Verify/Bench path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in")
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      { args: Seq[Expression] => DotProduct(args.head, args(1)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_sorted"),
+      info("graft_intersect_sorted",
+        "graft_intersect_sorted(a, b) - set-intersection count of sorted array<bigint>"),
+      { args: Seq[Expression] => SortedIntersectCount(args.head, args(1)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      info("graft_gram_hashes",
+        "graft_gram_hashes(s) - sorted distinct md5-derived 5-gram hash set"),
+      { args: Seq[Expression] => CharGramHashSet(args.head) }))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-text surface: catalog views + extension-registered custom
+  * functions, exercised the way a reference user would (raw SQL).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("catalog views answer reference-style SQL (analysis.sql shapes)") {
+    Catalog.registerAll(spark, sf())
+    val overview = spark.sql(
+      """SELECT subreddit, COUNT(*) AS total_posts, AVG(score) AS avg_score
+        |FROM posts GROUP BY subreddit ORDER BY total_posts DESC""".stripMargin)
+    assert(overview.count() == 5)
+    val joined = spark.sql(
+      """SELECT p.subreddit, COUNT(c.id) AS n
+        |FROM posts p LEFT JOIN comments c ON p.id = c.post_id
+        |GROUP BY p.subreddit""".stripMargin)
+    assert(joined.count() == 5)
+    val view = spark.sql(
+      "SELECT * FROM post_performance WHERE rank_in_subreddit = 1")
+    assert(view.count() >= 5) // ties may add rows
+  }
+
+  test("custom expressions are callable from SQL text") {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.CharGramHashSet.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d,
+        |  graft_intersect_sorted(CAST(array(1, 2, 3) AS ARRAY<BIGINT>),
+        |                         CAST(array(2, 3, 9) AS ARRAY<BIGINT>)) AS i,
+        |  size(graft_gram_hashes('abcdefg')) AS g""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 3) // 7 chars → 3 distinct 5-grams
+  }
+
+  test("GraftExtensions injects all functions at session build time") {
+    // a genuinely fresh session would pick these up via
+    // spark.sql.extensions; here the injection itself is exercised
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw, covers the wiring
+    // and a cold-start session proves end-to-end SQL callability
+    val active = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2.sql("SELECT graft_dot(CAST(array(2.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(3.0) AS ARRAY<DOUBLE>)) AS d").collect().head
+        .getDouble(0) == 6.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      active.foreach(SparkSession.setActiveSession)
+      active.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
