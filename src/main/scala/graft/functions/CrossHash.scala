@@ -39,4 +39,14 @@ object CrossHash {
     s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   def md5ModSql(e: String): String = s"(${md5LongSql(e)} % $P)"
+
+  /** Oracle-side sequential dot product over 1-based list indices — the
+    * same left-to-right fold as [[DotProduct]], so doubles match
+    * bitwise. Shared by every cosine/norm oracle; keep ONE copy — a
+    * reassociated fold in one consumer would silently break parity.
+    */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+      (acc, v) -> acc + v)"""
 }

@@ -396,11 +396,7 @@ ORDER BY doc_a, doc_b"""
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Oracle-side sequential dot product over 1-based list indices. */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
-      (acc, v) -> acc + v)"""
+  private def dotSql(a: String, b: String): String = CrossHash.dotSql(a, b)
 
   val ddEmbedCosineSql: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

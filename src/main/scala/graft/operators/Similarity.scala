@@ -94,9 +94,7 @@ object Similarity {
 
   /** Oracle-side sequential dot product (same fold order as DotProduct). */
   private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
-      (acc, v) -> acc + v)"""
+    graft.functions.CrossHash.dotSql(a, b)
 
   val simBruteforceTopkSql: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -42,31 +42,41 @@ class Pipeline(spark: SparkSession, source: RedditSource, warehouse: String) {
     if (raw.isEmpty) { // P10 guard (reference script.py:296-298)
       log(s"$subreddit: no posts extracted"); 0L
     } else {
-      // T — transform (reference script.py:301); lazy column graph
+      // T — transform (reference script.py:301); lazy column graph,
+      // cached before fan-out: four downstream actions (load, count,
+      // top-k, stats) must all see ONE extract — a live source would
+      // otherwise be re-fetched per action with different results
       val posts = Enrich.enrichPosts(raw)
         .withColumn("extracted_at", Enrich.extractedAt())
-      // L — load posts (reference script.py:308)
-      Load.appendPosts(posts, warehouse)
-      val n = posts.count()
-      log(s"$subreddit: loaded $n posts")
-      if (extractComments) {
-        // top-k fan-out (reference script.py:310-317): ids to the driver
-        // deliberately — the comment fetch is a sequential API call
-        val top = posts.orderBy(col("score").desc, col("id"))
-          .limit(topPosts).select(col("id")).collect().map(_.get(0).toString)
-        top.foreach { postId =>
-          Try {
-            val c = source.fetchComments(spark, postId, commentLimit)
-            if (!c.isEmpty) {
-              Load.appendComments(
-                c.withColumn("extracted_at", Enrich.extractedAt()), warehouse)
-            }
-          }.failed.foreach(e => log(s"comments for $postId failed: $e"))
+        .dropDuplicates("id")
+        .cache()
+      try {
+        // L — load posts (reference script.py:308)
+        Load.appendPosts(posts, warehouse)
+        val n = posts.count()
+        log(s"$subreddit: loaded $n posts")
+        if (extractComments) {
+          // top-k fan-out (reference script.py:310-317): ids to the
+          // driver deliberately — the comment fetch is a sequential API
+          // call
+          val top = posts.orderBy(col("score").desc, col("id"))
+            .limit(topPosts).select(col("id")).collect()
+            .map(_.get(0).toString)
+          top.foreach { postId =>
+            Try {
+              val c = source.fetchComments(spark, postId, commentLimit)
+              if (!c.isEmpty) {
+                Load.appendComments(
+                  c.withColumn("extracted_at", Enrich.extractedAt()),
+                  warehouse)
+              }
+            }.failed.foreach(e => log(s"comments for $postId failed: $e"))
+          }
         }
-      }
-      // stats (reference script.py:320 → §2.9) + upsert K3
-      Load.upsertStats(dailyStats(posts, subreddit), spark, warehouse)
-      n
+        // stats (reference script.py:320 → §2.9) + upsert K3
+        Load.upsertStats(dailyStats(posts, subreddit), spark, warehouse)
+        n
+      } finally posts.unpersist()
     }
   } match {
     case s @ Success(_) => s

@@ -15,20 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Load {
 
-  /** K1 — append posts (reference script.py:226-239). The reference
-    * relies on SQLite's PK to reject duplicate ids mid-batch; here the
-    * key invariant is enforced explicitly: within-batch dedup keeps the
-    * first row per id (deterministic via the batch's own ordering
-    * columns rather than arrival order).
+  /** True iff the table directory exists (vs. any transient read
+    * error, which must NOT be treated as "table absent" — that would
+    * silently drop or duplicate data).
+    */
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** K1 — append posts (reference script.py:226-239). The reference's
+    * SQLite PRIMARY KEY rejects duplicate ids table-wide; here the
+    * invariant is enforced explicitly: within-batch dedup plus an
+    * anti-join against already-loaded ids, so re-running a batch (the
+    * retry path) cannot double-load. At scale the anti-join broadcasts
+    * the batch's ids against the table, or the table is a key-enforcing
+    * format (Delta with a merge) — either way the contract is the same.
     */
   def appendPosts(df: DataFrame, warehouse: String): Unit =
-    df.dropDuplicates("id")
-      .write.mode(SaveMode.Append).parquet(s"$warehouse/posts")
+    appendKeyed(df, df.sparkSession, s"$warehouse/posts")
 
   /** K2 — append comments (reference script.py:241-257). */
   def appendComments(df: DataFrame, warehouse: String): Unit =
-    df.dropDuplicates("id")
-      .write.mode(SaveMode.Append).parquet(s"$warehouse/comments")
+    appendKeyed(df, df.sparkSession, s"$warehouse/comments")
+
+  private def appendKeyed(df: DataFrame, spark: SparkSession,
+      path: String): Unit = {
+    val batch = df.dropDuplicates("id")
+    val fresh =
+      if (!tableExists(spark, path)) batch
+      else batch.join(spark.read.parquet(path).select(col("id")),
+        Seq("id"), "left_anti")
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** K3 — upsert daily stats on PK (subreddit, date), the parquet
     * equivalent of the reference's `INSERT OR REPLACE`
@@ -53,28 +72,32 @@ object Load {
   def upsertStats(batch: DataFrame, spark: SparkSession, warehouse: String): Unit = {
     val path = s"$warehouse/subreddit_stats"
     val stamped = batch.withColumn("loaded_at", lit(nextSeq()))
-    val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: Throwable => None } // first load: table absent
-    val merged = existing match {
-      case None => stamped
-      case Some(cur) =>
+    val merged =
+      if (!tableExists(spark, path)) stamped
+      else {
         val w = Window.partitionBy(col("subreddit"), col("date"))
           .orderBy(col("loaded_at").desc)
         // stored rows carry no sequence — they are by definition older
         // than any incoming batch, so they merge at seq 0
-        cur.withColumn("loaded_at", lit(0L))
+        spark.read.parquet(path).withColumn("loaded_at", lit(0L))
           .unionByName(stamped)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn")
-    }
-    // parquet has no transactional overwrite-while-reading: stage the
-    // merged result, then swap (a table format would make this atomic).
-    val staged = merged.drop("loaded_at").cache()
-    staged.count()
-    staged.write.mode(SaveMode.Overwrite).parquet(path)
-    staged.unpersist()
+      }
+    // parquet has no transactional overwrite-while-reading, and a
+    // cached plan is NOT durable (evicted partitions would recompute
+    // from the deleted files mid-overwrite): stage the merged result to
+    // a sibling directory, then rewrite the table from the durable
+    // staging copy. A table format (Delta/Iceberg) makes this atomic.
+    val staging = s"$path._staging"
+    merged.drop("loaded_at")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
   }
 
   /** K4 — the `post_performance` view (reference analysis.sql:173-183). */

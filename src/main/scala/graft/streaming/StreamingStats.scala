@@ -55,6 +55,10 @@ object StreamingStats {
   /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects; read nanos as long and convert with integer `div`
     * (a double division would lose precision past 2^53 nanos).
+    *
+    * NOTE: sessions should set `spark.sql.legacy.parquet.nanosAsLong`
+    * at build time (Verify/Bench do); the set here is a safety net for
+    * externally-created sessions and is a visible, session-wide effect.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

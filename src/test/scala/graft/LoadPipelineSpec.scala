@@ -43,6 +43,19 @@ class LoadPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/posts").count() == 2)
   }
 
+  test("K1 append is idempotent across batches (table-wide PK contract)") {
+    import spark.implicits._
+    val wh = tmpDir()
+    val batch = Seq(("p1", 5), ("p2", 7)).toDF("id", "score")
+    Load.appendPosts(batch, wh)
+    Load.appendPosts(batch, wh) // retry/re-run must not double-load
+    assert(spark.read.parquet(s"$wh/posts").count() == 2)
+    // a later batch with one new and one known id loads only the new row
+    Load.appendPosts(Seq(("p2", 9), ("p3", 1)).toDF("id", "score"), wh)
+    val out = spark.read.parquet(s"$wh/posts")
+    assert(out.count() == 3)
+  }
+
   test("pipeline runs end-to-end on the fixture source") {
     val wh = tmpDir()
     val p = new Pipeline(spark, new FixtureSource(sf()), wh)
