@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingStats
 import graft.queries.{RefOracle, RefQueries}
 
@@ -59,7 +59,11 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
     // streaming tier: batch twin of the watermarked windowed agg
-    "ev_daily_stats" -> (StreamingStats.evDailyStats _)
+    "ev_daily_stats" -> (StreamingStats.evDailyStats _),
+    // extension tier: corpus preparation
+    "cp_split" -> (Corpus.cpSplit _),
+    "cp_normalize" -> (Corpus.cpNormalize _),
+    "cp_pack" -> (Corpus.cpPack _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,6 +99,9 @@ object SparkEntry {
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
-    "ev_daily_stats" -> StreamingStats.evDailyStatsSql
+    "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
+    "cp_split" -> Corpus.cpSplitSql,
+    "cp_normalize" -> Corpus.cpNormalizeSql,
+    "cp_pack" -> Corpus.cpPackSql
   )
 }

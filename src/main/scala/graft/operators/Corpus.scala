@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{CrossHash, NfcNormalize}
+import graft.functions.CrossHash.md5LongSql
+import graft.operators.TextAnalysis.docs
+
+/** Corpus-preparation operators: the plumbing between cleaning/dedup
+  * and the training job — deterministic dataset splitting, text
+  * normalization, and context-window packing.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------------
+  // cp_split — deterministic train/val/test assignment
+  // ------------------------------------------------------------------
+
+  val TrainPct = 80
+  val ValPct = 10 // test gets the remainder
+
+  /** Hash-based split: stable under corpus growth (a doc's split never
+    * depends on other rows), reproducible across engines (md5-derived),
+    * and skew-free. The salt string versions the split — bump it to
+    * reshuffle.
+    */
+  def cpSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = CrossHash.md5Long(
+      concat(lit("split-v1:"), col("doc_id").cast("string"))) % 100
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      bucket.cast("int").as("bucket"),
+      when(bucket < TrainPct, "train")
+        .when(bucket < TrainPct + ValPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpSplitSql: String = {
+    val bucket = s"(${md5LongSql("('split-v1:' || doc_id)")} % 100)"
+    s"""
+SELECT doc_id,
+  CAST($bucket AS INTEGER) AS bucket,
+  CASE WHEN $bucket < $TrainPct THEN 'train'
+       WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // cp_normalize — canonical text form (NFC + case + whitespace)
+  // ------------------------------------------------------------------
+
+  /** Normalization pipeline: Unicode NFC (via the custom expression —
+    * Spark has no built-in), lowercase, trim, collapse whitespace runs.
+    * Emitted as length + digest (the canonical-form fingerprint exact
+    * dedup keys on), not the full text.
+    */
+  def cpNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    NfcNormalize.register(spark)
+    val norm = regexp_replace(
+      trim(lower(NfcNormalize.nfc(col("text")))), "\\s+", " ")
+    docs(spark, sfDir)
+      .select(col("doc_id"), norm.as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("norm")).cast("int").as("norm_chars"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpNormalizeSql: String = """
+WITH n AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(norm) AS INTEGER) AS norm_chars,
+  md5(norm) AS norm_md5
+FROM n ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // cp_pack — context-window packing (concatenate-then-chunk)
+  // ------------------------------------------------------------------
+
+  /** Tokens per context window. */
+  val PackBudget = 512L
+
+  /** Pretraining-style packing: documents are concatenated in doc_id
+    * order and chunked into fixed windows; each doc's pack and offset
+    * follow from the running token total, so the layout is a pure
+    * window computation — no sequential driver loop.
+    *
+    * Scale note: a single global running total means one partition at
+    * the window stage. At 100 TB the same computation runs per
+    * partition key (e.g. shard = doc_id div N) with pack ids salted by
+    * shard — packing quality is unchanged since windows never need to
+    * cross shard boundaries by construction.
+    */
+  def cpPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        col("start_off"),
+        expr(s"start_off div $PackBudget").as("pack_id"),
+        (col("start_off") % PackBudget).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpPackSql: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - n_tokens AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+  CAST(start_off // $PackBudget AS BIGINT) AS pack_id,
+  CAST(start_off % $PackBudget AS BIGINT) AS pack_offset
+FROM c ORDER BY doc_id"""
+}
