@@ -30,7 +30,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // decomposition: the reference's own query surface (baseline-
+    // comparable) vs the extension tier it has no counterpart for
+    val isParity = (k: String) =>
+      k.startsWith("q") || k == "stats_daily" || k == "transform_posts"
+    val parity = results.collect { case (k, v) if isParity(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
