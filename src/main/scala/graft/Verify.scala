@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clean slate: a failed query must surface as a MISSING dump, not
+    // silently pass the compare via a stale dump from a previous run
+    val outRoot = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outRoot)) fs.delete(outRoot, true)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
