@@ -1,0 +1,158 @@
+package graft.source.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.schema.Schemas
+
+/** DataSource V2 binding for the Reddit posts source (SURVEY §2.1 S1):
+  *
+  * {{{
+  * spark.read.format("graft.source.v2.RedditTableProvider")
+  *   .option("path", "/dumps/posts.json")   // offline dump binding
+  *   .option("subreddit", "python")
+  *   .option("limit", "50")
+  *   .load()
+  * }}}
+  *
+  * The connector surface (options → table → scan → partition readers)
+  * is the real DSv2 contract; the row transport reads newline-JSON
+  * dumps, standing in for the HTTP fetch the reference does with PRAW
+  * (reference script.py:112-157) — a live binding would swap the
+  * reader factory and keep everything else.
+  *
+  * Planning happens on the driver (like the API pagination it models);
+  * rows are produced by executors per input split. The 15-field raw
+  * post schema is fixed by [[graft.schema.Schemas]].
+  */
+class RedditTableProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedditTableProvider.rawPostsSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedditTable(properties.asScala.toMap)
+}
+
+object RedditTableProvider {
+  val rawPostsSchema: StructType =
+    StructType(Schemas.posts.fields.take(15))
+}
+
+private[v2] class RedditTable(props: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"reddit(${props.getOrElse("subreddit", "*")})"
+
+  override def schema(): StructType = RedditTableProvider.rawPostsSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RedditScanBuilder(props ++ options.asScala)
+}
+
+private[v2] class RedditScanBuilder(props: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+
+  override def build(): Scan = this
+
+  override def readSchema(): StructType = RedditTableProvider.rawPostsSchema
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    Array(RedditInputPartition(path,
+      props.get("subreddit"), props.get("limit").map(_.toInt)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RedditReaderFactory
+}
+
+private[v2] case class RedditInputPartition(path: String,
+    subreddit: Option[String], limit: Option[Int]) extends InputPartition
+
+private[v2] class RedditReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[RedditInputPartition]
+    new RedditPartitionReader(part)
+  }
+}
+
+/** Executor-side reader: parses the newline-JSON dump through the
+  * declared schema, applying the subreddit filter and limit. Uses
+  * Jackson via Spark's bundled databind (no extra deps).
+  */
+private[v2] class RedditPartitionReader(part: RedditInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private val lines = {
+    val src = scala.io.Source.fromFile(part.path, "UTF-8")
+    val all = src.getLines().filter(_.trim.nonEmpty).toVector
+    src.close()
+    all
+  }
+
+  private val schema = RedditTableProvider.rawPostsSchema
+  private var idx = 0
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (idx < lines.length &&
+        emitted < part.limit.getOrElse(Int.MaxValue)) {
+      val node = mapper.readTree(lines(idx))
+      idx += 1
+      val sub = Option(node.get("subreddit")).map(_.asText())
+      if (part.subreddit.forall(s => sub.contains(s))) {
+        current = toRow(node)
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
+  private def toRow(node: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
+    val vals = schema.fields.map { case StructField(fname, dt, _, _) =>
+      val v = node.get(fname)
+      if (v == null || v.isNull) null
+      else dt.typeName match {
+        case "string" => org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asText())
+        case "integer" => Int.box(v.asInt())
+        case "double" => Double.box(v.asDouble())
+        case "boolean" => Boolean.box(v.asBoolean())
+        case "timestamp" => // ISO-8601 or epoch seconds → micros
+          if (v.isNumber) Long.box(v.asLong() * 1000000L)
+          else Long.box(java.time.Instant.parse(v.asText()).toEpochMilli * 1000L)
+        case other =>
+          throw new IllegalStateException(s"unhandled type $other for $fname")
+      }
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

@@ -46,6 +46,30 @@ object StreamingStats {
       .queryName(queryName)
       .start()
 
+  /** Incremental → warehouse: each closed-window micro-batch upserts
+    * into a stats table through the K3 sink (SURVEY §7.3 — streaming
+    * reuses the batch upsert; `foreachBatch` is the idiomatic bridge).
+    * Keyed on (event_type, day) via the sink's (subreddit, date)
+    * column contract.
+    */
+  def startUpsertSink(events: DataFrame, warehouse: String,
+      checkpoint: String) =
+    dailyEventStats(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sink.Load.upsertStats(
+            batch.select(
+              col("event_type").as("subreddit"), col("day").as("date"),
+              col("n_events"), col("approx_users"),
+              col("total_value"), col("avg_value")),
+            batch.sparkSession, warehouse)
+        }
+      }
+      .start()
+
   /** Batch twin over the parquet fixture — the backfill path, and the
     * oracle-checked correctness anchor for the streaming transform
     * (same plan minus watermark). `approx_users` is exact here so the

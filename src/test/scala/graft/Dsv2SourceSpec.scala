@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+/** The DataSource V2 connector: options → scan → rows through the real
+  * DSv2 contract.
+  */
+class Dsv2SourceSpec extends SparkSpec {
+
+  private def writeDump(): String = {
+    val dir = Files.createTempDirectory("graft_dsv2_")
+    val posts = Seq(
+      """{"id":"p1","title":"one","author":"a","subreddit":"python","score":50,"upvote_ratio":0.9,"num_comments":10,"created_utc":1735725600,"selftext":"b","url":"u","is_video":false,"is_original_content":true,"over_18":false,"stickied":false,"locked":false}""",
+      """{"id":"p2","title":"two","author":"b","subreddit":"python","score":9,"upvote_ratio":0.7,"num_comments":1,"created_utc":"2025-01-02T10:00:00Z","selftext":null,"url":"u","is_video":false,"is_original_content":false,"over_18":false,"stickied":false,"locked":false}""",
+      """{"id":"p3","title":"other","author":"c","subreddit":"rust","score":5,"upvote_ratio":0.5,"num_comments":0,"created_utc":1735725700,"selftext":"s","url":"u","is_video":true,"is_original_content":false,"over_18":false,"stickied":false,"locked":false}""")
+    val p = dir.resolve("posts.json")
+    Files.write(p, posts.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("DSv2 read honors subreddit filter, limit, and declared schema") {
+    val path = writeDump()
+    val df = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path)
+      .option("subreddit", "python")
+      .load()
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("id")).toSet == Set("p1", "p2"))
+    assert(df.schema("created_utc").dataType.typeName == "timestamp")
+    // null selftext survives; epoch + ISO timestamps both decode
+    assert(rows.find(_.getAs[String]("id") == "p2").get
+      .isNullAt(df.schema.fieldIndex("selftext")))
+    val limited = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path).option("limit", "1").load()
+    assert(limited.count() == 1)
+  }
+
+  test("DSv2 source composes with the transform stage") {
+    val path = writeDump()
+    val raw = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path).option("subreddit", "python").load()
+    val enriched = graft.transform.Enrich.enrichPosts(raw)
+    val r = enriched.orderBy("id").collect().head
+    assert(r.getAs[Int]("title_length") == 3)
+    assert(r.getAs[String]("score_category") == "Medium") // score 50
+  }
+}

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
       "exact_users", "total_value", "avg_value"))
   }
 
+  test("foreachBatch bridge upserts closed windows into the warehouse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_swh_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val q = StreamingStats.startUpsertSink(
+      mem.toDF().toDF("ts", "event_type", "user_id", "value"), wh, ckpt)
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2025-03-01 10:00:00"), "click", 1L, 2.0),
+        (Timestamp.valueOf("2025-03-03 09:00:00"), "view", 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$wh/subreddit_stats")
+      // the 03-01 click window closed (watermark passed via 03-03 event)
+      assert(out.count() == 1)
+      val r = out.collect().head
+      assert(r.getAs[String]("subreddit") == "click" &&
+        r.getAs[String]("date") == "2025-03-01")
+    } finally q.stop()
+  }
+
   test("streaming transform schema matches its batch twin's core columns") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
