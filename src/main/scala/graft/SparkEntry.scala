@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Filters, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingStats
 import graft.queries.{RefOracle, RefQueries}
 
@@ -63,7 +63,10 @@ object SparkEntry {
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
-    "cp_pack" -> (Corpus.cpPack _)
+    "cp_pack" -> (Corpus.cpPack _),
+    // extension tier: quality filtering + scrubbing
+    "qf_decide" -> (Filters.qfDecide _),
+    "qf_redact" -> (Filters.qfRedact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +105,8 @@ object SparkEntry {
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
-    "cp_pack" -> Corpus.cpPackSql
+    "cp_pack" -> Corpus.cpPackSql,
+    "qf_decide" -> Filters.qfDecideSql,
+    "qf_redact" -> Filters.qfRedactSql
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Determinism.{r6, r6Sql}
+import graft.operators.TextAnalysis.{docs, tokens}
+
+/** Corpus quality filtering and scrubbing — the decision layer between
+  * raw text and the training set.
+  */
+object Filters {
+
+  // ------------------------------------------------------------------
+  // qf_decide — Gopher-style per-document filter decisions
+  // ------------------------------------------------------------------
+
+  /** Bounds in the spirit of the published Gopher/C4 heuristics,
+    * applied to this fixture's scale (documents are 10–100 words).
+    * Each rule is an independent boolean column plus a combined keep
+    * flag — downstream can audit exactly why a doc was dropped.
+    */
+  val MinWords = 15
+  val MaxWords = 1000
+  val MinMeanWordLen = 2.0
+  val MaxMeanWordLen = 12.0
+  val MaxSymbolRatio = 0.1
+  val MaxRepetitionRatio = 0.6
+
+  def qfDecide(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("toks"))
+    val words = size(col("toks"))
+    val chars = length(col("text"))
+    val symbols = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    // mean word length: non-separator chars / words (single-space
+    // tokenized text, so separators = words - 1)
+    val meanWordLen = (chars - (words - 1)).cast("double") / words
+    val distinctToks = size(array_distinct(col("toks")))
+    val repetition = lit(1.0) - distinctToks.cast("double") / words
+    val okWords = words >= MinWords && words <= MaxWords
+    val okMwl = meanWordLen >= MinMeanWordLen && meanWordLen <= MaxMeanWordLen
+    val okSymbols = symbols.cast("double") / chars <= MaxSymbolRatio
+    val okRepetition = repetition <= MaxRepetitionRatio
+    d.select(
+      col("doc_id"),
+      words.as("words"),
+      r6(meanWordLen).as("mean_word_len"),
+      r6(symbols.cast("double") / chars).as("symbol_ratio"),
+      r6(repetition).as("repetition_ratio"),
+      okWords.as("ok_words"),
+      okMwl.as("ok_mean_word_len"),
+      okSymbols.as("ok_symbols"),
+      okRepetition.as("ok_repetition"),
+      (okWords && okMwl && okSymbols && okRepetition).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qfDecideSql: String = {
+    val words = "len(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+    val chars = "length(text)"
+    val symbols = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    val mwl = s"(CAST(($chars - ($words - 1)) AS DOUBLE) / $words)"
+    val distinct = "len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))"
+    val rep = s"(CAST(1.0 AS DOUBLE) - CAST($distinct AS DOUBLE) / $words)"
+    val okWords = s"($words >= $MinWords AND $words <= $MaxWords)"
+    val okMwl = s"($mwl >= CAST($MinMeanWordLen AS DOUBLE) AND $mwl <= CAST($MaxMeanWordLen AS DOUBLE))"
+    val okSym = s"(CAST($symbols AS DOUBLE) / $chars <= CAST($MaxSymbolRatio AS DOUBLE))"
+    val okRep = s"($rep <= CAST($MaxRepetitionRatio AS DOUBLE))"
+    s"""
+SELECT doc_id,
+  CAST($words AS INTEGER) AS words,
+  ${r6Sql(mwl)} AS mean_word_len,
+  ${r6Sql(s"(CAST($symbols AS DOUBLE) / $chars)")} AS symbol_ratio,
+  ${r6Sql(rep)} AS repetition_ratio,
+  $okWords AS ok_words,
+  $okMwl AS ok_mean_word_len,
+  $okSym AS ok_symbols,
+  $okRep AS ok_repetition,
+  ($okWords AND $okMwl AND $okSym AND $okRep) AS keep
+FROM documents ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // qf_redact — PII/URL scrubbing
+  // ------------------------------------------------------------------
+
+  /** Conservative ASCII patterns that parse identically in Java regex
+    * and RE2 (no backrefs, no lookaround).
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Scrub emails/URLs/phone-shaped spans to typed placeholders; emit
+    * per-doc hit counts and the digest of the scrubbed text (the form
+    * that continues down the pipeline).
+    */
+  def qfRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("emails"),
+      regexp_count(col("text"), lit(UrlPattern)).as("urls"),
+      regexp_count(col("text"), lit(PhonePattern)).as("phones"),
+      length(redacted).cast("int").as("redacted_chars"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qfRedactSql: String = {
+    val redacted = s"""regexp_replace(regexp_replace(regexp_replace(text,
+      '$EmailPattern', '<EMAIL>', 'g'),
+      '$UrlPattern', '<URL>', 'g'),
+      '$PhonePattern', '<PHONE>', 'g')"""
+    s"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INTEGER) AS emails,
+  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INTEGER) AS urls,
+  CAST(len(regexp_extract_all(text, '$PhonePattern')) AS INTEGER) AS phones,
+  CAST(length($redacted) AS INTEGER) AS redacted_chars,
+  md5($redacted) AS redacted_md5
+FROM documents ORDER BY doc_id"""
+  }
+}
