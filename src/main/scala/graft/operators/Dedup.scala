@@ -139,8 +139,14 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
   // dd_minhash_lsh — banded LSH candidates + exact Jaccard verify
   // ------------------------------------------------------------------
 
+  /** Round-half-up boundary of [[MinhashJaccardMin]] (see
+    * [[NgramJaccardBoundary]] for the construction).
+    */
+  val MinhashJaccardBoundary: Double =
+    (MinhashJaccardMin * 1e7 - 5).toLong / 1e7
+
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.SortedJaccardGE.register(spark)
     // sorted distinct shingle-hash sets for the exact-Jaccard verify
     val base = docs(spark, sfDir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -160,12 +166,12 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
       .distinct()
     val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
-    val inter = graft.functions.SortedIntersectCount
-      .intersectCount(col("ha"), col("hb"))
-    val jac = inter.cast("double") / (size(col("ha")) + size(col("hb")) - inter)
+    val j = graft.functions.SortedJaccardGE
+      .jaccardGE(col("ha"), col("hb"), MinhashJaccardBoundary)
     cands.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
-      .filter(col("jaccard") >= MinhashJaccardMin)
+      .select(col("doc_a"), col("doc_b"), j.as("j"))
+      .filter(col("j").isNotNull)
+      .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
