@@ -58,8 +58,10 @@ object SparkEntry {
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
-    // streaming tier: batch twin of the watermarked windowed agg
+    // streaming tier: batch twin of the watermarked windowed agg,
+    // plus gap-based sessionization (lag + running-flag windows)
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
+    "ev_sessions" -> (StreamingStats.evSessions _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -103,6 +105,7 @@ object SparkEntry {
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
+    "ev_sessions" -> StreamingStats.evSessionsSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

@@ -109,4 +109,68 @@ SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
 ORDER BY day, event_type"""
+
+  // ------------------------------------------------------------------
+  // ev_sessions — gap-based sessionization
+  // ------------------------------------------------------------------
+
+  /** Session gap: a ≥30-minute silence starts a new session. */
+  val SessionGapMin = 30L
+
+  /** Classic lag-then-cumulative-flag sessionization: per user, events
+    * ordered by time; a gap ≥ 30 min (or the first event) raises a
+    * new-session flag; the running sum of flags is the session ordinal.
+    * Batch form of what `session_window` computes incrementally in
+    * Structured Streaming; shuffles once on user_id and stays
+    * partitioned for both windows.
+    */
+  def evSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+    val gapMicros = SessionGapMin * 60L * 1000000L
+    val newSession = when(
+      unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(byUser)) >= gapMicros ||
+        lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L)
+    events(spark, sfDir)
+      .withColumn("sess", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        r6(sum(col("value"))).as("session_value"))
+      .select(col("user_id"), col("sess").as("session_id"),
+        col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long")
+          .as("duration_sec"),
+        col("start_us"), col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val evSessionsSql: String = s"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) >= ${SessionGapMin * 60L * 1000000L}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+  COUNT(*) AS n_events,
+  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+    AS duration_sec,
+  epoch_us(MIN(ts)) AS start_us,
+  ${r6Sql("SUM(value)")} AS session_value
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_id"""
 }
