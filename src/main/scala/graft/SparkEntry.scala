@@ -53,6 +53,7 @@ object SparkEntry {
     // extension tier: similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "sim_quantize" -> (Similarity.simQuantize _),
     // extension tier: multimodal columns (mm_decode_stub has no SQL
     // oracle — imperative mapPartitions path, rows-only check)
     "mm_ingest" -> (Multimodal.mmIngest _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
+    "sim_quantize" -> Similarity.simQuantizeSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,

@@ -177,4 +177,73 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
 FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
   }
+
+  // ------------------------------------------------------------------
+  // sim_quantize — int8 vector quantization (ANN memory reduction)
+  // ------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i·127/s +
+    * 0.5) with s = max|x_i| — 4× memory reduction before indexing,
+    * with the reconstruction error surfaced per vector. `floor(x+0.5)`
+    * instead of round(): both engines' floor is exact IEEE, so the
+    * quantized codes match bitwise (round() implementations differ at
+    * half-way ties).
+    *
+    * Outputs a deterministic code checksum (Σ q_i·(i+1)) and the
+    * reconstruction MSE rather than 64 code columns.
+    */
+  def simQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // max|x|: fold once; materialized as a column so the quantize
+      // lambda reads an attribute (see Dedup.shingles PERF note)
+      .withColumn("s", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(127.0) / col("s") + lit(0.5)).cast("long")))
+    val checksum = aggregate(zip_with(col("q"),
+        sequence(lit(1), size(col("q"))).cast("array<bigint>"),
+        (qi, i) => qi * i),
+      lit(0L), (acc, x) => acc + x)
+    val mse = aggregate(zip_with(col("q"), col("v"),
+        (qi, xi) => (qi.cast("double") * col("s") / lit(127.0) - xi) *
+          (qi.cast("double") * col("s") / lit(127.0) - xi)),
+      lit(0.0), (acc, x) => acc + x) / size(col("v"))
+    e.select(
+      col("vec_id"),
+      r6(col("s")).as("scale"),
+      checksum.as("q_checksum"),
+      r6(mse).as("recon_mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simQuantizeSql: String = {
+    val listSum = (body: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        $body), (acc, x) -> acc + x)"""
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sc AS (
+  SELECT vec_id, v,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(v, x -> abs(x))), (acc, x) -> greatest(acc, x)) AS s
+  FROM e
+), q AS (
+  SELECT vec_id, v, s,
+    list_transform(v, x ->
+      CAST(floor(x * CAST(127.0 AS DOUBLE) / s + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+  FROM sc
+)
+SELECT vec_id,
+  ${r6Sql("s")} AS scale,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, len(qv) + 1), i -> qv[i] * i)),
+    (acc, x) -> acc + x) AS BIGINT) AS q_checksum,
+  ${r6Sql(s"""(${listSum(
+      """list_transform(range(1, len(qv) + 1), i ->
+        (CAST(qv[i] AS DOUBLE) * s / CAST(127.0 AS DOUBLE) - v[i]) *
+        (CAST(qv[i] AS DOUBLE) * s / CAST(127.0 AS DOUBLE) - v[i]))""")}
+    / len(v))""")} AS recon_mse
+FROM q ORDER BY vec_id"""
+  }
 }
