@@ -260,7 +260,13 @@ SELECT doc_id, n_tokens, simhash FROM sig ORDER BY doc_id"""
   // ------------------------------------------------------------------
 
   def ddSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: both chunk-band self-join branches would otherwise rerun
+    // the full explode + 60-bit-sum signature pass; the cached table is
+    // 2 longs per doc while the recompute is ~50 rows × 60 aggregates
+    // per doc (cheap cache, expensive lineage — the profitable case,
+    // unlike the big-array gram cache that tested net-neutral)
     val sig = ddSimhash(spark, sfDir).select(col("doc_id"), col("simhash"))
+      .cache()
     // 4 chunks of 15 bits; hamming ≤ 3 ⇒ at least one chunk equal
     val chunks = (0 until 4).map(c =>
       shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)))
