@@ -157,8 +157,12 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     val bandKeys = (0 until Bands).map(b =>
       concat_ws("_", (0 until R).map(r =>
         col(s"mh_${b * R + r}").cast("string")): _*))
+    // cached: both candidate self-join branches would rerun the full
+    // explode + 16-min signature pass; the cached band table is 4 short
+    // rows per doc (same profitable shape as ddSimhashPairs' cache)
     val bands = signature(spark, sfDir).select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
