@@ -67,6 +67,7 @@ object SparkEntry {
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
     "cp_pack" -> (Corpus.cpPack _),
+    "cp_mix" -> (Corpus.cpMix _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _)
@@ -111,6 +112,7 @@ object SparkEntry {
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,
+    "cp_mix" -> Corpus.cpMixSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql
   )

@@ -129,4 +129,61 @@ SELECT doc_id, n_tokens, start_off,
   CAST(start_off // $PackBudget AS BIGINT) AS pack_id,
   CAST(start_off % $PackBudget AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // cp_mix — domain-mixture weighting (per-source downsampling)
+  // ------------------------------------------------------------------
+
+  /** Per-source keep probabilities in basis points (fraction of each
+    * source retained in the mixture); sources not listed keep the
+    * default. Values chosen to exercise full-keep, heavy and light
+    * downsampling on the fixture's src0..src15 domain.
+    */
+  val MixWeightsBp: Seq[(String, Long)] = Seq(
+    "src0" -> 10000L, // keep all
+    "src1" -> 5000L, // half
+    "src2" -> 2500L,
+    "src3" -> 1000L)
+  val MixDefaultBp = 7500L
+
+  /** Deterministic weighted sampling: a doc survives iff its salted
+    * hash mod 10000 falls under its source's keep weight — per-doc
+    * stable (independent of other rows), reshufflable by salt, and
+    * skew-free, exactly like [[cpSplit]]. At 100 TB this is a pure
+    * map-side filter; the audit aggregation is the only shuffle.
+    */
+  def cpMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = CrossHash.md5Long(
+      concat(lit("mix-v1:"), col("doc_id").cast("string"))) % 10000L
+    val weight = MixWeightsBp.foldLeft(lit(MixDefaultBp)) {
+      case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        weight.as("weight_bp"))
+      .groupBy(col("source"), col("weight_bp"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("bucket") < col("weight_bp"), 1L).otherwise(0L))
+          .as("docs_kept"))
+      .orderBy(col("source"))
+  }
+
+  val cpMixSql: String = {
+    val bucket = s"(${md5LongSql("('mix-v1:' || doc_id)")} % 10000)"
+    val weight = MixWeightsBp.reverse.foldLeft(s"CAST($MixDefaultBp AS BIGINT)") {
+      case (acc, (src, w)) =>
+        s"CASE WHEN source = '$src' THEN CAST($w AS BIGINT) ELSE $acc END"
+    }
+    s"""
+WITH d AS (
+  SELECT doc_id, source, $bucket AS bucket, $weight AS weight_bp
+  FROM documents
+)
+SELECT source, weight_bp,
+  COUNT(*) AS docs_in,
+  CAST(SUM(CASE WHEN bucket < weight_bp THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_kept
+FROM d GROUP BY source, weight_bp ORDER BY source"""
+  }
 }
