@@ -22,6 +22,15 @@ import graft.functions.Determinism.{r6, r6Sql}
   */
 object StreamingStats {
 
+  /** Exact order-independent sum of the 2-decimal `value` column:
+    * a naive double sum differs in the last bits across partition
+    * counts (observed: one rounding-boundary cell flipped between
+    * 3-thread and 32-thread runs); summing integer cents makes the
+    * aggregate bitwise-stable under ANY parallelism, on both engines.
+    */
+  private def sumCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long"))
+
   /** The streaming transform: watermark + 1-day tumbling window. */
   def dailyEventStats(events: DataFrame): DataFrame =
     events
@@ -30,8 +39,9 @@ object StreamingStats {
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        r6(sum(col("value"))).as("total_value"),
-        r6(avg(col("value"))).as("avg_value"))
+        r6(sumCents(col("value")).cast("double") / 100.0).as("total_value"),
+        r6(sumCents(col("value")).cast("double") / 100.0 / count(col("value")))
+          .as("avg_value"))
       .select(
         to_date(col("window.start")).cast("string").as("day"),
         col("event_type"), col("n_events"), col("approx_users"),
@@ -96,16 +106,20 @@ object StreamingStats {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
-        r6(sum(col("value"))).as("total_value"),
-        r6(sum(col("value")) / count(col("value"))).as("avg_value"))
+        r6(sumCents(col("value")).cast("double") / 100.0).as("total_value"),
+        r6(sumCents(col("value")).cast("double") / 100.0 / count(col("value")))
+          .as("avg_value"))
       .orderBy(col("day"), col("event_type"))
+
+  private val sumCentsSql =
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0"
 
   val evDailyStatsSql: String = s"""
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS exact_users,
-  ${r6Sql("SUM(value)")} AS total_value,
-  ${r6Sql("(SUM(value) / COUNT(value))")} AS avg_value
+  ${r6Sql(s"($sumCentsSql)")} AS total_value,
+  ${r6Sql(s"($sumCentsSql / COUNT(value))")} AS avg_value
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
 ORDER BY day, event_type"""
@@ -141,7 +155,8 @@ ORDER BY day, event_type"""
         count(lit(1)).as("n_events"),
         unix_micros(min(col("ts"))).as("start_us"),
         unix_micros(max(col("ts"))).as("end_us"),
-        r6(sum(col("value"))).as("session_value"))
+        r6(sumCents(col("value")).cast("double") / 100.0)
+          .as("session_value"))
       .select(col("user_id"), col("sess").as("session_id"),
         col("n_events"),
         ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long")
@@ -170,7 +185,7 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_id,
   CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
     AS duration_sec,
   epoch_us(MIN(ts)) AS start_us,
-  ${r6Sql("SUM(value)")} AS session_value
+  ${r6Sql(s"($sumCentsSql)")} AS session_value
 FROM s GROUP BY user_id, sess
 ORDER BY user_id, session_id"""
 }
