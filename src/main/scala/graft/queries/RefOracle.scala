@@ -145,7 +145,8 @@ FROM posts GROUP BY subreddit ORDER BY subreddit"""
 SELECT subreddit, score_category,
   COUNT(*) AS post_count,
   (round(AVG(engagement_rate), 6) + 0.0) AS avg_engagement_rate,
-  (round(AVG(upvote_ratio), 6) + 0.0) AS avg_upvote_ratio
+  (round(CAST(SUM(CAST(round(upvote_ratio * 100) AS BIGINT)) AS DOUBLE)
+    / 100.0 / COUNT(upvote_ratio), 6) + 0.0) AS avg_upvote_ratio
 FROM posts GROUP BY subreddit, score_category
 ORDER BY subreddit, score_category"""
 
@@ -182,11 +183,24 @@ SELECT subreddit,
   (round(CAST(SUM(CASE WHEN upper(title) = title THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0) AS all_caps_rate
 FROM posts GROUP BY subreddit ORDER BY subreddit"""
 
-  val q12: String = modelCte + """
+  /** Pearson corr from exact integer moments — MUST mirror
+    * RefQueries.corrI (pairwise deletion via the CASE'd y).
+    */
+  private def corrISql(xc: String): String = {
+    val x = s"CAST($xc AS BIGINT)"
+    val y = s"CAST(CASE WHEN $xc IS NOT NULL THEN score END AS BIGINT)"
+    val n = s"COUNT($x)"
+    val num = s"CAST($n * SUM($x * $y) - SUM($x) * SUM($y) AS DOUBLE)"
+    val den = s"""sqrt(CAST($n * SUM($x * $x) - SUM($x) * SUM($x) AS DOUBLE)
+      * CAST($n * SUM($y * $y) - SUM($y) * SUM($y) AS DOUBLE))"""
+    s"(round($num / $den, 6) + 0.0)"
+  }
+
+  val q12: String = modelCte + s"""
 SELECT subreddit,
-  (round(corr(title_length, score), 6) + 0.0) AS title_length_score_corr,
-  (round(corr(selftext_length, score), 6) + 0.0) AS selftext_length_score_corr,
-  (round(corr(hour_posted, score), 6) + 0.0) AS hour_score_corr
+  ${corrISql("title_length")} AS title_length_score_corr,
+  ${corrISql("selftext_length")} AS selftext_length_score_corr,
+  ${corrISql("hour_posted")} AS hour_score_corr
 FROM posts WHERE score > 0
 GROUP BY subreddit ORDER BY subreddit"""
 
@@ -194,7 +208,11 @@ GROUP BY subreddit ORDER BY subreddit"""
 SELECT subreddit,
   COUNT(*) AS posts_this_week,
   ${avgI("score")} AS avg_score,
-  CASE WHEN COUNT(*) >= 2 THEN (round(stddev_samp(score), 6) + 0.0) END AS score_std_dev,
+  CASE WHEN COUNT(*) >= 2 THEN (round(sqrt(
+    CAST(COUNT(score) * SUM(CAST(score AS BIGINT) * score)
+      - SUM(CAST(score AS BIGINT)) * SUM(CAST(score AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(score) * (COUNT(score) - 1) AS DOUBLE)), 6) + 0.0)
+  END AS score_std_dev,
   ${avgI("num_comments")} AS avg_comments,
   COUNT(DISTINCT author) AS unique_authors
 FROM posts

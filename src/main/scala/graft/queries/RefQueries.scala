@@ -141,6 +141,10 @@ object RefQueries {
 
   /** Q7 — engagement by score category (analysis.sql:86-95); the
     * category string sorts lexically, matching SQLite TEXT order.
+    * upvote_ratio is exact 2-decimal → averaged via an integer-cents
+    * sum (order-free); engagement_rate is a true rational and keeps the
+    * double avg (its ~1-magnitude values leave ~1e-13 partial-agg
+    * noise against the 1e-6 rounding grid).
     */
   def q07Engagement(spark: SparkSession, sfDir: String): DataFrame =
     posts(spark, sfDir)
@@ -148,7 +152,8 @@ object RefQueries {
       .agg(
         count(lit(1)).as("post_count"),
         avgF($"engagement_rate").as("avg_engagement_rate"),
-        avgF($"upvote_ratio").as("avg_upvote_ratio"))
+        r6(sum(round($"upvote_ratio" * 100).cast("long")).cast("double")
+          / 100.0 / count($"upvote_ratio")).as("avg_upvote_ratio"))
       .orderBy($"subreddit", $"score_category")
 
   /** Q8 — comment coverage (analysis.sql:97-105): LEFT JOIN keeps
@@ -214,6 +219,25 @@ object RefQueries {
           .cast("double") / count(lit(1))).as("all_caps_rate"))
       .orderBy($"subreddit")
 
+  /** Pearson correlation of two integer columns from EXACT integer
+    * moments: n·Σxy − Σx·Σy over the sqrt of the variance products.
+    * Unlike the built-in `corr` (a parallelism-order-sensitive merge of
+    * double partials that must coincidentally agree with DuckDB's
+    * implementation), every sum here is exact long arithmetic, so the
+    * result is bitwise-identical across engines and partitionings.
+    * Null x (e.g. selftext_length) excludes the PAIR, matching
+    * SQL corr semantics.
+    */
+  private def corrI(x: Column, y: Column): Column = {
+    val xl = x.cast("long")
+    val yl = when(x.isNotNull, y).cast("long") // pairwise deletion
+    val n = count(yl)
+    val num = (n * sum(xl * yl) - sum(xl) * sum(yl)).cast("double")
+    val den = sqrt((n * sum(xl * xl) - sum(xl) * sum(xl)).cast("double") *
+      (n * sum(yl * yl) - sum(yl) * sum(yl)).cast("double"))
+    r6(num / den)
+  }
+
   /** Q12 — characteristic↔performance correlation (analysis.sql:140-148):
     * Pearson corr ×3 (the reference SQL is aspirational — stock SQLite
     * has no CORR — semantics documented as Pearson, SURVEY A10).
@@ -223,9 +247,9 @@ object RefQueries {
       .filter($"score" > 0)
       .groupBy($"subreddit")
       .agg(
-        r6(corr($"title_length", $"score")).as("title_length_score_corr"),
-        r6(corr($"selftext_length", $"score")).as("selftext_length_score_corr"),
-        r6(corr($"hour_posted", $"score")).as("hour_score_corr"))
+        corrI($"title_length", $"score").as("title_length_score_corr"),
+        corrI($"selftext_length", $"score").as("selftext_length_score_corr"),
+        corrI($"hour_posted", $"score").as("hour_score_corr"))
       .orderBy($"subreddit")
 
   /** The reproducible as-of date replacing the reference's wall-clock
@@ -238,7 +262,14 @@ object RefQueries {
   /** Q13 — weekly performance summary (analysis.sql:150-161): relative
     * date-range filter + stddev + countDistinct.
     */
-  def q13Weekly(spark: SparkSession, sfDir: String): DataFrame =
+  def q13Weekly(spark: SparkSession, sfDir: String): DataFrame = {
+    // sample stddev from exact integer moments (same rationale as
+    // corrI: order-free, engine-algorithm-free):
+    // sqrt((n·Σx² − (Σx)²) / (n·(n−1)))
+    val sl = $"score".cast("long")
+    val n = count($"score")
+    val stddevExact = sqrt((n * sum(sl * sl) - sum(sl) * sum(sl))
+      .cast("double") / (n * (n - 1)).cast("double"))
     posts(spark, sfDir)
       .filter($"created_utc" >= tsNtz(weeklyFrom) &&
         $"created_utc" < tsNtz(weeklyAsOf))
@@ -246,11 +277,11 @@ object RefQueries {
       .agg(
         count(lit(1)).as("posts_this_week"),
         avgI($"score").as("avg_score"),
-        when(count(lit(1)) >= 2, r6(stddev_samp($"score")))
-          .as("score_std_dev"),
+        when(count(lit(1)) >= 2, r6(stddevExact)).as("score_std_dev"),
         avgI($"num_comments").as("avg_comments"),
         countDistinct($"author").as("unique_authors"))
       .orderBy($"avg_score".desc, $"subreddit")
+  }
 
   /** Q14 — content quality indicators (analysis.sql:163-170): conditional
     * AVG with implicit ELSE NULL (A7) and boolean-sum percentage (F5/F6).
