@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramHashSet, DotProduct, SortedIntersectCount}
+import graft.functions.{CharGramHashSet, DotProduct, NfcNormalize,
+  SortedIntersectCount, SortedJaccardGE}
 
 /** Spark extensions entry point: registers the engine's custom
   * Catalyst expressions so ANY session created with
@@ -41,5 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_gram_hashes",
         "graft_gram_hashes(s) - sorted distinct md5-derived 5-gram hash set"),
       { args: Seq[Expression] => CharGramHashSet(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_ge"),
+      info("graft_jaccard_ge",
+        "graft_jaccard_ge(a, b, min) - Jaccard of sorted array<bigint> sets, NULL below min"),
+      { args: Seq[Expression] => SortedJaccardGE(args.head, args(1), args(2)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
+      { args: Seq[Expression] => NfcNormalize(args.head) }))
   }
 }

@@ -54,8 +54,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
     "sim_quantize" -> (Similarity.simQuantize _),
-    // extension tier: multimodal columns (mm_decode_stub has no SQL
-    // oracle — imperative mapPartitions path, rows-only check)
+    // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
@@ -107,6 +106,7 @@ object SparkEntry {
     "sim_quantize" -> Similarity.simQuantizeSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
+    "mm_decode_stub" -> Multimodal.mmDecodeStubSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
     "cp_split" -> Corpus.cpSplitSql,

@@ -282,8 +282,11 @@ SELECT doc_id, n_tokens, simhash FROM sig ORDER BY doc_id"""
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         ham.as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: duplicates of a pair share one hamming
+      // value, so the order is semantics-free but shrinks the distinct's
+      // shuffle by the rejection rate
       .filter(col("hamming") <= HammingMax)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossHash
+import graft.functions.Determinism.r6Sql
 import graft.operators.TextAnalysis.docs
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -24,8 +25,13 @@ object Multimodal {
 
   case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
 
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
-      feature: Array[Float])
+  /** Batched-decode output: integer byte-histogram bin counts. Scalars
+    * (not an array column) so the driver's pandas-side sort can order
+    * the output — an `array<float>` column is unhashable there — and so
+    * a DuckDB oracle can hash-check the values.
+    */
+  case class MediaHistogram(doc_id: Long, media_type: String, n_bytes: Int,
+      c0: Int, c1: Int, c2: Int, c3: Int, c4: Int, c5: Int, c6: Int, c7: Int)
 
   /** media_type assignment: deterministic 3-way split of doc_id. */
   private def mediaType(id: Column): Column =
@@ -123,33 +129,59 @@ FROM f ORDER BY doc_id"""
   }
 
   // ------------------------------------------------------------------
-  // mm_decode_stub — the imperative decode path (no SQL oracle;
-  // driver records a rows-only check)
+  // mm_decode_stub — the imperative decode path
   // ------------------------------------------------------------------
 
   /** The real decode plumbing: typed Dataset → batched mapPartitions
     * (the Scala analogue of `mapInPandas`: one partition streams
     * through in codec-friendly batches, no driver round-trip, output
     * schema fixed by the case class encoder).
+    *
+    * The imperative stage emits integer bin counts; the normalized
+    * feature ratios are Column expressions on top, so float
+    * canonicalization goes through the same [[graft.functions
+    * .Determinism.r6]] machinery as every other oracle-checked query.
     */
   def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
+    import graft.functions.Determinism.r6
+    val counts = mediaTable(spark, sfDir).as[MediaRecord]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch => // batch shape ≙ mapInPandas arrow batch
           batch.iterator.map { r =>
             // STUB: a real implementation hands r.content to an
             // image/audio/video codec here (none exist in this env).
-            // Deterministic fake: normalized 8-bin byte histogram.
-            val hist = new Array[Float](8)
-            r.content.foreach(b => hist((b & 0xff) % 8) += 1f)
-            val n = math.max(1, r.content.length).toFloat
-            MediaFeatures(r.doc_id, r.media_type, r.content.length,
-              hist.map(_ / n))
+            // Deterministic fake: 8-bin byte histogram.
+            val hist = new Array[Int](8)
+            r.content.foreach(b => hist((b & 0xff) % 8) += 1)
+            MediaHistogram(r.doc_id, r.media_type, r.content.length,
+              hist(0), hist(1), hist(2), hist(3),
+              hist(4), hist(5), hist(6), hist(7))
           }
         }
       }
       .toDF()
+    val n = greatest(lit(1), col("n_bytes")).cast("double")
+    counts.select(
+      col("doc_id") +: col("media_type") +: col("n_bytes") +:
+        (0 until 8).map(k => r6(col(s"c$k") / n).as(s"h$k")): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** Oracle precondition (holds for the fixture by construction, checked
+    * at all SFs): text is pure ASCII, so UTF-8 bytes == code points and
+    * DuckDB's `ord(substr(text, i, 1))` reproduces `b & 0xff`.
+    */
+  val mmDecodeStubSql: String = {
+    val bins = (0 until 8).map { k =>
+      val cnt = s"len(list_filter(range(1, length(text) + 1), i -> (ord(substr(text, i, 1)) % 8) = $k))"
+      r6Sql(s"CAST($cnt AS DOUBLE) / greatest(1, length(text))") + s" AS h$k"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  $bins
+FROM documents ORDER BY doc_id"""
   }
 }
