@@ -66,6 +66,7 @@ object SparkEntry {
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
     "cp_pack" -> (Corpus.cpPack _),
+    "cp_pack_sharded" -> (Corpus.cpPackSharded _),
     "cp_mix" -> (Corpus.cpMix _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,
+    "cp_pack_sharded" -> Corpus.cpPackShardedSql,
     "cp_mix" -> Corpus.cpMixSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql

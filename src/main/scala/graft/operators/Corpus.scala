@@ -94,10 +94,8 @@ FROM n ORDER BY doc_id"""
     * window computation — no sequential driver loop.
     *
     * Scale note: a single global running total means one partition at
-    * the window stage. At 100 TB the same computation runs per
-    * partition key (e.g. shard = doc_id div N) with pack ids salted by
-    * shard — packing quality is unchanged since windows never need to
-    * cross shard boundaries by construction.
+    * the window stage — kept ONLY as the bit-parity baseline for the
+    * oracle's global window; the 100 TB shape is [[cpPackSharded]].
     */
   def cpPack(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("doc_id"))
@@ -127,6 +125,62 @@ WITH t AS (
 )
 SELECT doc_id, n_tokens, start_off,
   CAST(start_off // $PackBudget AS BIGINT) AS pack_id,
+  CAST(start_off % $PackBudget AS BIGINT) AS pack_offset
+FROM c ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // cp_pack_sharded — the 100 TB shape of cp_pack
+  // ------------------------------------------------------------------
+
+  /** Documents per shard (shard = doc_id div ShardDocs — contiguous id
+    * ranges, so packing order within a shard matches the global order).
+    */
+  val ShardDocs = 128L
+
+  /** Shard-local pack ids are salted into a global id as
+    * shard * PackSalt + local; PackSalt caps packs per shard, satisfied
+    * by construction when ShardDocs × max doc tokens ≤ PackSalt ×
+    * PackBudget (128 shard docs would need ~4M tokens each to overflow).
+    */
+  val PackSalt = 1000000L
+
+  /** [[cpPack]] with the running sum partitioned by shard: each shard
+    * starts a fresh pack, so no window ever crosses a shard boundary
+    * and the plan shuffles by shard key instead of serializing the
+    * corpus through one task. Boundary cost: at most one partially
+    * filled pack per shard — at 100 TB that waste is
+    * shards/packs ≈ budget/(ShardDocs × avg tokens) ≈ 0.1%.
+    */
+  def cpPackSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"doc_id div $ShardDocs").as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("shard") * PackSalt +
+          expr(s"start_off div $PackBudget")).as("pack_id"),
+        (col("start_off") % PackBudget).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpPackShardedSql: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(doc_id // $ShardDocs AS BIGINT) AS shard,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_off,
+  CAST(shard * $PackSalt + start_off // $PackBudget AS BIGINT) AS pack_id,
   CAST(start_off % $PackBudget AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
 

@@ -402,12 +402,69 @@ ORDER BY doc_a, doc_b"""
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** All-pairs cosine over the custom codegen'd
-    * [[graft.functions.DotProduct]] expression (the declarative
-    * higher-order-function form is CodegenFallback and ~20× slower —
-    * see that class's doc). Same left-fold order as the oracle.
+  /** Block count for the block-matrix pair enumeration. At 100 TB pick
+    * B ≈ sqrt(2 × desired tasks): replication per row is ~B copies
+    * while task count is B(B+1)/2, the standard distributed all-pairs
+    * trade (each side shuffled, NOTHING broadcast whole).
+    */
+  val CosineBlocks = 8
+
+  /** Exact embedding near-dup join, block-matrix shaped.
+    *
+    * Exactness at threshold 0.45 admits NO sub-quadratic candidate
+    * filter on dense 64-dim vectors: the fixture's qualifying pairs sit
+    * at hamming 0–5 across [[Similarity.bucket]]'s 6 LSH bits (measured:
+    * probing hamming ≤ 1 finds 5 of 14 pairs at sf0.01), and
+    * triangle-inequality ring pruning is powerless at d ≈ sqrt(1.1) in
+    * 64 dims. So the scale fix is the JOIN SHAPE, not the pair count:
+    * each vector lands in one of [[CosineBlocks]] blocks, the
+    * B(B+1)/2 block-pair list drives a composite-key equi-join, and
+    * each task runs the dot-product loop for one block pair. Memory and
+    * network stay bounded (row replication ≈ B, no broadcast of a whole
+    * side) where the former `vec_a < vec_b` theta join planned a
+    * BroadcastNestedLoopJoin. Candidates are ALL pairs by construction,
+    * so output ≡ [[ddEmbedCosineAllPairs]] (pinned by DedupSpec);
+    * approximate-but-cheap is a different operator
+    * ([[Similarity.simLshAnn]]).
+    *
+    * Cosine is orientation-stable bitwise (IEEE multiply is
+    * commutative per element, the fold order is fixed), so emitting
+    * least/greatest ids matches the oracle's `a.vec_id < b.vec_id`
+    * orientation exactly.
     */
   def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    import spark.implicits._
+    val B = CosineBlocks
+    val blockPairs = broadcast(
+      (for { i <- 0 until B; j <- i until B } yield (i, j))
+        .toDF("blk_a", "blk_b"))
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(col("v"), col("v")))
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("blk_a")).join(blockPairs, "blk_a")
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("blk_b")).join(blockPairs, "blk_b")
+    val cos = gdot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    a.join(b, Seq("blk_a", "blk_b"))
+      // cross-block: every unordered pair appears exactly once (only
+      // (i,j) with i<j exists); same-block: keep the ordered half
+      .filter(col("blk_a") =!= col("blk_b") || col("vec_a") < col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), cos.as("c"))
+      .filter(col("c") >= CosineMin)
+      .select(col("vec_a"), col("vec_b"), r6(col("c")).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The naive theta-join formulation — spec-level ground truth for
+    * [[ddEmbedCosine]]'s block decomposition, NOT a shipped query (it
+    * plans a BroadcastNestedLoopJoin).
+    */
+  def ddEmbedCosineAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val gdot = graft.functions.DotProduct.dot _
     val e = embeddings(spark, sfDir)

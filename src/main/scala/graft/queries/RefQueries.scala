@@ -228,13 +228,24 @@ object RefQueries {
     * Null x (e.g. selftext_length) excludes the PAIR, matching
     * SQL corr semantics.
     */
+  /** Moment sums run in decimal(38,0): long arithmetic would silently
+    * wrap n·Σx² once per-group n reaches the billions (score² ~1.4e7 ×
+    * 1e12 rows ≈ 1e19 > 2^63) while the DuckDB oracle promotes SUM to
+    * HUGEINT — decimal(38,0) gives the same ~1e38 headroom, and at any
+    * SF where the long math was exact the doubles (hence hashes) are
+    * unchanged. Per-ELEMENT products stay long: |x·y| < 2^63 holds by
+    * column domain (scores/lengths/hours).
+    */
+  private val M = org.apache.spark.sql.types.DecimalType(38, 0)
+
   private def corrI(x: Column, y: Column): Column = {
     val xl = x.cast("long")
     val yl = when(x.isNotNull, y).cast("long") // pairwise deletion
-    val n = count(yl)
-    val num = (n * sum(xl * yl) - sum(xl) * sum(yl)).cast("double")
-    val den = sqrt((n * sum(xl * xl) - sum(xl) * sum(xl)).cast("double") *
-      (n * sum(yl * yl) - sum(yl) * sum(yl)).cast("double"))
+    val n = count(yl).cast(M)
+    def s(c: Column) = sum(c.cast(M))
+    val num = (n * s(xl * yl) - s(xl) * s(yl)).cast("double")
+    val den = sqrt((n * s(xl * xl) - s(xl) * s(xl)).cast("double") *
+      (n * s(yl * yl) - s(yl) * s(yl)).cast("double"))
     r6(num / den)
   }
 
@@ -264,12 +275,15 @@ object RefQueries {
     */
   def q13Weekly(spark: SparkSession, sfDir: String): DataFrame = {
     // sample stddev from exact integer moments (same rationale as
-    // corrI: order-free, engine-algorithm-free):
+    // corrI: order-free, engine-algorithm-free, decimal(38,0) sums so
+    // n·Σx² can't wrap at large per-group n):
     // sqrt((n·Σx² − (Σx)²) / (n·(n−1)))
     val sl = $"score".cast("long")
     val n = count($"score")
-    val stddevExact = sqrt((n * sum(sl * sl) - sum(sl) * sum(sl))
-      .cast("double") / (n * (n - 1)).cast("double"))
+    val nM = n.cast(M)
+    val stddevExact = sqrt((nM * sum((sl * sl).cast(M)) -
+      sum(sl.cast(M)) * sum(sl.cast(M)))
+      .cast("double") / (nM * (nM - 1)).cast("double"))
     posts(spark, sfDir)
       .filter($"created_utc" >= tsNtz(weeklyFrom) &&
         $"created_utc" < tsNtz(weeklyAsOf))

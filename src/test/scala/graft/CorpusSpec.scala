@@ -44,4 +44,34 @@ class CorpusSpec extends SparkSpec {
       expectedStart += r.getAs[Long]("n_tokens")
     }
   }
+
+  test("cp_pack_sharded tiles per shard and never crosses shard packs") {
+    val rows = Corpus.cpPackSharded(spark, sf("sf0.01"))
+      .orderBy(col("doc_id")).collect()
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length > 1,
+      "fixture must span multiple shards for the test to mean anything")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, g) =>
+      var expectedStart = 0L // each shard restarts its running total
+      g.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_off") == expectedStart)
+        val local = expectedStart / Corpus.PackBudget
+        assert(r.getAs[Long]("pack_id") == shard * Corpus.PackSalt + local)
+        assert(r.getAs[Long]("pack_offset") ==
+          expectedStart % Corpus.PackBudget)
+        assert(r.getAs[Long]("pack_offset") < Corpus.PackBudget)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("cp_pack_sharded plans a hash-partitioned window, not one task") {
+    val plan = Corpus.cpPackSharded(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    // the global cp_pack form necessarily shows SinglePartition at the
+    // window Exchange; the sharded form must NOT
+    assert(!plan.contains("SinglePartition"), plan)
+    val global = Corpus.cpPack(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(global.contains("SinglePartition")) // sanity: detector works
+  }
 }

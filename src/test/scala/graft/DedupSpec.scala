@@ -98,4 +98,21 @@ class DedupSpec extends SparkSpec {
     val ann = Similarity.simLshAnn(spark, sf("sf0.01")).collect()
     assert(ann.forall(_.getAs[Int]("rank") <= Similarity.TopK))
   }
+
+  test("blocked embed-cosine equals the all-pairs ground truth") {
+    // the block-matrix decomposition must be lossless: every unordered
+    // pair lands in exactly one block pair, so output is identical row
+    // for row (ids AND the r6'd cosine, which is orientation-stable)
+    val blocked = Dedup.ddEmbedCosine(spark, sf("sf0.01")).collect()
+    val exact = Dedup.ddEmbedCosineAllPairs(spark, sf("sf0.01")).collect()
+    assert(blocked.nonEmpty)
+    assert(blocked.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
+  test("blocked embed-cosine plans equi-joins, not a nested-loop join") {
+    val plan = Dedup.ddEmbedCosine(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
