@@ -100,6 +100,57 @@ object Load {
       .delete(sp, true)
   }
 
+  /** The 100 TB layout of [[upsertStats]]: the stats table partitioned
+    * by `date`, upserted with dynamic partition overwrite, so a batch
+    * rewrites ONLY its own date partitions instead of O(table):
+    *
+    *  1. the batch's distinct dates are collected (a batch covers a
+    *     handful of days — driver traffic is ids, not data) and pushed
+    *     as an `isin` filter, so the existing-rows scan statically
+    *     prunes to dirty partitions;
+    *  2. latest-wins merge (same window as [[upsertStats]]) over dirty
+    *     partitions only;
+    *  3. staged to a sibling dir (parquet cannot overwrite a path being
+    *     read), then written with `partitionOverwriteMode=dynamic` —
+    *     partitions absent from the batch are never touched, their
+    *     files stay byte-identical (pinned by LoadPipelineSpec).
+    */
+  def upsertStatsPartitioned(batch: DataFrame, spark: SparkSession,
+      warehouse: String): Unit = {
+    val path = s"$warehouse/subreddit_stats_by_date"
+    val stamped = batch.withColumn("loaded_at", lit(nextSeq()))
+    val merged =
+      if (!tableExists(spark, path)) stamped
+      else {
+        val dates = batch.select(col("date")).distinct().collect()
+          .map(_.get(0)).toSeq
+        val dataCols = batch.schema.fields
+        // normalize read-back types: partition-column discovery may
+        // infer a different type than the batch carries
+        val existing = spark.read.parquet(path)
+          .filter(col("date").isin(dates: _*))
+          .select(dataCols.map(f => col(f.name).cast(f.dataType)): _*)
+          .withColumn("loaded_at", lit(0L))
+        val w = Window.partitionBy(col("subreddit"), col("date"))
+          .orderBy(col("loaded_at").desc)
+        existing.unionByName(stamped)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+      }
+    val staging = s"$path._staging"
+    merged.drop("loaded_at")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(path)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+  }
+
   /** K4 — the `post_performance` view (reference analysis.sql:173-183). */
   def createPerformanceView(spark: SparkSession, posts: DataFrame): Unit = {
     val w = Window.partitionBy(col("subreddit")).orderBy(col("score").desc)

@@ -19,6 +19,9 @@ import graft.schema.Schemas
   *    HTTP client would produce exactly these rows).
   *  - [[FixtureSource]] — the deterministic fixture derivation
   *    ([[RedditModel]]), playing the role of the API for tests/bench.
+  *  - [[HttpApiSource]] — the live-listing binding with the HTTP
+  *    transport injected; production passes a real client, tests pass
+  *    a canned fake (no client library exists in this environment).
   */
 trait RedditSource {
 

@@ -105,23 +105,18 @@ private[v2] class RedditPartitionReader(part: RedditInputPartition)
     m
   }
 
-  private val lines = {
-    val src = scala.io.Source.fromFile(part.path, "UTF-8")
-    val all = src.getLines().filter(_.trim.nonEmpty).toVector
-    src.close()
-    all
-  }
+  // lazy line stream: a dump larger than executor memory must not be
+  // materialized whole — the reader holds one line at a time
+  private val src = scala.io.Source.fromFile(part.path, "UTF-8")
+  private val lines = src.getLines().filter(_.trim.nonEmpty)
 
   private val schema = RedditTableProvider.rawPostsSchema
-  private var idx = 0
   private var emitted = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (idx < lines.length &&
-        emitted < part.limit.getOrElse(Int.MaxValue)) {
-      val node = mapper.readTree(lines(idx))
-      idx += 1
+    while (lines.hasNext && emitted < part.limit.getOrElse(Int.MaxValue)) {
+      val node = mapper.readTree(lines.next())
       val sub = Option(node.get("subreddit")).map(_.asText())
       if (part.subreddit.forall(s => sub.contains(s))) {
         current = toRow(node)
@@ -144,7 +139,10 @@ private[v2] class RedditPartitionReader(part: RedditInputPartition)
         case "boolean" => Boolean.box(v.asBoolean())
         case "timestamp" => // ISO-8601 or epoch seconds → micros
           if (v.isNumber) Long.box(v.asLong() * 1000000L)
-          else Long.box(java.time.Instant.parse(v.asText()).toEpochMilli * 1000L)
+          else { // full micros, not toEpochMilli*1000 (drops sub-ms)
+            val inst = java.time.Instant.parse(v.asText())
+            Long.box(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+          }
         case other =>
           throw new IllegalStateException(s"unhandled type $other for $fname")
       }
@@ -154,5 +152,5 @@ private[v2] class RedditPartitionReader(part: RedditInputPartition)
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = ()
+  override def close(): Unit = src.close()
 }

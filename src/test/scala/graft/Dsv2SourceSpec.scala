@@ -38,6 +38,20 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(limited.count() == 1)
   }
 
+  test("DSv2 ISO-8601 timestamps keep sub-millisecond precision") {
+    val dir = Files.createTempDirectory("graft_dsv2_us_")
+    val p = dir.resolve("posts.json")
+    Files.write(p,
+      """{"id":"p1","title":"t","author":"a","subreddit":"python","score":1,"upvote_ratio":0.5,"num_comments":0,"created_utc":"2025-01-02T10:00:00.123456Z","selftext":"s","url":"u","is_video":false,"is_original_content":false,"over_18":false,"stickied":false,"locked":false}"""
+        .getBytes("UTF-8"))
+    val df = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", p.toString).load()
+    val micros = df.selectExpr("unix_micros(created_utc) % 1000000")
+      .collect().head.getLong(0)
+    assert(micros == 123456L) // toEpochMilli*1000 would give 123000
+  }
+
   test("DSv2 source composes with the transform stage") {
     val path = writeDump()
     val raw = spark.read

@@ -35,6 +35,42 @@ class LoadPipelineSpec extends SparkSpec {
       .getAs[Long]("total_posts") == 99L)
   }
 
+  test("K3-partitioned upsert rewrites only dirty date partitions") {
+    import spark.implicits._
+    val wh = tmpDir()
+    val b1 = Seq(("r/a", "2025-01-01", 10L), ("r/b", "2025-01-01", 5L),
+      ("r/a", "2025-01-02", 7L))
+      .toDF("subreddit", "date", "total_posts")
+    Load.upsertStatsPartitioned(b1, spark, wh)
+    val table = s"$wh/subreddit_stats_by_date"
+
+    def partFiles(date: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$table/date=$date")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val d1Before = partFiles("2025-01-01")
+    assert(d1Before.nonEmpty)
+
+    // batch touching ONLY 2025-01-02
+    val b2 = Seq(("r/a", "2025-01-02", 99L), ("r/c", "2025-01-02", 1L))
+      .toDF("subreddit", "date", "total_posts")
+    Load.upsertStatsPartitioned(b2, spark, wh)
+
+    // untouched partition: same files, same bytes, same mtimes
+    assert(partFiles("2025-01-01") == d1Before)
+    // dirty partition merged latest-wins
+    val out = spark.read.parquet(table)
+    assert(out.count() == 4) // a@01, b@01, a@02(updated), c@02
+    assert(out.filter(col("subreddit") === "r/a" &&
+        col("date") === "2025-01-02").collect().head
+      .getAs[Long]("total_posts") == 99L)
+    assert(out.filter(col("date") === "2025-01-01").count() == 2)
+    // idempotent re-run
+    Load.upsertStatsPartitioned(b2, spark, wh)
+    assert(spark.read.parquet(table).count() == 4)
+  }
+
   test("K1 append dedups the batch on id before write") {
     import spark.implicits._
     val wh = tmpDir()

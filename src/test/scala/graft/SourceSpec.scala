@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.source.JsonDumpSource
+import graft.source.{HttpApiSource, JsonDumpSource}
 
 /** The JSON-dump source binding: schema enforcement + sort/limit
   * semantics of the extract contract (S1/S2).
@@ -43,5 +43,52 @@ class SourceSpec extends SparkSpec {
     val src = new JsonDumpSource(p, c)
     val out = src.fetchComments(spark, "p1", 10).collect()
     assert(out.length == 1 && out.head.getAs[String]("id") == "c1")
+  }
+
+  // ---- HttpApiSource: the live-connector seam, driven by a fake ----
+
+  private def post(id: String, score: Int): String =
+    s"""{"kind":"t3","data":{"id":"$id","title":"t-$id","author":"a","subreddit":"python","score":$score,"upvote_ratio":0.9,"num_comments":3,"created_utc":1735725600,"selftext":null,"url":"u","is_video":false,"is_original_content":false,"over_18":false,"stickied":false,"locked":false}}"""
+
+  test("HttpApiSource paginates via the after cursor and honors limit") {
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, String])]
+    val fake = (url: String, params: Map[String, String]) => {
+      calls += ((url, params))
+      params.get("after") match {
+        case None => // page 1 of 2
+          s"""{"kind":"Listing","data":{"after":"t3_p2","children":[${post("p1", 10)},${post("p2", 8)}]}}"""
+        case Some("t3_p2") => // final page
+          s"""{"kind":"Listing","data":{"after":null,"children":[${post("p3", 5)},${post("p4", 1)}]}}"""
+        case other => fail(s"unexpected cursor $other")
+      }
+    }
+    val src = new HttpApiSource(fake)
+    val df = src.fetchPosts(spark, "python", 3, "top")
+    assert(df.schema.fieldNames.length == 15)
+    assert(df.schema("created_utc").dataType.typeName == "timestamp")
+    assert(df.collect().map(_.getAs[String]("id")).toSeq ==
+      Seq("p1", "p2", "p3")) // limit 3 stops mid-page-2
+    assert(calls.length == 2)
+    assert(calls.head._1.endsWith("/r/python/top.json"))
+    assert(calls.head._2.get("t").contains("day")) // top => top(day)
+    assert(calls(1)._2.get("after").contains("t3_p2"))
+    // the seam contract: the same downstream transform stage composes
+    val enriched = graft.transform.Enrich.enrichPosts(df)
+    assert(enriched.collect().head.getAs[Int]("title_length") == 4)
+  }
+
+  test("HttpApiSource comments parse the two-listing envelope with P9 guard") {
+    val fake = (url: String, _: Map[String, String]) => {
+      assert(url.endsWith("/comments/p1.json"))
+      """[{"kind":"Listing","data":{"children":[]}},
+         {"kind":"Listing","data":{"children":[
+           {"kind":"t1","data":{"id":"c1","author":"a","body":"hi","score":2,"created_utc":1735725601,"parent_id":"t3_p1","is_submitter":false}},
+           {"kind":"t1","data":{"id":"c2","author":"b","body":null,"score":0,"created_utc":1735725602,"parent_id":"t3_p1","is_submitter":false}}
+         ]}}]"""
+    }
+    val out = new HttpApiSource(fake).fetchComments(spark, "p1", 10).collect()
+    assert(out.length == 1 && out.head.getAs[String]("id") == "c1")
+    assert(out.head.getAs[String]("post_id") == "p1")
   }
 }
