@@ -4,9 +4,11 @@ object Bench {
 
   /** Iterations per query; the reported number is the per-query MIN, so
     * a transiently contended machine can't fake a regression (BENCH_r02
-    * recorded a 4.5× phantom under contention).
+    * recorded a 4.5× phantom under contention). The first iteration of
+    * each query absorbs its codegen compilation, so N iters = N−1 warm
+    * samples; 5 keeps consecutive-run parity drift inside ~10%.
     */
-  val Iters = 3
+  val Iters = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
