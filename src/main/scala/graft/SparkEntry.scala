@@ -53,6 +53,7 @@ object SparkEntry {
     // extension tier: similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "sim_ivf_ann" -> (Similarity.simIvfAnn _),
     "sim_quantize" -> (Similarity.simQuantize _),
     // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "cp_pack" -> (Corpus.cpPack _),
     "cp_pack_sharded" -> (Corpus.cpPackSharded _),
     "cp_mix" -> (Corpus.cpMix _),
+    "cp_decontam" -> (Corpus.cpDecontam _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _)
@@ -104,6 +106,7 @@ object SparkEntry {
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
+    "sim_ivf_ann" -> Similarity.simIvfAnnSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
@@ -115,6 +118,7 @@ object SparkEntry {
     "cp_pack" -> Corpus.cpPackSql,
     "cp_pack_sharded" -> Corpus.cpPackShardedSql,
     "cp_mix" -> Corpus.cpMixSql,
+    "cp_decontam" -> Corpus.cpDecontamSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql
   )

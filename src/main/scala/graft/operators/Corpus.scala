@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{CrossHash, NfcNormalize}
-import graft.functions.CrossHash.md5LongSql
+import graft.functions.CrossHash.{md5LongSql, md5ModSql}
 import graft.operators.TextAnalysis.docs
 
 /** Corpus-preparation operators: the plumbing between cleaning/dedup
@@ -183,6 +183,99 @@ SELECT doc_id, shard, n_tokens, start_off,
   CAST(shard * $PackSalt + start_off // $PackBudget AS BIGINT) AS pack_id,
   CAST(start_off % $PackBudget AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // cp_decontam — benchmark decontamination (eval n-gram overlap)
+  // ------------------------------------------------------------------
+
+  /** Decontamination gram width: a training doc sharing any word
+    * 8-gram with the eval set is flagged (the published pipelines use
+    * 8–13; the mechanism is width-agnostic).
+    */
+  val DecontamN = 8
+
+  /** Eval-set membership: deterministic ~1% sample of the corpus
+    * standing in for a benchmark suite (which would arrive as its own
+    * table; the operator only needs its gram set).
+    */
+  val EvalMod = 97
+
+  /** Distinct word-N-gram hashes of a lowercased token array — the
+    * [[Dedup.shingles]] construction generalized to width n. `toks`
+    * must be a materialized attribute (see the PERF note there).
+    */
+  private def gramHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        CrossHash.md5Mod(concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + k)): _*)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Test-set decontamination: every doc is audited for word-8-gram
+    * overlap with the eval set, the standard guard against benchmark
+    * leakage into training data. Output is audit-shaped like
+    * [[graft.operators.Filters.qfDecide]]: per-doc hit count + the
+    * drop decision, not a silent filter.
+    *
+    * Scale shape: the eval gram table is tiny relative to the corpus
+    * (benchmarks are small by definition) — broadcast; the corpus-side
+    * explode flows map-side into the broadcast hash join, and the only
+    * shuffle is the per-doc hit-count groupBy. No all-pairs anything.
+    */
+  def cpDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        gramHashes(col("toks"), DecontamN).as("gs"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("gs")).as("h")).distinct()
+    val hits = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("gs")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("eval_grams_hit"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % EvalMod === 0).as("is_eval"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_eval"),
+        coalesce(col("eval_grams_hit"), lit(0L)).as("eval_grams_hit"),
+        (!col("is_eval") && coalesce(col("eval_grams_hit"), lit(0L)) > 0)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpDecontamSql: String = {
+    val gram = (0 until DecontamN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= $DecontamN THEN
+      list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
+        i -> ${md5ModSql(s"($gram)")}))
+    ELSE [] END AS gs
+  FROM toks
+), eval_grams AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest(gs) AS h FROM grams WHERE doc_id % $EvalMod = 0)
+), hits AS (
+  SELECT g.doc_id, COUNT(*) AS eval_grams_hit
+  FROM (SELECT doc_id, unnest(gs) AS h FROM grams
+        WHERE doc_id % $EvalMod <> 0) g
+  JOIN eval_grams e ON e.h = g.h
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  d.doc_id % $EvalMod = 0 AS is_eval,
+  COALESCE(h.eval_grams_hit, 0) AS eval_grams_hit,
+  (d.doc_id % $EvalMod <> 0 AND COALESCE(h.eval_grams_hit, 0) > 0)
+    AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+  }
 
   // ------------------------------------------------------------------
   // cp_mix — domain-mixture weighting (per-source downsampling)

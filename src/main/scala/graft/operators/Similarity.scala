@@ -179,6 +179,119 @@ ORDER BY query_id, rank"""
   }
 
   // ------------------------------------------------------------------
+  // sim_ivf_ann — inverted-file ANN (coarse quantizer + cell probing)
+  // ------------------------------------------------------------------
+
+  /** IVF cell count (coarse-quantizer centroids). At 100 TB pick
+    * ~sqrt(corpus) cells; centroids stay a broadcast table either way.
+    */
+  val IvfCells = 16
+
+  /** Cells probed per query (recall/cost dial, like LSH's hamming-1). */
+  val IvfProbe = 4
+
+  /** The other classic ANN family beside hyperplane LSH: an inverted
+    * file. A small centroid table coarse-quantizes the corpus — every
+    * vector is assigned to its best cell by cosine — and a query
+    * probes only its [[IvfProbe]] nearest cells, paying exact cosine
+    * on that fraction of the corpus.
+    *
+    * Centroid choice is a deterministic corpus sample (vec_ids
+    * [NQueries, NQueries+IvfCells)) so both engines derive identical
+    * cells; a k-means-trained centroid table plugs into the same plan
+    * unchanged (it is data like any other — training is an offline
+    * job, not part of the serving query).
+    *
+    * Scale shape: centroids broadcast (small by construction);
+    * assignment is a map-side argmax folded by partial aggregation
+    * (`max(struct(score, -cent_id))` — NO per-vector window shuffle);
+    * the probe is an equi-join on cell id, so a query touches
+    * IvfProbe/IvfCells of the corpus and the corpus is never
+    * broadcast. The cell id doubles as the partition key of a
+    * cell-clustered layout at rest.
+    */
+  def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir)
+    val cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val centScore = DotProduct.dot(col("v"), col("cv")) /
+      sqrt(col("nrm") * col("cn"))
+    // assignment: best cell per vector via partial-agg'd lexicographic
+    // max — ties on score break to the LOWEST cent_id (hence -cent_id)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        centScore.as("cs"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("m.nc")).as("cell"))
+    // probe list: IvfProbe best cells per query vector
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (DotProduct.dot(col("qv"), col("cv")) /
+          sqrt(col("qn") * col("cn"))).as("cs"), col("cent_id"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cent_id").as("cell"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("c")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simIvfAnnSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+    ${dotSql("n.v", "c.cv")} / sqrt(n.nrm * c.cn) AS cs
+  FROM n CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS rn FROM scored) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS pr FROM scored WHERE vec_id < $NQueries)
+  WHERE pr <= $IvfProbe
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+    ${dotSql("p.qv", "a.v")} / sqrt(p.qn * a.nrm) AS c
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+    AND a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("c")} AS cosine
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
   // sim_quantize — int8 vector quantization (ANN memory reduction)
   // ------------------------------------------------------------------
 

@@ -64,6 +64,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_decontam flags docs sharing an eval 8-gram, audits the rest") {
+    import spark.implicits._
+    // crafted corpus: doc 0 (0 % 97 == 0) is the eval doc; doc 1 embeds
+    // the same 8-token run; doc 2 is clean; doc 3 too short for grams
+    val evalRun = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_")
+    Seq(
+      (0L, s"$evalRun iota kappa"),
+      (1L, s"noise before $evalRun and after"),
+      (2L, "completely unrelated words that overlap with nothing at all"),
+      (3L, "too short"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.cpDecontam(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_eval"), r.getAs[Long]("eval_grams_hit"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(0L) == ((true, 0L, false))) // eval doc: never "contaminated"
+    assert(out(1L)._1 == false && out(1L)._2 >= 1L && out(1L)._3 == true)
+    assert(out(2L) == ((false, 0L, false)))
+    assert(out(3L) == ((false, 0L, false)))
+  }
+
   test("cp_pack_sharded plans a hash-partitioned window, not one task") {
     val plan = Corpus.cpPackSharded(spark, sf("sf0.01"))
       .queryExecution.executedPlan.toString

@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(ann.forall(_.getAs[Int]("rank") <= Similarity.TopK))
   }
 
+  test("IVF ANN returns ranked self-free neighbors from probed cells") {
+    val ivf = Similarity.simIvfAnn(spark, sf("sf0.01")).collect()
+    assert(ivf.length == Similarity.NQueries * Similarity.TopK)
+    assert(ivf.forall(r =>
+      r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    ivf.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.toSeq == cs.sortBy(-_).toSeq) // descending within query
+    }
+    // the corpus side must arrive via the cell equi-join, never broadcast
+    // whole or nested-looped
+    val plan = Similarity.simIvfAnn(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("blocked embed-cosine equals the all-pairs ground truth") {
     // the block-matrix decomposition must be lossless: every unordered
     // pair lands in exactly one block pair, so output is identical row
