@@ -200,16 +200,18 @@ FROM c ORDER BY doc_id"""
     */
   val EvalMod = 97
 
-  /** Distinct word-N-gram hashes of a lowercased token array — the
+  /** Distinct word-N-gram STRINGS of a lowercased token array — the
     * [[Dedup.shingles]] construction generalized to width n. `toks`
-    * must be a materialized attribute (see the PERF note there).
+    * must be a materialized attribute (see the PERF note there), and
+    * hashing happens AFTER explode on the flat column — md5 inside the
+    * lambda is interpreted per gram (CodegenFallback) and measured 10×
+    * slower (41.5 s → 4 s at sf0.1 for cp_decontam).
     */
-  private def gramHashes(toks: Column, n: Int): Column =
+  private def gramStrings(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        CrossHash.md5Mod(concat_ws(" ",
-          (0 until n).map(k => element_at(toks, i + k)): _*)))))
-      .otherwise(array().cast("array<bigint>"))
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** Test-set decontamination: every doc is audited for word-8-gram
     * overlap with the eval set, the standard guard against benchmark
@@ -223,15 +225,16 @@ FROM c ORDER BY doc_id"""
     * shuffle is the per-doc hit-count groupBy. No all-pairs anything.
     */
   def cpDecontam(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = docs(spark, sfDir)
+    // one row per (doc, distinct gram), hashed post-explode (codegen'd)
+    val gramRows = docs(spark, sfDir)
       .select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        gramHashes(col("toks"), DecontamN).as("gs"))
-    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
-      .select(explode(col("gs")).as("h")).distinct()
-    val hits = grams.filter(col("doc_id") % EvalMod =!= 0)
-      .select(col("doc_id"), explode(col("gs")).as("h"))
+        explode(gramStrings(col("toks"), DecontamN)).as("g"))
+      .select(col("doc_id"), CrossHash.md5Mod(col("g")).as("h"))
+    val evalGrams = gramRows.filter(col("doc_id") % EvalMod === 0)
+      .select(col("h")).distinct()
+    val hits = gramRows.filter(col("doc_id") % EvalMod =!= 0)
       .join(broadcast(evalGrams), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("eval_grams_hit"))
@@ -255,16 +258,17 @@ WITH toks AS (
   SELECT doc_id,
     CASE WHEN len(t) >= $DecontamN THEN
       list_distinct(list_transform(range(1, len(t) - ${DecontamN - 2}),
-        i -> ${md5ModSql(s"($gram)")}))
+        i -> ($gram)))
     ELSE [] END AS gs
   FROM toks
+), gram_rows AS (
+  SELECT doc_id, ${md5ModSql("g")} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
 ), eval_grams AS (
-  SELECT DISTINCT h FROM (
-    SELECT unnest(gs) AS h FROM grams WHERE doc_id % $EvalMod = 0)
+  SELECT DISTINCT h FROM gram_rows WHERE doc_id % $EvalMod = 0
 ), hits AS (
   SELECT g.doc_id, COUNT(*) AS eval_grams_hit
-  FROM (SELECT doc_id, unnest(gs) AS h FROM grams
-        WHERE doc_id % $EvalMod <> 0) g
+  FROM (SELECT doc_id, h FROM gram_rows WHERE doc_id % $EvalMod <> 0) g
   JOIN eval_grams e ON e.h = g.h
   GROUP BY g.doc_id
 )
