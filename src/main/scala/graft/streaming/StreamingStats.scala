@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Determinism.{r6, r6Sql}
 
@@ -163,6 +163,83 @@ ORDER BY day, event_type"""
           .as("duration_sec"),
         col("start_us"), col("session_value"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // streaming sessionization — flatMapGroupsWithState custom state
+  // ------------------------------------------------------------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+
+  /** Per-user open-session state: ordinal + bounds + exact cent sum. */
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+      n: Long, cents: Long)
+
+  /** Closed-session record — same shape as [[evSessions]] rows. */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      duration_sec: Long, start_us: Long, session_value: Double)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** The incremental form of [[evSessions]]: custom keyed state via
+    * `flatMapGroupsWithState` — the state primitive `session_window` /
+    * windowed aggs can't express (an open session with an exact cent
+    * sum, an ordinal, and gap-close semantics).
+    *
+    * A session closes two ways: a later event of the same user arrives
+    * past the gap (emitted immediately), or the event-time watermark
+    * passes lastSeen + gap with no successor (EventTimeTimeout fires
+    * and the final session flushes). State is one small record per
+    * OPEN session — bounded by active users, not history, at any input
+    * scale. Events are folded sorted-within-batch; in-order delivery
+    * per user across batches (the fixture's shape) reproduces the
+    * batch twin's rows exactly — StreamingSpec pins that equivalence.
+    */
+  def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = SessionGapMin * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", "1 hour")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          def emit(s: SessionState) = SessionOut(user, s.sessionId, s.n,
+            (s.lastUs - s.startUs) / 1000000L, s.startUs, s.cents / 100.0)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            it.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val us = micros(e.ts)
+              val cents = math.round(e.value * 100) // = sumCents' rounding
+              if (cur == null)
+                cur = SessionState(1L, us, us, 1L, cents)
+              else if (us - cur.lastUs >= gapUs) {
+                closed += emit(cur)
+                cur = SessionState(cur.sessionId + 1, us, us, 1L, cents)
+              } else
+                cur = cur.copy(lastUs = math.max(cur.lastUs, us),
+                  n = cur.n + 1, cents = cur.cents + cents)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // flush when the watermark proves no successor can arrive
+              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+            }
+            closed.iterator
+          }
+      }
   }
 
   val evSessionsSql: String = s"""

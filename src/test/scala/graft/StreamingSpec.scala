@@ -38,6 +38,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingStats.sessionizeStream(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      mem.addData(
+        (Timestamp.valueOf("2025-03-01 10:00:00"), 1L, 1.5),
+        (Timestamp.valueOf("2025-03-01 10:05:00"), 1L, 2.25))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // still open
+      // the gap event closes session 1 immediately (no watermark needed)
+      mem.addData((Timestamp.valueOf("2025-03-01 10:45:00"), 1L, 4.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sess_test").collect()
+      assert(s1.length == 1)
+      assert(s1.head.getAs[Long]("session_id") == 1L)
+      assert(s1.head.getAs[Long]("n_events") == 2L)
+      assert(s1.head.getAs[Long]("duration_sec") == 300L)
+      assert(s1.head.getAs[Double]("session_value") == 3.75)
+      // a far-future event advances the watermark beyond 10:45 + gap,
+      // so session 2 flushes via EventTimeTimeout
+      mem.addData((Timestamp.valueOf("2025-03-02 10:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the trigger AFTER the
+      mem.addData()           // watermark advance; run one empty batch
+      q.processAllAvailable()
+      val s2 = spark.table("sess_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(s2.length == 2)
+      val last = s2.find(_.getAs[Long]("session_id") == 2L).get
+      assert(last.getAs[Long]("n_events") == 1L)
+      assert(last.getAs[Double]("session_value") == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer converges to the batch twin on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the sf0.001 events fixture (in-order per the fixture's
+    // generation) through the stream, then flush with a far-future event
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("ts"), col("user_id").cast("long"),
+        col("value").cast("double"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingStats.sessionizeStream(
+        mem.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_conv").start()
+    try {
+      mem.addData(fixture.toSeq)
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2099-01-01 00:00:00"), 999999L, 0.0))
+      q.processAllAvailable()
+      mem.addData()
+      q.processAllAvailable()
+      val streamed = spark.table("sess_conv")
+        .filter(col("user_id") =!= 999999L)
+        .select("user_id", "session_id", "n_events", "duration_sec",
+          "start_us", "session_value")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamingStats.evSessions(spark, sf())
+        .select(col("user_id").cast("long"), col("session_id"),
+          col("n_events"), col("duration_sec"), col("start_us"),
+          col("session_value"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch twin equals a direct aggregation over the events fixture") {
     val df = StreamingStats.evDailyStats(spark, sf())
     val direct = StreamingStats.events(spark, sf())
