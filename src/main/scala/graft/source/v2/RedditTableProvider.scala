@@ -62,20 +62,61 @@ private[v2] class RedditTable(props: Map[String, String])
     new RedditScanBuilder(props ++ options.asScala)
 }
 
-private[v2] class RedditScanBuilder(props: Map[String, String])
-    extends ScanBuilder with Scan with Batch {
+/** Scan builder with the two DSv2 pushdown mix-ins a real connector
+  * owes the optimizer:
+  *
+  *  - `SupportsPushDownRequiredColumns` — the reader parses and
+  *    transports ONLY the projected fields (a `select(id)` over a
+  *    15-field dump moves one column, not fifteen);
+  *  - `SupportsPushDownFilters` — `subreddit = 'x'` / `IsNotNull`
+  *    predicates evaluate inside the reader before row materialization
+  *    (for the HTTP binding this is the difference between fetching
+  *    one listing and fetching everything). Unsupported predicates are
+  *    returned to Spark for post-scan evaluation.
+  */
+private[graft] class RedditScanBuilder(props: Map[String, String])
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+
+  private var requiredSchema: StructType = RedditTableProvider.rawPostsSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    // preserve declared field order regardless of projection order
+    requiredSchema = StructType(RedditTableProvider.rawPostsSchema.fields
+      .filter(f => required.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo(attr, _: String) => attr == "subreddit"
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    pushed = supported
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = this
 
-  override def readSchema(): StructType = RedditTableProvider.rawPostsSchema
+  override def readSchema(): StructType = requiredSchema
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = props.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
+    val pushedSubreddit = pushed.collectFirst {
+      case EqualTo("subreddit", v: String) => v
+    }
+    val notNullCols = pushed.collect { case IsNotNull(a) => a }
     Array(RedditInputPartition(path,
-      props.get("subreddit"), props.get("limit").map(_.toInt)))
+      props.get("subreddit").orElse(pushedSubreddit),
+      props.get("limit").map(_.toInt), requiredSchema, notNullCols))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -83,7 +124,9 @@ private[v2] class RedditScanBuilder(props: Map[String, String])
 }
 
 private[v2] case class RedditInputPartition(path: String,
-    subreddit: Option[String], limit: Option[Int]) extends InputPartition
+    subreddit: Option[String], limit: Option[Int],
+    readSchema: StructType = RedditTableProvider.rawPostsSchema,
+    notNullCols: Seq[String] = Nil) extends InputPartition
 
 private[v2] class RedditReaderFactory extends PartitionReaderFactory {
 
@@ -110,15 +153,21 @@ private[v2] class RedditPartitionReader(part: RedditInputPartition)
   private val src = scala.io.Source.fromFile(part.path, "UTF-8")
   private val lines = src.getLines().filter(_.trim.nonEmpty)
 
-  private val schema = RedditTableProvider.rawPostsSchema
+  private val schema = part.readSchema
   private var emitted = 0
   private var current: InternalRow = _
+
+  private def notNullOk(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    part.notNullCols.forall { c =>
+      val v = node.get(c)
+      v != null && !v.isNull
+    }
 
   override def next(): Boolean = {
     while (lines.hasNext && emitted < part.limit.getOrElse(Int.MaxValue)) {
       val node = mapper.readTree(lines.next())
       val sub = Option(node.get("subreddit")).map(_.asText())
-      if (part.subreddit.forall(s => sub.contains(s))) {
+      if (part.subreddit.forall(s => sub.contains(s)) && notNullOk(node)) {
         current = toRow(node)
         emitted += 1
         return true

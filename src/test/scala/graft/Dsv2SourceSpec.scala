@@ -38,6 +38,40 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(limited.count() == 1)
   }
 
+  test("DSv2 pushes column pruning and subreddit/notnull filters to the reader") {
+    import org.apache.spark.sql.functions.col
+    val path = writeDump()
+    val df = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path)
+      .load()
+      .where(col("subreddit") === "python" && col("selftext").isNotNull &&
+        col("score") > 5)
+      .select("id", "score")
+    // pruning must reach the physical scan: 2 columns transported, not 15
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name).toSet.subsetOf(
+      Set("id", "score", "subreddit", "selftext")),
+      scan.output.map(_.name).toString)
+    assert(scan.output.length < 15)
+    // p2 (python, score 9) has null selftext -> dropped by pushed IsNotNull;
+    // p1 (python, score 50, selftext "b") survives; score>5 stays post-scan
+    assert(df.collect().map(_.getAs[String]("id")).toSeq == Seq("p1"))
+  }
+
+  test("DSv2 scan builder reports pushed vs residual filters") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNotNull}
+    val b = new graft.source.v2.RedditScanBuilder(Map("path" -> "/dev/null"))
+    val residual = b.pushFilters(Array(
+      EqualTo("subreddit", "python"), IsNotNull("selftext"),
+      GreaterThan("score", 5)))
+    assert(residual.toSeq == Seq(GreaterThan("score", 5)))
+    assert(b.pushedFilters().toSeq ==
+      Seq(EqualTo("subreddit", "python"), IsNotNull("selftext")))
+  }
+
   test("DSv2 ISO-8601 timestamps keep sub-millisecond precision") {
     val dir = Files.createTempDirectory("graft_dsv2_us_")
     val p = dir.resolve("posts.json")
