@@ -70,6 +70,7 @@ object SparkEntry {
     "cp_pack_sharded" -> (Corpus.cpPackSharded _),
     "cp_mix" -> (Corpus.cpMix _),
     "cp_decontam" -> (Corpus.cpDecontam _),
+    "cp_vocab" -> (Corpus.cpVocab _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _)
@@ -119,6 +120,7 @@ object SparkEntry {
     "cp_pack_sharded" -> Corpus.cpPackShardedSql,
     "cp_mix" -> Corpus.cpMixSql,
     "cp_decontam" -> Corpus.cpDecontamSql,
+    "cp_vocab" -> Corpus.cpVocabSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql
   )

@@ -185,6 +185,53 @@ SELECT doc_id, shard, n_tokens, start_off,
 FROM c ORDER BY doc_id"""
 
   // ------------------------------------------------------------------
+  // cp_vocab — tokenizer-vocabulary building (term/doc frequency)
+  // ------------------------------------------------------------------
+
+  /** Vocabulary size (top-N by term frequency). */
+  val VocabTopN = 1000
+
+  /** Word-frequency vocabulary: the seeding stage of tokenizer training
+    * and frequency-based filtering. Classic word-count shape — partial
+    * aggregation means the shuffle carries one row per distinct term
+    * per partition; the top-N is a TakeOrdered (no global sort of the
+    * vocabulary), and the rank window runs over the N selected rows
+    * only — bounded by contract, so its single partition is fine at
+    * any corpus size. Ties break lexicographically for determinism.
+    */
+  def cpVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("term_count"),
+        countDistinct(col("doc_id")).as("doc_count"))
+    counts
+      .orderBy(col("term_count").desc, col("token")).limit(VocabTopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("term_count").desc, col("token"))))
+      .select(col("rank"), col("token"), col("term_count"), col("doc_count"))
+      .orderBy(col("rank"))
+  }
+
+  val cpVocabSql: String = s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_count
+  FROM tok WHERE token <> '' GROUP BY token
+), r AS (
+  SELECT token, term_count, doc_count,
+    row_number() OVER (ORDER BY term_count DESC, token) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INTEGER) AS rank, token, term_count, doc_count
+FROM r WHERE rank <= $VocabTopN ORDER BY rank"""
+
+  // ------------------------------------------------------------------
   // cp_decontam — benchmark decontamination (eval n-gram overlap)
   // ------------------------------------------------------------------
 

@@ -64,6 +64,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_vocab ranks by frequency with lexicographic ties, df <= tf") {
+    val rows = Corpus.cpVocab(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty && rows.length <= Corpus.VocabTopN)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ta, tb) = (a.getAs[Long]("term_count"), b.getAs[Long]("term_count"))
+      assert(ta > tb || (ta == tb &&
+        a.getAs[String]("token") < b.getAs[String]("token")))
+    case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("token").nonEmpty)
+      assert(r.getAs[Long]("doc_count") <= r.getAs[Long]("term_count"))
+    }
+  }
+
   test("cp_decontam flags docs sharing an eval 8-gram, audits the rest") {
     import spark.implicits._
     // crafted corpus: doc 0 (0 % 97 == 0) is the eval doc; doc 1 embeds
