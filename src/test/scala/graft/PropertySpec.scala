@@ -76,4 +76,64 @@ class PropertySpec extends SparkSpec {
         out.select("subreddit", "date").distinct().count())
     }
   }
+
+  test("blocked embed-cosine equals all-pairs on random vectors") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // random corpus with planted near-dups (a scaled copy has cosine 1)
+    val dim = 16
+    val base = Seq.fill(120)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val dups = base.take(15).map(v => v.map(x => x * 1.5f))
+    val all = (base ++ dups).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val dir = Files.createTempDirectory("graft_prop_cos_").toString
+    all.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val blocked = Dedup.ddEmbedCosine(spark, dir).collect().map(_.toSeq)
+    val exact = Dedup.ddEmbedCosineAllPairs(spark, dir).collect().map(_.toSeq)
+    assert(blocked.nonEmpty) // the planted dups guarantee output
+    assert(blocked.toSeq == exact.toSeq)
+  }
+
+  test("streaming sessionizer equals the batch twin on random event streams") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // random in-order event stream: 6 users, gaps straddling the
+    // 30-minute session boundary, 2-decimal values
+    var us = Timestamp.valueOf("2025-05-01 00:00:00").getTime * 1000L
+    val events = (1 to 400).map { i =>
+      us += (rnd.nextInt(45) + 1).toLong * 60L * 1000000L // 1-45 min steps
+      (i.toLong, us, 1L + rnd.nextInt(6), "e", rnd.nextInt(10000) / 100.0)
+    }
+    val dir = Files.createTempDirectory("graft_prop_sess_").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts") * 1000L) // micros -> the fixture's nanos
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.streaming.StreamingStats.evSessions(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("duration_sec"), col("start_us"), col("session_value"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = graft.streaming.StreamingStats.sessionizeStream(
+        mem.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_prop").start()
+    try {
+      mem.addData(events.map(e =>
+        (new Timestamp(e._2 / 1000L), e._3, e._5)))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2099-01-01 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      mem.addData()
+      q.processAllAvailable()
+      val streamed = spark.table("sess_prop")
+        .filter(col("user_id") =!= 99L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("duration_sec"), col("start_us"), col("session_value"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
