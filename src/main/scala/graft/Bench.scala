@@ -39,15 +39,19 @@ object Bench {
       // toRdd.count() materializes every InternalRow with all columns
       // computed — a bare df.count() lets Catalyst prune the aggregate
       // and projection expressions the query exists to measure.
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (!times.contains(name) || dt < times(name)) times(name) = dt
+      // a failed iteration must NOT enter the min — a fast crash would
+      // masquerade as a speedup; a never-succeeding query reports -1
+      if (ok && (!times.contains(name) || dt < times(name)))
+        times(name) = dt
       // queries that cache (dd_minhash_lsh, dd_simhash_pairs) must not
       // leak their cache into the next query's memory budget or timing
       spark.catalog.clearCache()
     }
-    val results = names.map(n => n -> times(n))
+    val results = names.map(n => n -> times.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

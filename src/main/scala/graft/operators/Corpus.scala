@@ -272,7 +272,13 @@ FROM r WHERE rank <= $VocabTopN ORDER BY rank"""
     * shuffle is the per-doc hit-count groupBy. No all-pairs anything.
     */
   def cpDecontam(spark: SparkSession, sfDir: String): DataFrame = {
-    // one row per (doc, distinct gram), hashed post-explode (codegen'd)
+    // one row per (doc, distinct gram), hashed post-explode (codegen'd).
+    // The per-gram concat lambda follows the accepted Dedup.shingles
+    // shape (hash hoisted out; concat-only lambda measured fine there).
+    // gramRows feeds two branches uncached ON PURPOSE: the doc_id-mod
+    // filters sit below the Generate, so the eval branch re-tokenizes
+    // only ~1/EvalMod of the corpus — caching would cost more than it
+    // saves.
     val gramRows = docs(spark, sfDir)
       .select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("toks"))

@@ -42,6 +42,12 @@ object Schemas {
     StructField("extracted_at", TimestampType)
   ))
 
+  /** The 15 raw extracted post fields — the wire schema every source
+    * binding (JSON dump, DSv2 connector, HTTP API) shares. ONE
+    * definition: the raw/derived split must not drift between sources.
+    */
+  val rawPosts: StructType = StructType(posts.fields.take(15))
+
   /** `comments` — reference script.py:76-89. */
   val comments: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),

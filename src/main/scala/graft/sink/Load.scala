@@ -69,35 +69,44 @@ object Load {
     seq.updateAndGet(prev => math.max(prev + 1, now))
   }
 
+  /** Newest row per (subreddit, date); stored rows merge at seq 0 —
+    * by definition older than any incoming batch.
+    */
+  private def latestWins(existing: DataFrame, stamped: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("subreddit"), col("date"))
+      .orderBy(col("loaded_at").desc)
+    existing.withColumn("loaded_at", lit(0L))
+      .unionByName(stamped)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Parquet has no transactional overwrite-while-reading, and a
+    * cached plan is NOT durable (evicted partitions would recompute
+    * from the deleted files mid-overwrite): stage the merged result to
+    * a sibling directory, rewrite the table from the durable staging
+    * copy via `write`, then clean up. A table format (Delta/Iceberg)
+    * makes this atomic.
+    */
+  private def stageThenRewrite(merged: DataFrame, spark: SparkSession,
+      path: String)(write: DataFrame => Unit): Unit = {
+    val staging = s"$path._staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    write(spark.read.parquet(staging))
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+  }
+
   def upsertStats(batch: DataFrame, spark: SparkSession, warehouse: String): Unit = {
     val path = s"$warehouse/subreddit_stats"
     val stamped = batch.withColumn("loaded_at", lit(nextSeq()))
     val merged =
       if (!tableExists(spark, path)) stamped
-      else {
-        val w = Window.partitionBy(col("subreddit"), col("date"))
-          .orderBy(col("loaded_at").desc)
-        // stored rows carry no sequence — they are by definition older
-        // than any incoming batch, so they merge at seq 0
-        spark.read.parquet(path).withColumn("loaded_at", lit(0L))
-          .unionByName(stamped)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("rn")
-      }
-    // parquet has no transactional overwrite-while-reading, and a
-    // cached plan is NOT durable (evicted partitions would recompute
-    // from the deleted files mid-overwrite): stage the merged result to
-    // a sibling directory, then rewrite the table from the durable
-    // staging copy. A table format (Delta/Iceberg) makes this atomic.
-    val staging = s"$path._staging"
-    merged.drop("loaded_at")
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+      else latestWins(spark.read.parquet(path), stamped)
+    stageThenRewrite(merged.drop("loaded_at"), spark, path)(
+      _.write.mode(SaveMode.Overwrite).parquet(path))
   }
 
   /** The 100 TB layout of [[upsertStats]]: the stats table partitioned
@@ -124,31 +133,19 @@ object Load {
       else {
         val dates = batch.select(col("date")).distinct().collect()
           .map(_.get(0)).toSeq
-        val dataCols = batch.schema.fields
         // normalize read-back types: partition-column discovery may
         // infer a different type than the batch carries
         val existing = spark.read.parquet(path)
           .filter(col("date").isin(dates: _*))
-          .select(dataCols.map(f => col(f.name).cast(f.dataType)): _*)
-          .withColumn("loaded_at", lit(0L))
-        val w = Window.partitionBy(col("subreddit"), col("date"))
-          .orderBy(col("loaded_at").desc)
-        existing.unionByName(stamped)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .drop("rn")
+          .select(batch.schema.fields
+            .map(f => col(f.name).cast(f.dataType)): _*)
+        latestWins(existing, stamped)
       }
-    val staging = s"$path._staging"
-    merged.drop("loaded_at")
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date")
-      .parquet(path)
-    val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+    stageThenRewrite(merged.drop("loaded_at"), spark, path)(
+      _.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(path))
   }
 
   /** K4 — the `post_performance` view (reference analysis.sql:173-183). */

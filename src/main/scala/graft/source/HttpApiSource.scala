@@ -34,8 +34,7 @@ class HttpApiSource(
 
   private val mapper = new ObjectMapper()
 
-  private def rawPostsSchema: StructType =
-    StructType(Schemas.posts.fields.take(15))
+  private def rawPostsSchema: StructType = Schemas.rawPosts
 
   override def fetchPosts(spark: SparkSession, subreddit: String, limit: Int,
       sort: String): DataFrame = {
@@ -63,8 +62,9 @@ class HttpApiSource(
       limit: Int): DataFrame = {
     val body = transport(s"$baseUrl/comments/$postId.json", Map.empty)
     val root = mapper.readTree(body)
-    // the comments endpoint returns [post listing, comment listing]
-    val children = root.get(1).path("data").path("children")
+    // the comments endpoint returns [post listing, comment listing];
+    // path() (never null) degrades an error envelope to an empty result
+    val children = root.path(1).path("data").path("children")
     val rows = ArrayBuffer.empty[Row]
     (0 until children.size()).foreach { i =>
       val c = children.get(i).path("data")

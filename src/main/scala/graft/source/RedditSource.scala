@@ -43,12 +43,12 @@ trait RedditSource {
 class JsonDumpSource(postsPath: String, commentsPath: String)
     extends RedditSource {
 
-  private def rawPostFields = Schemas.posts.fields.take(15).map(_.name)
+  private def rawPostFields = Schemas.rawPosts.fields.map(_.name)
 
   override def fetchPosts(spark: SparkSession, subreddit: String, limit: Int,
       sort: String): DataFrame = {
     val raw = spark.read
-      .schema(org.apache.spark.sql.types.StructType(Schemas.posts.fields.take(15)))
+      .schema(Schemas.rawPosts)
       .json(postsPath)
       .filter(col("subreddit") === subreddit)
     val sorted = sort match {

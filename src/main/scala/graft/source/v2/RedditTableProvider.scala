@@ -43,8 +43,7 @@ class RedditTableProvider extends TableProvider {
 }
 
 object RedditTableProvider {
-  val rawPostsSchema: StructType =
-    StructType(Schemas.posts.fields.take(15))
+  val rawPostsSchema: StructType = Schemas.rawPosts
 }
 
 private[v2] class RedditTable(props: Map[String, String])
@@ -110,12 +109,14 @@ private[graft] class RedditScanBuilder(props: Map[String, String])
   override def planInputPartitions(): Array[InputPartition] = {
     val path = props.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    val pushedSubreddit = pushed.collectFirst {
+    // EVERY claimed-pushed equality must be applied (Spark will not
+    // re-evaluate them post-scan): the option and all pushed values
+    // conjoin — two different values correctly yield zero rows
+    val subredditEqs = props.get("subreddit").toSeq ++ pushed.collect {
       case EqualTo("subreddit", v: String) => v
     }
     val notNullCols = pushed.collect { case IsNotNull(a) => a }
-    Array(RedditInputPartition(path,
-      props.get("subreddit").orElse(pushedSubreddit),
+    Array(RedditInputPartition(path, subredditEqs,
       props.get("limit").map(_.toInt), requiredSchema, notNullCols))
   }
 
@@ -124,7 +125,7 @@ private[graft] class RedditScanBuilder(props: Map[String, String])
 }
 
 private[v2] case class RedditInputPartition(path: String,
-    subreddit: Option[String], limit: Option[Int],
+    subredditEqs: Seq[String], limit: Option[Int],
     readSchema: StructType = RedditTableProvider.rawPostsSchema,
     notNullCols: Seq[String] = Nil) extends InputPartition
 
@@ -167,7 +168,7 @@ private[v2] class RedditPartitionReader(part: RedditInputPartition)
     while (lines.hasNext && emitted < part.limit.getOrElse(Int.MaxValue)) {
       val node = mapper.readTree(lines.next())
       val sub = Option(node.get("subreddit")).map(_.asText())
-      if (part.subreddit.forall(s => sub.contains(s)) && notNullOk(node)) {
+      if (part.subredditEqs.forall(s => sub.contains(s)) && notNullOk(node)) {
         current = toRow(node)
         emitted += 1
         return true

@@ -172,7 +172,14 @@ ORDER BY day, event_type"""
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
 
-  /** Per-user open-session state: ordinal + bounds + exact cent sum. */
+  /** Per-user open-session state: ordinal + bounds + exact cent sum.
+    * `n == 0` is the closed-session tombstone: no session is open, but
+    * `sessionId` remembers the last flushed ordinal so numbering stays
+    * continuous across an EventTimeTimeout flush (one tiny record per
+    * ever-seen user — the same key space the batch twin's groupBy
+    * holds; a deployment that can't afford it keys sessions by start
+    * time instead of ordinal).
+    */
   case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
       n: Long, cents: Long)
 
@@ -191,9 +198,10 @@ ORDER BY day, event_type"""
     * A session closes two ways: a later event of the same user arrives
     * past the gap (emitted immediately), or the event-time watermark
     * passes lastSeen + gap with no successor (EventTimeTimeout fires
-    * and the final session flushes). State is one small record per
-    * OPEN session — bounded by active users, not history, at any input
-    * scale. Events are folded sorted-within-batch; in-order delivery
+    * and the final session flushes, leaving an ordinal tombstone — see
+    * [[SessionState]]). State is one small record per seen user —
+    * bounded by the key space, not history, at any input scale.
+    * Events are folded sorted-within-batch; in-order delivery
     * per user across batches (the fixture's shape) reproduces the
     * batch twin's rows exactly — StreamingSpec pins that equivalence.
     */
@@ -214,9 +222,10 @@ ORDER BY day, event_type"""
           def emit(s: SessionState) = SessionOut(user, s.sessionId, s.n,
             (s.lastUs - s.startUs) / 1000000L, s.startUs, s.cents / 100.0)
           if (state.hasTimedOut) {
-            val out = state.getOption.map(emit).toSeq
-            state.remove()
-            out.iterator
+            val open = state.getOption.filter(_.n > 0)
+            open.foreach(s => // tombstone: ordinal survives the flush
+              state.update(SessionState(s.sessionId, 0L, 0L, 0L, 0L)))
+            open.map(emit).iterator
           } else {
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var cur = state.getOption.orNull
@@ -225,6 +234,8 @@ ORDER BY day, event_type"""
               val cents = math.round(e.value * 100) // = sumCents' rounding
               if (cur == null)
                 cur = SessionState(1L, us, us, 1L, cents)
+              else if (cur.n == 0) // resume past the tombstone's ordinal
+                cur = SessionState(cur.sessionId + 1, us, us, 1L, cents)
               else if (us - cur.lastUs >= gapUs) {
                 closed += emit(cur)
                 cur = SessionState(cur.sessionId + 1, us, us, 1L, cents)
@@ -232,7 +243,7 @@ ORDER BY day, event_type"""
                 cur = cur.copy(lastUs = math.max(cur.lastUs, us),
                   n = cur.n + 1, cents = cur.cents + cents)
             }
-            if (cur != null) {
+            if (cur != null && cur.n > 0) {
               state.update(cur)
               // flush when the watermark proves no successor can arrive
               state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)

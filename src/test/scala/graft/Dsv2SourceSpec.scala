@@ -61,6 +61,28 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[String]("id")).toSeq == Seq("p1"))
   }
 
+  test("DSv2 applies ALL claimed-pushed equalities (option + conflicting WHERE)") {
+    import org.apache.spark.sql.functions.col
+    val path = writeDump()
+    // option says python, WHERE says rust: both are claimed pushed, so
+    // BOTH must apply — the conjunction is unsatisfiable => zero rows
+    // (the bug this pins: reader honoring only the option returned
+    // python rows for a rust query)
+    val conflicting = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path).option("subreddit", "python")
+      .load()
+      .where(col("subreddit") === "rust")
+    assert(conflicting.count() == 0)
+    // agreeing option + WHERE behaves as one filter
+    val agreeing = spark.read
+      .format("graft.source.v2.RedditTableProvider")
+      .option("path", path).option("subreddit", "rust")
+      .load()
+      .where(col("subreddit") === "rust")
+    assert(agreeing.collect().map(_.getAs[String]("id")).toSeq == Seq("p3"))
+  }
+
   test("DSv2 scan builder reports pushed vs residual filters") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNotNull}
     val b = new graft.source.v2.RedditScanBuilder(Map("path" -> "/dev/null"))

@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer keeps ordinal continuity across a timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingStats.sessionizeStream(
+        mem.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_ord").start()
+    try {
+      mem.addData((Timestamp.valueOf("2025-03-01 10:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // user 2 advances the watermark to ~11:00 (> 10:00 + gap), so
+      // user 1's session 1 flushes via timeout on the next trigger
+      mem.addData((Timestamp.valueOf("2025-03-01 12:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      mem.addData() // trigger after watermark advance -> timeout fires
+      q.processAllAvailable()
+      assert(spark.table("sess_ord")
+        .filter(col("user_id") === 1L).count() == 1)
+      // a fresh user-1 event (>= watermark) must open session 2, not
+      // restart at 1 (the state tombstone carries the ordinal)
+      mem.addData((Timestamp.valueOf("2025-03-01 12:30:00"), 1L, 2.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2025-03-01 15:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      mem.addData()
+      q.processAllAvailable()
+      val u1 = spark.table("sess_ord").filter(col("user_id") === 1L)
+        .collect().map(_.getAs[Long]("session_id")).sorted.toSeq
+      assert(u1 == Seq(1L, 2L), s"got session ids $u1")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer converges to the batch twin on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
