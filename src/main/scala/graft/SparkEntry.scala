@@ -42,6 +42,7 @@ object SparkEntry {
     "ta_quality" -> (TextAnalysis.taQuality _),
     "ta_langid" -> (TextAnalysis.taLangId _),
     "ta_fingerprint" -> (TextAnalysis.taFingerprint _),
+    "ta_keywords" -> (TextAnalysis.taKeywords _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "ta_quality" -> TextAnalysis.taQualitySql,
     "ta_langid" -> TextAnalysis.taLangIdSql,
     "ta_fingerprint" -> TextAnalysis.taFingerprintSql,
+    "ta_keywords" -> TextAnalysis.taKeywordsSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

@@ -202,4 +202,77 @@ SELECT doc_id,
   ${CrossHash.md5LongSql(s"array_to_string($toks[1:3], ' ')")} AS head_hash
 FROM documents ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // ta_keywords — per-doc keyword extraction by tf-idf
+  // ------------------------------------------------------------------
+
+  /** Keywords kept per document. */
+  val KeywordsPerDoc = 3
+
+  /** Per-doc top-k terms by a rational tf-idf — `tf × (N / df)` with NO
+    * transcendental (Java's and DuckDB's `ln` may differ in the last
+    * ULP, which a hash gate would catch; the rational form is one IEEE
+    * division + multiply, bitwise identical in both engines, and
+    * induces the same ranking as the log form for fixed N).
+    *
+    * Scale shape: term-doc counts are one groupBy; document
+    * frequencies aggregate from them (one row per distinct term —
+    * vocabulary-sized, joins back hash-partitioned on term); the final
+    * top-k window partitions by doc_id. No broadcast of anything
+    * corpus-sized, no all-pairs.
+    */
+  def taKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+    // N (the idf constant) stays in the plan as a broadcast 1-row side
+    // — no eager driver action at plan-build time
+    val nDf = d.select(count(lit(1)).as("n"))
+    val termDoc = d
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") *
+      (col("n").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    termDoc.join(df, Seq("term")).crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        graft.functions.Determinism.r6(col("score")).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val taKeywordsSql: String = s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM td GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT td.doc_id, td.term, td.tf, dfreq.df,
+    CAST(td.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+      AS score
+  FROM td JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+  ${graft.functions.Determinism.r6Sql("score")} AS tfidf
+FROM ranked WHERE rank <= $KeywordsPerDoc
+ORDER BY doc_id, rank"""
 }

@@ -64,6 +64,40 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ta_keywords ranks rare terms above common ones at equal tf") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // "rare" appears in 1 doc, "common" in all 3; within doc 0 both
+    // have tf=1, so idf must put rare first
+    val dir = Files.createTempDirectory("graft_tfidf_")
+    Seq((0L, "rare common filler1"), (1L, "common other filler2"),
+      (2L, "common more filler3"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.taKeywords(spark, dir.toString)
+      .collect()
+    val doc0 = rows.filter(_.getAs[Long]("doc_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(doc0.map(_.getAs[String]("term")).toSeq.take(2) ==
+      Seq("filler1", "rare") || // both df=1 — lexicographic tie-break
+      doc0.head.getAs[String]("term") == "filler1")
+    assert(doc0.map(_.getAs[String]("term")).contains("rare"))
+    // common (df=3) must rank last of doc 0's three terms
+    assert(doc0.last.getAs[String]("term") == "common")
+    assert(doc0.last.getAs[Long]("df") == 3L)
+    // structural invariants on the real fixture
+    val fx = graft.operators.TextAnalysis.taKeywords(spark, sf("sf0.01"))
+      .collect()
+    fx.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= graft.operators.TextAnalysis.KeywordsPerDoc)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    }
+  }
+
   test("cp_vocab ranks by frequency with lexicographic ties, df <= tf") {
     val rows = Corpus.cpVocab(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty && rows.length <= Corpus.VocabTopN)
