@@ -47,6 +47,7 @@ object SparkEntry {
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    "dd_clusters" -> (Dedup.ddClusters _),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
+    "dd_clusters" -> Dedup.ddClustersSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,

@@ -215,6 +215,97 @@ ORDER BY doc_a, doc_b"""
   }
 
   // ------------------------------------------------------------------
+  // dd_clusters — duplicate clusters (connected components over pairs)
+  // ------------------------------------------------------------------
+
+  /** Iteration cap for label propagation — a diameter bound, not a
+    * tuning knob: near-dup clusters are short chains (diameter ≪ 25)
+    * because similarity is near-transitive at these thresholds.
+    */
+  val ClusterMaxIters = 25
+
+  /** The step a pipeline runs AFTER pair generation: group near-dup
+    * pairs into clusters and elect one survivor per cluster
+    * (`cluster_rep` = min doc_id, `is_survivor` marks the kept doc).
+    *
+    * Connected components via min-label propagation: every doc starts
+    * labeled with itself; each round pushes labels across LSH-pair
+    * edges (both directions) and keeps the per-doc min; fixpoint =
+    * every doc labeled with its component's min id. Iterative Spark
+    * idioms demonstrated: driver loop over lazy plans, convergence
+    * check on a count, and eager `localCheckpoint` per round so
+    * lineage doesn't grow exponentially. Each round is one equi-join
+    * + one groupBy — at 100 TB the same loop runs with the edge list
+    * hash-partitioned once and reused; for adversarial graphs (long
+    * chains) swap in large-star/small-star, which this fixture's
+    * short-chain clusters don't need.
+    */
+  def ddClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint the pair list BEFORE the symmetric union — both union
+    // branches would otherwise re-run the whole LSH query
+    val pairs = ddMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    var labels = docs(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < ClusterMaxIters) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val hop = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+      // pointer jumping: also adopt the label OF my label, so chains
+      // collapse in O(log diameter) rounds instead of O(diameter)
+      val parents = hop.select(col("doc_id").as("lbl"),
+        col("lbl").as("parent"))
+      val next = hop.join(parents, Seq("lbl"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("parent"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.lbl") < col("o.lbl")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure of "label reachable along an edge" as a
+    * recursive CTE, then MIN per doc — the same fixpoint the Spark loop
+    * converges to.
+    */
+  val ddClustersSql: String = s"""WITH RECURSIVE lsh AS (
+${ddMinhashLshSql.replace("ORDER BY doc_a, doc_b", "")}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh
+), reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+), labels AS (
+  SELECT doc_id, MIN(lbl) AS lbl FROM reach GROUP BY doc_id
+), sizes AS (
+  SELECT lbl, COUNT(*) AS cluster_size FROM labels GROUP BY lbl
+)
+SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
+  l.doc_id = l.lbl AS is_survivor
+FROM labels l JOIN sizes s ON s.lbl = l.lbl
+ORDER BY l.doc_id"""
+
+  // ------------------------------------------------------------------
   // dd_simhash — per-doc 60-bit SimHash signature
   // ------------------------------------------------------------------
 

@@ -81,6 +81,29 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= Dedup.MinhashJaccardMin))
   }
 
+  test("dd_clusters is a valid partition consistent with the LSH pairs") {
+    val pairs = Dedup.ddMinhashLsh(spark, sf("sf0.01")).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rows = Dedup.ddClusters(spark, sf("sf0.01")).collect()
+    val rep = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    // every doc labeled exactly once; rep is a member <= all members
+    assert(rep.size == 500)
+    rep.foreach { case (d, c) => assert(c <= d && rep(c) == c) }
+    // paired docs share a cluster; survivors are exactly the reps
+    pairs.foreach { case (a, b) => assert(rep(a) == rep(b)) }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_survivor") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_rep")))
+    }
+    // sizes partition the corpus
+    val sizes = rows.filter(_.getAs[Boolean]("is_survivor"))
+      .map(_.getAs[Long]("cluster_size"))
+    assert(sizes.sum == 500)
+    // the fixture's planted near-dups yield at least one real cluster
+    assert(sizes.exists(_ > 1))
+  }
+
   test("simhash pairs respect the hamming bound") {
     val rows = Dedup.ddSimhashPairs(spark, sf("sf0.01")).collect()
     rows.foreach(r => assert(r.getAs[Int]("hamming") <= Dedup.HammingMax))
