@@ -71,6 +71,34 @@ class LoadPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 4)
   }
 
+  test("K5 JSONL export shards round-trip with bounded, ordered shards") {
+    val dir = tmpDir()
+    val docs = graft.operators.TextAnalysis.docs(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val shards = graft.sink.Export.exportJsonl(docs, "doc_id",
+      s"$dir/corpus", maxPerShard = 100L)
+    assert(shards == 5) // 500 docs / 100
+    val files = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length == shards)
+    // round-trip: same rows, readable by any JSONL consumer
+    val back = spark.read.schema(docs.schema).json(s"$dir/corpus")
+    assert(back.count() == 500)
+    assert(back.select(sum(col("doc_id"))).collect().head.getLong(0) ==
+      docs.select(sum(col("doc_id"))).collect().head.getLong(0))
+    // shards are contiguous key ranges (resumable-loader contract)
+    val ranges = files.sorted(Ordering.by((f: java.io.File) => f.getName))
+      .map { f =>
+        val ids = spark.read.schema(docs.schema).json(f.getPath)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        (ids.min, ids.max)
+      }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+  }
+
   test("K1 append dedups the batch on id before write") {
     import spark.implicits._
     val wh = tmpDir()
