@@ -179,7 +179,12 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val ddMinhashLshSql: String = {
+  /** Unordered SELECT body of the LSH-pairs oracle — shared verbatim
+    * by [[ddMinhashLshSql]] (which appends the presentation ORDER BY)
+    * and [[ddClustersSql]] (which embeds it as a CTE), so the two can
+    * never drift.
+    */
+  private val ddMinhashLshBodySql: String = {
     val mhCols = minhashColsSql.zipWithIndex
       .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
@@ -210,9 +215,11 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
 SELECT doc_a, doc_b,
   ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
 FROM verified
-WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin
-ORDER BY doc_a, doc_b"""
+WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
   }
+
+  val ddMinhashLshSql: String =
+    ddMinhashLshBodySql + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
   // dd_clusters — duplicate clusters (connected components over pairs)
@@ -286,7 +293,7 @@ ORDER BY doc_a, doc_b"""
     * converges to.
     */
   val ddClustersSql: String = s"""WITH RECURSIVE lsh AS (
-${ddMinhashLshSql.replace("ORDER BY doc_a, doc_b", "")}
+$ddMinhashLshBodySql
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lsh
   UNION ALL

@@ -245,7 +245,7 @@ FROM documents ORDER BY doc_id"""
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KeywordsPerDoc)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-        graft.functions.Determinism.r6(col("score")).as("tfidf"))
+        r6(col("score")).as("tfidf"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -272,7 +272,7 @@ WITH tok AS (
   FROM scored
 )
 SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
-  ${graft.functions.Determinism.r6Sql("score")} AS tfidf
+  ${r6Sql("score")} AS tfidf
 FROM ranked WHERE rank <= $KeywordsPerDoc
 ORDER BY doc_id, rank"""
 }

@@ -78,12 +78,10 @@ class CorpusSpec extends SparkSpec {
       .collect()
     val doc0 = rows.filter(_.getAs[Long]("doc_id") == 0L)
       .sortBy(_.getAs[Int]("rank"))
-    assert(doc0.map(_.getAs[String]("term")).toSeq.take(2) ==
-      Seq("filler1", "rare") || // both df=1 — lexicographic tie-break
-      doc0.head.getAs[String]("term") == "filler1")
-    assert(doc0.map(_.getAs[String]("term")).contains("rare"))
-    // common (df=3) must rank last of doc 0's three terms
-    assert(doc0.last.getAs[String]("term") == "common")
+    // filler1/rare both df=1 (score 3.0, lexicographic tie-break);
+    // common df=3 (score 1.0) must rank last
+    assert(doc0.map(_.getAs[String]("term")).toSeq ==
+      Seq("filler1", "rare", "common"))
     assert(doc0.last.getAs[Long]("df") == 3L)
     // structural invariants on the real fixture
     val fx = graft.operators.TextAnalysis.taKeywords(spark, sf("sf0.01"))

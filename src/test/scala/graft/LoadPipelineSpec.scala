@@ -78,24 +78,39 @@ class LoadPipelineSpec extends SparkSpec {
     val shards = graft.sink.Export.exportJsonl(docs, "doc_id",
       s"$dir/corpus", maxPerShard = 100L)
     assert(shards == 5) // 500 docs / 100
-    val files = new java.io.File(s"$dir/corpus").listFiles()
-      .filter(_.getName.endsWith(".json.gz"))
-    assert(files.length == shards)
+    val shardDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == shards)
     // round-trip: same rows, readable by any JSONL consumer
-    val back = spark.read.schema(docs.schema).json(s"$dir/corpus")
+    val back = spark.read.schema(docs.schema).json(s"$dir/corpus/shard=*")
     assert(back.count() == 500)
     assert(back.select(sum(col("doc_id"))).collect().head.getLong(0) ==
       docs.select(sum(col("doc_id"))).collect().head.getLong(0))
-    // shards are contiguous key ranges (resumable-loader contract)
-    val ranges = files.sorted(Ordering.by((f: java.io.File) => f.getName))
-      .map { f =>
-        val ids = spark.read.schema(docs.schema).json(f.getPath)
+    // shards are bounded, contiguous key ranges (resumable-loader
+    // contract), gzip-compressed
+    val ranges = shardDirs
+      .sortBy(f => f.getName.stripPrefix("shard=").toInt)
+      .map { d =>
+        val fs = d.listFiles().filter(_.getName.endsWith(".json.gz"))
+        assert(fs.nonEmpty, s"no gzip jsonl in ${d.getName}")
+        val ids = spark.read.schema(docs.schema).json(d.getPath)
           .select(col("doc_id")).collect().map(_.getLong(0))
+        assert(ids.length <= 100)
         (ids.min, ids.max)
       }
     ranges.sliding(2).foreach {
       case Array((_, hi), (lo, _)) => assert(hi < lo)
       case _ => ()
+    }
+    // determinism: re-export places every row in the same shard
+    val dir2 = tmpDir()
+    graft.sink.Export.exportJsonl(docs, "doc_id", s"$dir2/corpus", 100L)
+    (0 until shards).foreach { k =>
+      val a = spark.read.schema(docs.schema).json(s"$dir/corpus/shard=$k")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val b = spark.read.schema(docs.schema).json(s"$dir2/corpus/shard=$k")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b, s"shard $k membership differs across exports")
     }
   }
 

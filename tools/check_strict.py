@@ -6,15 +6,14 @@ which can hide a last-ULP divergence the driver would flag).
 Usage: python3 tools/check_strict.py [sfDir] [dumpDir]
 Run graft.Verify into dumpDir first. Dev tool only — NOT the engine.
 """
-import glob
 import json
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
-TABLES = ["documents", "embeddings", "region", "nation", "customer",
-          "supplier", "part", "orders", "lineitem", "events"]
+from check_oracle import TABLES  # ONE fixture-table list, no drift
 
 
 def main() -> int:
@@ -22,17 +21,18 @@ def main() -> int:
     dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v"
     con = duckdb.connect()
     for t in TABLES:
-        try:
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        except Exception:
-            pass
     sqls = json.load(open(f"{dump}/oracle_sql.json"))
     bad = []
     for name, sql in sorted(sqls.items()):
+        if not os.path.isdir(f"{dump}/{name}"):
+            bad.append((name, "MISSING dump directory"))
+            continue
         try:
             o = con.execute(sql).fetchdf()
-            s = pd.read_parquet(glob.glob(f"{dump}/{name}/*.parquet")[0])
+            s = pd.read_parquet(f"{dump}/{name}")  # whole dir, all parts
             o = o.reindex(sorted(o.columns), axis=1)
             s = s.reindex(sorted(s.columns), axis=1)
             if list(o.columns) != list(s.columns):
