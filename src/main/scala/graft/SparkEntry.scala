@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, Filters, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Filters, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.StreamingStats
 import graft.queries.{RefOracle, RefQueries}
 
@@ -65,6 +65,7 @@ object SparkEntry {
     // plus gap-based sessionization (lag + running-flag windows)
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
     "ev_sessions" -> (StreamingStats.evSessions _),
+    "ev_rolling" -> (TimeSeries.evRolling _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
+    "ev_rolling" -> TimeSeries.evRollingSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+import graft.streaming.StreamingStats
+
+/** Time-series operators: rolling-window correctness against a
+  * brute-force recompute, and the bounded-window-input plan shape.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ev_rolling matches a brute-force 7-day trailing recompute") {
+    val rows = TimeSeries.evRolling(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    // brute force: per (event_type, day) daily rows, then for each row
+    // sum all rows of the same type within the trailing 7-day range
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val in = daily.filter { case (t, d, _, _) =>
+        t == et && !d.isAfter(day) &&
+          d.isAfter(day.minusDays(TimeSeries.RollDays + 1L))
+      }
+      assert(r.getAs[Long]("roll_events") == in.map(_._3).sum,
+        s"roll_events mismatch at ($et, $day)")
+      val cents = in.map(_._4).sum
+      assert(math.abs(r.getAs[Double]("roll_value") - cents / 100.0) < 1e-6)
+    }
+  }
+
+  test("ev_rolling window input is the aggregated per-day table") {
+    // the RANGE window must consume the (event_type, day) aggregate —
+    // O(types × days) rows — never the raw event stream
+    val plan = TimeSeries.evRolling(spark, sf("sf0.01"))
+      .queryExecution.optimizedPlan.toString
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(windowIdx >= 0 && aggIdx >= 0 && windowIdx < aggIdx,
+      s"expected Window above Aggregate in:\n$plan")
+  }
+}
