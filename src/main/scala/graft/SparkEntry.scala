@@ -66,6 +66,7 @@ object SparkEntry {
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
     "ev_sessions" -> (StreamingStats.evSessions _),
     "ev_rolling" -> (TimeSeries.evRolling _),
+    "ev_asof" -> (TimeSeries.evAsof _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
     "ev_rolling" -> TimeSeries.evRollingSql,
+    "ev_asof" -> TimeSeries.evAsofSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

@@ -88,4 +88,79 @@ SELECT event_type,
     AS roll_avg_value
 FROM rolled
 ORDER BY event_type, day"""
+
+  // ------------------------------------------------------------------
+  // ev_asof — as-of (most-recent-prior) temporal join
+  // ------------------------------------------------------------------
+
+  /** Generic as-of join: every `left` row picks the latest `right` row
+    * of the same `key` with `right.ts <= left.ts` (ties include the
+    * equal-timestamp right row, matching SQL `ASOF JOIN ... ON l.ts >=
+    * r.ts`); unmatched left rows survive with nulls (LEFT semantics).
+    *
+    * Spark has no as-of join operator; the scalable shape is NOT a
+    * range theta-join (which plans a nested loop) but the tagged
+    * union + running `last(ignoreNulls)` window used here: both sides
+    * shuffle ONCE on the key, the window scans each partition's
+    * time-sorted stream, and no row set is ever broadcast or
+    * replicated. `rightCols` are carried through the window as one
+    * struct so every payload column rides a single window expression.
+    *
+    * At 100 TB this is one shuffle of left+right and a sort within
+    * partitions — the same cost as any keyed window; skewed keys
+    * AQE-split like any other sort.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      tieBreak: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    // side=0 sorts right before left at an equal timestamp → `<=` match
+    val l = left.withColumn("side", lit(1)).withColumn("r", lit(null)
+      .cast(right.select(payload).schema.fields.head.dataType))
+    val r = right.withColumn("side", lit(0)).withColumn("r", payload)
+      .select(col(key), col(ts), col(tieBreak), col("side"), col("r"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("side"), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(l.columns.map(col): _*)
+      .unionByName(r.select(col(key), col(ts), col(tieBreak), col("side"),
+        col("r")), allowMissingColumns = true)
+      .withColumn("asof", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .drop("side", "r")
+  }
+
+  /** Time-since-last-error per event: each non-error event as-of joins
+    * to the user's most recent prior (or simultaneous) error event.
+    * The archetypal feature-engineering temporal join (sensor readings
+    * vs calibrations, trades vs quotes, requests vs deploys).
+    *
+    * Microsecond difference is integer arithmetic end-to-end, so the
+    * output is exact; events with no prior error keep null (LEFT
+    * semantics — dropping them would silently bias any downstream
+    * model).
+    */
+  def evAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingStats.events(spark, sfDir)
+    val left = ev.filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val right = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("err_id", col("event_id"))
+      .withColumn("err_us", unix_micros(col("ts")))
+    asofJoin(left, right, "user_id", "ts", "event_id",
+        Seq("err_id", "err_us"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("asof.err_id").as("last_error_id"),
+        (unix_micros(col("ts")) - col("asof.err_us")).as("us_since_error"))
+      .orderBy(col("event_id"))
+  }
+
+  val evAsofSql: String = """
+SELECT l.event_id, l.user_id, l.event_type,
+  r.event_id AS last_error_id,
+  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_error
+FROM (SELECT * FROM events WHERE event_type <> 'error') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
 }

@@ -35,6 +35,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin picks latest prior, includes equal-ts, nulls no-match") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, t(100)), (2L, 10L, t(200)), (3L, 10L, t(300)),
+      (4L, 20L, t(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, t(100)), (101L, 10L, t(250)))
+      .toDF("rid", "user_id", "ts")
+      .withColumn("r_ts", col("ts"))
+    val out = TimeSeries.asofJoin(left, right, "user_id", "ts", "rid",
+        Seq("rid", "r_ts"))
+      .select(col("event_id"), col("asof.rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(100L)) // equal-ts right row matches (<=)
+    assert(out(2L) == Some(100L)) // latest prior, not the later one
+    assert(out(3L) == Some(101L)) // advances to the newer right row
+    assert(out(4L) == None)       // no prior right row → null survives
+  }
+
+  test("ev_asof plans a single keyed window, no nested-loop join") {
+    val plan = TimeSeries.evAsof(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of must not plan a theta join:\n$plan")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
