@@ -75,6 +75,8 @@ object SparkEntry {
     "cp_mix" -> (Corpus.cpMix _),
     "cp_decontam" -> (Corpus.cpDecontam _),
     "cp_vocab" -> (Corpus.cpVocab _),
+    "cp_stats" -> (Corpus.cpStats _),
+    "cp_sample" -> (Corpus.cpSample _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _)
@@ -129,6 +131,8 @@ object SparkEntry {
     "cp_mix" -> Corpus.cpMixSql,
     "cp_decontam" -> Corpus.cpDecontamSql,
     "cp_vocab" -> Corpus.cpVocabSql,
+    "cp_stats" -> Corpus.cpStatsSql,
+    "cp_sample" -> Corpus.cpSampleSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql
   )

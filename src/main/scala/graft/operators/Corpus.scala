@@ -390,4 +390,122 @@ SELECT source, weight_bp,
     AS docs_kept
 FROM d GROUP BY source, weight_bp ORDER BY source"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_stats — per-source corpus statistics (exact percentiles)
+  // ------------------------------------------------------------------
+
+  /** Per-source token-length distribution: doc counts, exact mean (from
+    * integer moments), and exact p50/p90/p99 percentiles — the numbers
+    * a curation run reads before choosing truncation budgets and
+    * per-source mixture weights.
+    *
+    * Spark's `percentile` is the EXACT aggregate (sorts each group);
+    * the oracle twin is DuckDB's `quantile_cont`, the same
+    * linear-interpolation definition. At 100 TB swap in
+    * `approx_percentile` (a mergeable sketch — exact percentile
+    * materializes each group's values); this exact form is the oracle
+    * anchor the sketch is validated against, so both live here.
+    */
+  def cpStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val pct = expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))")
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        pct.as("p"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        r6(col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        r6(element_at(col("p"), 1)).as("p50_tokens"),
+        r6(element_at(col("p"), 2)).as("p90_tokens"),
+        r6(element_at(col("p"), 3)).as("p99_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val cpStatsSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH t AS (
+  SELECT source,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), a AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    MIN(n_tokens) AS min_tokens,
+    MAX(n_tokens) AS max_tokens,
+    quantile_cont(n_tokens, [0.5, 0.9, 0.99]) AS p
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+  ${r6Sql("(CAST(total_tokens AS DOUBLE) / n_docs)")} AS mean_tokens,
+  min_tokens, max_tokens,
+  ${r6Sql("p[1]")} AS p50_tokens,
+  ${r6Sql("p[2]")} AS p90_tokens,
+  ${r6Sql("p[3]")} AS p99_tokens
+FROM a ORDER BY source"""
+  }
+
+  // ------------------------------------------------------------------
+  // cp_sample — stratified sampling with exact per-stratum quotas
+  // ------------------------------------------------------------------
+
+  /** Fraction retained per stratum, in percent. */
+  val SamplePct = 20L
+
+  /** Exact-quota stratified sample: within each source, docs are ranked
+    * by a salted hash and the top ceil(pct·n) survive — every stratum
+    * hits its quota exactly (a Bernoulli filter like [[cpMix]] only
+    * hits it in expectation), and the salt makes the draw reproducible
+    * and versionable.
+    *
+    * Scale shape: one shuffle on source; quota and rank share the same
+    * window partitioning. The per-stratum rank serializes each stratum
+    * through one task — fine while strata are source-sized; for a
+    * stratum too big for one task, keep this operator's contract and
+    * swap the mechanism: estimate the quota'th hash value with
+    * `approx_percentile(hash, pct)`, filter map-side on the threshold,
+    * and exact-rank only the boundary sliver.
+    */
+  def cpSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = CrossHash.md5Long(
+      concat(lit("sample-v1:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("quota", expr(
+        s"(count(*) OVER (PARTITION BY source) * $SamplePct + 99) div 100"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk").as("samp_rank"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpSampleSql: String = {
+    val h = md5LongSql("('sample-v1:' || doc_id)")
+    s"""
+WITH d AS (
+  SELECT doc_id, source, $h AS h FROM documents
+), r AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      AS BIGINT) AS rk,
+    CAST((COUNT(*) OVER (PARTITION BY source) * $SamplePct + 99) // 100
+      AS BIGINT) AS quota
+  FROM d
+)
+SELECT doc_id, source, rk AS samp_rank, quota
+FROM r WHERE rk <= quota ORDER BY doc_id"""
+  }
 }

@@ -31,6 +31,46 @@ class CorpusSpec extends SparkSpec {
     assert(out(0) == out(1)) // both normalize to "café world"
   }
 
+  test("cp_sample hits every stratum quota exactly and is stable") {
+    val rows = Corpus.cpSample(spark, sf("sf0.01")).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val counts = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      val quota = (n * Corpus.SamplePct + 99) / 100
+      assert(bySrc(src).length.toLong == quota,
+        s"stratum $src: got ${bySrc(src).length}, quota $quota")
+    }
+    val again = Corpus.cpSample(spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      again.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("cp_stats percentiles match a brute-force sorted interpolation") {
+    val stats = Corpus.cpStats(spark, sf("sf0.01")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySrc = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n"))
+      .collect().groupBy(_.getString(0))
+    def pct(sorted: Array[Long], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      if (lo == sorted.length - 1) sorted(lo).toDouble
+      else sorted(lo) + (idx - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    bySrc.foreach { case (src, g) =>
+      val sorted = g.map(_.getLong(1)).sorted
+      val r = stats(src)
+      assert(r.getAs[Long]("n_docs") == sorted.length)
+      assert(math.abs(r.getAs[Double]("p50_tokens") - pct(sorted, 0.5)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("p90_tokens") - pct(sorted, 0.9)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("p99_tokens") - pct(sorted, 0.99)) < 1e-6)
+    }
+  }
+
   test("cp_pack tiles the token stream with no gaps or overlaps") {
     val rows = Corpus.cpPack(spark, sf("sf0.01"))
       .orderBy(col("doc_id")).collect()
