@@ -52,6 +52,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
+    "dd_spans" -> (Dedup.ddSpans _),
     // extension tier: similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
+    "dd_spans" -> Dedup.ddSpansSql,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
     "sim_ivf_ann" -> Similarity.simIvfAnnSql,

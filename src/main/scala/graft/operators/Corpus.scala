@@ -254,7 +254,7 @@ FROM r WHERE rank <= $VocabTopN ORDER BY rank"""
     * lambda is interpreted per gram (CodegenFallback) and measured 10×
     * slower (41.5 s → 4 s at sf0.1 for cp_decontam).
     */
-  private def gramStrings(toks: Column, n: Int): Column =
+  def gramStrings(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))

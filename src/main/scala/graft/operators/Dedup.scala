@@ -594,4 +594,93 @@ ORDER BY doc_a, doc_b"""
 SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine
 FROM pairs WHERE c >= $CosineMin
 ORDER BY vec_a, vec_b"""
+
+  // ------------------------------------------------------------------
+  // dd_spans — within-corpus repeated-span audit (word-8-grams)
+  // ------------------------------------------------------------------
+
+  /** Repeated-span gram width (same scale as decontamination's). */
+  val SpanN = 8
+
+  /** Repeated-substring audit, the within-corpus complement of
+    * MinHash's whole-document near-dup: a doc can be globally unique
+    * yet assembled from boilerplate spans repeated across the corpus
+    * (license headers, templates, scraped navigation), which document-
+    * level dedup never sees. Per doc: how many of its distinct
+    * word-8-gram spans also occur in ≥1 OTHER doc, and the widest such
+    * spread — the evidence span-level dedup (Lee et al.'s
+    * deduplicating-training-data setting) acts on.
+    *
+    * Scale shape: explode → per-gram doc frequency (partial agg: one
+    * row per distinct gram survives the shuffle) → equi-join the gram
+    * stream back on the gram hash → per-doc count. Shuffles are all
+    * ∝ corpus gram count; nothing is all-pairs and nothing broadcasts
+    * the corpus. The df table is corpus-sized, so the join is a plain
+    * shuffle hash join — at 100 TB the (gram, df) side would be
+    * bucketed on h at rest to make it shuffle-free.
+    */
+  def ddSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    // distinct grams per doc (array_distinct inside gramStrings), so
+    // count(*) per hash IS the doc frequency
+    val gramRows = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(Corpus.gramStrings(col("toks"), SpanN)).as("g"))
+      .select(col("doc_id"), CrossHash.md5Mod(col("g")).as("h"))
+    val df = gramRows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = gramRows.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"),
+        max(col("df")).as("max_gram_df"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        r6(when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams")))
+          .as("dup_fraction"),
+        coalesce(col("max_gram_df"), lit(0L)).as("max_gram_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddSpansSql: String = {
+    val gram = (0 until SpanN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= $SpanN THEN
+      list_distinct(list_transform(range(1, len(t) - ${SpanN - 2}),
+        i -> ($gram)))
+    ELSE [] END AS gs
+  FROM toks
+), gram_rows AS (
+  SELECT doc_id, ${CrossHash.md5ModSql("g")} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+), df AS (
+  SELECT h, COUNT(*) AS df FROM gram_rows GROUP BY h
+), per_doc AS (
+  SELECT g.doc_id,
+    COUNT(*) AS n_grams,
+    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_grams,
+    MAX(df.df) AS max_gram_df
+  FROM gram_rows g JOIN df ON df.h = g.h
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+  ${r6Sql("""(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+    ELSE CAST(p.n_dup_grams AS DOUBLE) / p.n_grams END)""")} AS dup_fraction,
+  COALESCE(p.max_gram_df, 0) AS max_gram_df
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+  }
 }

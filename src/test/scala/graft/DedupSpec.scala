@@ -154,4 +154,26 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("dd_spans matches a brute-force repeated-8-gram recompute") {
+    val rows = Dedup.ddSpans(spark, sf("sf0.01")).collect()
+    val texts = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length < Dedup.SpanN) Set.empty
+      else toks.sliding(Dedup.SpanN).map(_.mkString(" ")).toSet
+    }
+    val docGrams = texts.view.mapValues(grams).toMap
+    val df = docGrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val gs = docGrams(r.getLong(0))
+      assert(r.getAs[Long]("n_grams") == gs.size)
+      assert(r.getAs[Long]("n_dup_grams") == gs.count(df(_) >= 2))
+      assert(r.getAs[Long]("max_gram_df") ==
+        (if (gs.isEmpty) 0L else gs.map(df(_)).max.toLong))
+    }
+  }
 }
