@@ -58,6 +58,7 @@ object SparkEntry {
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
     "sim_quantize" -> (Similarity.simQuantize _),
+    "sim_kmeans" -> (Similarity.simKmeans _),
     // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
     "sim_ivf_ann" -> Similarity.simIvfAnnSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
+    "sim_kmeans" -> Similarity.simKmeansSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,

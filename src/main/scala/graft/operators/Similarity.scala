@@ -216,6 +216,16 @@ ORDER BY query_id, rank"""
         col("vec_id") < NQueries + IvfCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
+    ivfServe(e, cents)
+  }
+
+  /** The IVF serving plan with the centroid table as an input: any
+    * (cent_id, cv, cn) table — the deterministic sample
+    * [[simIvfAnn]] uses for oracle parity, or [[simKmeans]]' trained
+    * output — drives the identical plan (SimilaritySpec pins the
+    * swap).
+    */
+  def ivfServe(e: DataFrame, cents: DataFrame): DataFrame = {
     val centScore = DotProduct.dot(col("v"), col("cv")) /
       sqrt(col("nrm") * col("cn"))
     // assignment: best cell per vector via partial-agg'd lexicographic
@@ -358,5 +368,164 @@ SELECT vec_id,
         (CAST(qv[i] AS DOUBLE) * s / CAST(127.0 AS DOUBLE) - v[i]))""")}
     / len(v))""")} AS recon_mse
 FROM q ORDER BY vec_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_kmeans — Lloyd's k-means centroid training (IVF's offline job)
+  // ------------------------------------------------------------------
+
+  /** Lloyd iterations to run (unrolled in both engines). */
+  val KmIters = 2
+
+  /** Fixed-point scale for centroid-mean accumulation: component sums
+    * are accumulated as floor(x·2^24 + 0.5) BIGINTs, so the mean is an
+    * exact integer sum divided once — bitwise identical under ANY
+    * partitioning, where a naive double sum drifts with merge order
+    * (the same trick as the cents sums in
+    * [[graft.streaming.StreamingStats]]). Headroom: |x| ≤ 1 ⇒ a cell
+    * of 2^39 vectors stays inside int64.
+    */
+  val KmFp: Long = 1L << 24
+
+  /** One assignment pass: every vector to its nearest centroid by
+    * squared Euclidean distance, decomposed as |x|² − 2·x·c + |c|² so
+    * all three terms run through the codegen'd [[DotProduct]] with a
+    * fixed fold order. The argmin is a partial-aggregable
+    * `min(struct(dist, cent_id))` — ties break to the lowest cent_id,
+    * and NO per-vector window shuffle exists (same shape as
+    * [[simIvfAnn]]'s assignment).
+    */
+  def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = col("nrm") -
+      lit(2.0) * DotProduct.dot(col("v"), col("cv")) + col("cn")
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min(struct(col("dist"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("m.cent_id").as("cell"), col("m.dist").as("dist"))
+  }
+
+  /** One update pass: per-cell component means via posexplode +
+    * fixed-point integer sums (see [[KmFp]]); the component rows
+    * partial-aggregate to one row per (cell, pos) before shuffling,
+    * and the final array is rebuilt with an order-pinned
+    * `array_sort(collect_list(struct(pos, …)))`. Cells that lost every
+    * vector drop out (standard Lloyd's; k shrinks).
+    */
+  def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("x") * KmFp + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), struct(col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * KmFp))
+          .as("c")).as("pc"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(col("pc"))).as("pcs"))
+      .select(col("cell").as("cent_id"),
+        transform(col("pcs"), s => s.getField("c")).as("cv"))
+      .withColumn("cn", DotProduct.dot(col("cv"), col("cv")))
+
+  /** The training job SCALE.md's IVF note defers to: [[KmIters]]
+    * Lloyd rounds from the same deterministic seed sample
+    * [[simIvfAnn]] serves from, reported as per-centroid cell sizes,
+    * inertia (fixed-point-summed, parallelism-stable), and an
+    * order-pinned component checksum. The trained table feeds
+    * [[ivfServe]] unchanged — SimilaritySpec pins that plug-in.
+    *
+    * Scale shape per round: one broadcast of the (≤k-row) centroid
+    * table, one map-side assignment with a partial-agg argmin, one
+    * component aggregation whose shuffle is k × dim rows regardless of
+    * corpus size. Nothing iterates on the driver; `KmIters` controls
+    * plan depth (checkpoint between rounds past ~10, as dd_clusters
+    * does).
+    */
+  def simKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir)
+    val seeds = vecs.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    var cents = seeds
+    for (_ <- 1 to KmIters) cents = kmUpdate(kmAssign(vecs, cents))
+    val fin = kmAssign(vecs, cents)
+    val checksum = aggregate(
+      zip_with(col("cv"),
+        sequence(lit(1), size(col("cv"))).cast("array<double>"),
+        (c, i) => c * i),
+      lit(0.0), (acc, x) => acc + x)
+    fin.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(floor(col("dist") * 1000000.0 + lit(0.5)).cast("long"))
+          .as("ifp"))
+      .select(col("cell").as("cent_id"), col("n_assigned"), col("ifp"))
+      .join(cents, Seq("cent_id"))
+      .select(col("cent_id"), col("n_assigned"),
+        r6(col("ifp").cast("double") / 1000000.0).as("inertia"),
+        r6(checksum).as("cent_checksum"))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Oracle-side twin of one [[kmAssign]]: emits CTEs `<out>_sc` and
+    * `<out>`; `cents` must expose (cent_id, cv, cn).
+    */
+  private def kmAssignSql(out: String, cents: String): String = s"""
+${out}_sc AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+    n.nrm - 2 * ${dotSql("n.v", "c.cv")} + c.cn AS dist
+  FROM n CROSS JOIN $cents c
+), $out AS (
+  SELECT vec_id, v, nrm, cent_id AS cell, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist, cent_id) AS rn FROM ${out}_sc) WHERE rn = 1
+)"""
+
+  /** Oracle-side twin of one [[kmUpdate]]: emits `<out>_comp` and
+    * `<out>` (cent_id, cv, cn) from an assignment CTE.
+    */
+  private def kmUpdateSql(out: String, assigned: String): String = s"""
+${out}_comp AS (
+  SELECT a.cell, r.i AS pos,
+    SUM(CAST(floor(a.v[r.i] * CAST($KmFp AS DOUBLE) + 0.5) AS BIGINT)) AS s,
+    COUNT(*) AS n
+  FROM $assigned a CROSS JOIN range(1, ${Dim + 1}) r(i)
+  GROUP BY a.cell, r.i
+), $out AS (
+  SELECT cent_id, cv, ${dotSql("cv", "cv")} AS cn FROM (
+    SELECT cell AS cent_id,
+      list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $KmFp) ORDER BY pos) AS cv
+    FROM ${out}_comp GROUP BY cell)
+)"""
+
+  val simKmeansSql: String = {
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "seeds" else s"c${i - 1}"
+      kmAssignSql(s"a$i", prev) + "," + kmUpdateSql(s"c$i", s"a$i")
+    }.mkString(",")
+    val checksum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * i)),
+      (acc, x) -> acc + x)"""
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), seeds AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+),$rounds,${kmAssignSql("fin", s"c$KmIters")},
+agg AS (
+  SELECT cell AS cent_id, COUNT(*) AS n_assigned,
+    SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT)) AS ifp
+  FROM fin GROUP BY cell
+)
+SELECT a.cent_id, a.n_assigned,
+  ${r6Sql("(CAST(a.ifp AS DOUBLE) / 1000000.0)")} AS inertia,
+  ${r6Sql(checksum)} AS cent_checksum
+FROM agg a JOIN c$KmIters c ON c.cent_id = a.cent_id
+ORDER BY a.cent_id"""
   }
 }

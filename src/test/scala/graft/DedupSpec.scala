@@ -138,6 +138,53 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("kmeans: Lloyd rounds never increase inertia; cells partition") {
+    import org.apache.spark.sql.functions._
+    graft.functions.DotProduct.register(spark)
+    val vecs = Dedup.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.DotProduct.dot(col("v"), col("v")))
+    val seeds = vecs.filter(col("vec_id") >= Similarity.NQueries &&
+        col("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.kmAssign(vecs, cents)
+        .agg(sum(col("dist"))).collect()(0).getDouble(0)
+    val c1 = Similarity.kmUpdate(Similarity.kmAssign(vecs, seeds))
+    val c2 = Similarity.kmUpdate(Similarity.kmAssign(vecs, c1))
+    val (i0, i1, i2) = (inertia(seeds), inertia(c1), inertia(c2))
+    // fixed-point mean rounding perturbs centroids by ≤2^-24 per
+    // component — allow that much slack on the Lloyd monotonicity
+    assert(i1 <= i0 + 1e-3, s"$i0 -> $i1")
+    assert(i2 <= i1 + 1e-3, s"$i1 -> $i2")
+    // every vector lands in exactly one cell
+    val n = Similarity.simKmeans(spark, sf("sf0.01"))
+      .agg(sum(col("n_assigned"))).collect()(0).getLong(0)
+    assert(n == vecs.count())
+  }
+
+  test("kmeans-trained centroids plug into the IVF serving plan") {
+    import org.apache.spark.sql.functions._
+    graft.functions.DotProduct.register(spark)
+    val vecs = Dedup.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.DotProduct.dot(col("v"), col("v")))
+    val seeds = vecs.filter(col("vec_id") >= Similarity.NQueries &&
+        col("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val trained = Similarity.kmUpdate(Similarity.kmAssign(vecs, seeds))
+    val served = Similarity.ivfServe(vecs, trained).collect()
+    assert(served.length == Similarity.NQueries * Similarity.TopK)
+    assert(served.forall(r =>
+      r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    served.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.toSeq == cs.sortBy(-_).toSeq)
+    }
+  }
+
   test("blocked embed-cosine equals the all-pairs ground truth") {
     // the block-matrix decomposition must be lossless: every unordered
     // pair lands in exactly one block pair, so output is identical row
