@@ -31,7 +31,12 @@ object Bench {
     // events needs the nanos conf, which its reader sets
     try graft.streaming.StreamingStats.events(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val names = SparkEntry.queries.keys.toSeq
+    // dev-only: SPARK_GRAFT_ONLY=a,b,c restricts the timed set for
+    // single-query iteration; the driver never sets it
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(o) => SparkEntry.queries.keys.toSeq.filter(o.split(",").toSet)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val times = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to Iters; name <- names) {
       val fn = SparkEntry.queries(name)

@@ -611,15 +611,15 @@ ORDER BY vec_a, vec_b"""
     * spread — the evidence span-level dedup (Lee et al.'s
     * deduplicating-training-data setting) acts on.
     *
-    * Scale shape: explode → per-gram doc frequency (partial agg: one
-    * row per distinct gram survives the shuffle) → equi-join the gram
-    * stream back on the gram hash → per-doc count. Shuffles are all
-    * ∝ corpus gram count; nothing is all-pairs and nothing broadcasts
-    * the corpus. The df table is corpus-sized, so the join is a plain
-    * shuffle hash join — at 100 TB the (gram, df) side would be
-    * bucketed on h at rest to make it shuffle-free.
+    * Scale shape: explode once → per-gram doc frequency as a
+    * COUNT(*) window partitioned by the gram hash (one shuffle on h;
+    * a groupBy+join-back computes the same df but re-executes the
+    * explode for each consumer — measured 2.9 s vs 1.9 s at sf0.1) →
+    * per-doc count. Shuffles are ∝ corpus gram count; nothing is
+    * all-pairs and nothing broadcasts the corpus.
     */
   def ddSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // distinct grams per doc (array_distinct inside gramStrings), so
     // count(*) per hash IS the doc frequency
     val gramRows = docs(spark, sfDir)
@@ -627,8 +627,8 @@ ORDER BY vec_a, vec_b"""
       .select(col("doc_id"),
         explode(Corpus.gramStrings(col("toks"), SpanN)).as("g"))
       .select(col("doc_id"), CrossHash.md5Mod(col("g")).as("h"))
-    val df = gramRows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val perDoc = gramRows.join(df, Seq("h"))
+    val perDoc = gramRows
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -663,16 +663,16 @@ WITH toks AS (
 ), gram_rows AS (
   SELECT doc_id, ${CrossHash.md5ModSql("g")} AS h
   FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
-), df AS (
-  SELECT h, COUNT(*) AS df FROM gram_rows GROUP BY h
+), with_df AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM gram_rows
 ), per_doc AS (
-  SELECT g.doc_id,
+  SELECT doc_id,
     COUNT(*) AS n_grams,
-    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
       AS n_dup_grams,
-    MAX(df.df) AS max_gram_df
-  FROM gram_rows g JOIN df ON df.h = g.h
-  GROUP BY g.doc_id
+    MAX(df) AS max_gram_df
+  FROM with_df
+  GROUP BY doc_id
 )
 SELECT d.doc_id,
   COALESCE(p.n_grams, 0) AS n_grams,
