@@ -69,6 +69,8 @@ object SparkEntry {
     "ev_sessions" -> (StreamingStats.evSessions _),
     "ev_rolling" -> (TimeSeries.evRolling _),
     "ev_asof" -> (TimeSeries.evAsof _),
+    "ev_funnel" -> (TimeSeries.evFunnel _),
+    "ev_range_join" -> (TimeSeries.evRangeJoin _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -128,6 +130,8 @@ object SparkEntry {
     "ev_sessions" -> StreamingStats.evSessionsSql,
     "ev_rolling" -> TimeSeries.evRollingSql,
     "ev_asof" -> TimeSeries.evAsofSql,
+    "ev_funnel" -> TimeSeries.evFunnelSql,
+    "ev_range_join" -> TimeSeries.evRangeJoinSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

@@ -163,4 +163,167 @@ FROM (SELECT * FROM events WHERE event_type <> 'error') l
   ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""
+
+  // ------------------------------------------------------------------
+  // ev_funnel — ordered-stage conversion funnel
+  // ------------------------------------------------------------------
+
+  /** Per-user view → click → purchase funnel: a stage counts only if
+    * it happens strictly AFTER the previous stage's first qualifying
+    * event (a click before any view is not funnel progress). The
+    * classic event-sequence query.
+    *
+    * Single-shuffle shape: one partitioning on user_id carries three
+    * chained window passes — running min of view time, then of
+    * view-qualified click time, then the purchase test — and the final
+    * per-user aggregation reuses the same partitioning. No self-joins:
+    * the 3-pass join formulation (agg t1, join, agg t2, join, agg t3)
+    * shuffles the events table three times for the same answer.
+    * Timestamps stay integer micros end-to-end.
+    */
+  def evFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1r",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qclick", when(col("event_type") === "click" &&
+        col("t1r") < col("us"), col("us")))
+      .withColumn("t2r", min(col("qclick")).over(w))
+      .withColumn("qpur", when(col("event_type") === "purchase" &&
+        col("t2r") < col("us"), col("us")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("view_us"),
+        min(col("qclick")).as("click_us"),
+        min(col("qpur")).as("purchase_us"))
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"),
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("view_us").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val evFunnelSql: String = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+    OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS UNBOUNDED PRECEDING) AS t1r
+  FROM base
+), s2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND t1r < us THEN us END
+    AS qclick
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(qclick) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS t2r
+  FROM s2
+), s4 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND t2r < us THEN us END
+    AS qpur
+  FROM s3
+), agg AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN us END) AS view_us,
+    MIN(qclick) AS click_us,
+    MIN(qpur) AS purchase_us
+  FROM s4 GROUP BY user_id
+)
+SELECT user_id, view_us, click_us, purchase_us,
+  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+       WHEN click_us IS NOT NULL THEN 2
+       WHEN view_us IS NOT NULL THEN 1
+       ELSE 0 END AS INTEGER) AS stage
+FROM agg ORDER BY user_id"""
+
+  // ------------------------------------------------------------------
+  // ev_range_join — bucketed interval join
+  // ------------------------------------------------------------------
+
+  /** Interval window for the shipped query: right events in the
+    * half-open [left − 30 min, left). */
+  val RangeLoUs: Long = -30L * 60L * 1000000L
+  val RangeHiUs: Long = 0L
+
+  /** Generic keyed interval join: every (left, right) pair with the
+    * same `key` and `right.us ∈ [left.us + loUs, left.us + hiUs)`.
+    *
+    * A direct range predicate plans a nested-loop join; the scalable
+    * shape buckets time by the window width W = hi − lo: each right
+    * row lands in exactly one (key, bucket), each left row probes the
+    * ≤2 buckets its window can span (an exploded literal range), and
+    * the exact predicate filters the equi-join's candidates. Shuffle
+    * ∝ |left|·2 + |right|, never |left|×|right|; the bucket id is a
+    * partition key at rest for a storage-pruned variant.
+    *
+    * `left` must carry (`key`, `us`); `right` (`key`, `us`,
+    * `rightCols`…); names must not collide.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      loUs: Long, hiUs: Long, rightCols: Seq[String]): DataFrame = {
+    val w = hiUs - loUs
+    require(w > 0, "window must be non-empty")
+    val l = left.withColumn("bkt", explode(sequence(
+      expr(s"(us + $loUs) div $w"), expr(s"(us + $hiUs) div $w"))))
+    val r = right
+      .select((col(key) +: col("us").as("r_us") +: rightCols.map(col)): _*)
+      .withColumn("bkt", expr(s"r_us div $w"))
+    l.join(r, Seq(key, "bkt"))
+      .filter(col("r_us") >= col("us") + loUs &&
+        col("r_us") < col("us") + hiUs)
+      .drop("bkt")
+  }
+
+  /** Purchases vs the same user's clicks in the preceding 30 minutes —
+    * count and exact cent value — the attribution-window query, and
+    * the operator family (interval join) Spark lacks natively.
+    * LEFT semantics: purchases with no prior click stay at zero.
+    */
+  def evRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingStats.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("click_cents"))
+    val paired = rangeJoin(purchases, clicks, "user_id",
+        RangeLoUs, RangeHiUs, Seq("click_cents"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_prior_clicks"),
+        sum(col("click_cents")).as("cents"))
+    purchases.join(paired, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"),
+        r6(coalesce(col("cents"), lit(0L)).cast("double") / 100.0)
+          .as("clicks_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val evRangeJoinSql: String = s"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(round(value * 100) AS BIGINT) AS click_cents
+  FROM events WHERE event_type = 'click'
+), agg AS (
+  SELECT p.event_id, COUNT(c.us) AS n_prior_clicks,
+    COALESCE(SUM(c.click_cents), 0) AS cents
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+    AND c.us >= p.us + $RangeLoUs AND c.us < p.us + $RangeHiUs
+  GROUP BY p.event_id
+)
+SELECT a.event_id, p.user_id,
+  CAST(a.n_prior_clicks AS BIGINT) AS n_prior_clicks,
+  ${r6Sql("(CAST(a.cents AS DOUBLE) / 100.0)")} AS clicks_value
+FROM agg a JOIN p ON p.event_id = a.event_id
+ORDER BY a.event_id"""
 }

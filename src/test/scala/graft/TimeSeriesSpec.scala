@@ -63,6 +63,48 @@ class TimeSeriesSpec extends SparkSpec {
       s"as-of must not plan a theta join:\n$plan")
   }
 
+  test("ev_funnel matches a brute-force ordered-stage fold") {
+    val got = TimeSeries.evFunnel(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val events = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    events.groupBy(_._1).foreach { case (user, evs) =>
+      val sorted = evs.sortBy(_._3)
+      val t1 = sorted.collectFirst { case (_, "view", us) => us }
+      val t2 = t1.flatMap(v => sorted.collectFirst {
+        case (_, "click", us) if us > v => us })
+      val t3 = t2.flatMap(c => sorted.collectFirst {
+        case (_, "purchase", us) if us > c => us })
+      val r = got(user)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Long]) == t1, s"u$user view")
+      assert(Option(r.get(2)).map(_.asInstanceOf[Long]) == t2, s"u$user click")
+      assert(Option(r.get(3)).map(_.asInstanceOf[Long]) == t3, s"u$user buy")
+      assert(r.getAs[Int]("stage") == Seq(t1, t2, t3).flatten.length)
+    }
+  }
+
+  test("rangeJoin emits exactly the in-window pairs, equi-join shaped") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1000L), (2L, 10L, 5000L), (3L, 20L, 1000L))
+      .toDF("event_id", "user_id", "us")
+    val right = Seq((10L, 900L, 1L), (10L, 999L, 2L), (10L, 1000L, 3L),
+      (10L, 4900L, 4L), (20L, 2000L, 5L))
+      .toDF("user_id", "us", "tag")
+    // window [us-200, us): for left 1 expect tags 1,2 (900, 999 — not
+    // 1000, the boundary is exclusive); left 2 expects 4; left 3 none
+    val pairs = TimeSeries.rangeJoin(left, right, "user_id",
+        -200L, 0L, Seq("tag"))
+      .select(col("event_id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 1L), (1L, 2L), (2L, 4L)))
+    val plan = TimeSeries.evRangeJoin(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
