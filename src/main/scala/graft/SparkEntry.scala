@@ -63,6 +63,8 @@ object SparkEntry {
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
+    "mm_phash" -> (Multimodal.mmPhash _),
+    "mm_near_dup" -> (Multimodal.mmNearDup _),
     // streaming tier: batch twin of the watermarked windowed agg,
     // plus gap-based sessionization (lag + running-flag windows)
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
@@ -71,6 +73,7 @@ object SparkEntry {
     "ev_asof" -> (TimeSeries.evAsof _),
     "ev_funnel" -> (TimeSeries.evFunnel _),
     "ev_range_join" -> (TimeSeries.evRangeJoin _),
+    "ev_retention" -> (TimeSeries.evRetention _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -126,12 +129,15 @@ object SparkEntry {
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,
+    "mm_phash" -> Multimodal.mmPhashSql,
+    "mm_near_dup" -> Multimodal.mmNearDupSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
     "ev_rolling" -> TimeSeries.evRollingSql,
     "ev_asof" -> TimeSeries.evAsofSql,
     "ev_funnel" -> TimeSeries.evFunnelSql,
     "ev_range_join" -> TimeSeries.evRangeJoinSql,
+    "ev_retention" -> TimeSeries.evRetentionSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

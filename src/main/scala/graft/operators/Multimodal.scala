@@ -184,4 +184,138 @@ FROM f ORDER BY doc_id"""
   $bins
 FROM documents ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // mm_phash / mm_near_dup — perceptual-hash media deduplication
+  // ------------------------------------------------------------------
+
+  /** Signature bits (60 = 4 bands × 15, mirroring the SimHash layout
+    * so the pigeonhole banding carries over unchanged).
+    */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashChunk: Int = PhashBits / PhashBands
+  val PhashHammingMax = 3
+
+  case class MediaSig(doc_id: Long, media_type: String, n_bytes: Int,
+      sig: Long)
+
+  /** Blockhash-style signature in the imperative decode stage (where a
+    * real pHash's decode → downscale → DCT would run): bytes fold into
+    * [[PhashBits]] positional block sums in one pass, bit k set iff
+    * block k exceeds the mean — integer comparisons only
+    * (60·s_k > total), so the fake stays bit-reproducible in the
+    * oracle, which re-derives it from the text twin.
+    */
+  private def signatures(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            // STUB boundary: a real codec + perceptual hash consumes
+            // r.content here; the banding below is representation-
+            // agnostic and survives the swap.
+            val sums = new Array[Long](PhashBits)
+            var i = 0
+            while (i < r.content.length) {
+              sums(i % PhashBits) += (r.content(i) & 0xff).toLong
+              i += 1
+            }
+            val total = sums.sum
+            var sig = 0L
+            var k = 0
+            while (k < PhashBits) {
+              if (PhashBits * sums(k) > total) sig |= 1L << k
+              k += 1
+            }
+            MediaSig(r.doc_id, r.media_type, r.content.length, sig)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Per-item signature table — the index a media pipeline persists. */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
+    signatures(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Oracle-side signature: block sums over `ord(substr(text, i, 1))`
+    * (== bytes; fixture is pure ASCII — the mm_decode_stub
+    * precondition), 60·s_k > total per bit.
+    */
+  private val phashSigSql: String = {
+    val blockSum = (k: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(text) + 1), i ->
+          CASE WHEN (i - 1) % $PhashBits = $k
+            THEN CAST(ord(substr(text, i, 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"""
+    val bits = (0 until PhashBits).map(k =>
+      s"(CASE WHEN $PhashBits * s[${k + 1}] > total THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    s"""sig_base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+    [${(0 until PhashBits).map(blockSum).mkString(", ")}] AS s
+  FROM documents
+), sigs AS (
+  SELECT doc_id, media_type, n_bytes,
+    CAST($bits AS BIGINT) AS sig
+  FROM (SELECT doc_id, media_type, n_bytes, s,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), s), (acc, x) -> acc + x)
+      AS total FROM sig_base)
+)"""
+  }
+
+  val mmPhashSql: String = s"""WITH $phashSigSql
+SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
+
+  /** Near-duplicate media pairs: hamming(sig) ≤ [[PhashHammingMax]],
+    * candidates from [[PhashBands]] 15-bit chunk bands (pigeonhole-
+    * complete: 4 chunks can't all differ at hamming ≤ 3), exactly the
+    * dd_simhash_pairs shape — an equi-join on (band, chunk), never
+    * all-pairs. The hamming filter runs BEFORE the pair distinct so
+    * the distinct shuffles only qualifying pairs.
+    */
+  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = signatures(spark, sfDir)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * PhashChunk)
+            .bitwiseAND(lit((1L << PhashChunk) - 1)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmNearDupSql: String = {
+    val bandSelects = (0 until PhashBands).map(b =>
+      s"""SELECT doc_id, sig, $b AS band,
+        (sig // ${1L << (b * PhashChunk)}) % ${1L << PhashChunk} AS key
+      FROM sigs""").mkString("\n  UNION ALL\n  ")
+    s"""WITH $phashSigSql, bands AS (
+  $bandSelects
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= $PhashHammingMax
+ORDER BY doc_a, doc_b"""
+  }
 }

@@ -326,4 +326,49 @@ SELECT a.event_id, p.user_id,
   ${r6Sql("(CAST(a.cents AS DOUBLE) / 100.0)")} AS clicks_value
 FROM agg a JOIN p ON p.event_id = a.event_id
 ORDER BY a.event_id"""
+
+  // ------------------------------------------------------------------
+  // ev_retention — cohort retention matrix
+  // ------------------------------------------------------------------
+
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each later day they return — the (cohort, day-offset) matrix
+    * every growth dashboard reads.
+    *
+    * Shape: distinct (user, day) activity first (partial-agg distinct:
+    * the shuffle carries one row per user-day, not per event), then
+    * the cohort day as a window min over the SAME user partitioning,
+    * then the matrix aggregation. Because (user, day) rows are unique,
+    * the final count is a plain COUNT(*) — no COUNT(DISTINCT) state.
+    */
+  def evRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ud = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day_num"))
+      .distinct()
+      .withColumn("cohort", min(col("day_num")).over(byUser))
+    ud.groupBy(col("cohort"), (col("day_num") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_from_unix_date(col("cohort")).cast("string").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val evRetentionSql: String = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num
+  FROM events
+), c AS (
+  SELECT user_id, day_num,
+    MIN(day_num) OVER (PARTITION BY user_id) AS cohort
+  FROM ud
+)
+SELECT CAST(DATE '1970-01-01' + cohort AS VARCHAR) AS cohort_day,
+  CAST(day_num - cohort AS BIGINT) AS day_offset,
+  COUNT(*) AS n_users
+FROM c GROUP BY cohort, day_num - cohort
+ORDER BY cohort_day, day_offset"""
 }

@@ -105,6 +105,23 @@ class TimeSeriesSpec extends SparkSpec {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("ev_retention: offset-0 equals cohort size, user-days conserved") {
+    val rows = TimeSeries.evRetention(spark, sf("sf0.01")).collect()
+    val ud = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohortOf = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    // every (cohort, offset) cell counts exactly the user-days in it
+    assert(rows.map(_.getAs[Long]("n_users")).sum == ud.length)
+    val zero = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[String]("cohort_day") -> r.getAs[Long]("n_users"))
+      .toMap
+    cohortOf.values.groupBy(identity).foreach { case (day, users) =>
+      assert(zero(day.toString) == users.size,
+        s"cohort $day offset 0 must equal cohort size")
+    }
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
