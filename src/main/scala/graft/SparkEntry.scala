@@ -84,6 +84,7 @@ object SparkEntry {
     "cp_vocab" -> (Corpus.cpVocab _),
     "cp_stats" -> (Corpus.cpStats _),
     "cp_sample" -> (Corpus.cpSample _),
+    "cp_curate" -> (Corpus.cpCurate _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _)
@@ -147,6 +148,7 @@ object SparkEntry {
     "cp_vocab" -> Corpus.cpVocabSql,
     "cp_stats" -> Corpus.cpStatsSql,
     "cp_sample" -> Corpus.cpSampleSql,
+    "cp_curate" -> Corpus.cpCurateSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql
   )

@@ -20,33 +20,41 @@ object Corpus {
   val TrainPct = 80
   val ValPct = 10 // test gets the remainder
 
+  /** Salted split bucket + label — shared by [[cpSplit]] and
+    * [[cpCurate]] (one copy of the assignment, per the fragment rule).
+    */
+  def splitBucketExpr(id: Column): Column =
+    CrossHash.md5Long(concat(lit("split-v1:"), id.cast("string"))) % 100
+  def splitLabelExpr(bucket: Column): Column =
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "val")
+      .otherwise("test")
+  val splitBucketSql: String =
+    s"(${md5LongSql("('split-v1:' || doc_id)")} % 100)"
+  val splitLabelSql: String =
+    s"""CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       ELSE 'test' END"""
+
   /** Hash-based split: stable under corpus growth (a doc's split never
     * depends on other rows), reproducible across engines (md5-derived),
     * and skew-free. The salt string versions the split — bump it to
     * reshuffle.
     */
   def cpSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = CrossHash.md5Long(
-      concat(lit("split-v1:"), col("doc_id").cast("string"))) % 100
+    val bucket = splitBucketExpr(col("doc_id"))
     docs(spark, sfDir).select(
       col("doc_id"),
       bucket.cast("int").as("bucket"),
-      when(bucket < TrainPct, "train")
-        .when(bucket < TrainPct + ValPct, "val")
-        .otherwise("test").as("split"))
+      splitLabelExpr(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
-  val cpSplitSql: String = {
-    val bucket = s"(${md5LongSql("('split-v1:' || doc_id)")} % 100)"
-    s"""
+  val cpSplitSql: String = s"""
 SELECT doc_id,
-  CAST($bucket AS INTEGER) AS bucket,
-  CASE WHEN $bucket < $TrainPct THEN 'train'
-       WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
-       ELSE 'test' END AS split
+  CAST($splitBucketSql AS INTEGER) AS bucket,
+  $splitLabelSql AS split
 FROM documents ORDER BY doc_id"""
-  }
 
   // ------------------------------------------------------------------
   // cp_normalize — canonical text form (NFC + case + whitespace)
@@ -57,12 +65,18 @@ FROM documents ORDER BY doc_id"""
     * Emitted as length + digest (the canonical-form fingerprint exact
     * dedup keys on), not the full text.
     */
+  /** Canonical text form — shared by [[cpNormalize]] and [[cpCurate]]'s
+    * dedup digest.
+    */
+  def normExpr(text: Column): Column =
+    regexp_replace(trim(lower(NfcNormalize.nfc(text))), "\\s+", " ")
+  val normSqlExpr: String =
+    "regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"
+
   def cpNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     NfcNormalize.register(spark)
-    val norm = regexp_replace(
-      trim(lower(NfcNormalize.nfc(col("text")))), "\\s+", " ")
     docs(spark, sfDir)
-      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), normExpr(col("text")).as("norm"))
       .select(
         col("doc_id"),
         length(col("norm")).cast("int").as("norm_chars"),
@@ -70,10 +84,9 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val cpNormalizeSql: String = """
+  val cpNormalizeSql: String = s"""
 WITH n AS (
-  SELECT doc_id,
-    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm
+  SELECT doc_id, $normSqlExpr AS norm
   FROM documents
 )
 SELECT doc_id,
@@ -508,4 +521,69 @@ WITH d AS (
 SELECT doc_id, source, rk AS samp_rank, quota
 FROM r WHERE rk <= quota ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_curate — the end-to-end curation pipeline as ONE query
+  // ------------------------------------------------------------------
+
+  /** The whole curation pass composed: canonical-form digest
+    * ([[normExpr]]) → quality keep ([[graft.operators.Filters
+    * .keepExpr]]) → exact-dedup survivor election among kept docs
+    * (min doc_id per digest) → split assignment ([[splitBucketExpr]])
+    * → per-(split, source) audit of doc and token counts. One query a
+    * user runs to see what a curation run would ship, built entirely
+    * from the operators' shared expressions — no logic exists only
+    * here.
+    *
+    * Scale shape: everything per-row until the survivor groupBy
+    * (partial-agg'd, one row per distinct digest) and the digest
+    * equi-join back; the final audit aggregate is tiny (splits ×
+    * sources).
+    */
+  def cpCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    NfcNormalize.register(spark)
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        graft.operators.Filters.keepExpr(col("text"), col("toks"))
+          .as("keep"),
+        md5(normExpr(col("text"))).as("dg"),
+        splitLabelExpr(splitBucketExpr(col("doc_id"))).as("split"))
+    val surv = base.filter(col("keep"))
+      .groupBy(col("dg")).agg(min(col("doc_id")).as("sid"))
+    val isSurvivor = col("keep") && col("sid") === col("doc_id")
+    base.join(surv, Seq("dg"), "left")
+      .groupBy(col("split"), col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(isSurvivor, 1L).otherwise(0L)).as("survivors"),
+        sum(when(isSurvivor, col("n_tokens")).otherwise(0L))
+          .as("tokens_out"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val cpCurateSql: String = s"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens,
+    ${graft.operators.Filters.keepSqlExpr} AS keep,
+    md5($normSqlExpr) AS dg,
+    $splitLabelSql AS split
+  FROM documents
+), surv AS (
+  SELECT dg, MIN(doc_id) AS sid FROM base WHERE keep GROUP BY dg
+)
+SELECT b.split, b.source,
+  COUNT(*) AS docs_in,
+  CAST(SUM(CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+  CAST(SUM(CASE WHEN b.keep AND s.sid = b.doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS survivors,
+  CAST(SUM(CASE WHEN b.keep AND s.sid = b.doc_id THEN b.n_tokens ELSE 0 END)
+    AS BIGINT) AS tokens_out
+FROM base b LEFT JOIN surv s ON s.dg = b.dg
+GROUP BY b.split, b.source ORDER BY b.split, b.source"""
 }

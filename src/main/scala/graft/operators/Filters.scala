@@ -26,6 +26,25 @@ object Filters {
   val MaxSymbolRatio = 0.1
   val MaxRepetitionRatio = 0.6
 
+  /** The combined keep decision over (`text`, lowercased `toks`) —
+    * shared by [[qfDecide]] and the end-to-end
+    * [[graft.operators.Corpus.cpCurate]] so the rule set exists once.
+    * `toks` must be a materialized attribute (the shingles PERF rule).
+    */
+  def keepExpr(text: org.apache.spark.sql.Column,
+      toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = size(toks)
+    val chars = length(text)
+    val symbols = regexp_count(text, lit("[^a-zA-Z0-9\\s]"))
+    val meanWordLen = (chars - (words - 1)).cast("double") / words
+    val repetition =
+      lit(1.0) - size(array_distinct(toks)).cast("double") / words
+    (words >= MinWords && words <= MaxWords) &&
+      (meanWordLen >= MinMeanWordLen && meanWordLen <= MaxMeanWordLen) &&
+      (symbols.cast("double") / chars <= MaxSymbolRatio) &&
+      (repetition <= MaxRepetitionRatio)
+  }
+
   def qfDecide(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("toks"))
@@ -55,17 +74,25 @@ object Filters {
       .orderBy(col("doc_id"))
   }
 
+  // oracle-side rule fragments over a `text` column — ONE copy each,
+  // consumed by qfDecideSql (per-rule flags) and keepSqlExpr (cp_curate)
+  private val words = "len(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+  private val chars = "length(text)"
+  private val symbols = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+  private val mwl = s"(CAST(($chars - ($words - 1)) AS DOUBLE) / $words)"
+  private val distinct =
+    "len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))"
+  private val rep =
+    s"(CAST(1.0 AS DOUBLE) - CAST($distinct AS DOUBLE) / $words)"
+  private val okWords = s"($words >= $MinWords AND $words <= $MaxWords)"
+  private val okMwl = s"($mwl >= CAST($MinMeanWordLen AS DOUBLE) AND $mwl <= CAST($MaxMeanWordLen AS DOUBLE))"
+  private val okSym = s"(CAST($symbols AS DOUBLE) / $chars <= CAST($MaxSymbolRatio AS DOUBLE))"
+  private val okRep = s"($rep <= CAST($MaxRepetitionRatio AS DOUBLE))"
+
+  /** Oracle-side twin of [[keepExpr]]. */
+  val keepSqlExpr: String = s"($okWords AND $okMwl AND $okSym AND $okRep)"
+
   val qfDecideSql: String = {
-    val words = "len(regexp_split_to_array(trim(lower(text)), '\\s+'))"
-    val chars = "length(text)"
-    val symbols = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
-    val mwl = s"(CAST(($chars - ($words - 1)) AS DOUBLE) / $words)"
-    val distinct = "len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))"
-    val rep = s"(CAST(1.0 AS DOUBLE) - CAST($distinct AS DOUBLE) / $words)"
-    val okWords = s"($words >= $MinWords AND $words <= $MaxWords)"
-    val okMwl = s"($mwl >= CAST($MinMeanWordLen AS DOUBLE) AND $mwl <= CAST($MaxMeanWordLen AS DOUBLE))"
-    val okSym = s"(CAST($symbols AS DOUBLE) / $chars <= CAST($MaxSymbolRatio AS DOUBLE))"
-    val okRep = s"($rep <= CAST($MaxRepetitionRatio AS DOUBLE))"
     s"""
 SELECT doc_id,
   CAST($words AS INTEGER) AS words,

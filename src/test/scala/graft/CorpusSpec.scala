@@ -71,6 +71,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_curate agrees with its constituent operators") {
+    val curate = Corpus.cpCurate(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // docs_kept must equal qf_decide keeps bucketed by cp_split/source
+    val keeps = graft.operators.Filters.qfDecide(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val split = Corpus.cpSplit(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val src = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantKept = src.keys.toSeq.filter(keeps)
+      .groupBy(id => (split(id), src(id))).view.mapValues(_.size).toMap
+    curate.foreach { case (key, r) =>
+      assert(r.getAs[Long]("docs_kept") == wantKept.getOrElse(key, 0),
+        s"docs_kept mismatch at $key")
+      assert(r.getAs[Long]("survivors") <= r.getAs[Long]("docs_kept"))
+      assert(r.getAs[Long]("docs_kept") <= r.getAs[Long]("docs_in"))
+    }
+    // survivors across all cells = distinct canonical digests among keeps
+    val normMd5 = Corpus.cpNormalize(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("norm_md5")).toMap
+    val wantSurvivors = src.keys.toSeq.filter(keeps).map(normMd5).distinct.size
+    assert(curate.values.map(_.getAs[Long]("survivors")).sum == wantSurvivors)
+  }
+
   test("cp_pack tiles the token stream with no gaps or overlaps") {
     val rows = Corpus.cpPack(spark, sf("sf0.01"))
       .orderBy(col("doc_id")).collect()
