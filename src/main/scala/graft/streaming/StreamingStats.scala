@@ -253,6 +253,34 @@ ORDER BY day, event_type"""
       }
   }
 
+  // ------------------------------------------------------------------
+  // streaming ingest dedup — first-seen-wins on a content digest
+  // ------------------------------------------------------------------
+
+  /** Dedup-at-ingest: only the FIRST record per content digest passes;
+    * later duplicates — within a batch or across batches — are
+    * dropped. The streaming form of the dd_exact contract, applied
+    * where a training pipeline actually wants it: before anything is
+    * stored.
+    *
+    * Built on `dropDuplicatesWithinWatermark`, the streaming-native
+    * primitive: state holds one entry per digest and is dropped once
+    * the watermark proves no in-horizon duplicate can still arrive
+    * (an unbounded `dropDuplicates` would hold every digest ever
+    * seen). A duplicate older than the dedup horizon therefore
+    * re-admits — that is the documented contract: bounded state buys a
+    * bounded dedup window, and a periodic BATCH dd_exact sweep over
+    * the warehouse catches horizon-crossing stragglers.
+    *
+    * The input needs (`ts` timestamp, `digest` string); everything
+    * else rides along untouched.
+    */
+  def dedupIngestStream(records: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    records
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+
   val evSessionsSql: String = s"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,

@@ -180,6 +180,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup passes first-seen only, within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingStats.dedupIngestStream(
+        mem.toDF().toDF("ts", "digest", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2025-03-01 10:00:00"), "a", 1L),
+        (Timestamp.valueOf("2025-03-01 10:00:30"), "a", 2L), // in-batch dup
+        (Timestamp.valueOf("2025-03-01 10:01:00"), "b", 3L))
+      q.processAllAvailable()
+      mem.addData( // cross-batch dup of "a", inside the horizon
+        (Timestamp.valueOf("2025-03-01 10:20:00"), "a", 4L),
+        (Timestamp.valueOf("2025-03-01 10:21:00"), "c", 5L))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").collect()
+      assert(out.map(_.getAs[String]("digest")).sorted.toSeq ==
+        Seq("a", "b", "c"))
+      // the survivor is the FIRST record, not a later duplicate
+      assert(out.find(_.getAs[String]("digest") == "a").get
+        .getAs[Long]("payload") == 1L)
+    } finally q.stop()
+  }
+
   test("streaming transform schema matches its batch twin's core columns") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
