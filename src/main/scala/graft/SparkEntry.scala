@@ -74,6 +74,7 @@ object SparkEntry {
     "ev_funnel" -> (TimeSeries.evFunnel _),
     "ev_range_join" -> (TimeSeries.evRangeJoin _),
     "ev_retention" -> (TimeSeries.evRetention _),
+    "ev_anomaly" -> (TimeSeries.evAnomaly _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "ev_funnel" -> TimeSeries.evFunnelSql,
     "ev_range_join" -> TimeSeries.evRangeJoinSql,
     "ev_retention" -> TimeSeries.evRetentionSql,
+    "ev_anomaly" -> TimeSeries.evAnomalySql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

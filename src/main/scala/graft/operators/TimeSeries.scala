@@ -371,4 +371,92 @@ SELECT CAST(DATE '1970-01-01' + cohort AS VARCHAR) AS cohort_day,
   COUNT(*) AS n_users
 FROM c GROUP BY cohort, day_num - cohort
 ORDER BY cohort_day, day_offset"""
+
+  // ------------------------------------------------------------------
+  // ev_anomaly — trailing-baseline z-score flagging
+  // ------------------------------------------------------------------
+
+  /** Baseline window: the [[AnomalyBaselineDays]] days strictly before
+    * the scored day (the day never baselines itself). */
+  val AnomalyBaselineDays = 7
+  /** Minimum baseline days for a defined score. */
+  val AnomalyMinBaseline = 4
+  /** |z| at or above this flags the day. */
+  val AnomalyZ = 2.0
+
+  private val M = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Daily-volume anomaly detection: each (event_type, day) scored
+    * against the mean/stddev of the preceding 7 days — the monitoring
+    * query that watches a pipeline's ingest volumes.
+    *
+    * Same scale shape as [[evRolling]] (the window input is the tiny
+    * per-day aggregate); moments use exact integer sums in
+    * decimal(38,0) (the q12/q13 overflow posture — DuckDB's HUGEINT
+    * twin matches bitwise), so mean/variance are parallelism-stable;
+    * population variance over the baseline window, z undefined (null,
+    * not flagged) under [[AnomalyMinBaseline]] days or zero variance.
+    */
+  def evAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-AnomalyBaselineDays, -1)
+    val cnt = count(col("n")).over(w)
+    val s1 = sum(col("n").cast(M)).over(w)
+    val s2 = sum((col("n") * col("n")).cast(M)).over(w)
+    val mean = col("s1").cast("double") / col("cnt")
+    val varPop = (col("cnt").cast(M) * col("s2") - col("s1") * col("s1"))
+      .cast("double") / (col("cnt") * col("cnt")).cast("double")
+    val z = (col("n").cast("double") - mean) / sqrt(varPop)
+    val defined = col("cnt") >= AnomalyMinBaseline && varPop > 0.0
+    daily
+      .withColumn("cnt", cnt).withColumn("s1", s1).withColumn("s2", s2)
+      .select(
+        col("event_type"),
+        date_from_unix_date(col("day_num")).cast("string").as("day"),
+        col("n").as("n_events"),
+        col("cnt").as("baseline_days"),
+        when(col("cnt") > 0, r6(mean)).as("baseline_mean"),
+        when(defined, r6(z)).as("z_score"),
+        coalesce(when(defined, abs(z) >= AnomalyZ), lit(false))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val evAnomalySql: String = {
+    val mean = "(CAST(s1 AS DOUBLE) / cnt)"
+    val varPop = "(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))"
+    val z = s"((CAST(n AS DOUBLE) - $mean) / sqrt($varPop))"
+    val defined = s"(cnt >= $AnomalyMinBaseline AND $varPop > 0.0)"
+    s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, day_num, n,
+    COUNT(n) OVER (PARTITION BY event_type ORDER BY day_num
+      RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS cnt,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+      RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS s1,
+    SUM(n * n) OVER (PARTITION BY event_type ORDER BY day_num
+      RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS s2
+  FROM daily
+)
+SELECT event_type,
+  CAST(DATE '1970-01-01' + day_num AS VARCHAR) AS day,
+  n AS n_events,
+  CAST(cnt AS BIGINT) AS baseline_days,
+  CASE WHEN cnt > 0 THEN ${graft.functions.Determinism.r6Sql(mean)} END
+    AS baseline_mean,
+  CASE WHEN $defined THEN ${graft.functions.Determinism.r6Sql(z)} END
+    AS z_score,
+  COALESCE(CASE WHEN $defined THEN abs($z) >= $AnomalyZ END, false)
+    AS is_anomaly
+FROM base ORDER BY event_type, day"""
+  }
 }

@@ -122,6 +122,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_anomaly matches a brute-force trailing z-score recompute") {
+    val rows = TimeSeries.evAnomaly(spark, sf("sf0.01")).collect()
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    var defined = 0
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val base = daily.filter { case (t, d, _) =>
+        t == et && d.isBefore(day) &&
+          !d.isBefore(day.minusDays(TimeSeries.AnomalyBaselineDays.toLong))
+      }.map(_._3.toDouble)
+      assert(r.getAs[Long]("baseline_days") == base.length)
+      if (base.length >= TimeSeries.AnomalyMinBaseline) {
+        val mean = base.sum / base.length
+        val varPop = base.map(x => (x - mean) * (x - mean)).sum / base.length
+        if (varPop > 0) {
+          defined += 1
+          val z = (r.getAs[Long]("n_events") - mean) / math.sqrt(varPop)
+          assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-5,
+            s"z mismatch at ($et, $day)")
+          assert(r.getAs[Boolean]("is_anomaly") ==
+            (math.abs(z) >= TimeSeries.AnomalyZ))
+        }
+      } else assert(!r.getAs[Boolean]("is_anomaly"))
+    }
+    assert(defined > 50, "fixture should yield plenty of defined scores")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
