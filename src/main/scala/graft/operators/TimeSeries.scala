@@ -270,11 +270,15 @@ FROM agg ORDER BY user_id"""
       loUs: Long, hiUs: Long, rightCols: Seq[String]): DataFrame = {
     val w = hiUs - loUs
     require(w > 0, "window must be non-empty")
+    // true floor division (`div` truncates toward zero, which would
+    // misbucket pre-epoch timestamps): a - pmod(a, w) is exactly
+    // divisible, so the `div` below is floor for any sign
+    def fdiv(a: String) = expr(s"(($a) - pmod($a, $w)) div $w")
     val l = left.withColumn("bkt", explode(sequence(
-      expr(s"(us + $loUs) div $w"), expr(s"(us + $hiUs) div $w"))))
+      fdiv(s"us + $loUs"), fdiv(s"us + $hiUs"))))
     val r = right
       .select((col(key) +: col("us").as("r_us") +: rightCols.map(col)): _*)
-      .withColumn("bkt", expr(s"r_us div $w"))
+      .withColumn("bkt", fdiv("r_us"))
     l.join(r, Seq(key, "bkt"))
       .filter(col("r_us") >= col("us") + loUs &&
         col("r_us") < col("us") + hiUs)

@@ -98,6 +98,15 @@ class TimeSeriesSpec extends SparkSpec {
       .select(col("event_id"), col("tag")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 1L), (1L, 2L), (2L, 4L)))
+    // pre-epoch (negative) timestamps must bucket by FLOOR division —
+    // a truncating div would put -150 and -50 in different buckets
+    val negL = Seq((9L, 30L, -50L)).toDF("event_id", "user_id", "us")
+    val negR = Seq((30L, -150L, 7L)).toDF("user_id", "us", "tag")
+    val negPairs = TimeSeries.rangeJoin(negL, negR, "user_id",
+        -200L, 0L, Seq("tag"))
+      .select(col("event_id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negPairs == Set((9L, 7L)))
     val plan = TimeSeries.evRangeJoin(spark, sf("sf0.01"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
