@@ -614,9 +614,16 @@ ORDER BY vec_a, vec_b"""
     * Scale shape: explode once → per-gram doc frequency as a
     * COUNT(*) window partitioned by the gram hash (one shuffle on h;
     * a groupBy+join-back computes the same df but re-executes the
-    * explode for each consumer — measured 2.9 s vs 1.9 s at sf0.1) →
+    * explode for each consumer — measured 2.9 s → 1.5 s at sf0.1) →
     * per-doc count. Shuffles are ∝ corpus gram count; nothing is
     * all-pairs and nothing broadcasts the corpus.
+    *
+    * Grams hash with the FULL 60-bit md5Long, not md5Mod: the mod-P
+    * (~2^30) space shows measurable collisions at sf0.1 already (25
+    * colliding distinct-gram pairs / 225k grams), each inflating a
+    * doc's dup count; 60 bits pushes the expected collision count at
+    * 100 TB gram cardinalities down by 2^31. Nothing here needs mod-P
+    * arithmetic.
     */
   def ddSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -626,7 +633,7 @@ ORDER BY vec_a, vec_b"""
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
         explode(Corpus.gramStrings(col("toks"), SpanN)).as("g"))
-      .select(col("doc_id"), CrossHash.md5Mod(col("g")).as("h"))
+      .select(col("doc_id"), CrossHash.md5Long(col("g")).as("h"))
     val perDoc = gramRows
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
@@ -661,7 +668,7 @@ WITH toks AS (
     ELSE [] END AS gs
   FROM toks
 ), gram_rows AS (
-  SELECT doc_id, ${CrossHash.md5ModSql("g")} AS h
+  SELECT doc_id, ${CrossHash.md5LongSql("g")} AS h
   FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
 ), with_df AS (
   SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM gram_rows

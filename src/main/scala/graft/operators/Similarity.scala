@@ -222,7 +222,7 @@ ORDER BY query_id, rank"""
   /** The IVF serving plan with the centroid table as an input: any
     * (cent_id, cv, cn) table — the deterministic sample
     * [[simIvfAnn]] uses for oracle parity, or [[simKmeans]]' trained
-    * output — drives the identical plan (SimilaritySpec pins the
+    * output — drives the identical plan (DedupSpec pins the
     * swap).
     */
   def ivfServe(e: DataFrame, cents: DataFrame): DataFrame = {
@@ -435,7 +435,7 @@ FROM q ORDER BY vec_id"""
     * [[simIvfAnn]] serves from, reported as per-centroid cell sizes,
     * inertia (fixed-point-summed, parallelism-stable), and an
     * order-pinned component checksum. The trained table feeds
-    * [[ivfServe]] unchanged — SimilaritySpec pins that plug-in.
+    * [[ivfServe]] unchanged — DedupSpec pins that plug-in.
     *
     * Scale shape per round: one broadcast of the (≤k-row) centroid
     * table, one map-side assignment with a partial-agg argmin, one

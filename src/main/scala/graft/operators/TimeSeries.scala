@@ -19,10 +19,10 @@ object TimeSeries {
   /** Rolling window span in days (current day + 6 preceding). */
   val RollDays = 6
 
-  /** Exact integer-cent sum — same parallelism-stability contract as
-    * [[graft.streaming.StreamingStats]]'s daily stats.
+  /** Exact integer-cent sum — ONE copy, shared with the daily stats
+    * (the rounding rule is an oracle-parity invariant).
     */
-  private def sumCents(c: Column) = sum(round(c * 100).cast("long"))
+  private def sumCents(c: Column) = StreamingStats.sumCents(c)
 
   // ------------------------------------------------------------------
   // ev_rolling — 7-day rolling aggregates per event type
@@ -138,6 +138,12 @@ ORDER BY event_type, day"""
     * output is exact; events with no prior error keep null (LEFT
     * semantics — dropping them would silently bias any downstream
     * model).
+    *
+    * Oracle caveat: among right rows TIED on (user, ts), [[asofJoin]]
+    * deterministically picks the highest tieBreak while SQL ASOF JOIN
+    * picks an arbitrary one — the engines agree because the fixture
+    * has no such ties, an invariant TimeSeriesSpec pins at the gate
+    * SF.
     */
   def evAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = StreamingStats.events(spark, sfDir)

@@ -28,7 +28,7 @@ object StreamingStats {
     * 3-thread and 32-thread runs); summing integer cents makes the
     * aggregate bitwise-stable under ANY parallelism, on both engines.
     */
-  private def sumCents(c: org.apache.spark.sql.Column) =
+  private[graft] def sumCents(c: org.apache.spark.sql.Column) =
     sum(round(c * 100).cast("long"))
 
   /** The streaming transform: watermark + 1-day tumbling window. */

@@ -55,6 +55,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(4L) == None)       // no prior right row → null survives
   }
 
+  test("fixture invariant: no (user, ts) ties on the as-of right side") {
+    // ev_asof's DuckDB ASOF oracle picks an ARBITRARY row among right
+    // rows tied on (user_id, ts); asofJoin picks the highest tieBreak.
+    // They agree only while no such tie exists — pin that here so a
+    // future fixture change fails loudly instead of flaking the gate.
+    val dups = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("user_id"), col("ts")).count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
   test("ev_asof plans a single keyed window, no nested-loop join") {
     val plan = TimeSeries.evAsof(spark, sf("sf0.01"))
       .queryExecution.executedPlan.toString
