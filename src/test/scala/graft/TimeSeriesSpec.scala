@@ -142,6 +142,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_funnel runs all three window passes on ONE shuffle") {
+    // the design claim: chained windows + final groupBy reuse a single
+    // user_id partitioning — one Exchange total (plus nothing else
+    // before the presentation sort)
+    val plan = TimeSeries.evFunnel(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("ev_anomaly matches a brute-force trailing z-score recompute") {
     val rows = TimeSeries.evAnomaly(spark, sf("sf0.01")).collect()
     val daily = StreamingStats.events(spark, sf("sf0.01"))
