@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharGramHashSet, DotProduct, NfcNormalize,
-  SortedIntersectCount, SortedJaccardGE}
+  SortedIntersectCount, SortedJaccardGE, TokenRollingHash}
 
 /** Spark extensions entry point: registers the engine's custom
   * Catalyst expressions so ANY session created with
@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
       { args: Seq[Expression] => NfcNormalize(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp",
+        "graft_rolling_fp(s) - rolling md5-token fingerprint mod P"),
+      { args: Seq[Expression] => TokenRollingHash(args.head) }))
   }
 }
