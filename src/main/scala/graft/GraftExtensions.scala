@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramHashSet, DotProduct, NfcNormalize,
+import graft.functions.{CharGramHashSet, DotProduct, NfcNormalize, SimHash60,
   SortedIntersectCount, SortedJaccardGE, TokenRollingHash}
 
 /** Spark extensions entry point: registers the engine's custom
@@ -59,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_rolling_fp",
         "graft_rolling_fp(s) - rolling md5-token fingerprint mod P"),
       { args: Seq[Expression] => TokenRollingHash(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(s) - 60-bit token SimHash"),
+      { args: Seq[Expression] => SimHash60(args.head) }))
   }
 }

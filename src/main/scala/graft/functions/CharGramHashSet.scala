@@ -82,16 +82,22 @@ object CharGramHashSet {
 
   val N = 5
 
-  /** First 60 bits of md5 (== first 15 hex chars) mod [[CrossHash.P]]. */
-  def hash(md: MessageDigest, s: String): Long = {
+  /** First 60 bits of md5 (== first 15 hex chars) — [[CrossHash.md5Long]]'s
+    * value without the hex round-trip.
+    */
+  def hash60(md: MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     // drop the low nibble (16th hex char), keeping hex chars 1..15
-    (v >>> 4) % CrossHash.P
+    v >>> 4
   }
+
+  /** [[hash60]] mod [[CrossHash.P]] (== [[CrossHash.md5Mod]]). */
+  def hash(md: MessageDigest, s: String): Long =
+    hash60(md, s) % CrossHash.P
 
   private val FnName = "graft_gram_hashes"
 

@@ -43,14 +43,7 @@ case class TokenRollingHash(child: Expression)
   override def prettyName: String = "graft_rolling_fp"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val raw = input.toString
-    // Spark's trim() strips ONLY ' ' (String.trim would eat tabs too)
-    var b = 0
-    var e = raw.length
-    while (b < e && raw.charAt(b) == ' ') b += 1
-    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    // limit -1 = Spark's split(): trailing empty tokens kept, ASCII \s
-    val toks = TokenRollingHash.SplitRe.split(raw.substring(b, e), -1)
+    val toks = TokenRollingHash.splitTokens(input.toString)
     val md = MessageDigest.getInstance("MD5")
     var acc = 0L
     var i = 0
@@ -69,6 +62,20 @@ object TokenRollingHash {
 
   /** Same regex Spark's `split` compiles (0 flags ⇒ ASCII `\s`). */
   private[functions] val SplitRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** JVM-side twin of the engine's `tokens()` = `split(trim(s), "\\s+")`:
+    * space-only trim (Spark's `trim`, unlike `String.trim`, leaves tabs),
+    * then Java-regex split with limit −1 (trailing empties kept, ASCII
+    * `\s`). Shared by every tokenizing custom expression so the
+    * tokenization contract exists once on the JVM side.
+    */
+  private[functions] def splitTokens(raw: String): Array[String] = {
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    SplitRe.split(raw.substring(b, e), -1)
+  }
 
   private val FnName = "graft_rolling_fp"
 

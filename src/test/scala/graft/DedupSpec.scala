@@ -104,6 +104,19 @@ class DedupSpec extends SparkSpec {
     assert(sizes.exists(_ > 1))
   }
 
+  test("SimHash60 equals the declarative explode/60-bit-sum twin") {
+    val custom = Dedup.ddSimhash(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val declarative = Dedup.simhashDeclarative(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(custom == declarative)
+    // and the custom form's plan is map-only: no exchange before sort
+    val plan = Dedup.ddSimhash(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"signature computation must not shuffle:\n$plan")
+  }
+
   test("simhash pairs respect the hamming bound") {
     val rows = Dedup.ddSimhashPairs(spark, sf("sf0.01")).collect()
     rows.foreach(r => assert(r.getAs[Int]("hamming") <= Dedup.HammingMax))
