@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramHashSet, DotProduct, NfcNormalize, SimHash60,
-  SortedIntersectCount, SortedJaccardGE, TokenRollingHash}
+import graft.functions.{CharGramHashSet, DotProduct, MinHash16, NfcNormalize,
+  SimHash60, SortedIntersectCount, SortedJaccardGE, TokenRollingHash,
+  WordShingleHashSet}
 
 /** Spark extensions entry point: registers the engine's custom
   * Catalyst expressions so ANY session created with
@@ -64,5 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(s) - 60-bit token SimHash"),
       { args: Seq[Expression] => SimHash60(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(s) - sorted distinct word-3-gram hash set"),
+      { args: Seq[Expression] => WordShingleHashSet(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash16"),
+      info("graft_minhash16",
+        "graft_minhash16(hs) - 16 MinHash values of a hash set"),
+      { args: Seq[Expression] => MinHash16(args.head) }))
   }
 }

@@ -17,13 +17,14 @@ import graft.queries.RefOracle
   * Scale posture (the design constraint for each operator):
   *  - exact: hash-groupBy with map-side partial aggregation — the only
   *    shuffle carries one row per distinct key.
-  *  - MinHash signatures: per-row array lambdas, NO shuffle; LSH banding
-  *    turns the O(n²) pair space into an equi-join on band keys
-  *    (shuffle ∝ corpus size, not pairs); only candidates pay the exact
-  *    Jaccard verification.
-  *  - SimHash: explode+groupBy keeps one pass over tokens; partial agg
-  *    reduces shuffle volume to 60 longs per doc. Pairing uses 15-bit
-  *    chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *  - MinHash signatures: map-only custom expressions
+  *    ([[graft.functions.WordShingleHashSet]] + [[graft.functions
+  *    .MinHash16]]), ZERO shuffle; LSH banding turns the O(n²) pair
+  *    space into an equi-join on band keys (shuffle ∝ corpus size, not
+  *    pairs); only candidates pay the exact Jaccard verification.
+  *  - SimHash: map-only [[graft.functions.SimHash60]] expression, ZERO
+  *    shuffle for signatures. Pairing uses 15-bit chunk banding
+  *    (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
   *  - n-gram Jaccard: length-bucket blocking with neighbor-bucket
   *    explode — an equi-join, not a theta join, so it shuffles instead
   *    of falling into a nested-loop cross product.
@@ -98,11 +99,34 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
       .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
       .select(col("doc_id"), CrossHash.md5Mod(col("sh")).as("h"))
 
-  /** MinHash signature via groupBy: 16 `min((a*h+b) mod P)` aggregates in
-    * one pass; partial aggregation means the shuffle carries 16 longs per
-    * doc regardless of corpus size.
+  /** Map-only MinHash signature via the custom expressions: shingle
+    * hash set + 16 mins in two evals per row, ZERO shuffle — the
+    * groupBy twin below shuffles the exploded shingle stream
+    * (measured: dd_minhash 0.98 s → 0.70 s, dd_minhash_lsh 1.48 s →
+    * 0.90 s, dd_clusters 2.86 s → 2.05 s at sf0.1; at 100 TB the
+    * saving is the signature's entire exchange). The empty-set filter
+    * reproduces the groupBy form's no-row-for-shingle-less-docs
+    * behavior; DedupSpec pins signature equality and coefficient
+    * agreement.
     */
-  private def signature(spark: SparkSession, sfDir: String): DataFrame =
+  private def signature(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordShingleHashSet.register(spark)
+    graft.functions.MinHash16.register(spark)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHash16.mins(col("hs")).as("mh"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
+  }
+
+  /** The groupBy formulation [[signature]]'s expressions are pinned
+    * against (spec-only — the shape the oracle SQL evaluates).
+    */
+  private[graft] def signatureDeclarative(spark: SparkSession,
+      sfDir: String): DataFrame =
     shingleRows(spark, sfDir)
       .groupBy(col("doc_id"))
       .agg(
@@ -147,12 +171,13 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
 
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
-    // sorted distinct shingle-hash sets for the exact-Jaccard verify
+    graft.functions.WordShingleHashSet.register(spark)
+    // sorted distinct shingle-hash sets for the exact-Jaccard verify —
+    // one custom-expression eval per doc (DedupSpec pins it to the
+    // declarative sort_array(array_distinct(transform(...))) twin)
     val base = docs(spark, sfDir)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("s"))
-      .select(col("doc_id"), sort_array(array_distinct(
-        transform(col("s"), x => CrossHash.md5Mod(x)))).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
     // band key = "_"-joined 4-row slice of the signature
     val bandKeys = (0 until Bands).map(b =>
       concat_ws("_", (0 until R).map(r =>

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSpec {
     assert(sizes.exists(_ > 1))
   }
 
+  test("WordShingleHashSet + MinHash16 equal the declarative signature") {
+    import spark.implicits._
+    graft.functions.WordShingleHashSet.register(spark)
+    // hash sets: custom expression vs sort_array(array_distinct(transform))
+    val texts = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val twin = texts.select(
+        graft.functions.WordShingleHashSet.hs(col("t")).as("custom"),
+        sort_array(array_distinct(transform(
+          Dedup.shingles(split(trim(col("t")), "\\s+")),
+          x => graft.functions.CrossHash.md5Mod(x)))).as("declarative"))
+      .collect()
+    twin.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // full signatures: map-only form vs explode+groupBy form
+    val sigC = Dedup.ddMinhash(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val sigD = Dedup.signatureDeclarative(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(sigC == sigD)
+    // the expression's private coefficient copies match Dedup's
+    graft.functions.MinHash16.register(spark)
+    val minsOfOne = Seq(123456789L).toDF("h")
+      .select(graft.functions.MinHash16.mins(array(col("h"))).as("m"))
+      .collect()(0).getSeq[Long](0)
+    val expected = Dedup.As.zip(Dedup.Bs).map { case (a, b) =>
+      (123456789L * a + b) % CrossHash.P }
+    assert(minsOfOne == expected)
+  }
+
   test("SimHash60 equals the declarative explode/60-bit-sum twin") {
     val custom = Dedup.ddSimhash(spark, sf("sf0.01")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
