@@ -53,6 +53,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
     "dd_spans" -> (Dedup.ddSpans _),
+    "dd_incremental" -> (Dedup.ddIncremental _),
     // extension tier: similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteforceTopk _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
     "dd_spans" -> Dedup.ddSpansSql,
+    "dd_incremental" -> Dedup.ddIncrementalSql,
     "sim_bruteforce_topk" -> Similarity.simBruteforceTopkSql,
     "sim_lsh_ann" -> Similarity.simLshAnnSql,
     "sim_ivf_ann" -> Similarity.simIvfAnnSql,

@@ -169,25 +169,36 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
   val MinhashJaccardBoundary: Double =
     (MinhashJaccardMin * 1e7 - 5).toLong / 1e7
 
-  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.SortedJaccardGE.register(spark)
-    graft.functions.WordShingleHashSet.register(spark)
-    // sorted distinct shingle-hash sets for the exact-Jaccard verify —
-    // one custom-expression eval per doc (DedupSpec pins it to the
-    // declarative sort_array(array_distinct(transform(...))) twin)
-    val base = docs(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
-    // band key = "_"-joined 4-row slice of the signature
+  /** (doc_id, band, key) rows — band key = "_"-joined [[R]]-row slice
+    * of the signature. ONE copy, shared by the self-join and the
+    * incremental batch-vs-corpus join.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b =>
       concat_ws("_", (0 until R).map(r =>
         col(s"mh_${b * R + r}").cast("string")): _*))
-    // cached: both candidate self-join branches would rerun the full
-    // explode + 16-min signature pass; the cached band table is 4 short
-    // rows per doc (same profitable shape as ddSimhashPairs' cache)
-    val bands = signature(spark, sfDir).select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .cache()
+  }
+
+  /** Sorted distinct shingle-hash sets for exact-Jaccard verification —
+    * one custom-expression eval per doc (DedupSpec pins it to the
+    * declarative sort_array(array_distinct(transform(...))) twin).
+    */
+  private def hashSets(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordShingleHashSet.register(spark)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
+  }
+
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedJaccardGE.register(spark)
+    val base = hashSets(spark, sfDir)
+    // cached: both candidate self-join branches would rerun the full
+    // signature pass; the cached band table is 4 short rows per doc
+    // (same profitable shape as ddSimhashPairs' cache)
+    val bands = bandRows(signature(spark, sfDir)).cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -209,7 +220,11 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     * and [[ddClustersSql]] (which embeds it as a CTE), so the two can
     * never drift.
     */
-  private val ddMinhashLshBodySql: String = {
+  /** Shared oracle CTE chain ending in `bands(doc_id, band, key)` —
+    * consumed by the self-join (dd_minhash_lsh/dd_clusters) and the
+    * asymmetric batch-vs-corpus join (dd_incremental); ONE copy.
+    */
+  private val sigBandsCteSql: String = {
     val mhCols = minhashColsSql.zipWithIndex
       .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
@@ -223,7 +238,11 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
   FROM hashed WHERE len(s) > 0
 ), bands AS (
   $bandSelects
-), cands AS (
+)"""
+  }
+
+  private val ddMinhashLshBodySql: String = {
+    sigBandsCteSql + s""", cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -245,6 +264,77 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
 
   val ddMinhashLshSql: String =
     ddMinhashLshBodySql + "\nORDER BY doc_a, doc_b"
+
+  // ------------------------------------------------------------------
+  // dd_incremental — new-batch vs existing-corpus dedup (ingest mode)
+  // ------------------------------------------------------------------
+
+  /** Batch membership: doc_id ≡ [[BatchRem]] (mod [[BatchMod]]) stands
+    * in for "the newly arrived ~10%"; in production the batch is its
+    * own table and the corpus side is the warehouse.
+    */
+  val BatchMod = 10L
+  val BatchRem = 7L
+
+  /** The production shape of near-dup dedup: a NEW batch checked
+    * against the EXISTING corpus only — batch×corpus via band
+    * equi-join, never corpus×corpus (which a naive re-run of the
+    * self-join pays on every ingest). Candidates are (new, corpus)
+    * band collisions; only they pay the exact-Jaccard verify. At
+    * 100 TB the corpus band table is precomputed and bucketed on
+    * (band, key) at rest, so an ingest shuffles ONLY the batch side —
+    * cost ∝ batch, not corpus.
+    *
+    * Emits one row per (new doc, matching corpus doc) at the
+    * [[MinhashJaccardMin]] threshold — the evidence an ingest gate
+    * acts on (drop, link, or version the newcomer).
+    */
+  def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedJaccardGE.register(spark)
+    val isBatch = (id: Column) => pmod(id, lit(BatchMod)) === BatchRem
+    val bands = bandRows(signature(spark, sfDir)).cache()
+    val cands = bands.filter(isBatch(col("doc_id")))
+      .select(col("band"), col("key"), col("doc_id").as("new_doc"))
+      .join(bands.filter(!isBatch(col("doc_id")))
+        .select(col("band"), col("key"), col("doc_id").as("corpus_doc")),
+        Seq("band", "key"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .distinct()
+    val base = hashSets(spark, sfDir)
+    val j = graft.functions.SortedJaccardGE
+      .jaccardGE(col("ha"), col("hb"), MinhashJaccardBoundary)
+    cands
+      .join(base.select(col("doc_id").as("new_doc"), col("hs").as("ha")),
+        Seq("new_doc"))
+      .join(base.select(col("doc_id").as("corpus_doc"), col("hs").as("hb")),
+        Seq("corpus_doc"))
+      .select(col("new_doc"), col("corpus_doc"), j.as("j"))
+      .filter(col("j").isNotNull)
+      .select(col("new_doc"), col("corpus_doc"), r6(col("j")).as("jaccard"))
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+
+  val ddIncrementalSql: String = sigBandsCteSql + s""", cands AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % $BatchMod = $BatchRem
+    AND b.doc_id % $BatchMod <> $BatchRem
+), hsets AS (
+  SELECT doc_id, list_distinct(hs) AS hd FROM hashed
+), verified AS (
+  SELECT c.new_doc, c.corpus_doc,
+    len(list_filter(x.hd, g -> list_contains(y.hd, g))) AS i,
+    len(x.hd) AS na, len(y.hd) AS nb
+  FROM cands c
+  JOIN hsets x ON x.doc_id = c.new_doc
+  JOIN hsets y ON y.doc_id = c.corpus_doc
+)
+SELECT new_doc, corpus_doc,
+  ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
+FROM verified
+WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin
+ORDER BY new_doc, corpus_doc"""
 
   // ------------------------------------------------------------------
   // dd_clusters — duplicate clusters (connected components over pairs)

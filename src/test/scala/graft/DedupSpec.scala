@@ -244,6 +244,22 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dd_incremental equals the full self-join restricted to the split") {
+    val inc = Dedup.ddIncremental(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.nonEmpty, "fixture should produce cross-split matches")
+    // ground truth: the symmetric LSH pairs with exactly one endpoint
+    // in the batch, oriented (new, corpus)
+    def isBatch(id: Long) = id % Dedup.BatchMod == Dedup.BatchRem
+    val full = Dedup.ddMinhashLsh(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = full.collect {
+      case (a, b, j) if isBatch(a) && !isBatch(b) => (a, b, j)
+      case (a, b, j) if isBatch(b) && !isBatch(a) => (b, a, j)
+    }.toSet
+    assert(inc == want)
+  }
+
   test("dd_spans matches a brute-force repeated-8-gram recompute") {
     val rows = Dedup.ddSpans(spark, sf("sf0.01")).collect()
     val texts = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
