@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharGramHashSet, DotProduct, MinHash16, NfcNormalize,
   SimHash60, SortedIntersectCount, SortedJaccardGE, TokenRollingHash,
-  WordShingleHashSet}
+  WordGramHashes, WordShingleHashSet}
 
 /** Spark extensions entry point: registers the engine's custom
   * Catalyst expressions so ANY session created with
@@ -77,5 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash16",
         "graft_minhash16(hs) - 16 MinHash values of a hash set"),
       { args: Seq[Expression] => MinHash16(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_gram_hashes"),
+      info("graft_word_gram_hashes",
+        "graft_word_gram_hashes(s, n, modded) - distinct word-n-gram hashes"),
+      { args: Seq[Expression] => WordGramHashes(args.head,
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Boolean]) }))
   }
 }

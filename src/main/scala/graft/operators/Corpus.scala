@@ -285,19 +285,18 @@ FROM r WHERE rank <= $VocabTopN ORDER BY rank"""
     * shuffle is the per-doc hit-count groupBy. No all-pairs anything.
     */
   def cpDecontam(spark: SparkSession, sfDir: String): DataFrame = {
-    // one row per (doc, distinct gram), hashed post-explode (codegen'd).
-    // The per-gram concat lambda follows the accepted Dedup.shingles
-    // shape (hash hoisted out; concat-only lambda measured fine there).
+    // one row per (doc, distinct gram) via the custom expression
+    // (DedupSpec pins it to the gramStrings + md5Mod twin; measured
+    // 1.54 s → 0.77 s at sf0.1 — the per-gram concat lambda was
+    // interpreted per element).
     // gramRows feeds two branches uncached ON PURPOSE: the doc_id-mod
-    // filters sit below the Generate, so the eval branch re-tokenizes
+    // filters sit below the Generate, so the eval branch re-hashes
     // only ~1/EvalMod of the corpus — caching would cost more than it
     // saves.
+    graft.functions.WordGramHashes.register(spark)
     val gramRows = docs(spark, sfDir)
-      .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"),
-        explode(gramStrings(col("toks"), DecontamN)).as("g"))
-      .select(col("doc_id"), CrossHash.md5Mod(col("g")).as("h"))
+      .select(col("doc_id"), explode(graft.functions.WordGramHashes
+        .grams(lower(col("text")), DecontamN, modded = true)).as("h"))
     val evalGrams = gramRows.filter(col("doc_id") % EvalMod === 0)
       .select(col("h")).distinct()
     val hits = gramRows.filter(col("doc_id") % EvalMod =!= 0)

@@ -762,13 +762,13 @@ ORDER BY vec_a, vec_b"""
     */
   def ddSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // distinct grams per doc (array_distinct inside gramStrings), so
-    // count(*) per hash IS the doc frequency
+    // distinct grams per doc (string-level dedup inside the custom
+    // expression, mirroring gramStrings), so count(*) per hash IS the
+    // doc frequency; modded=false → full 60-bit hashes (see above)
+    graft.functions.WordGramHashes.register(spark)
     val gramRows = docs(spark, sfDir)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"),
-        explode(Corpus.gramStrings(col("toks"), SpanN)).as("g"))
-      .select(col("doc_id"), CrossHash.md5Long(col("g")).as("h"))
+      .select(col("doc_id"), explode(graft.functions.WordGramHashes
+        .grams(lower(col("text")), SpanN, modded = false)).as("h"))
     val perDoc = gramRows
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))

@@ -133,6 +133,31 @@ class DedupSpec extends SparkSpec {
     assert(minsOfOne == expected)
   }
 
+  test("WordGramHashes equals the gramStrings + hash declarative twin") {
+    import spark.implicits._
+    graft.functions.WordGramHashes.register(spark)
+    val adversarial = Seq("", " ", "one", "a b c d e f g h i j",
+      "\ta  b\tc d e f g h", ("tok " * 50).trim)
+    val fixture = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val df = (adversarial ++ fixture).toDF("text")
+      .select(lower(col("text")).as("t"))
+      .select(col("t"), split(trim(col("t")), "\\s+").as("toks"))
+    for ((n, modded) <- Seq((8, true), (8, false), (3, true))) {
+      val hash = (c: org.apache.spark.sql.Column) =>
+        if (modded) graft.functions.CrossHash.md5Mod(c)
+        else graft.functions.CrossHash.md5Long(c)
+      val rows = df.select(
+          graft.functions.WordGramHashes.grams(col("t"), n, modded)
+            .as("custom"),
+          transform(graft.operators.Corpus.gramStrings(col("toks"), n),
+            hash).as("declarative"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"n=$n modded=$modded"))
+    }
+  }
+
   test("SimHash60 equals the declarative explode/60-bit-sum twin") {
     val custom = Dedup.ddSimhash(spark, sf("sf0.01")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
