@@ -94,6 +94,52 @@ class PropertySpec extends SparkSpec {
     assert(blocked.toSeq == exact.toSeq)
   }
 
+  test("asofJoin equals a brute-force latest-prior scan on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // small ts range FORCES equal-timestamp collisions, exercising the
+    // documented tie rules: equal left/right ts matches (<=), and among
+    // right rows tied on (key, ts) the highest tieBreak wins
+    val left = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(150)(i =>
+      (1000L + i, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+    val l = left.toDF("event_id", "user_id", "us")
+    val r = right.toDF("rid", "user_id", "us")
+      .withColumn("r_us", col("us"))
+    val got = graft.operators.TimeSeries
+      .asofJoin(l, r, "user_id", "us", "rid", Seq("rid", "r_us"))
+      .select(col("event_id"), col("asof.rid"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    left.foreach { case (id, u, us) =>
+      val want = right.filter(x => x._2 == u && x._3 <= us)
+        .sortBy(x => (x._3, x._1)).lastOption.map(_._1)
+      assert(got(id) == want, s"event $id")
+    }
+  }
+
+  test("rangeJoin equals a brute-force window filter on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong - 200))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))
+    val got = graft.operators.TimeSeries.rangeJoin(
+        left.toDF("event_id", "user_id", "us"),
+        right.toDF("user_id", "us", "tag"),
+        "user_id", -77L, 33L, Seq("tag"))
+      .select(col("event_id"), col("tag")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (id, u, us) <- left
+      (ru, rus, tag) <- right
+      if ru == u && rus >= us - 77 && rus < us + 33
+    } yield (id, tag)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming sessionizer equals the batch twin on random event streams") {
     import java.nio.file.Files
     import java.sql.Timestamp
