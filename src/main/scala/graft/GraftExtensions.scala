@@ -75,15 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash16"),
       info("graft_minhash16",
-        "graft_minhash16(hs) - 16 MinHash values of a hash set"),
+        "graft_minhash16(hs) - 16 MinHash values of a mod-P hash set " +
+          "(e.g. graft_shingle_hashes output; full 60-bit hashes rejected)"),
       { args: Seq[Expression] => MinHash16(args.head) }))
 
     ext.injectFunction((
       FunctionIdentifier("graft_word_gram_hashes"),
       info("graft_word_gram_hashes",
         "graft_word_gram_hashes(s, n, modded) - distinct word-n-gram hashes"),
-      { args: Seq[Expression] => WordGramHashes(args.head,
-        args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Boolean]) }))
+      WordGramHashes.build _))
   }
 }

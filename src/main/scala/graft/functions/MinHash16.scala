@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions.call_function
   * Why an expression: the declarative signature explodes one row per
   * (doc, shingle) and shuffles that stream into a 16-aggregate
   * groupBy — per-document-local folds paying a full exchange, the
-  * same anti-shape [[SimHash60]] removed (dd_minhash 0.98 s → 0.70 s,
-  * dd_minhash_lsh 1.48 s → 0.90 s, and dd_clusters — built on the LSH
-  * pairs — 2.86 s → 2.05 s at sf0.1; zero exchanges in the signature). Empty input returns an empty array — callers filter,
+  * same anti-shape [[SimHash60]] removed (dd_minhash 0.98 s → 0.60 s,
+  * dd_minhash_lsh 1.48 s → 0.68 s, and dd_clusters — built on the LSH
+  * pairs — 2.86 s → 1.70 s at sf0.1; zero exchanges in the signature). Empty input returns an empty array — callers filter,
   * matching the groupBy form that emits no row for shingle-less docs.
   */
 case class MinHash16(child: Expression)
@@ -44,6 +44,13 @@ case class MinHash16(child: Expression)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)
+      // contract: inputs reduced mod P (WordShingleHashSet's output) —
+      // a full 60-bit hash would overflow h*a past Long.MaxValue and
+      // silently emit negative signatures
+      if (h < 0 || h >= CrossHash.P)
+        throw new IllegalArgumentException(
+          s"$prettyName: input hash $h outside [0, P) — pass mod-P hashes" +
+            " (e.g. graft_shingle_hashes), not full 60-bit values")
       var j = 0
       while (j < k) {
         val v = (h * MinHash16.AsArr(j) + MinHash16.BsArr(j)) % CrossHash.P

@@ -74,16 +74,33 @@ object WordGramHashes {
 
   private val FnName = "graft_word_gram_hashes"
 
+  /** SQL-facing builder — shared by [[register]] and
+    * `GraftExtensions` so both paths validate identically: exactly 3
+    * args, n a foldable integer literal, modded a foldable boolean.
+    */
+  def build(args: Seq[Expression]): WordGramHashes = {
+    require(args.length == 3, s"$FnName expects (text, n, modded)")
+    require(args(1).foldable && args(2).foldable,
+      s"$FnName: n and modded must be literals")
+    val n = args(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"$FnName: n must be an integer literal, got $other")
+    }
+    require(n >= 1, s"$FnName: n must be >= 1, got $n")
+    val modded = args(2).eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$FnName: modded must be a boolean literal, got $other")
+    }
+    WordGramHashes(args.head, n, modded)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      { args: Seq[Expression] =>
-        require(args.length == 3, s"$FnName expects (text, n, modded)")
-        WordGramHashes(args.head,
-          args(1).eval().asInstanceOf[Int],
-          args(2).eval().asInstanceOf[Boolean])
-      },
-      "built-in")
+      FnName, build _, "built-in")
 
   /** Distinct word-n-gram hashes of a string column. */
   def grams(c: Column, n: Int, modded: Boolean): Column =

@@ -102,8 +102,8 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
   /** Map-only MinHash signature via the custom expressions: shingle
     * hash set + 16 mins in two evals per row, ZERO shuffle — the
     * groupBy twin below shuffles the exploded shingle stream
-    * (measured: dd_minhash 0.98 s → 0.70 s, dd_minhash_lsh 1.48 s →
-    * 0.90 s, dd_clusters 2.86 s → 2.05 s at sf0.1; at 100 TB the
+    * (measured: dd_minhash 0.98 s → 0.60 s, dd_minhash_lsh 1.48 s →
+    * 0.68 s, dd_clusters 2.86 s → 1.70 s at sf0.1; at 100 TB the
     * saving is the signature's entire exchange). The empty-set filter
     * reproduces the groupBy form's no-row-for-shingle-less-docs
     * behavior; DedupSpec pins signature equality and coefficient
@@ -113,9 +113,16 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
     graft.functions.WordShingleHashSet.register(spark)
     graft.functions.MinHash16.register(spark)
     docs(spark, sfDir)
+      // shingle-less docs (< 3 tokens) drop BEFORE the expensive
+      // expression, on a cheap split-only predicate: a post-hoc
+      // `size(hs) > 0` filter gets alias-substituted below the Project
+      // by PushPredicateThroughNonJoin and re-evaluates the whole
+      // hash-set expression per row (code-review catch; ≥3 tokens ⇔
+      // ≥1 shingle, so the two filters are equivalent)
+      .filter(size(tokens(lower(col("text")))) >=
+        graft.functions.WordShingleHashSet.N)
       .select(col("doc_id"),
         graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHash16.mins(col("hs")).as("mh"))
       .select(col("doc_id") +:
@@ -215,11 +222,6 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Unordered SELECT body of the LSH-pairs oracle — shared verbatim
-    * by [[ddMinhashLshSql]] (which appends the presentation ORDER BY)
-    * and [[ddClustersSql]] (which embeds it as a CTE), so the two can
-    * never drift.
-    */
   /** Shared oracle CTE chain ending in `bands(doc_id, band, key)` —
     * consumed by the self-join (dd_minhash_lsh/dd_clusters) and the
     * asymmetric batch-vs-corpus join (dd_incremental); ONE copy.
@@ -241,6 +243,11 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
 )"""
   }
 
+  /** Unordered SELECT body of the LSH-pairs oracle — shared verbatim
+    * by [[ddMinhashLshSql]] (which appends the presentation ORDER BY)
+    * and [[ddClustersSql]] (which embeds it as a CTE), so the two can
+    * never drift.
+    */
   private val ddMinhashLshBodySql: String = {
     sigBandsCteSql + s""", cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -291,7 +298,9 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
     */
   def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
-    val isBatch = (id: Column) => pmod(id, lit(BatchMod)) === BatchRem
+    // `%`, not pmod: DuckDB's % keeps the sign, so pmod would diverge
+    // on negative ids (cpDecontam set the precedent)
+    val isBatch = (id: Column) => (id % BatchMod) === BatchRem
     val bands = bandRows(signature(spark, sfDir)).cache()
     val cands = bands.filter(isBatch(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("new_doc"))
