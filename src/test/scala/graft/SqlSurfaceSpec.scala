@@ -39,6 +39,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(2) == 3) // 7 chars → 3 distinct 5-grams
   }
 
+  test("round-4 expressions are callable and guarded from SQL text") {
+    graft.functions.TokenRollingHash.register(spark)
+    graft.functions.SimHash60.register(spark)
+    graft.functions.WordShingleHashSet.register(spark)
+    graft.functions.MinHash16.register(spark)
+    graft.functions.WordGramHashes.register(spark)
+    val r = spark.sql(
+      """SELECT graft_rolling_fp('a b c') AS fp,
+        |  graft_simhash('a b c') AS sh,
+        |  size(graft_shingle_hashes('a b c d')) AS ns,
+        |  size(graft_minhash16(graft_shingle_hashes('a b c d'))) AS nm,
+        |  size(graft_word_gram_hashes('a b c d', 2, true)) AS ng""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) >= 0L && r.getLong(1) >= 0L)
+    assert(r.getInt(2) == 2) // 4 tokens → 2 shingles
+    assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 3) // 4 tokens → 3 bigrams
+    // guards: bad arity / non-mod-P minhash input fail loudly
+    intercept[Exception](
+      spark.sql("SELECT graft_word_gram_hashes('x')").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_minhash16(" +
+        "graft_word_gram_hashes('a b c d', 2, false))").collect())
+  }
+
   test("GraftExtensions injects all functions at session build time") {
     // a genuinely fresh session would pick these up via
     // spark.sql.extensions; here the injection itself is exercised
