@@ -60,6 +60,7 @@ object SparkEntry {
     "sim_ivf_ann" -> (Similarity.simIvfAnn _),
     "sim_quantize" -> (Similarity.simQuantize _),
     "sim_kmeans" -> (Similarity.simKmeans _),
+    "sim_recall" -> (Similarity.simRecall _),
     // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "sim_ivf_ann" -> Similarity.simIvfAnnSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_kmeans" -> Similarity.simKmeansSql,
+    "sim_recall" -> Similarity.simRecallSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,

@@ -470,6 +470,72 @@ FROM q ORDER BY vec_id"""
       .orderBy(col("cent_id"))
   }
 
+  // ------------------------------------------------------------------
+  // sim_recall — ANN index-quality evaluation (recall@k vs brute force)
+  // ------------------------------------------------------------------
+
+  /** Recall@[[TopK]] of each ANN index against the exact brute-force
+    * neighbors — the measurement a pipeline runs before trusting an
+    * index (SCALE.md's recall numbers, as a reproducible query
+    * instead of a hand calculation). Per (index, query): how many of
+    * the true top-k the index returned.
+    *
+    * Scale shape: the component queries' own shapes (the ground truth
+    * is |queries| × corpus by contract — an evaluation runs on a query
+    * SAMPLE, not the corpus); the comparison itself is a tiny
+    * equi-join on (query, neighbor). Zero-hit queries survive via the
+    * left join — dropping them would overstate recall.
+    */
+  def simRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = simBruteforceTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = bf.select(col("query_id")).distinct()
+    def recallOf(name: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select(col("query_id"), col("neighbor_id"))
+        .join(bf, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      queries.join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("index_name"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          r6(coalesce(col("hits"), lit(0L)).cast("double") / TopK)
+            .as("recall"))
+    }
+    recallOf("ivf", simIvfAnn(spark, sfDir))
+      .unionByName(recallOf("lsh", simLshAnn(spark, sfDir)))
+      .orderBy(col("index_name"), col("query_id"))
+  }
+
+  val simRecallSql: String = {
+    val arm = (name: String, cte: String) => s"""
+SELECT '$name' AS index_name, q.query_id,
+  COALESCE(h.hits, 0) AS hits,
+  ${r6Sql(s"(CAST(COALESCE(h.hits, 0) AS DOUBLE) / $TopK)")} AS recall
+FROM q LEFT JOIN hits_$cte h ON h.query_id = q.query_id"""
+    s"""WITH bf AS (
+  $simBruteforceTopkSql
+), lsh AS (
+  $simLshAnnSql
+), ivf AS (
+  $simIvfAnnSql
+), q AS (
+  SELECT DISTINCT query_id FROM bf
+), hits_lsh AS (
+  SELECT a.query_id, COUNT(*) AS hits
+  FROM lsh a JOIN bf b ON b.query_id = a.query_id
+    AND b.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+), hits_ivf AS (
+  SELECT a.query_id, COUNT(*) AS hits
+  FROM ivf a JOIN bf b ON b.query_id = a.query_id
+    AND b.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+${arm("ivf", "ivf")}
+UNION ALL
+${arm("lsh", "lsh")}
+ORDER BY index_name, query_id"""
+  }
+
   /** Oracle-side twin of one [[kmAssign]]: emits CTEs `<out>_sc` and
     * `<out>`; `cents` must expose (cent_id, cv, cn).
     */

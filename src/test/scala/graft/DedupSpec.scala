@@ -205,6 +205,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_recall agrees with a direct overlap of the topk outputs") {
+    val rec = Similarity.simRecall(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.simBruteforceTopk(spark, sf("sf0.01")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def check(name: String, ann: Array[org.apache.spark.sql.Row]): Unit = {
+      val byQ = ann.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      bf.keys.foreach { q =>
+        val want = byQ.getOrElse(q, Set.empty).intersect(bf(q)).size.toLong
+        assert(rec((name, q)) == want, s"$name q$q")
+        assert(want <= Similarity.TopK)
+      }
+    }
+    check("lsh", Similarity.simLshAnn(spark, sf("sf0.01")).collect())
+    check("ivf", Similarity.simIvfAnn(spark, sf("sf0.01")).collect())
+  }
+
   test("kmeans: Lloyd rounds never increase inertia; cells partition") {
     import org.apache.spark.sql.functions._
     graft.functions.DotProduct.register(spark)
