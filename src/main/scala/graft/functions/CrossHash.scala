@@ -26,6 +26,17 @@ object CrossHash {
     */
   val P: Long = 1000000007L
 
+  /** Published MinHash permutation count and coefficients
+    * (h_i(x) = (x·a_i + b_i) mod [[P]]) — the single source of truth
+    * consumed by both the declarative operator layer
+    * ([[graft.operators.Dedup]]) and the codegen'd
+    * [[graft.functions.MinHash16]] expression, so the two can never
+    * drift. a_i ≤ 37+101·15 keeps a_i·h < 2^51 for h < P.
+    */
+  val MinHashK: Int = 16
+  val MinHashAs: Array[Long] = (0 until MinHashK).map(i => 37L + 101L * i).toArray
+  val MinHashBs: Array[Long] = (0 until MinHashK).map(i => 17L + 997L * i).toArray
+
   /** 60-bit hash of a string column (see object doc). Non-negative. */
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")

@@ -68,14 +68,10 @@ case class MinHash16(child: Expression)
 
 object MinHash16 {
 
-  // the published MinHash coefficients (Dedup.As/Bs) — duplicated as
-  // primitive arrays here to keep the expression dependency-free of
-  // the operator layer; MinHashCoeffSpec-style assertion lives in
-  // DedupSpec (coefficients equality) so drift is impossible silently
-  private[functions] val AsArr: Array[Long] =
-    (0 until 16).map(i => 37L + 101L * i).toArray
-  private[functions] val BsArr: Array[Long] =
-    (0 until 16).map(i => 17L + 997L * i).toArray
+  // the published MinHash coefficients — one copy, shared with the
+  // operator layer (Dedup.As/Bs) via the dependency-free CrossHash
+  private[functions] val AsArr: Array[Long] = CrossHash.MinHashAs
+  private[functions] val BsArr: Array[Long] = CrossHash.MinHashBs
 
   private val FnName = "graft_minhash16"
 

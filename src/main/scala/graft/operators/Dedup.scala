@@ -37,12 +37,13 @@ import graft.queries.RefOracle
   */
 object Dedup {
 
-  // ---- MinHash parameters (16 = 4 bands × 4 rows) ----
-  val K = 16
+  // ---- MinHash parameters (16 = 4 bands × 4 rows); coefficients live
+  // in CrossHash (shared with the MinHash16 expression — one copy) ----
+  val K: Int = CrossHash.MinHashK
   val Bands = 4
   val R = 4
-  val As: Seq[Long] = (0 until K).map(i => 37L + 101L * i)
-  val Bs: Seq[Long] = (0 until K).map(i => 17L + 997L * i)
+  val As: Seq[Long] = CrossHash.MinHashAs.toSeq
+  val Bs: Seq[Long] = CrossHash.MinHashBs.toSeq
   val MinhashJaccardMin = 0.5
   val NgramJaccardMin = 0.6
   val CosineMin = 0.45

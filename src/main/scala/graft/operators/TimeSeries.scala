@@ -112,6 +112,25 @@ ORDER BY event_type, day"""
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       tieBreak: String, rightCols: Seq[String]): DataFrame = {
+    // `side`/`r`/`asof` are internal working columns introduced with
+    // withColumn — a caller column of the same name would be silently
+    // overwritten and produce wrong results; fail loudly instead.
+    // `tieBreak` must exist on the right (it orders tied right rows in
+    // the tagged union); a left frame without it gains a null-filled
+    // copy in the output (left-left ordering is irrelevant: tied left
+    // rows all carry null payloads, invisible to last(ignoreNulls)).
+    for (c <- Seq("side", "r", "asof")) {
+      require(!left.columns.contains(c),
+        s"asofJoin: left already has internal column '$c' — rename it")
+      require(!right.columns.contains(c),
+        s"asofJoin: right already has internal column '$c' — rename it")
+    }
+    for (c <- Seq(key, ts)) {
+      require(left.columns.contains(c), s"asofJoin: left lacks '$c'")
+      require(right.columns.contains(c), s"asofJoin: right lacks '$c'")
+    }
+    require(right.columns.contains(tieBreak),
+      s"asofJoin: right lacks tieBreak column '$tieBreak'")
     val payload = struct(rightCols.map(col): _*)
     // side=0 sorts right before left at an equal timestamp → `<=` match
     val l = left.withColumn("side", lit(1)).withColumn("r", lit(null)
@@ -269,25 +288,37 @@ FROM agg ORDER BY user_id"""
     * ∝ |left|·2 + |right|, never |left|×|right|; the bucket id is a
     * partition key at rest for a storage-pruned variant.
     *
-    * `left` must carry (`key`, `us`); `right` (`key`, `us`,
-    * `rightCols`…); names must not collide.
+    * `left` must carry (`key`, `ts`); `right` (`key`, `ts`,
+    * `rightCols`…). The right timestamp is emitted as `r_<ts>`; the
+    * internal bucket column is `bkt` — collisions with caller columns
+    * are rejected, not silently overwritten.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
-      loUs: Long, hiUs: Long, rightCols: Seq[String]): DataFrame = {
+      loUs: Long, hiUs: Long, rightCols: Seq[String],
+      ts: String = "us"): DataFrame = {
     val w = hiUs - loUs
     require(w > 0, "window must be non-empty")
+    val rTs = s"r_$ts"
+    require(!left.columns.contains("bkt") && !right.columns.contains("bkt"),
+      "rangeJoin: 'bkt' is an internal column name — rename the caller's")
+    require(!left.columns.contains(rTs) && !rightCols.contains(rTs),
+      s"rangeJoin: '$rTs' is reserved for the right timestamp — rename")
+    for (c <- Seq(key, ts)) {
+      require(left.columns.contains(c), s"rangeJoin: left lacks '$c'")
+      require(right.columns.contains(c), s"rangeJoin: right lacks '$c'")
+    }
     // true floor division (`div` truncates toward zero, which would
     // misbucket pre-epoch timestamps): a - pmod(a, w) is exactly
     // divisible, so the `div` below is floor for any sign
     def fdiv(a: String) = expr(s"(($a) - pmod($a, $w)) div $w")
     val l = left.withColumn("bkt", explode(sequence(
-      fdiv(s"us + $loUs"), fdiv(s"us + $hiUs"))))
+      fdiv(s"`$ts` + $loUs"), fdiv(s"`$ts` + $hiUs"))))
     val r = right
-      .select((col(key) +: col("us").as("r_us") +: rightCols.map(col)): _*)
-      .withColumn("bkt", fdiv("r_us"))
+      .select((col(key) +: col(ts).as(rTs) +: rightCols.map(col)): _*)
+      .withColumn("bkt", fdiv(s"`$rTs`"))
     l.join(r, Seq(key, "bkt"))
-      .filter(col("r_us") >= col("us") + loUs &&
-        col("r_us") < col("us") + hiUs)
+      .filter(col(rTs) >= col(ts) + loUs &&
+        col(rTs) < col(ts) + hiUs)
       .drop("bkt")
   }
 
@@ -416,7 +447,9 @@ ORDER BY cohort_day, day_offset"""
       .rangeBetween(-AnomalyBaselineDays, -1)
     val cnt = count(col("n")).over(w)
     val s1 = sum(col("n").cast(M)).over(w)
-    val s2 = sum((col("n") * col("n")).cast(M)).over(w)
+    // cast BEFORE squaring: n*n in int64 wraps for n ≳ 3e9/day; the
+    // decimal(38,0) product is exact at any daily volume
+    val s2 = sum(col("n").cast(M) * col("n").cast(M)).over(w)
     val mean = col("s1").cast("double") / col("cnt")
     val varPop = (col("cnt").cast(M) * col("s2") - col("s1") * col("s1"))
       .cast("double") / (col("cnt") * col("cnt")).cast("double")
@@ -453,7 +486,7 @@ WITH daily AS (
       RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS cnt,
     SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
       RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS s1,
-    SUM(n * n) OVER (PARTITION BY event_type ORDER BY day_num
+    SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY day_num
       RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING) AS s2
   FROM daily
 )
