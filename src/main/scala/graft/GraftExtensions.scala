@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharGramHashSet, DotProduct, MinHash16, NfcNormalize,
-  SimHash60, SortedIntersectCount, SortedJaccardGE, TokenRollingHash,
-  WordGramHashes, WordShingleHashSet}
+  RepetitionStats, SimHash60, SortedIntersectCount, SortedJaccardGE,
+  TokenRollingHash, WordGramHashes, WordShingleHashSet}
 
 /** Spark extensions entry point: registers the engine's custom
   * Catalyst expressions so ANY session created with
@@ -84,5 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_word_gram_hashes",
         "graft_word_gram_hashes(s, n, modded) - distinct word-n-gram hashes"),
       WordGramHashes.build _))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_rep_stats"),
+      info("graft_rep_stats",
+        "graft_rep_stats(s) - [n_tokens, top_count, n_2grams, " +
+          "distinct_2grams, n_3grams, distinct_3grams] of a string"),
+      RepetitionStats.build _))
   }
 }

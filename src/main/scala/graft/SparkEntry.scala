@@ -90,7 +90,8 @@ object SparkEntry {
     "cp_curate" -> (Corpus.cpCurate _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
-    "qf_redact" -> (Filters.qfRedact _)
+    "qf_redact" -> (Filters.qfRedact _),
+    "qf_repetition" -> (Filters.qfRepetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -156,6 +157,7 @@ object SparkEntry {
     "cp_sample" -> Corpus.cpSampleSql,
     "cp_curate" -> Corpus.cpCurateSql,
     "qf_decide" -> Filters.qfDecideSql,
-    "qf_redact" -> Filters.qfRedactSql
+    "qf_redact" -> Filters.qfRedactSql,
+    "qf_repetition" -> Filters.qfRepetitionSql
   )
 }

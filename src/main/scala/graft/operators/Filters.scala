@@ -108,6 +108,84 @@ FROM documents ORDER BY doc_id"""
   }
 
   // ------------------------------------------------------------------
+  // qf_repetition — Gopher-style repetition signals
+  // ------------------------------------------------------------------
+
+  /** Flag thresholds, tuned to this fixture's 10–100-word docs so the
+    * decision column carries signal (the published Gopher bounds
+    * assume full web pages). Compared on the UNROUNDED ratios — both
+    * engines derive them from identical integers, so IEEE division
+    * makes the comparison bitwise-stable without a rounding boundary.
+    */
+  val MaxTopTokenFrac = 0.12
+  val MaxDupBigramFrac = 0.10
+  val MaxDupTrigramFrac = 0.05
+
+  /** Within-document repetition audit — the second Gopher family
+    * beyond [[qfDecide]]'s length/symbol rules: most-frequent-token
+    * share and duplicate word-2/3-gram shares. One
+    * [[graft.functions.RepetitionStats]] eval per row computes all six
+    * counters in a single linear pass (map-only, no shuffle — scales
+    * by partition count alone); the fractions and flags are cheap
+    * arithmetic above it. Gram fractions are NULL when the doc has no
+    * grams (nothing to judge), and the flag treats NULL as not-flagged.
+    */
+  def qfRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.RepetitionStats.register(spark)
+    val st = docs(spark, sfDir).select(col("doc_id"),
+      graft.functions.RepetitionStats.stats(lower(col("text"))).as("st"))
+    val Seq(n, top, n2, d2, n3, d3) =
+      (1 to 6).map(i => element_at(col("st"), i))
+    val topFrac = top.cast("double") / n
+    val dup2 = when(n2 > 0, (n2 - d2).cast("double") / n2)
+    val dup3 = when(n3 > 0, (n3 - d3).cast("double") / n3)
+    val flagged = topFrac > MaxTopTokenFrac ||
+      coalesce(dup2 > MaxDupBigramFrac, lit(false)) ||
+      coalesce(dup3 > MaxDupTrigramFrac, lit(false))
+    st.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      r6(topFrac).as("top_token_frac"),
+      r6(dup2).as("dup_2gram_frac"),
+      r6(dup3).as("dup_3gram_frac"),
+      flagged.as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qfRepetitionSql: String = {
+    val topFrac = "(CAST(top AS DOUBLE) / n)"
+    val dup2 = "(CASE WHEN n2 > 0 THEN CAST(n2 - d2 AS DOUBLE) / n2 END)"
+    val dup3 = "(CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3 END)"
+    s"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n,
+    CAST(list_max(list_transform(list_distinct(t),
+      d -> len(list_filter(t, x -> x = d)))) AS INTEGER) AS top,
+    CAST(greatest(len(t) - 1, 0) AS INTEGER) AS n2,
+    CAST(len(list_distinct(list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i+1]))) AS INTEGER) AS d2,
+    CAST(greatest(len(t) - 2, 0) AS INTEGER) AS n3,
+    CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INTEGER) AS d3
+  FROM toks
+)
+SELECT doc_id,
+  n AS n_tokens,
+  ${r6Sql(topFrac)} AS top_token_frac,
+  ${r6Sql(dup2)} AS dup_2gram_frac,
+  ${r6Sql(dup3)} AS dup_3gram_frac,
+  ($topFrac > CAST($MaxTopTokenFrac AS DOUBLE)
+    OR COALESCE($dup2 > CAST($MaxDupBigramFrac AS DOUBLE), false)
+    OR COALESCE($dup3 > CAST($MaxDupTrigramFrac AS DOUBLE), false))
+    AS is_repetitive
+FROM m ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
   // qf_redact — PII/URL scrubbing
   // ------------------------------------------------------------------
 

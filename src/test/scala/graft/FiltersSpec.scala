@@ -20,6 +20,43 @@ class FiltersSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
 
+  test("RepetitionStats equals the declarative counters (adversarial + fixture)") {
+    import spark.implicits._
+    graft.functions.RepetitionStats.register(spark)
+    val adversarial = Seq("", " ", "one", "a a a a", "a b a b a b",
+      "x y z x y z x y", ("tok " * 40).trim, "a  b\t c d")
+    val fixture = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val df = (adversarial ++ fixture).toDF("text")
+      .select(lower(col("text")).as("t"))
+      .select(col("t"), graft.operators.TextAnalysis.tokens(col("t")).as("toks"))
+    // declarative twin: O(tokens²) interpreted lambdas — spec-only
+    val twin = df.select(
+      graft.functions.RepetitionStats.stats(col("t")).as("st"),
+      size(col("toks")).as("n"),
+      array_max(transform(array_distinct(col("toks")),
+        d => size(filter(col("toks"), x => x === d)))).as("top"),
+      greatest(size(col("toks")) - 1, lit(0)).as("n2"),
+      size(graft.operators.Corpus.gramStrings(col("toks"), 2)).as("d2"),
+      greatest(size(col("toks")) - 2, lit(0)).as("n3"),
+      size(graft.operators.Corpus.gramStrings(col("toks"), 3)).as("d3"))
+    twin.collect().foreach { r =>
+      val st = r.getSeq[Int](0)
+      assert(st == (1 to 6).map(r.getInt), s"mismatch: $r")
+    }
+  }
+
+  test("qf_repetition emits mixed flags over the fixture") {
+    val rows = Filters.qfRepetition(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("is_repetitive")))
+    assert(rows.exists(!_.getAs[Boolean]("is_repetitive")))
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
+      assert(n > 0 && r.getAs[Double]("top_token_frac") <= 1.0)
+    }
+  }
+
   test("qf_redact scrubs emails, urls and phone spans to placeholders") {
     import spark.implicits._
     val redacted = regexp_replace(

@@ -64,6 +64,18 @@ class SqlSurfaceSpec extends SparkSpec {
         "graft_word_gram_hashes('a b c d', 2, false))").collect())
   }
 
+  test("graft_rep_stats is callable and guarded from SQL text") {
+    graft.functions.RepetitionStats.register(spark)
+    val r = spark.sql("SELECT graft_rep_stats('a b a') AS st")
+      .collect().head.getSeq[Int](0)
+    // 3 tokens, 'a' twice; bigrams 'a b','b a' both unique; 1 trigram
+    assert(r == Seq(3, 2, 2, 2, 1, 1))
+    intercept[Exception](
+      spark.sql("SELECT graft_rep_stats('x', 'y')").collect())
+    intercept[Exception](
+      spark.sql("SELECT graft_rep_stats(1)").collect())
+  }
+
   test("GraftExtensions injects all functions at session build time") {
     // a genuinely fresh session would pick these up via
     // spark.sql.extensions; here the injection itself is exercised
