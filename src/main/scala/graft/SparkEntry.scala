@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, Filters, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Corpus, Dedup, Filters, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.StreamingStats
 import graft.queries.{RefOracle, RefQueries}
 
@@ -43,6 +43,7 @@ object SparkEntry {
     "ta_langid" -> (TextAnalysis.taLangId _),
     "ta_fingerprint" -> (TextAnalysis.taFingerprint _),
     "ta_keywords" -> (TextAnalysis.taKeywords _),
+    "ta_rarity" -> (TextAnalysis.taRarity _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -77,6 +78,11 @@ object SparkEntry {
     "ev_range_join" -> (TimeSeries.evRangeJoin _),
     "ev_retention" -> (TimeSeries.evRetention _),
     "ev_anomaly" -> (TimeSeries.evAnomaly _),
+    "ev_json" -> (Analytics.evJson _),
+    "ev_cube" -> (Analytics.evCube _),
+    // extension tier: warehouse/profiling analytics
+    "wh_scd2" -> (Analytics.whScd2 _),
+    "prof_summary" -> (Analytics.profSummary _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -117,6 +123,7 @@ object SparkEntry {
     "ta_langid" -> TextAnalysis.taLangIdSql,
     "ta_fingerprint" -> TextAnalysis.taFingerprintSql,
     "ta_keywords" -> TextAnalysis.taKeywordsSql,
+    "ta_rarity" -> TextAnalysis.taRaritySql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -146,6 +153,10 @@ object SparkEntry {
     "ev_range_join" -> TimeSeries.evRangeJoinSql,
     "ev_retention" -> TimeSeries.evRetentionSql,
     "ev_anomaly" -> TimeSeries.evAnomalySql,
+    "ev_json" -> Analytics.evJsonSql,
+    "ev_cube" -> Analytics.evCubeSql,
+    "wh_scd2" -> Analytics.whScd2Sql,
+    "prof_summary" -> Analytics.profSummarySql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

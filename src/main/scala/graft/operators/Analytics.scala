@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.functions.Determinism.{r6, r6Sql}
+import graft.streaming.StreamingStats
+
+/** Relational/warehouse analytics the reference's SQLite layer never
+  * needed but any production deployment of this engine does:
+  * semi-structured extraction, multi-level rollups, slowly-changing
+  * dimension history, and dataset profiling.
+  */
+object Analytics {
+
+  // ------------------------------------------------------------------
+  // ev_json — semi-structured property extraction + aggregation
+  // ------------------------------------------------------------------
+
+  /** Parse the `props` JSON payload (schema-on-read: `from_json` with
+    * an explicit schema, the Spark-idiomatic path — malformed rows
+    * become NULL, never a crash) and aggregate the extracted `k` by
+    * event type and decile bucket.
+    *
+    * Scale shape: parse + bucket are map-side; one partial-agg'd
+    * shuffle of (type, bucket) rows. At 100 TB the JSON parse is the
+    * dominant CPU cost and it's codegen'd `JsonToStructs` per row — no
+    * UDF, no second pass.
+    */
+  def evJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"),
+        expr("CAST(k div 10 AS INTEGER)").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k",
+        r6(col("sum_k").cast("double") / col("n_events")))
+      .orderBy(col("event_type"), col("k_bucket"))
+  }
+
+  val evJsonSql: String = s"""
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, CAST(k // 10 AS INTEGER) AS k_bucket,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT k) AS n_distinct_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k, MAX(k) AS max_k,
+  ${r6Sql("(CAST(SUM(k) AS DOUBLE) / COUNT(*))")} AS avg_k
+FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------------
+  // ev_cube — multi-level rollup (the dashboard subtotal query)
+  // ------------------------------------------------------------------
+
+  /** Event volume and exact cent value at three grouping levels in ONE
+    * pass — `ROLLUP(event_type, day)`: detail rows, per-type
+    * subtotals, grand total. Spark's rollup plans a single Expand +
+    * hash aggregate (3 projections of each row, partial-agg combined)
+    * instead of three scans; subtotal keys surface as `'ALL'` labels
+    * (the fixture has no NULL keys, so the COALESCE is unambiguous).
+    * Cents (`round(value*100)` in int64) keep the sums exact and
+    * parallelism-stable at any volume — the [[StreamingStats]]
+    * posture.
+    */
+  def evCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    ev.rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n_events"),
+        r6(col("cents").cast("double") / 100.0).as("value_sum"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val evCubeSql: String = s"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(day, 'ALL') AS day,
+  COUNT(*) AS n_events,
+  ${r6Sql("(CAST(SUM(cents) AS DOUBLE) / 100.0)")} AS value_sum
+FROM e GROUP BY ROLLUP (event_type, day)
+ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------------
+  // wh_scd2 — slowly-changing-dimension (type 2) history build
+  // ------------------------------------------------------------------
+
+  /** Rebuild a type-2 dimension from an order event log: each
+    * customer's `o_orderstatus` over time collapses into versioned
+    * validity intervals `[valid_from, valid_to)` with an `is_current`
+    * flag — the standard warehouse history table.
+    *
+    * Shape: ONE shuffle on custkey serves everything — change
+    * detection (lag), segment numbering (running sum), the
+    * per-segment collapse (groupBy on the same key), and the
+    * valid_to stitch (lead) all share the customer partitioning, so
+    * Catalyst plans a single Exchange followed by sorts. Ties on
+    * (date) break by order key — deterministic on both engines.
+    */
+  def whScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("custkey"))
+      .orderBy(col("od"), col("okey"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").cast("timestamp").as("od"),
+        col("o_orderkey").as("okey"))
+      .withColumn("prev", lag(col("status"), 1).over(byCust))
+      .withColumn("seg", sum(
+        when(col("prev").isNull || col("prev") =!= col("status"), 1)
+          .otherwise(0))
+        .over(byCust.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val segs = o.groupBy(col("custkey"), col("seg"))
+      .agg(min(col("status")).as("status"),
+        min(col("od")).as("valid_from_ts"),
+        count(lit(1)).as("n_orders"))
+    val bySeg = Window.partitionBy(col("custkey")).orderBy(col("seg"))
+    segs
+      .withColumn("next_from", lead(col("valid_from_ts"), 1).over(bySeg))
+      .select(
+        col("custkey"),
+        col("seg").cast("long").as("version"),
+        col("status"),
+        col("valid_from_ts").cast("date").cast("string").as("valid_from"),
+        col("next_from").cast("date").cast("string").as("valid_to"),
+        col("next_from").isNull.as("is_current"),
+        col("n_orders"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  val whScd2Sql: String = """
+WITH o AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status,
+    o_orderdate AS od, o_orderkey AS okey
+  FROM orders
+), lagged AS (
+  SELECT *, LAG(status) OVER (PARTITION BY custkey ORDER BY od, okey)
+    AS prev
+  FROM o
+), seg AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> status THEN 1 ELSE 0 END)
+    OVER (PARTITION BY custkey ORDER BY od, okey ROWS UNBOUNDED PRECEDING)
+    AS version
+  FROM lagged
+), g AS (
+  SELECT custkey, version, MIN(status) AS status,
+    MIN(od) AS valid_from_ts, COUNT(*) AS n_orders
+  FROM seg GROUP BY custkey, version
+)
+SELECT custkey, CAST(version AS BIGINT) AS version, status,
+  CAST(CAST(valid_from_ts AS DATE) AS VARCHAR) AS valid_from,
+  CAST(CAST(LEAD(valid_from_ts) OVER (PARTITION BY custkey ORDER BY version)
+    AS DATE) AS VARCHAR) AS valid_to,
+  (LEAD(valid_from_ts) OVER (PARTITION BY custkey ORDER BY version) IS NULL)
+    AS is_current,
+  n_orders
+FROM g ORDER BY custkey, version"""
+
+  // ------------------------------------------------------------------
+  // prof_summary — dataset profiling (nulls + exact distincts)
+  // ------------------------------------------------------------------
+
+  /** Profiled lineitem columns — ONE list shared by the Spark plan and
+    * the oracle SQL so the two can never drift.
+    */
+  val ProfiledCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** Per-column profile of the biggest fact table: row count, null
+    * count, EXACT distinct count — the first query run against any new
+    * dataset drop. One scan: Spark plans the N exact distincts as a
+    * single Expand (N projections of each row) + two-level hash
+    * aggregate, then `stack` pivots the single wide row to the long
+    * report — no N-scan union.
+    *
+    * 100 TB note: the Expand multiplies shuffle volume ×N, which the
+    * exact-profile contract demands; the scale relief is
+    * `approx_count_distinct` (one pass, no Expand, ±2%) — same plan
+    * minus Expand, not oracle-matchable, so the exact form is what
+    * ships here.
+    */
+  def profSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    require(ProfiledCols.forall(li.columns.contains),
+      s"lineitem is missing one of $ProfiledCols")
+    val aggs = count(lit(1)).as("n") +: ProfiledCols.flatMap(c =>
+      Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"dst_$c")))
+    val stacked = ProfiledCols
+      .map(c => s"'$c', n, n - cnt_$c, dst_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfiledCols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct)"))
+      .orderBy(col("column_name"))
+  }
+
+  val profSummarySql: String = ProfiledCols.map(c =>
+    s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT($c) AS n_nulls,
+  COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
+    .mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+}

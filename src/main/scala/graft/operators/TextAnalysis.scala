@@ -287,4 +287,68 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
   ${r6Sql("score")} AS tfidf
 FROM ranked WHERE rank <= $KeywordsPerDoc
 ORDER BY doc_id, rank"""
+
+  // ------------------------------------------------------------------
+  // ta_rarity — corpus-weighted token rarity scoring
+  // ------------------------------------------------------------------
+
+  /** Integer rarity weight of a document frequency: `1000000 div df`.
+    * Pure integer arithmetic (Spark `div` ≡ DuckDB `//` on positive
+    * longs), so per-doc sums are exact and parallelism-stable — no
+    * float log in the hot path, unlike an idf score.
+    */
+  val RarityScale = 1000000L
+
+  /** Corpus-level token rarity scoring — the second global-statistics
+    * pass a curation pipeline runs after [[taKeywords]]' tf-idf: each
+    * doc scored by how rare its tokens are corpus-wide. Shape: one
+    * explode + (doc, term) partial agg (the shuffle carries tf rows,
+    * not the token stream), document frequency from that same relation
+    * (vocab-sized), then a BROADCAST join back — at 100 TB the df
+    * table is vocabulary-sized (millions of rows, MBs), never the
+    * corpus, so the join is exchange-free on the big side.
+    */
+  def taRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val td = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("wt", expr(s"$RarityScale div df"))
+    td.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("wt")).as("sum_weight"),
+        max(col("wt")).as("max_weight"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("sum_weight"), col("max_weight"),
+        r6(col("sum_weight").cast("double") / col("n_tokens"))
+          .as("mean_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taRaritySql: String = s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df, $RarityScale // COUNT(*) AS wt
+  FROM td GROUP BY term
+)
+SELECT td.doc_id,
+  CAST(SUM(td.tf) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_distinct,
+  CAST(SUM(td.tf * dfreq.wt) AS BIGINT) AS sum_weight,
+  CAST(MAX(dfreq.wt) AS BIGINT) AS max_weight,
+  ${r6Sql("(CAST(SUM(td.tf * dfreq.wt) AS DOUBLE) / SUM(td.tf))")}
+    AS mean_rarity
+FROM td JOIN dfreq USING (term)
+GROUP BY td.doc_id ORDER BY td.doc_id"""
 }

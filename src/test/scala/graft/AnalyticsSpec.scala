@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Relational/warehouse analytics operators. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("ev_json parses schema-on-read: malformed rows become NULL, not errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val parsed = Seq("""{"k": 7}""", """{"k": null}""", "not json", "",
+      """{"other": 1}""")
+      .toDF("props")
+      .select(from_json(col("props"), schema).getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(parsed.toSeq == Seq(Some(7), None, None, None, None))
+  }
+
+  test("ev_cube levels are mutually consistent") {
+    val rows = Analytics.evCube(spark, sf("sf0.01")).collect()
+    val detail = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val subtotals = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == detail.map(_.getLong(2)).sum)
+    subtotals.foreach { s =>
+      val d = detail.filter(_.getString(0) == s.getString(0))
+      assert(s.getLong(2) == d.map(_.getLong(2)).sum,
+        s"subtotal mismatch for ${s.getString(0)}")
+    }
+    // rollup ≠ cube: no day-only subtotals
+    assert(!rows.exists(r => r.getString(0) == "ALL" && r.getString(1) != "ALL"))
+  }
+
+  test("wh_scd2 intervals partition each customer's timeline") {
+    val rows = Analytics.whScd2(spark, sf("sf0.01")).collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cust, history) =>
+      val sorted = history.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 1, s"cust $cust versions start at 1")
+      // exactly one open (current) interval, and it is the last one
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) + 1 == b.getLong(1), s"cust $cust gap")
+          // adjacent: a closes exactly where b opens, statuses differ
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+        case _ => ()
+      }
+    }
+    // fixture really exercises history: some customer has >= 3 versions
+    assert(rows.values.exists(_.length >= 3))
+  }
+
+  test("wh_scd2 serves all windows and the collapse from ONE shuffle") {
+    val plan = Analytics.whScd2(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("prof_summary profiles every declared column in one scan") {
+    val df = Analytics.profSummary(spark, sf("sf0.01"))
+    // plan BEFORE collect: after execution AQE prints final+initial
+    // plans and every node would count twice
+    val scans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected a single parquet scan, got $scans")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Analytics.ProfiledCols.sorted)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) == 0) // fixture has no nulls
+      assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(1))
+    }
+  }
+}

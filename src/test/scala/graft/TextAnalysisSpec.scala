@@ -29,4 +29,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("ta_rarity matches a local brute-force recompute") {
+    val got = TextAnalysis.taRarity(spark, sf("sf0.01")).collect()
+    // local mirror of split(trim(s), "\s+"): space-only trim, ASCII \s
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val texts = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> tok(r.getString(1).toLowerCase)
+        .filter(_.nonEmpty))
+    val dfreq = texts.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length }
+    val wt = dfreq.map { case (t, df) =>
+      t -> TextAnalysis.RarityScale / df } // long div = floor on positives
+    val want = texts.collect { case (id, ts) if ts.nonEmpty =>
+      val n = ts.length.toLong
+      val sumW = ts.map(wt).sum
+      id -> ((n, ts.distinct.length.toLong, sumW, ts.map(wt).max,
+        java.math.BigDecimal.valueOf(sumW.toDouble / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0))
+    }.toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, d, s, m, mean) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == d &&
+        r.getLong(3) == s && r.getLong(4) == m, s"ints: $r")
+      assert(r.getDouble(5) == mean, s"mean: $r")
+    }
+  }
 }
