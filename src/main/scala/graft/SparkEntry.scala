@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.simQuantize _),
     "sim_kmeans" -> (Similarity.simKmeans _),
     "sim_recall" -> (Similarity.simRecall _),
+    "sim_pq" -> (Similarity.simPq _),
     // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_kmeans" -> Similarity.simKmeansSql,
     "sim_recall" -> Similarity.simRecallSql,
+    "sim_pq" -> Similarity.simPqSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,

@@ -537,13 +537,15 @@ ORDER BY index_name, query_id"""
   }
 
   /** Oracle-side twin of one [[kmAssign]]: emits CTEs `<out>_sc` and
-    * `<out>`; `cents` must expose (cent_id, cv, cn).
+    * `<out>`; `cents` must expose (cent_id, cv, cn), `src` a
+    * (vec_id, v, nrm) relation.
     */
-  private def kmAssignSql(out: String, cents: String): String = s"""
+  private def kmAssignSql(out: String, cents: String,
+      src: String = "n"): String = s"""
 ${out}_sc AS (
   SELECT n.vec_id, n.v, n.nrm, c.cent_id,
     n.nrm - 2 * ${dotSql("n.v", "c.cv")} + c.cn AS dist
-  FROM n CROSS JOIN $cents c
+  FROM $src n CROSS JOIN $cents c
 ), $out AS (
   SELECT vec_id, v, nrm, cent_id AS cell, dist FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -551,14 +553,16 @@ ${out}_sc AS (
 )"""
 
   /** Oracle-side twin of one [[kmUpdate]]: emits `<out>_comp` and
-    * `<out>` (cent_id, cv, cn) from an assignment CTE.
+    * `<out>` (cent_id, cv, cn) from an assignment CTE of `dim`-wide
+    * vectors.
     */
-  private def kmUpdateSql(out: String, assigned: String): String = s"""
+  private def kmUpdateSql(out: String, assigned: String,
+      dim: Int = Dim): String = s"""
 ${out}_comp AS (
   SELECT a.cell, r.i AS pos,
     SUM(CAST(floor(a.v[r.i] * CAST($KmFp AS DOUBLE) + 0.5) AS BIGINT)) AS s,
     COUNT(*) AS n
-  FROM $assigned a CROSS JOIN range(1, ${Dim + 1}) r(i)
+  FROM $assigned a CROSS JOIN range(1, ${dim + 1}) r(i)
   GROUP BY a.cell, r.i
 ), $out AS (
   SELECT cent_id, cv, ${dotSql("cv", "cv")} AS cn FROM (
@@ -566,6 +570,95 @@ ${out}_comp AS (
       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $KmFp) ORDER BY pos) AS cv
     FROM ${out}_comp GROUP BY cell)
 )"""
+
+  // ------------------------------------------------------------------
+  // sim_pq — product quantization (sub-block codebooks + codes)
+  // ------------------------------------------------------------------
+
+  /** Sub-blocks per vector (64 dims → 4 blocks of 16). */
+  val PqM = 4
+  /** Codebook size per block. */
+  val PqK = 8
+  val PqSubDim: Int = Dim / PqM
+  /** Lloyd rounds per block codebook. */
+  val PqIters = 1
+
+  /** Sub-vector frame for block `b` (0-based): 16-dim slices with
+    * their own norms, the shape [[kmAssign]]/[[kmUpdate]] consume.
+    */
+  private def pqSub(vecs: DataFrame, b: Int): DataFrame =
+    vecs.select(col("vec_id"),
+      slice(col("v"), b * PqSubDim + 1, PqSubDim).as("v"))
+      .withColumn("nrm", DotProduct.dot(col("v"), col("v")))
+
+  /** Product quantization — the compression that makes a 100 TB
+    * vector corpus servable: each vector stored as [[PqM]] one-byte
+    * codes (here 3 bits: [[PqK]]=8) instead of 64 doubles, with the
+    * per-block codebooks trained by the SAME [[kmAssign]]/[[kmUpdate]]
+    * machinery as [[simKmeans]] (seeds = the [[NQueries]]..+8 vectors'
+    * slices, [[PqIters]] Lloyd round).
+    *
+    * Output: per vector the 4 codes plus the exact reconstruction
+    * MSE (sum of per-block squared distances / [[Dim]]) — the number
+    * an engineer reads before trusting PQ-compressed search.
+    *
+    * Scale shape: per block, one broadcast of an 8-row codebook and a
+    * partial-agg argmin (map-side); the code tables then equi-join on
+    * vec_id. Per-block distances add in fixed column order, so the MSE
+    * is bitwise-stable under any partitioning.
+    */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir)
+    val blocks = (0 until PqM).map { b =>
+      val sub = pqSub(vecs, b)
+      var cents = sub
+        .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      for (_ <- 1 to PqIters) cents = kmUpdate(kmAssign(sub, cents))
+      kmAssign(sub, cents).select(col("vec_id"),
+        (col("cell") - NQueries).as(s"code_$b"), col("dist").as(s"d_$b"))
+    }
+    blocks.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+        r6((col("d_0") + col("d_1") + col("d_2") + col("d_3")) / Dim)
+          .as("recon_mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simPqSql: String = {
+    val blockCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      val rounds = (1 to PqIters).map { i =>
+        val prev = if (i == 1) s"seeds$b" else s"b${b}c${i - 1}"
+        kmAssignSql(s"b${b}a$i", prev, s"sub$b") + "," +
+          kmUpdateSql(s"b${b}c$i", s"b${b}a$i", PqSubDim)
+      }.mkString(",")
+      s"""sub$b AS (
+  SELECT vec_id, v[$lo:$hi] AS v,
+    ${dotSql(s"(v[$lo:$hi])", s"(v[$lo:$hi])")} AS nrm
+  FROM e
+), seeds$b AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM sub$b
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}
+),$rounds,${kmAssignSql(s"fin$b", s"b${b}c$PqIters", s"sub$b")}"""
+    }.mkString(",")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),$blockCtes
+SELECT f0.vec_id,
+  f0.cell - $NQueries AS code_0, f1.cell - $NQueries AS code_1,
+  f2.cell - $NQueries AS code_2, f3.cell - $NQueries AS code_3,
+  ${r6Sql(s"(((f0.dist + f1.dist) + f2.dist) + f3.dist) / $Dim")}
+    AS recon_mse
+FROM fin0 f0
+JOIN fin1 f1 USING (vec_id)
+JOIN fin2 f2 USING (vec_id)
+JOIN fin3 f3 USING (vec_id)
+ORDER BY f0.vec_id"""
+  }
 
   val simKmeansSql: String = {
     val rounds = (1 to KmIters).map { i =>
