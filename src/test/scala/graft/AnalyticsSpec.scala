@@ -64,13 +64,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
-  test("prof_summary profiles every declared column in one scan") {
+  test("prof_summary prunes every branch scan to its single column") {
     val df = Analytics.profSummary(spark, sf("sf0.01"))
     // plan BEFORE collect: after execution AQE prints final+initial
     // plans and every node would count twice
-    val scans = "Scan parquet".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
-    assert(scans == 1, s"expected a single parquet scan, got $scans")
+    val plan = df.queryExecution.executedPlan.toString
+    // no Expand (the multi-distinct shape this replaces), and every
+    // branch scan reads exactly one column
+    assert(!plan.contains("Expand"), "union shape must not plan an Expand")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(schemas.length == Analytics.ProfiledCols.length)
+    // "ReadSchema: struct<name:type>" — one colon for the label, one
+    // per column ⇒ exactly two for a single-column scan
+    schemas.foreach(s => assert(s.count(_ == ':') == 2,
+      s"branch scan must read exactly one column: $s"))
     val rows = df.collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Analytics.ProfiledCols.sorted)
