@@ -95,6 +95,7 @@ object SparkEntry {
     "cp_stats" -> (Corpus.cpStats _),
     "cp_sample" -> (Corpus.cpSample _),
     "cp_curate" -> (Corpus.cpCurate _),
+    "cp_scrub_spans" -> (Corpus.cpScrubSpans _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "cp_stats" -> Corpus.cpStatsSql,
     "cp_sample" -> Corpus.cpSampleSql,
     "cp_curate" -> Corpus.cpCurateSql,
+    "cp_scrub_spans" -> Corpus.cpScrubSpansSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql,
     "qf_repetition" -> Filters.qfRepetitionSql

@@ -585,4 +585,109 @@ SELECT b.split, b.source,
     AS BIGINT) AS tokens_out
 FROM base b LEFT JOIN surv s ON s.dg = b.dg
 GROUP BY b.split, b.source ORDER BY b.split, b.source"""
+
+  // ------------------------------------------------------------------
+  // cp_scrub_spans — remove corpus-duplicated spans, reassemble docs
+  // ------------------------------------------------------------------
+
+  /** Span width (tokens) and the occurrence threshold that marks a
+    * span as boilerplate. Matches [[Dedup.ddSpans]]' audit width, so
+    * the audit's findings are exactly what this operator scrubs.
+    */
+  val ScrubN: Int = Dedup.SpanN
+  val ScrubMinOccurrences = 2
+
+  /** The C4-style substring-level scrub [[Dedup.ddSpans]] audits for:
+    * every word-[[ScrubN]]-gram occurring ≥ [[ScrubMinOccurrences]]
+    * times corpus-wide is boilerplate; ALL tokens covered by any such
+    * span are removed (every occurrence — the conservative contract;
+    * a keep-first variant is one additional window), and each doc is
+    * reassembled from its surviving tokens in original order.
+    *
+    * Shape: positions ride `posexplode`, the occurrence count is a
+    * COUNT(*) window over the 60-bit gram hash (the dd_spans form —
+    * identity hashing, never mod-P, and no per-consumer re-explode),
+    * covered positions resolve by a (doc, pos) anti-join, and the
+    * reassembly is an order-pinned `array_sort(collect_list(struct))`
+    * — every shuffle ∝ the token stream, nothing is quadratic.
+    * Emits counts + md5/length of the scrubbed text, not the text —
+    * the downstream contract is content-addressable.
+    */
+  def cpScrubSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = ScrubN
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val tokRows = d.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("i", "tok")))
+    // gram strings with positions (cheap concat lambda; the md5 runs
+    // codegen'd AFTER the explode — the cp_decontam lesson). The
+    // size guard matters: sequence(1, 0) is DESCENDING [1,0], not
+    // empty (the gramStrings trap)
+    val gramArr = when(size(col("toks")) >= n,
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        j => concat_ws(" ", (0 until n).map(k =>
+          element_at(col("toks"), j + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val gramRows = d.select(col("doc_id"),
+        posexplode(gramArr).as(Seq("gpos", "gram")))
+      .select(col("doc_id"), col("gpos"),
+        CrossHash.md5Long(col("gram")).as("h"))
+    val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
+    val covered = gramRows.withColumn("cnt", cnt)
+      .filter(col("cnt") >= ScrubMinOccurrences)
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("i"))
+      .distinct()
+    val kept = tokRows.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok"))).as("s"))
+    d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        length(coalesce(col("s"), lit(""))).cast("int").as("scrubbed_chars"),
+        md5(coalesce(col("s"), lit(""))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpScrubSpansSql: String = {
+    val n = ScrubN
+    val gram = (0 until n).map(k => s"t[j+$k]").mkString(" || ' ' || ")
+    s"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), tokrows AS (
+  SELECT doc_id, unnest(range(0, len(t))) AS i, unnest(t) AS tok FROM d
+), grams AS (
+  SELECT doc_id, unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS gpos,
+    unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+      j -> $gram)) AS gram
+  FROM d
+), hg AS (
+  SELECT doc_id, gpos, ${md5LongSql("gram")} AS h FROM grams
+), marked AS (
+  SELECT doc_id, gpos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM hg
+), cov AS (
+  SELECT DISTINCT m.doc_id, m.gpos + r.off AS i
+  FROM marked m, range(0, $n) r(off)
+  WHERE m.cnt >= $ScrubMinOccurrences
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tokrows t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+  WHERE c.doc_id IS NULL
+), ka AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY i) AS s
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+  CAST(len(d.t) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+  CAST(length(COALESCE(ka.s, '')) AS INTEGER) AS scrubbed_chars,
+  md5(COALESCE(ka.s, '')) AS scrubbed_md5
+FROM d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id"""
+  }
 }

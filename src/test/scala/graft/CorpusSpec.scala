@@ -212,4 +212,35 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(global.contains("SinglePartition")) // sanity: detector works
   }
+
+  test("cp_scrub_spans removes exactly the duplicated spans, in order") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_scrub_").toString
+    val shared = (1 to 8).map(i => s"x$i").mkString(" ")
+    Seq(
+      (0L, "a b c d e f g h i j"), // 10 tokens, all grams unique w/ doc 1 dup
+      (1L, "a b c d e f g h i j"), // exact dup → both fully scrubbed
+      (2L, "one two three"),       // < 8 tokens: no grams, untouched
+      (3L, s"$shared tail1 tail2"),
+      (4L, s"$shared other1 other2"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Corpus.cpScrubSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // exact duplicates: every position covered in both copies
+    Seq(0L, 1L).foreach { id =>
+      assert(rows(id).getLong(2) == 10, s"doc $id fully scrubbed")
+      assert(rows(id).getString(4) == md5hex(""))
+    }
+    // too short for any gram: untouched
+    assert(rows(2L).getLong(2) == 0)
+    // shared 8-gram removed from both, distinct tails kept in order
+    assert(rows(3L).getLong(2) == 8)
+    assert(rows(3L).getString(4) == md5hex("tail1 tail2"))
+    assert(rows(4L).getString(4) == md5hex("other1 other2"))
+  }
 }
