@@ -79,6 +79,7 @@ object SparkEntry {
     "ev_range_join" -> (TimeSeries.evRangeJoin _),
     "ev_retention" -> (TimeSeries.evRetention _),
     "ev_anomaly" -> (TimeSeries.evAnomaly _),
+    "ev_mad" -> (TimeSeries.evMad _),
     "ev_json" -> (Analytics.evJson _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
@@ -156,6 +157,7 @@ object SparkEntry {
     "ev_range_join" -> TimeSeries.evRangeJoinSql,
     "ev_retention" -> TimeSeries.evRetentionSql,
     "ev_anomaly" -> TimeSeries.evAnomalySql,
+    "ev_mad" -> TimeSeries.evMadSql,
     "ev_json" -> Analytics.evJsonSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,

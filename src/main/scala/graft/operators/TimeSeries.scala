@@ -502,4 +502,103 @@ SELECT event_type,
     AS is_anomaly
 FROM base ORDER BY event_type, day"""
   }
+
+  // ------------------------------------------------------------------
+  // ev_mad — robust (median/MAD) trailing-baseline anomaly flagging
+  // ------------------------------------------------------------------
+
+  /** MAD multiplier: |n − median| > MadK·MAD flags the day. */
+  val MadK = 3.0
+
+  /** The robust twin of [[evAnomaly]]: a single spiked day corrupts a
+    * trailing mean/stddev baseline but not a median/MAD one — the
+    * monitoring query for bursty volumes. Same shape: the window input
+    * is the tiny per-day aggregate; each row carries its ≤7-element
+    * trailing window as a `collect_list` RANGE frame, and the exact
+    * median / MAD come from sorted-array arithmetic on those few
+    * integers (HOFs on ≤7 elements — never the raw stream, so the
+    * CodegenFallback lambdas cost nothing at any corpus size).
+    *
+    * Both engines compute the median as s[(m+1)/2] (odd) or the mean
+    * of the two middle elements (even) — each index division is exact
+    * in its branch, so Spark's truncating cast and DuckDB's rounding
+    * cast cannot diverge. Flags compare UNROUNDED doubles derived
+    * from identical integers: bitwise-stable.
+    */
+  def evMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-AnomalyBaselineDays, -1)
+    def medianOf(s: Column, m: Column): Column =
+      when(m === 0, lit(null).cast("double"))
+        .otherwise(when(m % 2 === 1,
+          element_at(s, ((m + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(s, (m / 2).cast("int")) +
+            element_at(s, (m / 2).cast("int") + 1)).cast("double") / 2.0))
+    val stats = daily
+      .withColumn("s", array_sort(collect_list(col("n")).over(w)))
+      .withColumn("cnt", size(col("s")))
+      .withColumn("med", medianOf(col("s"), col("cnt")))
+      .withColumn("devs",
+        array_sort(transform(col("s"), v => abs(v - col("med")))))
+      .withColumn("mad", medianOf(col("devs"), col("cnt")))
+    val defined = col("cnt") >= AnomalyMinBaseline && col("mad") > 0.0
+    stats.select(
+      col("event_type"),
+      date_from_unix_date(col("day_num")).cast("string").as("day"),
+      col("n").as("n_events"),
+      col("cnt").cast("long").as("baseline_days"),
+      r6(col("med")).as("baseline_median"),
+      r6(col("mad")).as("baseline_mad"),
+      coalesce(
+        when(defined,
+          abs(col("n").cast("double") - col("med")) > lit(MadK) * col("mad")),
+        lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val evMadSql: String = {
+    def medianOf(s: String, m: String): String = s"""
+      CASE WHEN $m = 0 THEN NULL
+        WHEN $m % 2 = 1 THEN CAST($s[CAST(($m + 1) / 2 AS INTEGER)] AS DOUBLE)
+        ELSE CAST($s[CAST($m / 2 AS INTEGER)] + $s[CAST($m / 2 AS INTEGER) + 1]
+          AS DOUBLE) / CAST(2.0 AS DOUBLE) END"""
+    val defined = s"(cnt >= $AnomalyMinBaseline AND mad > CAST(0.0 AS DOUBLE))"
+    s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), lists AS (
+  SELECT event_type, day_num, n,
+    list_sort(COALESCE(list(n) OVER (PARTITION BY event_type
+      ORDER BY day_num
+      RANGE BETWEEN $AnomalyBaselineDays PRECEDING AND 1 PRECEDING), []))
+      AS s
+  FROM daily
+), sized AS (
+  SELECT *, CAST(len(s) AS INTEGER) AS cnt FROM lists
+), meds AS (
+  SELECT *, ${medianOf("s", "cnt")} AS med FROM sized
+), devd AS (
+  SELECT *, list_sort(list_transform(s, v -> abs(v - med))) AS devs
+  FROM meds
+), mads AS (
+  SELECT *, ${medianOf("devs", "cnt")} AS mad FROM devd
+)
+SELECT event_type,
+  CAST(DATE '1970-01-01' + day_num AS VARCHAR) AS day,
+  n AS n_events,
+  CAST(cnt AS BIGINT) AS baseline_days,
+  ${graft.functions.Determinism.r6Sql("med")} AS baseline_median,
+  ${graft.functions.Determinism.r6Sql("mad")} AS baseline_mad,
+  COALESCE(CASE WHEN $defined THEN
+    abs(CAST(n AS DOUBLE) - med) > CAST($MadK AS DOUBLE) * mad END, false)
+    AS is_anomaly
+FROM mads ORDER BY event_type, day"""
+  }
 }

@@ -184,6 +184,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(defined > 50, "fixture should yield plenty of defined scores")
   }
 
+  test("ev_mad matches a brute-force trailing median/MAD recompute") {
+    val rows = TimeSeries.evMad(spark, sf("sf0.01")).collect()
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length
+      if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2.0
+    }
+    var defined = 0
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val base = daily.filter { case (t, d, _) =>
+        t == et && d.isBefore(day) &&
+          !d.isBefore(day.minusDays(TimeSeries.AnomalyBaselineDays.toLong))
+      }.map(_._3.toDouble)
+      assert(r.getAs[Long]("baseline_days") == base.length)
+      if (base.nonEmpty) {
+        val med = median(base.toSeq)
+        val mad = median(base.map(x => math.abs(x - med)).toSeq)
+        assert(math.abs(r.getAs[Double]("baseline_median") - med) < 1e-6)
+        assert(math.abs(r.getAs[Double]("baseline_mad") - mad) < 1e-6)
+        if (base.length >= TimeSeries.AnomalyMinBaseline && mad > 0) {
+          defined += 1
+          assert(r.getAs[Boolean]("is_anomaly") ==
+            (math.abs(r.getAs[Long]("n_events") - med) >
+              TimeSeries.MadK * mad))
+        } else assert(!r.getAs[Boolean]("is_anomaly"))
+      } else assert(!r.getAs[Boolean]("is_anomaly"))
+    }
+    assert(defined > 50, "fixture should yield plenty of defined scores")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
