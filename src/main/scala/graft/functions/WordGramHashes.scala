@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Measured: cp_decontam 1.54 s → 0.77 s, dd_spans 1.37 s → 0.83 s at
   * sf0.1.
   */
-case class WordGramHashes(child: Expression, n: Int, modded: Boolean)
+case class WordGramHashes(child: Expression, n: Int, modded: Boolean,
+    dedup: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -41,7 +42,10 @@ case class WordGramHashes(child: Expression, n: Int, modded: Boolean)
     val toks = TokenRollingHash.splitTokens(input.toString)
     val m = toks.length - (n - 1)
     if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
-    val seen = new java.util.HashSet[String](m * 2)
+    // dedup=false keeps EVERY gram in position order (index i ⇒ the
+    // gram starting at token i) — the positional consumers' contract
+    // (cp_scrub_spans); dedup=true is first-occurrence-distinct
+    val seen = if (dedup) new java.util.HashSet[String](m * 2) else null
     val md = MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder
     val out = new Array[Long](m)
@@ -56,7 +60,7 @@ case class WordGramHashes(child: Expression, n: Int, modded: Boolean)
         k += 1
       }
       val gram = sb.toString
-      if (seen.add(gram)) {
+      if (seen == null || seen.add(gram)) {
         val h = CharGramHashSet.hash60(md, gram)
         out(w) = if (modded) h % CrossHash.P else h
         w += 1
@@ -75,13 +79,15 @@ object WordGramHashes {
   private val FnName = "graft_word_gram_hashes"
 
   /** SQL-facing builder — shared by [[register]] and
-    * `GraftExtensions` so both paths validate identically: exactly 3
-    * args, n a foldable integer literal, modded a foldable boolean.
+    * `GraftExtensions` so both paths validate identically: 3 or 4
+    * args, n a foldable integer literal, modded/dedup foldable
+    * booleans.
     */
   def build(args: Seq[Expression]): WordGramHashes = {
-    require(args.length == 3, s"$FnName expects (text, n, modded)")
-    require(args(1).foldable && args(2).foldable,
-      s"$FnName: n and modded must be literals")
+    require(args.length == 3 || args.length == 4,
+      s"$FnName expects (text, n, modded[, dedup])")
+    require(args.drop(1).forall(_.foldable),
+      s"$FnName: n, modded and dedup must be literals")
     val n = args(1).eval() match {
       case i: Int => i
       case l: Long => l.toInt
@@ -90,12 +96,14 @@ object WordGramHashes {
         s"$FnName: n must be an integer literal, got $other")
     }
     require(n >= 1, s"$FnName: n must be >= 1, got $n")
-    val modded = args(2).eval() match {
+    def bool(e: Expression, what: String): Boolean = e.eval() match {
       case b: Boolean => b
       case other => throw new IllegalArgumentException(
-        s"$FnName: modded must be a boolean literal, got $other")
+        s"$FnName: $what must be a boolean literal, got $other")
     }
-    WordGramHashes(args.head, n, modded)
+    val modded = bool(args(2), "modded")
+    val dedup = if (args.length == 4) bool(args(3), "dedup") else true
+    WordGramHashes(args.head, n, modded, dedup)
   }
 
   def register(spark: SparkSession): Unit =
@@ -105,4 +113,8 @@ object WordGramHashes {
   /** Distinct word-n-gram hashes of a string column. */
   def grams(c: Column, n: Int, modded: Boolean): Column =
     call_function(FnName, c, lit(n), lit(modded))
+
+  /** EVERY word-n-gram hash in position order (index ⇒ start token). */
+  def gramsAll(c: Column, n: Int, modded: Boolean): Column =
+    call_function(FnName, c, lit(n), lit(modded), lit(false))
 }

@@ -213,6 +213,33 @@ class CorpusSpec extends SparkSpec {
     assert(global.contains("SinglePartition")) // sanity: detector works
   }
 
+  test("gramsAll equals the positional declarative gram hashes") {
+    import spark.implicits._
+    import graft.functions.{CrossHash, WordGramHashes}
+    WordGramHashes.register(spark)
+    val adversarial = Seq("", " ", "one", "a b", "a b c d e f g h",
+      "a b c d e f g h i j", "dup dup dup dup dup dup dup dup dup",
+      "a  b\tc d e f g h i")
+    val fixture = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    for (n <- Seq(2, 8)) {
+      val rows = (adversarial ++ fixture).toDF("text")
+        .select(lower(col("text")).as("t"))
+        .select(col("t"),
+          graft.operators.TextAnalysis.tokens(col("t")).as("toks"))
+        .select(
+          WordGramHashes.gramsAll(col("t"), n, modded = false).as("a"),
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+              j => CrossHash.md5Long(concat_ws(" ", (0 until n).map(k =>
+                element_at(col("toks"), j + k)): _*))))
+            .otherwise(array().cast("array<long>")).as("b"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n: $r"))
+    }
+  }
+
   test("cp_scrub_spans removes exactly the duplicated spans, in order") {
     import spark.implicits._
     import java.nio.file.Files

@@ -76,6 +76,18 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT graft_rep_stats(1)").collect())
   }
 
+  test("graft_word_gram_hashes dedup arg is callable and guarded") {
+    graft.functions.WordGramHashes.register(spark)
+    val r = spark.sql(
+      "SELECT size(graft_word_gram_hashes('a b a b', 2, false, false)) AS all," +
+        " size(graft_word_gram_hashes('a b a b', 2, false, true)) AS ded")
+      .collect().head
+    assert(r.getInt(0) == 3) // a b, b a, a b — positions kept
+    assert(r.getInt(1) == 2) // first-occurrence distinct
+    intercept[Exception](spark.sql(
+      "SELECT graft_word_gram_hashes('x', 2, false, 'nope')").collect())
+  }
+
   test("GraftExtensions injects all functions at session build time") {
     // a genuinely fresh session would pick these up via
     // spark.sql.extensions; here the injection itself is exercised
