@@ -82,7 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_word_gram_hashes"),
       info("graft_word_gram_hashes",
-        "graft_word_gram_hashes(s, n, modded) - distinct word-n-gram hashes"),
+        "graft_word_gram_hashes(s, n, modded[, dedup]) - word-n-gram " +
+          "hashes; dedup=false keeps every gram in position order"),
       WordGramHashes.build _))
 
     ext.injectFunction((

@@ -281,6 +281,47 @@ ORDER BY day, event_type"""
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
 
+  // ------------------------------------------------------------------
+  // stream-stream attribution join — ev_range_join's streaming twin
+  // ------------------------------------------------------------------
+
+  /** The attribution interval join as a STREAM-STREAM join: purchases
+    * left-join the same user's clicks in the preceding 30 minutes
+    * ([[graft.operators.TimeSeries.evRangeJoin]]'s window), as both
+    * arrive live.
+    *
+    * Mechanics the batch twin doesn't need: both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is [watermark, now] — Spark drops a
+    * click once the watermark proves no future purchase can reach
+    * back to it, and a purchase emits its NULL (unmatched) row only
+    * when the right watermark proves no in-window click can still
+    * arrive. Without the time-range condition the state would grow
+    * unboundedly; with it, state ∝ window × arrival rate — the same
+    * bounded-state contract as the sessionizer.
+    *
+    * Output: one row per (purchase, in-window click) plus one
+    * NULL-click row per unmatched purchase — the pre-aggregation pair
+    * stream (aggregate downstream per sink; StreamingSpec pins the
+    * pair set against a brute-force batch recompute).
+    */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        round(col("value") * 100).cast("long").as("click_cents"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "leftOuter")
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("click_cents"))
+  }
+
   val evSessionsSql: String = s"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,

@@ -207,6 +207,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join emits in-window pairs and outer nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingStats.attributionStream(
+        pMem.toDF().toDF("event_id", "user_id", "ts"),
+        cMem.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_test").start()
+    try {
+      // user 1 purchase at 10:00; clicks at 09:40/09:59 (in-window),
+      // 09:29 (31 min early: out), 10:00 (boundary exclusive: out);
+      // user 2 purchase with no clicks at all
+      pMem.addData(
+        (1L, 1L, Timestamp.valueOf("2025-03-01 10:00:00")),
+        (2L, 2L, Timestamp.valueOf("2025-03-01 10:00:00")))
+      cMem.addData(
+        (1L, Timestamp.valueOf("2025-03-01 09:40:00"), 2.0),
+        (1L, Timestamp.valueOf("2025-03-01 09:59:00"), 3.5),
+        (1L, Timestamp.valueOf("2025-03-01 09:29:00"), 9.0),
+        (1L, Timestamp.valueOf("2025-03-01 10:00:00"), 7.0))
+      q.processAllAvailable()
+      val matched = spark.table("attr_test")
+        .filter(col("c_ts").isNotNull).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("click_cents")))
+        .toSet
+      assert(matched == Set((1L, 200L), (1L, 350L)), s"got $matched")
+      // outer rows wait for the watermark: advance BOTH sides far past
+      // the window, then run the post-watermark trigger
+      pMem.addData((99L, 99L, Timestamp.valueOf("2025-03-01 20:00:00")))
+      cMem.addData((98L, Timestamp.valueOf("2025-03-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      pMem.addData(); cMem.addData()
+      q.processAllAvailable()
+      val unmatched = spark.table("attr_test")
+        .filter(col("c_ts").isNull).collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(unmatched.contains(2L), s"user 2's purchase must flush: $unmatched")
+      // and no in-window pair ever doubled or leaked
+      assert(spark.table("attr_test").filter(col("c_ts").isNotNull)
+        .count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming transform schema matches its batch twin's core columns") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
