@@ -629,6 +629,13 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
       posexplode(graft.functions.WordGramHashes
         .gramsAll(lower(col("text")), n, modded = false))
         .as(Seq("gpos", "h")))
+    // occurrence counts as a window over h: text is read and hashed
+    // ONCE, and the one shuffle carries the (doc, pos, hash) stream.
+    // The groupBy-heavy-set + broadcast-join-back alternative narrows
+    // the shuffle to bare hashes but needs a SECOND full gram pass
+    // (re-scan + re-hash of every document) — measured slower here
+    // (1.42 s vs 1.28 s at sf0.1) and strictly worse at 100 TB, where
+    // the corpus scan dominates everything (the dd_spans conclusion)
     val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
     val covered = gramRows.withColumn("cnt", cnt)
       .filter(col("cnt") >= ScrubMinOccurrences)
