@@ -34,8 +34,8 @@ object CrossHash {
     * drift. a_i ≤ 37+101·15 keeps a_i·h < 2^51 for h < P.
     */
   val MinHashK: Int = 16
-  val MinHashAs: Array[Long] = (0 until MinHashK).map(i => 37L + 101L * i).toArray
-  val MinHashBs: Array[Long] = (0 until MinHashK).map(i => 17L + 997L * i).toArray
+  val MinHashAs: IndexedSeq[Long] = (0 until MinHashK).map(i => 37L + 101L * i)
+  val MinHashBs: IndexedSeq[Long] = (0 until MinHashK).map(i => 17L + 997L * i)
 
   /** 60-bit hash of a string column (see object doc). Non-negative. */
   def md5Long(c: Column): Column =

@@ -68,10 +68,11 @@ case class MinHash16(child: Expression)
 
 object MinHash16 {
 
-  // the published MinHash coefficients — one copy, shared with the
-  // operator layer (Dedup.As/Bs) via the dependency-free CrossHash
-  private[functions] val AsArr: Array[Long] = CrossHash.MinHashAs
-  private[functions] val BsArr: Array[Long] = CrossHash.MinHashBs
+  // the published MinHash coefficients — sourced from the single
+  // CrossHash definition (immutable), copied once to primitive arrays
+  // for the eval loop
+  private[functions] val AsArr: Array[Long] = CrossHash.MinHashAs.toArray
+  private[functions] val BsArr: Array[Long] = CrossHash.MinHashBs.toArray
 
   private val FnName = "graft_minhash16"
 

@@ -48,7 +48,12 @@ object Analytics {
 
   val evJsonSql: String = s"""
 WITH e AS (
-  SELECT event_type, CAST(json_extract(props, '$$.k') AS INTEGER) AS k
+  -- json_valid guard: from_json is NULL on malformed input while a
+  -- bare json_extract ERRORS — the guard keeps the twins aligned on
+  -- exactly the rows the operator exists to tolerate
+  SELECT event_type,
+    CASE WHEN json_valid(props)
+      THEN CAST(json_extract(props, '$$.k') AS INTEGER) END AS k
   FROM events
 )
 SELECT event_type, CAST(k // 10 AS INTEGER) AS k_bucket,
