@@ -80,6 +80,7 @@ object SparkEntry {
     "ev_retention" -> (TimeSeries.evRetention _),
     "ev_anomaly" -> (TimeSeries.evAnomaly _),
     "ev_mad" -> (TimeSeries.evMad _),
+    "ev_forecast" -> (TimeSeries.evForecast _),
     "ev_json" -> (Analytics.evJson _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
@@ -97,6 +98,7 @@ object SparkEntry {
     "cp_sample" -> (Corpus.cpSample _),
     "cp_curate" -> (Corpus.cpCurate _),
     "cp_scrub_spans" -> (Corpus.cpScrubSpans _),
+    "cp_shuffle" -> (Corpus.cpShuffle _),
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _),
@@ -158,6 +160,7 @@ object SparkEntry {
     "ev_retention" -> TimeSeries.evRetentionSql,
     "ev_anomaly" -> TimeSeries.evAnomalySql,
     "ev_mad" -> TimeSeries.evMadSql,
+    "ev_forecast" -> TimeSeries.evForecastSql,
     "ev_json" -> Analytics.evJsonSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,
@@ -173,6 +176,7 @@ object SparkEntry {
     "cp_sample" -> Corpus.cpSampleSql,
     "cp_curate" -> Corpus.cpCurateSql,
     "cp_scrub_spans" -> Corpus.cpScrubSpansSql,
+    "cp_shuffle" -> Corpus.cpShuffleSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql,
     "qf_repetition" -> Filters.qfRepetitionSql

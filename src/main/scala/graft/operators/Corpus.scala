@@ -694,4 +694,63 @@ SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
   md5(COALESCE(ka.s, '')) AS scrubbed_md5
 FROM d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_shuffle — deterministic global training order (two-pass rank)
+  // ------------------------------------------------------------------
+
+  /** Range-shard count for the distributed rank; the shard id is
+    * `ord div ShuffleShardWidth`, a RANGE of the order key — so shard
+    * order IS global order and per-shard ranks + shard offsets
+    * compose into an exact global position.
+    */
+  val ShuffleShards = 32
+  val ShuffleShardWidth: Long = (1L << 60) / ShuffleShards
+
+  /** Salted 60-bit order key — the deterministic "shuffle" every
+    * epoch-reproducible training run orders by (new salt ⇒ new
+    * permutation).
+    */
+  def shuffleOrdExpr(id: Column): Column =
+    CrossHash.md5Long(concat(lit("shuffle-v1:"), id.cast("string")))
+  val shuffleOrdSql: String = md5LongSql("('shuffle-v1:' || doc_id)")
+
+  /** Deterministic global shuffle order WITHOUT a global sort: the
+    * classic zip-with-global-index decomposition. Pass 1 counts docs
+    * per ord-range shard (tiny: [[ShuffleShards]] rows, whose
+    * running-offset window is the only single-partition step — over
+    * 32 rows, not the corpus); pass 2 ranks within each shard on a
+    * hash-partitioned window and adds the broadcast offset. A naive
+    * `row_number() OVER (ORDER BY ord)` serializes the entire corpus
+    * through one task — the cp_pack lesson, solved the same way.
+    *
+    * Because shards are RANGES of ord, per-shard rank + offset equals
+    * the global rank exactly — the oracle's one-window form proves it
+    * on every row.
+    */
+  def cpShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), shuffleOrdExpr(col("doc_id")).as("ord"))
+      .withColumn("shard", expr(s"ord div $ShuffleShardWidth"))
+    val offsets = d.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    d.withColumn("r", row_number().over(w))
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("ord"),
+        (col("offset") + col("r")).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
+  val cpShuffleSql: String = s"""
+WITH o AS (
+  SELECT doc_id, $shuffleOrdSql AS ord FROM documents
+)
+SELECT doc_id, ord,
+  CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS global_pos
+FROM o ORDER BY global_pos"""
 }

@@ -601,4 +601,60 @@ SELECT event_type,
     AS is_anomaly
 FROM mads ORDER BY event_type, day"""
   }
+
+  // ------------------------------------------------------------------
+  // ev_forecast — seasonal-naive forecast backtest
+  // ------------------------------------------------------------------
+
+  /** Seasonal-naive backtest: each (type, day)'s forecast is the same
+    * weekday's count one week earlier, with per-day absolute and
+    * percentage errors — the baseline every capacity forecast must
+    * beat, as a reproducible query. The week-ago value is a
+    * RANGE(-7,-7) window sum (NOT lag(7): days can be missing, and a
+    * row-offset lag would silently read the wrong day). Same bounded
+    * per-day window input as [[evRolling]]; errors are integer or
+    * integer-derived doubles — parallelism-stable.
+    */
+  def evForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-7, -7)
+    daily
+      .withColumn("n_hat", sum(col("n")).over(wk))
+      .select(
+        col("event_type"),
+        date_from_unix_date(col("day_num")).cast("string").as("day"),
+        col("n").as("n_events"),
+        col("n_hat").as("forecast"),
+        abs(col("n") - col("n_hat")).as("abs_err"),
+        when(col("n_hat") > 0, r6(
+          abs(col("n") - col("n_hat")).cast("double") / col("n_hat")))
+          .as("pct_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val evForecastSql: String = s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, day_num, n,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS n_hat
+  FROM daily
+)
+SELECT event_type,
+  CAST(DATE '1970-01-01' + day_num AS VARCHAR) AS day,
+  n AS n_events,
+  CAST(n_hat AS BIGINT) AS forecast,
+  CAST(abs(n - n_hat) AS BIGINT) AS abs_err,
+  CASE WHEN n_hat > 0 THEN
+    ${graft.functions.Determinism.r6Sql("(CAST(abs(n - n_hat) AS DOUBLE) / n_hat)")}
+  END AS pct_err
+FROM f ORDER BY event_type, day"""
 }

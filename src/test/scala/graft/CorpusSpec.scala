@@ -240,6 +240,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_shuffle assigns the exact global rank without a corpus-wide sort") {
+    val rows = Corpus.cpShuffle(spark, sf("sf0.01")).collect()
+    // bijection onto 1..N
+    assert(rows.map(_.getAs[Long]("global_pos")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+    // equals the one-window global rank, locally recomputed
+    val want = rows.map(r => (r.getAs[Long]("ord"), r.getAs[Long]("doc_id")))
+      .sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("global_pos") == want(r.getAs[Long]("doc_id"))))
+    // the corpus-sized window must be hash-partitioned on shard; the
+    // only SinglePartition step is the 32-row offset table
+    val plan = Corpus.cpShuffle(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(shard".r.findFirstIn(plan).nonEmpty,
+      s"per-shard window missing:\n$plan")
+  }
+
   test("cp_scrub_spans removes exactly the duplicated spans, in order") {
     import spark.implicits._
     import java.nio.file.Files

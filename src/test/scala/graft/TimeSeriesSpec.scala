@@ -219,6 +219,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(defined > 50, "fixture should yield plenty of defined scores")
   }
 
+  test("ev_forecast reads the same-weekday-last-week value, not a row offset") {
+    val rows = TimeSeries.evForecast(spark, sf("sf0.01")).collect()
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2))
+      .toMap
+    var present = 0
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"),
+        java.time.LocalDate.parse(r.getAs[String]("day")).minusDays(7))
+      daily.get(key) match {
+        case Some(n7) =>
+          present += 1
+          assert(r.getAs[Long]("forecast") == n7)
+          assert(r.getAs[Long]("abs_err") ==
+            math.abs(r.getAs[Long]("n_events") - n7))
+        case None => assert(r.isNullAt(r.fieldIndex("forecast")))
+      }
+    }
+    assert(present > 100, "most days should have a week-earlier baseline")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
