@@ -69,6 +69,7 @@ object SparkEntry {
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
     "mm_phash" -> (Multimodal.mmPhash _),
     "mm_near_dup" -> (Multimodal.mmNearDup _),
+    "mm_frames" -> (Multimodal.mmFrames _),
     // streaming tier: batch twin of the watermarked windowed agg,
     // plus gap-based sessionization (lag + running-flag windows)
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,
     "mm_phash" -> Multimodal.mmPhashSql,
     "mm_near_dup" -> Multimodal.mmNearDupSql,
+    "mm_frames" -> Multimodal.mmFramesSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
     "ev_rolling" -> TimeSeries.evRollingSql,

@@ -75,11 +75,22 @@ FROM documents ORDER BY doc_id"""
     * division on the 60-bit hash (long/long is double division in Spark
     * SQL and would lose precision past 2^53).
     */
+  /** Fake-decode frame geometry — ONE copy shared by [[mmFeatures]]
+    * and [[mmFrames]] (and mirrored by `nfSql`/`strideSql`): a video's
+    * frame count and the ~16-sample stride, both derived from the
+    * content hash.
+    */
+  private def nfExpr(h: Column): Column = (lit(100) + h % 900).cast("int")
+  private def strideExpr(nf: Column): Column =
+    greatest(lit(1), floor(nf / lit(16.0)).cast("int"))
+  private val nfSql = "CAST(100 + h % 900 AS INTEGER)"
+  private val strideSql =
+    s"greatest(1, CAST(floor(($nfSql) / CAST(16.0 AS DOUBLE)) AS INTEGER))"
+
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val h = CrossHash.md5Long(col("content"))
-    val nFrames = (lit(100) + h % 900).cast("int")
-    val stride = greatest(lit(1),
-      floor(nFrames / lit(16.0)).cast("int"))
+    val nFrames = nfExpr(h)
+    val stride = strideExpr(nFrames)
     mediaTable(spark, sfDir)
       .select(col("doc_id"), col("media_type"),
         length(col("content")).cast("int").as("n_bytes"), h.as("h"),
@@ -114,8 +125,8 @@ FROM documents ORDER BY doc_id"""
   FROM documents
 ), f AS (
   SELECT doc_id, media_type, n_bytes, h,
-    CAST(100 + h % 900 AS INTEGER) AS nf,
-    greatest(1, CAST(floor((100 + h % 900) / CAST(16.0 AS DOUBLE)) AS INTEGER)) AS stride
+    $nfSql AS nf,
+    $strideSql AS stride
   FROM m
 )
 SELECT doc_id, media_type, n_bytes,
@@ -126,6 +137,56 @@ SELECT doc_id, media_type, n_bytes,
   CASE WHEN media_type = 'video' THEN nf END AS n_frames,
   CASE WHEN media_type = 'video' THEN CAST(len(range(0, nf, stride)) AS INTEGER) END AS sampled_frames
 FROM f ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // mm_frames — per-frame sampling table (the vision-encoder feed)
+  // ------------------------------------------------------------------
+
+  /** Frame sampling as an actual per-frame TABLE, not just the counts
+    * [[mmFeatures]] reports: each video explodes into its ~16 sampled
+    * frame indices with a per-frame digest (stubbed as
+    * md5(content ‖ index) — a real decoder emits the frame bytes'
+    * digest from the same seek offsets; the explode/partitioning/
+    * schema plumbing is what carries over unchanged).
+    *
+    * Scale shape: filter to videos BEFORE the explode (map-side), the
+    * explode multiplies rows by the fixed sample budget (~16), and no
+    * shuffle exists but the presentation sort — the output partitions
+    * by whatever the source partitioned by, ready for a
+    * `mapPartitions` decode stage like [[mmDecodeStub]]'s.
+    */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = CrossHash.md5Long(col("content"))
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), md5(col("content")).as("content_md5"),
+        nfExpr(h).as("nf"))
+      .withColumn("stride", strideExpr(col("nf")))
+      .select(col("doc_id"), col("content_md5"),
+        explode(sequence(lit(0), col("nf") - 1, col("stride")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("content_md5"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFramesSql: String = {
+    val h = CrossHash.md5LongSql("text")
+    s"""WITH m AS (
+  SELECT doc_id, md5(text) AS content_md5, $h AS h
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, content_md5, $nfSql AS nf, $strideSql AS stride FROM m
+), fx AS (
+  SELECT doc_id, content_md5,
+    unnest(range(0, nf, stride)) AS frame_idx
+  FROM f
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  md5(content_md5 || ':' || frame_idx) AS frame_md5
+FROM fx ORDER BY doc_id, frame_idx"""
   }
 
   // ------------------------------------------------------------------

@@ -41,4 +41,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want) // banding is pigeonhole-complete, not a heuristic
     assert(got.nonEmpty, "fixture should produce near-dup media pairs")
   }
+
+  test("mm_frames agrees with mm_features' per-video sampling geometry") {
+    val feats = Multimodal.mmFeatures(spark, sf("sf0.01")).collect()
+      .filter(_.getAs[String]("media_type") == "video")
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_frames"), r.getAs[Int]("sampled_frames"))).toMap
+    val frames = Multimodal.mmFrames(spark, sf("sf0.01")).collect()
+      .groupBy(_.getLong(0))
+    assert(frames.keySet == feats.keySet)
+    frames.foreach { case (id, fs) =>
+      val (nf, sampled) = feats(id)
+      assert(fs.length == sampled, s"doc $id frame count")
+      val idxs = fs.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idxs.head == 0 && idxs.last < nf, s"doc $id index range")
+      // constant stride between consecutive sampled indices
+      val strides = idxs.sliding(2).map { case Array(a, b) => b - a }.toSet
+      assert(strides.size <= 1, s"doc $id stride drift")
+      // digests are per-frame distinct
+      assert(fs.map(_.getAs[String]("frame_md5")).distinct.length == fs.length)
+    }
+  }
 }
