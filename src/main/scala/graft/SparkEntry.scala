@@ -86,6 +86,7 @@ object SparkEntry {
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
     "wh_scd2" -> (Analytics.whScd2 _),
+    "wh_snapshot" -> (Analytics.whSnapshot _),
     "prof_summary" -> (Analytics.profSummary _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "ev_json" -> Analytics.evJsonSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,
+    "wh_snapshot" -> Analytics.whSnapshotSql,
     "prof_summary" -> Analytics.profSummarySql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,

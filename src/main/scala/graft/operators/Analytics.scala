@@ -182,6 +182,45 @@ SELECT custkey, CAST(version AS BIGINT) AS version, status,
 FROM g ORDER BY custkey, version"""
 
   // ------------------------------------------------------------------
+  // wh_snapshot — as-of dimension reconstruction from SCD2 history
+  // ------------------------------------------------------------------
+
+  /** The snapshot date (mid-fixture; parameterized in a deployment —
+    * pinned here so the oracle is reproducible, the [[RefQueries]]
+    * as-of-date convention).
+    */
+  val SnapshotDate = "1998-01-01"
+
+  /** Point-in-time dimension state — the query SCD2 history exists to
+    * answer: which interval was current for each customer on
+    * [[SnapshotDate]]. Built ON the [[whScd2]] relation (one
+    * definition of the history; ISO date strings compare
+    * lexicographically so the interval test needs no reparse), the
+    * half-open containment `valid_from ≤ D < valid_to` picks exactly
+    * one row per customer existing by D. Same one-shuffle cost as the
+    * history build; at rest the history table is partitionable by
+    * valid_from range for snapshot pruning.
+    */
+  def whSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    whScd2(spark, sfDir)
+      .filter(col("valid_from") <= SnapshotDate &&
+        (col("valid_to").isNull || col("valid_to") > SnapshotDate))
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"), col("is_current").as("still_current"))
+      .orderBy(col("custkey"))
+
+  val whSnapshotSql: String = s"""
+WITH scd AS (
+  ${whScd2Sql.replace("ORDER BY custkey, version", "")}
+)
+SELECT custkey, version, status, valid_from,
+  is_current AS still_current
+FROM scd
+WHERE valid_from <= '$SnapshotDate'
+  AND (valid_to IS NULL OR valid_to > '$SnapshotDate')
+ORDER BY custkey"""
+
+  // ------------------------------------------------------------------
   // prof_summary — dataset profiling (nulls + exact distincts)
   // ------------------------------------------------------------------
 

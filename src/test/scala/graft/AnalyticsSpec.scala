@@ -57,6 +57,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_.length >= 3))
   }
 
+  test("wh_snapshot picks exactly one interval per customer existing at D") {
+    val snap = Analytics.whSnapshot(spark, sf("sf0.01")).collect()
+    val perCust = snap.groupBy(_.getLong(0))
+    perCust.foreach { case (c, rows) =>
+      assert(rows.length == 1, s"cust $c must have one snapshot row")
+    }
+    val hist = Analytics.whScd2(spark, sf("sf0.01")).collect()
+      .groupBy(_.getLong(0))
+    // a customer is in the snapshot iff their history starts by D
+    val want = hist.filter(_._2.exists(
+      _.getAs[String]("valid_from") <= Analytics.SnapshotDate)).keySet
+    assert(perCust.keySet == want)
+    // the picked interval really contains D
+    snap.foreach { r =>
+      val from = r.getAs[String]("valid_from")
+      assert(from <= Analytics.SnapshotDate)
+      val full = hist(r.getLong(0))
+        .find(_.getAs[Long]("version") == r.getAs[Long]("version")).get
+      val to = full.getAs[String]("valid_to")
+      assert(to == null || to > Analytics.SnapshotDate)
+    }
+    // fixture sanity: some snapshot rows are historical, some current
+    assert(snap.exists(!_.getAs[Boolean]("still_current")))
+    assert(snap.exists(_.getAs[Boolean]("still_current")))
+  }
+
   test("wh_scd2 serves all windows and the collapse from ONE shuffle") {
     val plan = Analytics.whScd2(spark, sf("sf0.01"))
       .queryExecution.executedPlan.toString
