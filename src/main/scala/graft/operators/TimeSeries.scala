@@ -657,4 +657,58 @@ SELECT event_type,
     ${graft.functions.Determinism.r6Sql("(CAST(abs(n - n_hat) AS DOUBLE) / n_hat)")}
   END AS pct_err
 FROM f ORDER BY event_type, day"""
+
+  // ------------------------------------------------------------------
+  // ev_active_users — DAU / trailing-7-day WAU / stickiness
+  // ------------------------------------------------------------------
+
+  /** Daily and trailing-7-day active users with the DAU/WAU
+    * stickiness ratio — the growth metric every event pipeline
+    * publishes. Spark windows cannot COUNT(DISTINCT) over a RANGE
+    * frame; the scalable shape is the offset-explode: distinct
+    * user-days first (partial-agg distinct — the shuffle carries one
+    * row per user-day, not per event), each user-day then votes for
+    * the 7 target days its activity keeps "weekly active"
+    * (explode ×7, bounded), and WAU is a COUNT(DISTINCT user) per
+    * target day. Shuffle ∝ 7 × user-days — never events, never a
+    * per-user window.
+    */
+  def evActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day_num"))
+      .distinct()
+    val dau = ud.groupBy(col("day_num"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day_num"), col("day_num") + 6)).as("td"))
+      .groupBy(col("td"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, dau("day_num") === wau("td"))
+      .select(
+        date_from_unix_date(col("day_num")).cast("string").as("day"),
+        col("dau"), col("wau7"),
+        r6(col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val evActiveUsersSql: String = s"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num
+  FROM events
+), dau AS (
+  SELECT day_num, COUNT(*) AS dau FROM ud GROUP BY day_num
+), votes AS (
+  SELECT ud.user_id, ud.day_num + r.off AS td
+  FROM ud, range(0, 7) r(off)
+), wau AS (
+  SELECT td, COUNT(DISTINCT user_id) AS wau7 FROM votes GROUP BY td
+)
+SELECT CAST(DATE '1970-01-01' + dau.day_num AS VARCHAR) AS day,
+  dau.dau, wau.wau7,
+  ${graft.functions.Determinism.r6Sql("(CAST(dau.dau AS DOUBLE) / wau.wau7)")}
+    AS stickiness
+FROM dau JOIN wau ON wau.td = dau.day_num
+ORDER BY day"""
 }

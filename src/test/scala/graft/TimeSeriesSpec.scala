@@ -242,6 +242,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(present > 100, "most days should have a week-earlier baseline")
   }
 
+  test("ev_active_users matches a brute-force trailing-7-day recompute") {
+    val rows = TimeSeries.evActiveUsers(spark, sf("sf0.01")).collect()
+    val ud = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val dau = ud.count(_._2 == day)
+      val wau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7)) }
+        .map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") == dau, s"dau at $day")
+      assert(r.getAs[Long]("wau7") == wau, s"wau at $day")
+      assert(r.getAs[Long]("wau7") >= r.getAs[Long]("dau"))
+    }
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
