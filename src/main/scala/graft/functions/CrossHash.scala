@@ -38,11 +38,18 @@ object CrossHash {
   val MinHashBs: IndexedSeq[Long] = (0 until MinHashK).map(i => 17L + 997L * i)
 
   /** 60-bit hash of a string column (see object doc). Non-negative. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  def md5Long(c: Column): Column = longOfMd5(md5(c.cast("string")))
 
   /** md5Long reduced mod P — safe operand for (a*h + b) % P families. */
   def md5Mod(c: Column): Column = md5Long(c) % P
+
+  /** The 60-bit parse applied to an ALREADY-computed md5 hex digest —
+    * for consumers that also emit the digest itself and must not hash
+    * the content twice. `longOfMd5(md5(c)) ≡ md5Long(c)` by
+    * construction (one definition of the 15-hex-char parse).
+    */
+  def longOfMd5(hex: Column): Column =
+    conv(substring(hex, 1, 15), 16, 10).cast("long")
 
   // ---- oracle-side (DuckDB SQL) fragments; MUST mirror the above ----
 

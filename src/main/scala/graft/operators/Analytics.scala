@@ -153,7 +153,10 @@ ORDER BY 1, 2"""
       .orderBy(col("custkey"), col("version"))
   }
 
-  val whScd2Sql: String = """
+  /** ORDER BY-free history query — composed by both [[whScd2Sql]] and
+    * [[whSnapshotSql]] (one copy, no textual surgery).
+    */
+  private val whScd2Body: String = """
 WITH o AS (
   SELECT o_custkey AS custkey, o_orderstatus AS status,
     o_orderdate AS od, o_orderkey AS okey
@@ -179,7 +182,9 @@ SELECT custkey, CAST(version AS BIGINT) AS version, status,
   (LEAD(valid_from_ts) OVER (PARTITION BY custkey ORDER BY version) IS NULL)
     AS is_current,
   n_orders
-FROM g ORDER BY custkey, version"""
+FROM g"""
+
+  val whScd2Sql: String = whScd2Body + "\nORDER BY custkey, version"
 
   // ------------------------------------------------------------------
   // wh_snapshot — as-of dimension reconstruction from SCD2 history
@@ -211,7 +216,7 @@ FROM g ORDER BY custkey, version"""
 
   val whSnapshotSql: String = s"""
 WITH scd AS (
-  ${whScd2Sql.replace("ORDER BY custkey, version", "")}
+  $whScd2Body
 )
 SELECT custkey, version, status, valid_from,
   is_current AS still_current

@@ -157,11 +157,13 @@ FROM f ORDER BY doc_id"""
     * `mapPartitions` decode stage like [[mmDecodeStub]]'s.
     */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = CrossHash.md5Long(col("content"))
+    // ONE md5 of the content: the digest column is also the 60-bit
+    // hash source (longOfMd5), so the full bytes hash once per row
+    val h = CrossHash.longOfMd5(col("content_md5"))
     mediaTable(spark, sfDir)
       .filter(col("media_type") === "video")
-      .select(col("doc_id"), md5(col("content")).as("content_md5"),
-        nfExpr(h).as("nf"))
+      .select(col("doc_id"), md5(col("content")).as("content_md5"))
+      .withColumn("nf", nfExpr(h))
       .withColumn("stride", strideExpr(col("nf")))
       .select(col("doc_id"), col("content_md5"),
         explode(sequence(lit(0), col("nf") - 1, col("stride")))
