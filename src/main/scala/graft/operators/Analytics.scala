@@ -274,4 +274,85 @@ ORDER BY custkey"""
   COUNT(*) - COUNT($c) AS n_nulls,
   COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
     .mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+
+  // ------------------------------------------------------------------
+  // prof_corr — exact-moment correlation matrix over the fact table
+  // ------------------------------------------------------------------
+
+  /** Numeric columns correlated pairwise. All four are 2-decimal
+    * valued, so ×100 + round recovers exact integer cents/centi-units
+    * — the [[StreamingStats]] cents posture applied to statistics.
+    */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val M38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Pairwise Pearson correlation of the fact table's numeric columns
+    * in ONE scan: every sum, square-sum and cross-sum accumulates as
+    * exact decimal(38,0) over integer centi-units (cast BEFORE
+    * multiplying — the ev_anomaly overflow lesson), so the 6
+    * correlations are bitwise parallelism-stable; floats appear only
+    * in the final division. Plain sums — no Expand, no second pass;
+    * partial aggregation reduces each partition to one moment row.
+    * (Spark's `corr()` aggregate is a running double accumulation —
+    * merge-order-dependent, unusable under a hash gate; this is the
+    * q12 exact-moment posture generalized to a matrix.)
+    */
+  def profCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cents = CorrCols.map(c =>
+      round(col(c) * 100).cast("long").cast(M38).as(s"v_$c"))
+    val pairs = for {
+      i <- CorrCols.indices; j <- CorrCols.indices if i < j
+    } yield (CorrCols(i), CorrCols(j))
+    val moments =
+      count(lit(1)).cast(M38).as("n") +:
+        (CorrCols.map(c => sum(col(s"v_$c")).as(s"s_$c")) ++
+          CorrCols.map(c => sum(col(s"v_$c") * col(s"v_$c")).as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(col(s"v_$a") * col(s"v_$b")).as(s"sp_${a}_$b") })
+    def corrOf(a: String, b: String) = {
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val d1 = col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val d2 = col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      when(d1 > 0 && d2 > 0, r6(num.cast("double") /
+        sqrt(d1.cast("double") * d2.cast("double"))))
+    }
+    li.select(cents: _*)
+      .agg(moments.head, moments.tail: _*)
+      .select(pairs.map { case (a, b) => corrOf(a, b).as(s"c_${a}_$b") }: _*)
+      .select(expr(s"stack(${pairs.size}, " +
+        pairs.map { case (a, b) => s"'$a~$b', c_${a}_$b" }.mkString(", ") +
+        ") AS (pair, corr)"))
+      .orderBy(col("pair"))
+  }
+
+  val profCorrSql: String = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- CorrCols.indices if i < j
+    } yield (CorrCols(i), CorrCols(j))
+    def v(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
+    val momentCols =
+      "CAST(COUNT(*) AS HUGEINT) AS n" +:
+        (CorrCols.map(c => s"SUM(${v(c)}) AS s_$c") ++
+          CorrCols.map(c => s"SUM(${v(c)} * ${v(c)}) AS ss_$c") ++
+          pairs.map { case (a, b) => s"SUM(${v(a)} * ${v(b)}) AS sp_${a}_$b" })
+    val arms = pairs.map { case (a, b) =>
+      val num = s"(n * sp_${a}_$b - s_$a * s_$b)"
+      val d1 = s"(n * ss_$a - s_$a * s_$a)"
+      val d2 = s"(n * ss_$b - s_$b * s_$b)"
+      s"""SELECT '$a~$b' AS pair,
+  CASE WHEN $d1 > 0 AND $d2 > 0 THEN
+    ${graft.functions.Determinism.r6Sql(
+        s"(CAST($num AS DOUBLE) / sqrt(CAST($d1 AS DOUBLE) * CAST($d2 AS DOUBLE)))")}
+  END AS corr FROM m"""
+    }
+    s"""WITH m AS (
+  SELECT ${momentCols.mkString(",\n    ")}
+  FROM lineitem
+)
+${arms.mkString("\nUNION ALL\n")}
+ORDER BY pair"""
+  }
 }

@@ -57,6 +57,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.exists(_.length >= 3))
   }
 
+  test("prof_corr agrees with Spark's own corr() to float tolerance") {
+    val got = Analytics.profCorr(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.size == 6)
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    got.foreach { case (pair, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"$pair out of range")
+      val Array(a, b) = pair.split("~")
+      // the cents-exact moments must reproduce the double-accumulated
+      // corr() to well within float noise
+      val ref = li.select(corr(round(col(a) * 100), round(col(b) * 100)))
+        .collect().head.getDouble(0)
+      assert(math.abs(c - ref) < 1e-6, s"$pair: $c vs $ref")
+    }
+  }
+
   test("wh_snapshot picks exactly one interval per customer existing at D") {
     val snap = Analytics.whSnapshot(spark, sf("sf0.01")).collect()
     val perCust = snap.groupBy(_.getLong(0))
