@@ -328,6 +328,59 @@ ORDER BY custkey"""
       .orderBy(col("pair"))
   }
 
+  // ------------------------------------------------------------------
+  // prof_hist — equi-width value histograms (the profile's third leg)
+  // ------------------------------------------------------------------
+
+  /** Centi-unit bin width per profiled column (5 units, $10k, 1¢,
+    * 1¢) — fixed constants so the bins are reproducible across runs
+    * and engines. ONE definition drives the Spark plan and the
+    * oracle.
+    */
+  val HistCols: Seq[(String, Long)] = Seq(
+    "l_quantity" -> 500L, "l_extendedprice" -> 1000000L,
+    "l_discount" -> 1L, "l_tax" -> 1L)
+
+  /** Value-distribution histograms for the numeric profile: each
+    * column's exact centi-units bin by a fixed width, all four
+    * columns in ONE scan — the `stack` generator unpivots each row
+    * into its 4 (column, bin) votes map-side, and the single shuffle
+    * carries (column, bin) keys (hundreds of rows after partial agg,
+    * at any corpus size). Integer-only until the bin label.
+    */
+  def profHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cents = HistCols.map { case (c, _) =>
+      round(col(c) * 100).cast("long").as(s"v_$c") }
+    // true floor division (the rangeJoin fdiv pattern): Spark `div`
+    // truncates toward zero while the oracle's `//` floors — identical
+    // on this fixture's non-negative values, divergent on negatives,
+    // so floor on both sides by construction
+    val stacked = HistCols.map { case (c, w) =>
+      s"'$c', ((v_$c - pmod(v_$c, $w)) div $w)" }.mkString(", ")
+    li.select(cents: _*)
+      .select(expr(
+        s"stack(${HistCols.size}, $stacked) AS (column_name, bin)"))
+      .groupBy(col("column_name"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", r6(col("bin").cast("double") *
+        expr("CASE " + HistCols.map { case (c, w) =>
+          s"WHEN column_name = '$c' THEN ${w}L" }.mkString(" ") +
+          " END") / 100.0))
+      .select(col("column_name"), col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("column_name"), col("bin"))
+  }
+
+  val profHistSql: String = HistCols.map { case (c, w) =>
+    s"""SELECT '$c' AS column_name,
+  CAST(round($c * 100) AS BIGINT) // $w AS bin,
+  ${graft.functions.Determinism.r6Sql(
+      s"(CAST(CAST(round($c * 100) AS BIGINT) // $w * $w AS DOUBLE) / 100.0)")}
+    AS bin_lo,
+  COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2, 3""" }
+    .mkString("\nUNION ALL\n") + "\nORDER BY column_name, bin"
+
   val profCorrSql: String = {
     val pairs = for {
       i <- CorrCols.indices; j <- CorrCols.indices if i < j

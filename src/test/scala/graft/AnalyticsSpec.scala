@@ -73,6 +73,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_hist bins partition the rows and reproduce exact counts") {
+    val rows = Analytics.profHist(spark, sf("sf0.01")).collect()
+    val total = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet").count()
+    Analytics.HistCols.foreach { case (c, w) =>
+      val bins = rows.filter(_.getString(0) == c)
+      assert(bins.nonEmpty)
+      // bins partition the table: counts sum to the row count
+      assert(bins.map(_.getAs[Long]("n")).sum == total, s"$c coverage")
+      // bin_lo is the bin's left edge in original units
+      bins.foreach { r =>
+        assert(r.getAs[Double]("bin_lo") ==
+          r.getAs[Long]("bin") * w / 100.0, s"$c edge")
+      }
+    }
+  }
+
   test("wh_snapshot picks exactly one interval per customer existing at D") {
     val snap = Analytics.whSnapshot(spark, sf("sf0.01")).collect()
     val perCust = snap.groupBy(_.getLong(0))
