@@ -351,4 +351,89 @@ SELECT td.doc_id,
     AS mean_rarity
 FROM td JOIN dfreq USING (term)
 GROUP BY td.doc_id ORDER BY td.doc_id"""
+
+  // ------------------------------------------------------------------
+  // ta_colloc — bigram collocation mining (counts + PMI)
+  // ------------------------------------------------------------------
+
+  /** Collocations reported. */
+  val CollocTopK = 30
+
+  /** Top bigram collocations with pointwise mutual information — the
+    * corpus-analysis query behind tokenizer merges and stop-phrase
+    * lists. Ranking is by INTEGER keys (count desc, then the pair) —
+    * never by the PMI float, whose last-ulp could differ between
+    * engines and flip a rank; PMI is a reported value only (r6'd, log
+    * of a ratio of exact integers).
+    *
+    * Shape: one token explode feeds both unigram counts (vocab-sized)
+    * and zipped-slice bigram pairs (stream-sized, partial-agg'd to
+    * the vocab² candidate table); the candidate table then broadcasts
+    * against the unigram counts. The global top-k window runs over
+    * the AGGREGATED candidates — bounded by vocab², never the corpus.
+    */
+  def taColloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val uni = d.select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = uni.select(sum(col("c")).as("n"))
+    // adjacent pairs with duplicates kept (collocation counts need
+    // every occurrence); sequence guarded — sequence(1, 0) descends
+    val pairArr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), j =>
+        struct(element_at(col("toks"), j).as("a"),
+          element_at(col("toks"), j + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pairs = d.select(explode(pairArr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ua = uni.select(col("tok").as("a"), col("c").as("c_a"))
+    val ub = uni.select(col("tok").as("b"), col("c").as("c_b"))
+    val w = Window.orderBy(col("c_ab").desc, col("a"), col("b"))
+    pairs
+      .orderBy(col("c_ab").desc, col("a"), col("b")).limit(CollocTopK)
+      .join(broadcast(ua), Seq("a")).join(broadcast(ub), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        r6(log(col("c_ab").cast("double") * col("n") /
+          (col("c_a").cast("double") * col("c_b")))).as("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  val taCollocSql: String = s"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), tok AS (
+  SELECT unnest(t) AS tok FROM toks
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY tok
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), pr AS (
+  SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM toks
+), pairs AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM pr
+  WHERE a <> '' AND b <> '' GROUP BY a, b
+), topk AS (
+  SELECT a, b, c_ab,
+    row_number() OVER (ORDER BY c_ab DESC, a, b) AS rank
+  FROM pairs
+)
+SELECT CAST(k.rank AS INTEGER) AS rank, k.a || ' ' || k.b AS bigram,
+  k.c_ab, ua.c AS c_a, ub.c AS c_b,
+  ${r6Sql("ln(CAST(k.c_ab AS DOUBLE) * n.n / (CAST(ua.c AS DOUBLE) * ub.c))")}
+    AS pmi
+FROM topk k
+JOIN uni ua ON ua.tok = k.a
+JOIN uni ub ON ub.tok = k.b
+CROSS JOIN n
+WHERE k.rank <= $CollocTopK
+ORDER BY k.rank"""
 }

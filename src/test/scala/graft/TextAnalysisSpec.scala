@@ -30,6 +30,35 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ta_colloc matches a local brute-force collocation recompute") {
+    val got = TextAnalysis.taColloc(spark, sf("sf0.01")).collect()
+    assert(got.length == TextAnalysis.CollocTopK)
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val texts = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("text")).collect().map(r => tok(r.getString(0).toLowerCase))
+    val uni = texts.flatten.filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = uni.values.sum
+    val pairs = texts.flatMap(ts => ts.zip(ts.drop(1)))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val want = pairs.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(TextAnalysis.CollocTopK)
+    got.zip(want).foreach { case (r, ((a, b), cab)) =>
+      assert(r.getAs[String]("bigram") == s"$a $b", s"rank ${r.getInt(0)}")
+      assert(r.getAs[Long]("c_ab") == cab)
+      assert(r.getAs[Long]("c_a") == uni(a) && r.getAs[Long]("c_b") == uni(b))
+      val pmi = math.log(cab.toDouble * n / (uni(a).toDouble * uni(b)))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-6)
+    }
+  }
+
   test("ta_rarity matches a local brute-force recompute") {
     val got = TextAnalysis.taRarity(spark, sf("sf0.01")).collect()
     // local mirror of split(trim(s), "\s+"): space-only trim, ASCII \s
