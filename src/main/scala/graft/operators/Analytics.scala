@@ -286,6 +286,13 @@ ORDER BY custkey"""
   val CorrCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** The (i < j) pair enumeration — ONE copy; the Spark plan's column
+    * names and the oracle's must line up pair-for-pair.
+    */
+  val CorrPairs: Seq[(String, String)] = for {
+    i <- CorrCols.indices; j <- CorrCols.indices if i < j
+  } yield (CorrCols(i), CorrCols(j))
+
   private val M38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   /** Pairwise Pearson correlation of the fact table's numeric columns
@@ -303,9 +310,7 @@ ORDER BY custkey"""
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val cents = CorrCols.map(c =>
       round(col(c) * 100).cast("long").cast(M38).as(s"v_$c"))
-    val pairs = for {
-      i <- CorrCols.indices; j <- CorrCols.indices if i < j
-    } yield (CorrCols(i), CorrCols(j))
+    val pairs = CorrPairs
     val moments =
       count(lit(1)).cast(M38).as("n") +:
         (CorrCols.map(c => sum(col(s"v_$c")).as(s"s_$c")) ++
@@ -352,12 +357,11 @@ ORDER BY custkey"""
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val cents = HistCols.map { case (c, _) =>
       round(col(c) * 100).cast("long").as(s"v_$c") }
-    // true floor division (the rangeJoin fdiv pattern): Spark `div`
-    // truncates toward zero while the oracle's `//` floors — identical
-    // on this fixture's non-negative values, divergent on negatives,
-    // so floor on both sides by construction
+    // both engines TRUNCATE toward zero (Spark `div` ≡ DuckDB `//` —
+    // measured: -7 // 2 = -3 in DuckDB, C-style, NOT floor), so plain
+    // div is the parity-correct bin rule for any sign
     val stacked = HistCols.map { case (c, w) =>
-      s"'$c', ((v_$c - pmod(v_$c, $w)) div $w)" }.mkString(", ")
+      s"'$c', (v_$c div $w)" }.mkString(", ")
     li.select(cents: _*)
       .select(expr(
         s"stack(${HistCols.size}, $stacked) AS (column_name, bin)"))
@@ -382,10 +386,14 @@ FROM lineitem GROUP BY 1, 2, 3""" }
     .mkString("\nUNION ALL\n") + "\nORDER BY column_name, bin"
 
   val profCorrSql: String = {
-    val pairs = for {
-      i <- CorrCols.indices; j <- CorrCols.indices if i < j
-    } yield (CorrCols(i), CorrCols(j))
+    val pairs = CorrPairs
     def v(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
+    // DuckDB's direct HUGEINT→DOUBLE cast is NOT correctly rounded
+    // (measured: 172/20000 random 60–100-bit values off by 1 ulp);
+    // the VARCHAR round-trip parses correctly-rounded (0/20000),
+    // matching Spark's BigDecimal→double. The moments here exceed
+    // 2^53 even at gate SF, so this is load-bearing.
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     val momentCols =
       "CAST(COUNT(*) AS HUGEINT) AS n" +:
         (CorrCols.map(c => s"SUM(${v(c)}) AS s_$c") ++
@@ -398,7 +406,7 @@ FROM lineitem GROUP BY 1, 2, 3""" }
       s"""SELECT '$a~$b' AS pair,
   CASE WHEN $d1 > 0 AND $d2 > 0 THEN
     ${graft.functions.Determinism.r6Sql(
-        s"(CAST($num AS DOUBLE) / sqrt(CAST($d1 AS DOUBLE) * CAST($d2 AS DOUBLE)))")}
+        s"(${dbl(num)} / sqrt(${dbl(d1)} * ${dbl(d2)}))")}
   END AS corr FROM m"""
     }
     s"""WITH m AS (

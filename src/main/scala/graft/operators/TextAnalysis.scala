@@ -366,11 +366,12 @@ GROUP BY td.doc_id ORDER BY td.doc_id"""
     * engines and flip a rank; PMI is a reported value only (r6'd, log
     * of a ratio of exact integers).
     *
-    * Shape: one token explode feeds both unigram counts (vocab-sized)
-    * and zipped-slice bigram pairs (stream-sized, partial-agg'd to
-    * the vocab² candidate table); the candidate table then broadcasts
-    * against the unigram counts. The global top-k window runs over
-    * the AGGREGATED candidates — bounded by vocab², never the corpus.
+    * Shape: two map-side passes over the corpus (token explode for
+    * unigram counts; zipped-slice explode for bigram pairs), each
+    * partial-agg'd to a vocab-bounded table before any shuffle; the
+    * vocab² candidate table then joins the BROADCAST unigram counts.
+    * The global top-k window runs over the aggregated candidates —
+    * bounded by vocab², never the corpus.
     */
   def taColloc(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -381,14 +382,17 @@ GROUP BY td.doc_id ORDER BY td.doc_id"""
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val n = uni.select(sum(col("c")).as("n"))
     // adjacent pairs with duplicates kept (collocation counts need
-    // every occurrence); sequence guarded — sequence(1, 0) descends
-    val pairArr = when(size(col("toks")) >= 2,
-      transform(sequence(lit(1), size(col("toks")) - 1), j =>
-        struct(element_at(col("toks"), j).as("a"),
-          element_at(col("toks"), j + 1).as("b"))))
-      .otherwise(array().cast("array<struct<a:string,b:string>>"))
-    val pairs = d.select(explode(pairArr).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // every occurrence): zipped slices — ArraysZip and Slice are
+    // codegen'd, unlike a transform() lambda (CodegenFallback per
+    // token — the CLAUDE.md HOF rule). Naming the slices FIRST pins
+    // the zip's struct field names (sa/sb); computed zip inputs get
+    // positional names.
+    val m = greatest(size(col("toks")) - 1, lit(0))
+    val pairs = d
+      .select(slice(col("toks"), lit(1), m).as("sa"),
+        slice(col("toks"), lit(2), m).as("sb"))
+      .select(explode(arrays_zip(col("sa"), col("sb"))).as("p"))
+      .select(col("p.sa").as("a"), col("p.sb").as("b"))
       .filter(col("a") =!= "" && col("b") =!= "")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ua = uni.select(col("tok").as("a"), col("c").as("c_a"))
