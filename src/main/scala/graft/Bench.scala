@@ -67,6 +67,11 @@ object Bench {
       k.matches("q\\d\\d_.*") || k == "stats_daily" || k == "transform_posts"
     val parity = results.collect { case (k, v) if isParity(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"queries":$qs,"sf":"$sfDir"}""")
+    // The per-query map makes the line above long enough that a bounded
+    // tail capture can truncate its head (BENCH_r05 lost total/parity
+    // that way). Repeat the headline numbers on their own short FINAL
+    // line so any tail capture parses them directly.
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

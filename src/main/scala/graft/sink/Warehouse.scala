@@ -49,6 +49,24 @@ object Warehouse {
       .agg(count(col("c_id")).as("total_comments"))
       .orderBy(col("subreddit"))
   }
+
+  /** q09-shaped top commenters over the bucketed layout — the inner
+    * join consumes co-located buckets (the comment-side filter is
+    * partitioning-preserving, so bucket co-location survives it).
+    * Together with [[commentCoverageBucketed]] this covers both join
+    * surfaces SCALE.md names (analysis.sql:98-118).
+    */
+  def topCommentersBucketed(spark: SparkSession): DataFrame = {
+    val p = spark.table("posts_bucketed").select(col("id"), col("subreddit"))
+    val c = spark.table("comments_bucketed")
+      .filter(col("author") =!= "[deleted]")
+      .select(col("id").as("c_id"), col("post_id"), col("author"))
+    p.join(c.hint("merge"), p("id") === c("post_id"))
+      .groupBy(col("subreddit"), col("author"))
+      .agg(count(col("c_id")).as("comment_count"))
+      .filter(col("comment_count") >= 3)
+      .orderBy(col("subreddit"), col("comment_count").desc, col("author"))
+  }
 }
 
 /** Skew mitigation: two-stage salted aggregation. AQE's skew handling
@@ -66,8 +84,12 @@ object Warehouse {
 object Skew {
 
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id()
-        + monotonically_increasing_id(), lit(salts)))
+    // content-derived salt: pmod(hash(all columns), salts) is stable
+    // across runs AND repartitionings (spark_partition_id/
+    // monotonically_increasing_id are not), so the helper is
+    // deterministic-by-construction, not just for associative aggs.
+    // Identical rows share a salt — harmless for count/sum/min/max.
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

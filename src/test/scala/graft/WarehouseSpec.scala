@@ -34,6 +34,31 @@ class WarehouseSpec extends SparkSpec {
     assert(q.collect().toSeq == expect.toSeq)
   }
 
+  test("bucketed q09-shaped inner join plans with no input Exchange") {
+    Warehouse.materializeBucketed(spark,
+      RedditModel.posts(spark, sf()),
+      RedditModel.comments(spark, sf()), buckets = 4)
+    val q = Warehouse.topCommentersBucketed(spark)
+    val plan = q.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a SortMergeJoin:\n$plan")
+    assert(!plan.substring(joinIdx).contains("Exchange"),
+      s"join inputs must not shuffle:\n$plan")
+    // result matches the same computation over the unbucketed reads
+    val expect = RedditModel.posts(spark, sf())
+      .select(col("id"), col("subreddit"))
+      .join(RedditModel.comments(spark, sf())
+        .filter(col("author") =!= "[deleted]")
+        .select(col("id").as("c_id"), col("post_id"), col("author")),
+        col("id") === col("post_id"))
+      .groupBy(col("subreddit"), col("author"))
+      .agg(count(col("c_id")).as("comment_count"))
+      .filter(col("comment_count") >= 3)
+      .orderBy(col("subreddit"), col("comment_count").desc, col("author"))
+      .collect()
+    assert(q.collect().toSeq == expect.toSeq)
+  }
+
   test("salted aggregation equals direct groupBy count") {
     val posts = RedditModel.posts(spark, sf())
     val direct = posts.groupBy(col("subreddit"))
@@ -44,5 +69,24 @@ class WarehouseSpec extends SparkSpec {
       .orderBy(col("subreddit")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(salted == direct)
+  }
+
+  test("salt assignment is deterministic across repartitionings") {
+    val posts = RedditModel.posts(spark, sf())
+    // the content-derived salt must give the SAME per-(key, salt)
+    // partials no matter how the input is physically partitioned —
+    // the old partition-id salt failed exactly this
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      Skew.saltedCount(df, "subreddit", salts = 7)
+        .orderBy(col("subreddit")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val saltDist = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("_salt",
+          pmod(hash(df.columns.map(col): _*), lit(7)))
+        .groupBy(col("subreddit"), col("_salt")).count()
+        .orderBy(col("subreddit"), col("_salt")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(partials(posts) == partials(posts.repartition(13)))
+    assert(saltDist(posts) == saltDist(posts.repartition(3)))
   }
 }
