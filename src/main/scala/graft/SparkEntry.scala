@@ -90,6 +90,10 @@ object SparkEntry {
     "wh_scd2" -> (Analytics.whScd2 _),
     "wh_snapshot" -> (Analytics.whSnapshot _),
     "prof_summary" -> (Analytics.profSummary _),
+    // approx twin: HLL sketch, not oracle-hashable — no oracleSql
+    // entry (driver records rows-only); AnalyticsSpec pins the ≤2%
+    // error bound + single-scan/no-Expand plan vs the exact twin
+    "prof_summary_approx" -> (Analytics.profSummaryApprox _),
     "prof_corr" -> (Analytics.profCorr _),
     "prof_hist" -> (Analytics.profHist _),
     // extension tier: corpus preparation
@@ -101,6 +105,9 @@ object SparkEntry {
     "cp_decontam" -> (Corpus.cpDecontam _),
     "cp_vocab" -> (Corpus.cpVocab _),
     "cp_stats" -> (Corpus.cpStats _),
+    // approx twin: quantile sketch, value-typed percentiles — no
+    // oracleSql entry; CorpusSpec pins the rank-error contract
+    "cp_stats_approx" -> (Corpus.cpStatsApprox _),
     "cp_sample" -> (Corpus.cpSample _),
     "cp_curate" -> (Corpus.cpCurate _),
     "cp_scrub_spans" -> (Corpus.cpScrubSpans _),

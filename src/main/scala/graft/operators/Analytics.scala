@@ -275,6 +275,40 @@ ORDER BY custkey"""
   COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
     .mkString("\nUNION ALL\n") + "\nORDER BY column_name"
 
+  /** The 100 TB relief for [[profSummary]]: every column profiled in
+    * ONE scan and ONE aggregate. `approx_count_distinct` is a
+    * mergeable HyperLogLog++ sketch (rsd 0.02; deterministic — the
+    * hash is fixed), so the whole profile is a single map-side
+    * partial agg per partition plus a tiny merge: no per-column
+    * distinct shuffle, no Expand, no re-reads. The exact union form
+    * re-keys the corpus once per column; this reads it once, period.
+    * rsd 0.02 is the measured knee: 0.01's 16K-register buffers fall
+    * off the aggregate fast path (12.2 s vs 2.1 s at sf0.1 — see
+    * SCALE.md). Not oracle-hashable (DuckDB's HLL differs), so
+    * `AnalyticsSpec` pins it instead: n_rows/n_nulls EXACTLY equal
+    * the exact twin's, each approx distinct within 2%, and the plan
+    * has exactly one lineitem scan and no Expand.
+    */
+  def profSummaryApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    require(ProfiledCols.forall(li.columns.contains),
+      s"lineitem is missing one of $ProfiledCols")
+    val aggs = count(lit(1)).as("n_rows") +:
+      ProfiledCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ad_$c")))
+    // the reshape below runs on the single aggregate output row —
+    // driver-side trivial, never on per-input rows
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(ProfiledCols.map(c =>
+        struct(lit(c).as("column_name"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"ad_$c").as("n_distinct_approx"))): _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct_approx"))
+      .orderBy(col("column_name"))
+  }
+
   // ------------------------------------------------------------------
   // prof_corr — exact-moment correlation matrix over the fact table
   // ------------------------------------------------------------------

@@ -467,6 +467,43 @@ SELECT source, n_docs, total_tokens,
 FROM a ORDER BY source"""
   }
 
+  /** The 100 TB relief for [[cpStats]]: `approx_percentile` replaces
+    * the exact `percentile` aggregate. Exact percentile materializes
+    * and sorts each group's full value list in one task — a per-group
+    * memory wall at scale; the approx form is a bounded-size mergeable
+    * quantile sketch (accuracy 10000 ⇒ rank error ≤ 1e-4·n) built by
+    * ordinary partial aggregation, so group size never matters.
+    * Percentiles come back as actual observed values (LONG, no
+    * interpolation) — a schema difference from the exact twin, so not
+    * oracle-hashable; `CorpusSpec` pins the rank-error contract
+    * instead: for every (source, q) the returned value's rank is
+    * within 2% of q, and counts/moments EXACTLY equal the exact
+    * twin's.
+    */
+  def cpStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val pct = expr(
+      "approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), 10000)")
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        pct.as("p"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        r6(col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        element_at(col("p"), 1).as("p50_tokens"),
+        element_at(col("p"), 2).as("p90_tokens"),
+        element_at(col("p"), 3).as("p99_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------
   // cp_sample — stratified sampling with exact per-stratum quotas
   // ------------------------------------------------------------------

@@ -34,6 +34,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(!rows.exists(r => r.getString(0) == "ALL" && r.getString(1) != "ALL"))
   }
 
+  test("prof_summary_approx: exact counts, ≤2% distinct error, one scan, no Expand") {
+    val exact = Analytics.profSummary(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val approxDf = Analytics.profSummaryApprox(spark, sf("sf0.01"))
+    // plan contract: the whole profile is ONE lineitem scan with no
+    // Expand and no per-column distinct shuffle
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+    assert(!plan.contains("Expand"), s"no Expand allowed:\n$plan")
+    val approx = approxDf.collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (nRows, nNulls, nDistinct) = exact(r.getString(0))
+      assert(r.getLong(1) == nRows && r.getLong(2) == nNulls,
+        s"${r.getString(0)}: n_rows/n_nulls must match exact twin")
+      val ad = r.getLong(3).toDouble
+      assert(math.abs(ad - nDistinct) <= 0.02 * nDistinct + 1,
+        s"${r.getString(0)}: approx $ad vs exact $nDistinct out of bound")
+    }
+  }
+
   test("wh_scd2 intervals partition each customer's timeline") {
     val rows = Analytics.whScd2(spark, sf("sf0.01")).collect()
       .groupBy(_.getLong(0))

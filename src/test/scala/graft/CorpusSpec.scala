@@ -47,6 +47,39 @@ class CorpusSpec extends SparkSpec {
       again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("cp_stats_approx: exact moments, percentile rank error within 2%") {
+    val exact = Corpus.cpStats(spark, sf("sf0.01")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val approx = Corpus.cpStatsApprox(spark, sf("sf0.01")).collect()
+    val bySrc = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n"))
+      .collect().groupBy(_.getString(0))
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val src = r.getAs[String]("source")
+      val e = exact(src)
+      // the non-percentile columns are plain exact aggregates — they
+      // must EQUAL the exact twin's
+      Seq("n_docs", "total_tokens", "min_tokens", "max_tokens").foreach(c =>
+        assert(r.getAs[Long](c) == e.getAs[Long](c), s"$src.$c"))
+      assert(r.getAs[Double]("mean_tokens") == e.getAs[Double]("mean_tokens"))
+      // rank-error contract: for each q, the returned value v must
+      // satisfy  #(x < v)/n ≤ q + 2%  and  #(x ≤ v)/n ≥ q − 2%
+      val vals = bySrc(src).map(_.getLong(1))
+      val n = vals.length.toDouble
+      Seq("p50_tokens" -> 0.5, "p90_tokens" -> 0.9, "p99_tokens" -> 0.99)
+        .foreach { case (c, q) =>
+          val v = r.getAs[Long](c)
+          val lt = vals.count(_ < v) / n
+          val le = vals.count(_ <= v) / n
+          assert(lt <= q + 0.02 && le >= q - 0.02,
+            s"$src.$c: value $v has rank [$lt,$le], wanted ~$q")
+        }
+    }
+  }
+
   test("cp_stats percentiles match a brute-force sorted interpolation") {
     val stats = Corpus.cpStats(spark, sf("sf0.01")).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
