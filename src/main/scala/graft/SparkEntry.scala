@@ -50,6 +50,9 @@ object SparkEntry {
     "dd_minhash" -> (Dedup.ddMinhash _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_clusters" -> (Dedup.ddClusters _),
+    // same semantics via large-star/small-star (adversarial-graph
+    // fallback) — hash-verified against the same recursive-CTE oracle
+    "dd_clusters_star" -> (Dedup.ddClustersStar _),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -147,6 +150,7 @@ object SparkEntry {
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_clusters" -> Dedup.ddClustersSql,
+    "dd_clusters_star" -> Dedup.ddClustersSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,

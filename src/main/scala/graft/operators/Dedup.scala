@@ -413,6 +413,95 @@ ORDER BY new_doc, corpus_doc"""
       .orderBy(col("doc_id"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    * — public literature): the adversarial-graph fallback the
+    * min-label loop in [[ddClusters]] documents. Min-label + pointer
+    * jumping is O(log diameter) rounds but each round's join fans a
+    * hot label out to every member of a giant component; the star
+    * alternation keeps every intermediate edge set bounded by the
+    * input edge count and converges in O(log n) rounds on ANY graph,
+    * long chains included.
+    *
+    * Per round (edges kept directed larger→smaller):
+    *  - large-star: every node's strictly-larger neighbors re-point at
+    *    its neighborhood min (one symmetric groupBy + equi-join);
+    *  - small-star: every node's smaller neighbors and the node itself
+    *    re-point at its min smaller-neighbor (one groupBy + join).
+    * Fixpoint = a star forest, each component collapsed onto its min
+    * node; labels read directly off the final edges. Convergence is
+    * an exact set-equality probe (two anti-join limit-1 counts — the
+    * same driver-synchronized O(log n) loop class as [[ddClusters]]).
+    *
+    * Returns (labels `doc_id → lbl` covering every node, rounds run).
+    * `PropertySpec` pins equality with union-find ground truth on
+    * random graphs, cliques, and a 200-node path (which converges in
+    * 3 rounds; the un-jumped propagation loop would need ~200).
+    */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = ClusterMaxIters): (DataFrame, Int) = {
+    var edges = pairs.toDF("src", "dst")
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIters) {
+      // large-star over the symmetric view: m = min(N(u) ∪ {u});
+      // every neighbor v > u re-points at m (m ≤ u < v keeps the
+      // larger→smaller invariant)
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the directed edges: m = min smaller-neighbor;
+      // each smaller neighbor and u itself re-point at m
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ls.join(mins2, "u")
+      val ss = withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val same = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      converged = same
+      rounds += 1
+    }
+    // at fixpoint every non-center points straight at its component
+    // min; isolated nodes label themselves
+    val labels = nodes.toDF("doc_id")
+      .join(edges.select(col("u").as("doc_id"), col("v").as("ctr")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ctr"), col("doc_id")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** [[ddClusters]] semantics computed by [[connectedComponentsStar]]
+    * — identical output (same oracle SQL), adversarial-graph-safe
+    * mechanism. Ships as its own query so the fallback is
+    * hash-verified end-to-end, not just property-tested.
+    */
+  def ddClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ddMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val (labels, _) = connectedComponentsStar(
+      docs(spark, sfDir).select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle: transitive closure of "label reachable along an edge" as a
     * recursive CTE, then MIN per doc — the same fixpoint the Spark loop
     * converges to.

@@ -182,4 +182,66 @@ class PropertySpec extends SparkSpec {
       assert(batch.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  /** Exact union-find ground truth for component labeling. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def starLabels(n: Int, edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponentsStar(nodes, pairs)
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("large-star/small-star components equal union-find on random graphs") {
+    for (seed <- Seq(1, 7, 13)) {
+      val r = new Random(seed)
+      val n = 60
+      val edges = Seq.fill(50)(
+        (r.nextInt(n).toLong, r.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val (got, _) = starLabels(n, edges)
+      assert(got == unionFind(n, edges), s"seed $seed")
+    }
+  }
+
+  test("large-star/small-star collapses a 200-node path in O(log n) rounds") {
+    val n = 200
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val (got, rounds) = starLabels(n, edges)
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+    info(s"path(200) converged in $rounds rounds")
+    // the whole point of the fallback: a diameter-200 chain must NOT
+    // take ~diameter rounds
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
+  test("large-star/small-star handles cliques, isolated nodes, empty graphs") {
+    // two 5-cliques + 3 isolated nodes
+    val clique = (base: Long) => for {
+      i <- 0 until 5; j <- i + 1 until 5
+    } yield (base + i, base + j)
+    val edges = clique(0L) ++ clique(5L)
+    val (got, _) = starLabels(13, edges)
+    assert(got == unionFind(13, edges))
+    val (empty, rounds0) = starLabels(4, Seq.empty)
+    assert(empty == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(rounds0 == 0)
+  }
 }
