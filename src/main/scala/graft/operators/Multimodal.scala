@@ -9,11 +9,17 @@ import graft.operators.TextAnalysis.docs
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus a decode/feature-extract stage.
   *
-  * No codec libraries exist in this environment, so the decode step is
-  * STUBBED with deterministic fakes — but everything Spark-side is real
-  * and tested: the binary column representation, the metadata schema,
-  * the partition-preserving batched `mapPartitions` shape (the Scala
-  * twin of a `mapInPandas` batch UDF), and the feature-vector output
+  * IMAGE decode is REAL (round 6): [[imageSig]] decodes container
+  * bytes with JDK-built-in `javax.imageio` (PNG/JPEG/GIF/BMP — no new
+  * dependencies) and perceptual-hashes actual pixels; bytes that
+  * aren't a decodable image fall back to the byte-level stub, which
+  * is also the oracle fixture's path (text bytes never decode, so the
+  * hash-checked text-twin semantics are untouched). Audio/video
+  * decode remains STUBBED with deterministic fakes — this environment
+  * ships no such codecs — but everything Spark-side is real and
+  * tested: the binary column representation, the metadata schema, the
+  * partition-preserving batched `mapPartitions` shape (the Scala twin
+  * of a `mapInPandas` batch UDF), and the feature-vector output
   * schema an embedding/indexing stage would consume.
   *
   * The media table is derived from `documents` (text → UTF-8 bytes) so
@@ -263,39 +269,112 @@ FROM documents ORDER BY doc_id"""
   case class MediaSig(doc_id: Long, media_type: String, n_bytes: Int,
       sig: Long)
 
-  /** Blockhash-style signature in the imperative decode stage (where a
-    * real pHash's decode → downscale → DCT would run): bytes fold into
-    * [[PhashBits]] positional block sums in one pass, bit k set iff
-    * block k exceeds the mean — integer comparisons only
-    * (60·s_k > total), so the fake stays bit-reproducible in the
-    * oracle, which re-derives it from the text twin.
+  /** Luminance-grid perceptual hash grid: 10×6 = [[PhashBits]] blocks. */
+  private val PhashGridW = 10
+  private val PhashGridH = 6
+
+  /** REAL image decode (JDK-built-in `javax.imageio` — no new deps):
+    * container bytes → pixels → area-averaged 10×6 luminance grid →
+    * blockhash (bit k set iff block k's mean luminance exceeds the
+    * global mean; the comparison is the integer cross-product form
+    * `s_k·n > total·n_k`, so the signature is bit-reproducible — no
+    * float thresholds). Returns None when the bytes are not a
+    * decodable image (wrong magic, truncated container), which is the
+    * honest no-codec fallback boundary: callers drop to the byte-
+    * level stub, and the text-derived oracle fixture (never decodable)
+    * keeps its exact text-twin semantics.
+    *
+    * Per-pixel work is one `getRGB` + integer multiply-adds; block
+    * sums hold ≤ 255000·pixels so Long headroom lasts to ~10⁹-pixel
+    * images. `MultimodalSpec` pins decode(encode(x)) stability on
+    * deterministic PNGs and near-dup recovery on perturbed copies.
     */
+  private[graft] def imageSig(content: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None } // valid magic, corrupt body
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val sums = new Array[Long](PhashBits)
+      val cnts = new Array[Long](PhashBits)
+      var y = 0
+      while (y < h) {
+        val by = y * PhashGridH / h
+        var x = 0
+        while (x < w) {
+          val bx = x * PhashGridW / w
+          val rgb = im.getRGB(x, y)
+          // integer Rec.601 luma ×1000: 299R + 587G + 114B
+          val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114).toLong
+          val k = by * PhashGridW + bx
+          sums(k) += lum
+          cnts(k) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = sums.sum
+      val n = cnts.sum
+      var sig = 0L
+      var k = 0
+      while (k < PhashBits) {
+        if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) sig |= 1L << k
+        k += 1
+      }
+      sig
+    }
+  }
+
+  /** Byte-level blockhash — the no-codec fallback (and the oracle's
+    * exact text-twin semantics): bytes fold into [[PhashBits]]
+    * positional block sums in one pass, bit k set iff block k exceeds
+    * the mean — integer comparisons only (60·s_k > total).
+    */
+  private[graft] def byteSig(content: Array[Byte]): Long = {
+    val sums = new Array[Long](PhashBits)
+    var i = 0
+    while (i < content.length) {
+      sums(i % PhashBits) += (content(i) & 0xff).toLong
+      i += 1
+    }
+    val total = sums.sum
+    var sig = 0L
+    var k = 0
+    while (k < PhashBits) {
+      if (PhashBits * sums(k) > total) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** The signature stage over any media table: batched mapPartitions,
+    * real `javax.imageio` decode for image rows (falling back to
+    * [[byteSig]] when the bytes aren't a decodable image), byte-level
+    * blockhash for media types this environment has no codec for.
+    */
+  private[graft] def signaturesOf(
+      media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val sig =
+            if (r.media_type == "image")
+              imageSig(r.content).getOrElse(byteSig(r.content))
+            else byteSig(r.content)
+          MediaSig(r.doc_id, r.media_type, r.content.length, sig)
+        }
+      }
+    }.toDF()
+  }
+
   private def signatures(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
-      .mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          batch.iterator.map { r =>
-            // STUB boundary: a real codec + perceptual hash consumes
-            // r.content here; the banding below is representation-
-            // agnostic and survives the swap.
-            val sums = new Array[Long](PhashBits)
-            var i = 0
-            while (i < r.content.length) {
-              sums(i % PhashBits) += (r.content(i) & 0xff).toLong
-              i += 1
-            }
-            val total = sums.sum
-            var sig = 0L
-            var k = 0
-            while (k < PhashBits) {
-              if (PhashBits * sums(k) > total) sig |= 1L << k
-              k += 1
-            }
-            MediaSig(r.doc_id, r.media_type, r.content.length, sig)
-          }
-        }
-      }.toDF()
+    signaturesOf(mediaTable(spark, sfDir).as[MediaRecord])
   }
 
   /** Per-item signature table — the index a media pipeline persists. */
@@ -342,8 +421,13 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
     * all-pairs. The hamming filter runs BEFORE the pair distinct so
     * the distinct shuffles only qualifying pairs.
     */
-  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatures(spark, sfDir)
+  def mmNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsOf(signatures(spark, sfDir))
+
+  /** The banded pairing over any signature table (shared by the query
+    * path and the real-PNG spec path).
+    */
+  private[graft] def nearDupPairsOf(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band"),
