@@ -13,10 +13,12 @@ import graft.schema.Schemas
   *
   * The transport is injected (`(url, params) => response body`), so the
   * network client is a constructor argument, not a code path: production
-  * passes a real HTTP client, tests pass a canned-response fake
-  * (SourceSpec) — proving the "swap the live connector in" seam is one
-  * class with zero changes downstream. No HTTP client library ships in
-  * this environment, hence no default transport.
+  * passes a real HTTP client wrapped in [[AuthedTransport]] (which adds
+  * the credential headers from [[LiveConfig]] and the documented
+  * 429/5xx retry/backoff policy), tests pass a canned-response fake
+  * (SourceSpec, Dsv2SourceSpec) — proving the "swap the live connector
+  * in" seam is one class with zero changes downstream. No HTTP client
+  * library ships in this environment, hence no default transport.
   *
   * Extraction is driver-side by nature, mirroring the reference:
   * listing pagination is sequential (each page's `after` cursor feeds

@@ -46,8 +46,24 @@ object RedditTableProvider {
   val rawPostsSchema: StructType = Schemas.rawPosts
 }
 
-private[v2] class RedditTable(props: Map[String, String])
+private[graft] class RedditTable(props: Map[String, String])
     extends Table with SupportsRead {
+
+  /** Credential/options seam (round 6): the same DSv2 options map that
+    * configures the dump binding carries `client_id`/`client_secret`/
+    * `user_agent` (env-var fallback) for a live binding — resolved
+    * here so `spark.read.format(...).option("client_id", …)` is the
+    * whole user surface. A live reader factory wraps its HTTP client
+    * in [[graft.source.AuthedTransport]] with this config (auth
+    * headers + the documented 429/5xx backoff policy); the offline
+    * reader ignores it. Untestable against the real service in this
+    * environment — Dsv2SourceSpec pins resolution order and header
+    * injection with fakes.
+    */
+  private[graft] def liveConfig(
+      env: String => Option[String] = k => sys.env.get(k))
+      : Option[graft.source.LiveConfig] =
+    graft.source.LiveConfig.fromOptions(props, env)
 
   override def name(): String =
     s"reddit(${props.getOrElse("subreddit", "*")})"

@@ -118,4 +118,107 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(r.getAs[Int]("title_length") == 3)
     assert(r.getAs[String]("score_category") == "Medium") // score 50
   }
+
+  // ---- live-API credential/options seam -----------------------------
+
+  import graft.source.{AuthedTransport, HttpResponse, LiveConfig}
+
+  private def tableWith(props: Map[String, String]) = {
+    val p = new graft.source.v2.RedditTableProvider
+    p.getTable(graft.source.v2.RedditTableProvider.rawPostsSchema,
+        Array.empty, new java.util.HashMap[String, String] {
+          props.foreach { case (k, v) => put(k, v) }
+        })
+      .asInstanceOf[graft.source.v2.RedditTable]
+  }
+
+  test("live options resolve: option beats env, env fills gaps, no creds = no config") {
+    val env = Map("REDDIT_CLIENT_ID" -> "env-id",
+      "REDDIT_CLIENT_SECRET" -> "env-secret",
+      "REDDIT_USER_AGENT" -> "env-agent")
+    // option wins over env
+    val fromOpts = tableWith(Map("client_id" -> "opt-id",
+      "client_secret" -> "opt-secret", "user_agent" -> "opt-agent"))
+      .liveConfig(env.get).get
+    assert(fromOpts.clientId == "opt-id" &&
+      fromOpts.clientSecret == "opt-secret" &&
+      fromOpts.userAgent == "opt-agent")
+    // env fills what options omit
+    val fromEnv = tableWith(Map("client_id" -> "opt-id"))
+      .liveConfig(env.get).get
+    assert(fromEnv.clientSecret == "env-secret" &&
+      fromEnv.userAgent == "env-agent")
+    // both credentials absent -> offline binding, no config
+    assert(tableWith(Map("user_agent" -> "x"))
+      .liveConfig(_ => None).isEmpty)
+    // user_agent has a default; retry knobs are option-tunable
+    val tuned = tableWith(Map("client_id" -> "i", "client_secret" -> "s",
+      "max_retries" -> "2", "backoff_ms" -> "100")).liveConfig(_ => None).get
+    assert(tuned.userAgent == LiveConfig.DefaultUserAgent &&
+      tuned.maxRetries == 2 && tuned.baseBackoffMs == 100L)
+  }
+
+  test("AuthedTransport injects Basic auth + User-Agent on every request") {
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, String], Map[String, String])]
+    val cfg = LiveConfig("my-id", "my-secret", "my-agent", 5, 1000L, 60000L)
+    val t = new AuthedTransport((url, params, headers) => {
+      seen += ((url, params, headers)); HttpResponse(200, "ok")
+    }, cfg, _ => ())
+    assert(t("http://x/r/a.json", Map("limit" -> "5")) == "ok")
+    val (_, params, headers) = seen.head
+    assert(params == Map("limit" -> "5"))
+    val expectAuth = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("my-id:my-secret".getBytes("UTF-8"))
+    assert(headers("Authorization") == expectAuth)
+    assert(headers("User-Agent") == "my-agent")
+  }
+
+  test("AuthedTransport retry policy: 429 honors Retry-After, 5xx backs off, 4xx fails fast") {
+    val cfg = LiveConfig("i", "s", "a", maxRetries = 3,
+      baseBackoffMs = 100L, maxBackoffMs = 60000L)
+    // 429 with Retry-After: server delay wins over the backoff curve
+    var slept = Seq.empty[Long]
+    var calls = 0
+    val t1 = new AuthedTransport((_, _, _) => {
+      calls += 1
+      if (calls < 3) HttpResponse(429, "", Map("Retry-After" -> "2"))
+      else HttpResponse(200, "done")
+    }, cfg, ms => slept :+= ms)
+    assert(t1("u", Map.empty) == "done")
+    assert(calls == 3 && slept == Seq(2000L, 2000L))
+    // 503 without Retry-After: exponential 100, 200, 400 then give up
+    slept = Seq.empty; calls = 0
+    val t2 = new AuthedTransport((_, _, _) => {
+      calls += 1; HttpResponse(503, "")
+    }, cfg, ms => slept :+= ms)
+    intercept[java.io.IOException](t2("u", Map.empty))
+    assert(calls == 4 && slept == Seq(100L, 200L, 400L)) // maxRetries+1 calls
+    // 401 (bad credential): fail fast, zero retries
+    calls = 0
+    val t3 = new AuthedTransport((_, _, _) => {
+      calls += 1; HttpResponse(401, "")
+    }, cfg, _ => fail("must not sleep on 4xx"))
+    intercept[java.io.IOException](t3("u", Map.empty))
+    assert(calls == 1)
+  }
+
+  test("HttpApiSource runs end-to-end through an AuthedTransport") {
+    val cfg = LiveConfig("i", "s", "agent", 3, 10L, 100L)
+    val listing =
+      """{"data":{"after":null,"children":[{"data":{"id":"p9","title":"t",
+        |"author":"a","subreddit":"python","score":3,"upvote_ratio":0.5,
+        |"num_comments":0,"created_utc":1735725600,"selftext":"x","url":"u",
+        |"is_video":false,"is_original_content":false,"over_18":false,
+        |"stickied":false,"locked":false}}]}}""".stripMargin.replace("\n", "")
+    var authed = 0
+    val transport = new AuthedTransport((_, _, headers) => {
+      if (headers.contains("Authorization")) authed += 1
+      HttpResponse(200, listing)
+    }, cfg, _ => ())
+    val src = new graft.source.HttpApiSource(transport)
+    val rows = src.fetchPosts(spark, "python", limit = 5, sort = "hot").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq == Seq("p9"))
+    assert(authed == 1) // the page fetch carried the auth headers
+  }
 }
