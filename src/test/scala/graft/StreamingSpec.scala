@@ -78,6 +78,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer is state-backend independent: RocksDB matches HDFS-backed results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // run the gap-close + timeout-flush scenario under a given state
+    // store provider; return the emitted session rows
+    def run(name: String, provider: Option[String]): Set[Seq[Any]] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val mem = MemoryStream[(Timestamp, Long, Double)]
+        val q = StreamingStats.sessionizeStream(
+            mem.toDF().toDF("ts", "user_id", "value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          mem.addData(
+            (Timestamp.valueOf("2025-03-01 10:00:00"), 1L, 1.5),
+            (Timestamp.valueOf("2025-03-01 10:05:00"), 1L, 2.25))
+          q.processAllAvailable()
+          mem.addData((Timestamp.valueOf("2025-03-01 10:45:00"), 1L, 4.0))
+          q.processAllAvailable()
+          mem.addData((Timestamp.valueOf("2025-03-02 10:00:00"), 2L, 1.0))
+          q.processAllAvailable()
+          mem.addData() // timeout fires on the trigger after the advance
+          q.processAllAvailable()
+          spark.table(name)
+            .select("user_id", "session_id", "n_events", "duration_sec",
+              "session_value")
+            .collect().map(_.toSeq).toSet
+        } finally q.stop()
+      } finally {
+        provider.foreach(_ =>
+          prev.fold(spark.conf.unset(key))(spark.conf.set(key, _)))
+      }
+    }
+    val rocks = run("sess_rocks", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val default = run("sess_hdfs", None)
+    assert(rocks.nonEmpty && rocks == default,
+      s"backends disagree: rocks=$rocks default=$default")
+    // both backends must have emitted the closed gap session AND the
+    // timeout-flushed session for user 1
+    assert(rocks.count(_.head == 1L) == 2)
+  }
+
   test("sessionizer keeps ordinal continuity across a timeout flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
