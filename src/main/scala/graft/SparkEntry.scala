@@ -45,6 +45,7 @@ object SparkEntry {
     "ta_keywords" -> (TextAnalysis.taKeywords _),
     "ta_rarity" -> (TextAnalysis.taRarity _),
     "ta_colloc" -> (TextAnalysis.taColloc _),
+    "ta_readability" -> (TextAnalysis.taReadability _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "ev_mad" -> (TimeSeries.evMad _),
     "ev_forecast" -> (TimeSeries.evForecast _),
     "ev_active_users" -> (TimeSeries.evActiveUsers _),
+    "ev_paths" -> (TimeSeries.evPaths _),
     "ev_json" -> (Analytics.evJson _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
@@ -146,6 +148,7 @@ object SparkEntry {
     "ta_keywords" -> TextAnalysis.taKeywordsSql,
     "ta_rarity" -> TextAnalysis.taRaritySql,
     "ta_colloc" -> TextAnalysis.taCollocSql,
+    "ta_readability" -> TextAnalysis.taReadabilitySql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -181,6 +184,7 @@ object SparkEntry {
     "ev_mad" -> TimeSeries.evMadSql,
     "ev_forecast" -> TimeSeries.evForecastSql,
     "ev_active_users" -> TimeSeries.evActiveUsersSql,
+    "ev_paths" -> TimeSeries.evPathsSql,
     "ev_json" -> Analytics.evJsonSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,

@@ -440,4 +440,60 @@ JOIN uni ub ON ub.tok = k.b
 CROSS JOIN n
 WHERE k.rank <= $CollocTopK
 ORDER BY k.rank"""
+
+  // ------------------------------------------------------------------
+  // ta_readability — per-doc readability scoring (Flesch reading ease)
+  // ------------------------------------------------------------------
+
+  /** Per-document readability: sentence/word/syllable counters and the
+    * Flesch reading-ease score — the classic curation signal for
+    * audience-level bucketing of a training corpus.
+    *
+    * Everything upstream of the final score is an INTEGER regexp
+    * count (codegen'd `RegExpCount`, map-only — the ta_* posture):
+    * sentences = runs of terminal punctuation (floored at 1 so
+    * unterminated fragments count as one sentence), words = the
+    * shared whitespace tokenizer, syllables = vowel-group runs (the
+    * standard dictionary-free heuristic). Floats appear only in the
+    * last projection, in oracle-identical order/associativity, and
+    * round through [[r6]].
+    */
+  def taReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val words = size(tokens(col("text")))
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        sentences.as("n_sentences"), words.as("n_words"),
+        syllables.as("n_syllables"))
+      .select(
+        col("doc_id"),
+        col("n_sentences"), col("n_words"), col("n_syllables"),
+        r6(col("n_words").cast("double") / col("n_sentences"))
+          .as("words_per_sentence"),
+        r6(col("n_syllables").cast("double") / col("n_words"))
+          .as("syllables_per_word"),
+        r6(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taReadabilitySql: String = {
+    val sentences = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val syllables = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    val wps = s"(CAST($words AS DOUBLE) / $sentences)"
+    val spw = s"(CAST($syllables AS DOUBLE) / $words)"
+    s"""
+SELECT doc_id,
+  CAST($sentences AS INTEGER) AS n_sentences,
+  CAST($words AS INTEGER) AS n_words,
+  CAST($syllables AS INTEGER) AS n_syllables,
+  ${r6Sql(wps)} AS words_per_sentence,
+  ${r6Sql(spw)} AS syllables_per_word,
+  ${r6Sql(s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * $wps - CAST(84.6 AS DOUBLE) * $spw")} AS flesch
+FROM documents ORDER BY doc_id"""
+  }
 }

@@ -711,4 +711,69 @@ SELECT CAST(DATE '1970-01-01' + dau.day_num AS VARCHAR) AS day,
     AS stickiness
 FROM dau JOIN wau ON wau.td = dau.day_num
 ORDER BY day"""
+
+  // ------------------------------------------------------------------
+  // ev_paths — top event-sequence trigrams (path analysis)
+  // ------------------------------------------------------------------
+
+  /** How many path rows to report. */
+  val PathTopK = 25
+
+  /** Most common 3-step event-type sequences across user journeys —
+    * the "what do users do next" product-analytics query, and the
+    * event-stream cousin of [[TextAnalysis.taColloc]]'s bigram mining.
+    *
+    * Shape: ONE shuffle on user_id serves both lead() steps (same
+    * window partitioning), trigram rows partial-agg to an
+    * event-type³-bounded table, and the global top-k orders that tiny
+    * aggregate — never the event stream. Ordering within a user is
+    * (ts, event_id): a total order, so lead() is deterministic under
+    * any parallelism (ts alone ties on same-second events). Ranking
+    * ties break lexicographically on the path — counts are integers,
+    * nothing float-ordered (the ta_colloc rule).
+    */
+  def evPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+        col("e3").as("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+    val w = Window.orderBy(col("n_paths").desc, col("s1"), col("s2"),
+      col("s3"))
+    counts
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+      .limit(PathTopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"),
+        concat_ws(" > ", col("s1"), col("s2"), col("s3")).as("path"),
+        col("n_paths"))
+      .orderBy(col("rank"))
+  }
+
+  val evPathsSql: String = s"""
+WITH steps AS (
+  SELECT event_type AS s1,
+    lead(event_type, 1) OVER w AS s2,
+    lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT s1, s2, s3, COUNT(*) AS n_paths
+  FROM steps WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+  GROUP BY s1, s2, s3
+), ranked AS (
+  SELECT s1, s2, s3, n_paths,
+    row_number() OVER (ORDER BY n_paths DESC, s1, s2, s3) AS rank
+  FROM paths
+)
+SELECT CAST(rank AS INTEGER) AS rank,
+  s1 || ' > ' || s2 || ' > ' || s3 AS path, n_paths
+FROM ranked WHERE rank <= $PathTopK ORDER BY rank"""
 }

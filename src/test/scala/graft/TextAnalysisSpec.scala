@@ -92,4 +92,31 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(5) == mean, s"mean: $r")
     }
   }
+
+  test("ta_readability counters match a JVM regex recompute") {
+    import java.util.regex.Pattern
+    def count(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    val sentP = Pattern.compile("[.!?]+")
+    val sylP = Pattern.compile("[aeiouy]+")
+    val got = TextAnalysis.taReadability(spark, sf("sf0.01")).collect()
+    val texts = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val t = texts(r.getLong(0))
+      val sentences = math.max(count(sentP, t), 1)
+      val words = t.trim.split("\\s+").length
+      val syllables = count(sylP, t.toLowerCase)
+      assert(r.getAs[Int]("n_sentences") == sentences, s"sent: $r")
+      assert(r.getAs[Int]("n_words") == words, s"words: $r")
+      assert(r.getAs[Int]("n_syllables") == syllables, s"syl: $r")
+      // the score is a pure function of the three counters
+      val flesch = 206.835 - 1.015 * (words.toDouble / sentences) -
+        84.6 * (syllables.toDouble / words)
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-6, s"flesch: $r")
+    }
+  }
 }

@@ -260,6 +260,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_paths matches a brute-force per-user trigram count") {
+    val events = graft.streaming.StreamingStats
+      .events(spark, sf("sf0.01"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3)))
+    val want = events.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    // tiebreak on the component TUPLE (the operator's contract), then
+    // render — concat order and tuple order can differ on prefixes
+    val wantTop = want.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(TimeSeries.PathTopK)
+      .map { case ((a, b, c), n) => (s"$a > $b > $c", n) }
+    val got = TimeSeries.evPaths(spark, sf("sf0.01")).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_paths")))
+    assert(got.toSeq == wantTop, s"got ${got.take(3).toSeq}…")
+  }
+
+  test("ev_paths top-k window runs over the aggregate, not the event stream") {
+    val plan = TimeSeries.evPaths(spark, sf("sf0.01"))
+      .queryExecution.optimizedPlan.toString
+    // the global rank must consume a Limit of the aggregated paths —
+    // the plan shape that keeps the single-partition step k-bounded
+    assert(plan.contains("Limit"), s"expected a Limit below the rank:\n$plan")
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
