@@ -92,5 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_rep_stats(s) - [n_tokens, top_count, n_2grams, " +
           "distinct_2grams, n_3grams, distinct_3grams] of a string"),
       RepetitionStats.build _))
+
+    // whole-operator planning: logical TopKPerGroup → partial+final
+    // bounded-heap execs (plans/TopKPerGroup.scala). Sessions built
+    // without extensions get the same strategy via TopK.setup.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -89,6 +89,9 @@ object SparkEntry {
     "ev_forecast" -> (TimeSeries.evForecast _),
     "ev_active_users" -> (TimeSeries.evActiveUsers _),
     "ev_paths" -> (TimeSeries.evPaths _),
+    // executed by the custom TopKPerGroup physical operator — the
+    // oracle row hash-verifies the whole custom-plan ladder
+    "ev_topk" -> (TimeSeries.evTopk _),
     "ev_json" -> (Analytics.evJson _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
@@ -185,6 +188,7 @@ object SparkEntry {
     "ev_forecast" -> TimeSeries.evForecastSql,
     "ev_active_users" -> TimeSeries.evActiveUsersSql,
     "ev_paths" -> TimeSeries.evPathsSql,
+    "ev_topk" -> TimeSeries.evTopkSql,
     "ev_json" -> Analytics.evJsonSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,

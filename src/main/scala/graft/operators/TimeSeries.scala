@@ -776,4 +776,49 @@ WITH steps AS (
 SELECT CAST(rank AS INTEGER) AS rank,
   s1 || ' > ' || s2 || ' > ' || s3 AS path, n_paths
 FROM ranked WHERE rank <= $PathTopK ORDER BY rank"""
+
+  // ------------------------------------------------------------------
+  // ev_topk — top-k events per group via the CUSTOM physical operator
+  // ------------------------------------------------------------------
+
+  /** Rows kept per (event_type, day). */
+  val TopKPerDay = 5
+
+  /** The k highest-value events per (event_type, day) — executed by
+    * the custom [[graft.plans.TopKPerGroup]] plan (logical node →
+    * strategy → partial+final bounded-heap execs), NOT a window: the
+    * shuffle carries ≤ k·groups rows per input partition instead of
+    * the event stream, and no per-group sort ever runs (TopKSpec
+    * measures the shuffle-row bound and pins equality with the
+    * declarative window form; this oracle row hash-verifies the
+    * operator end-to-end). Order is (cents DESC, event_id) — total,
+    * so ranks are deterministic; cents (exact long) is the published
+    * value column, the engine-wide float posture.
+    */
+  def evTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.plans.TopK.perGroup(ev, Seq("event_type", "day"),
+        Seq("cents" -> true, "event_id" -> false), TopKPerDay)
+      .select(col("event_type"), col("day"), col("rank"),
+        col("event_id"), col("user_id"), col("cents"))
+      .orderBy(col("event_type"), col("day"), col("rank"))
+  }
+
+  val evTopkSql: String = s"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, day ORDER BY cents DESC, event_id) AS rank
+  FROM e
+)
+SELECT event_type, day, CAST(rank AS INTEGER) AS rank,
+  event_id, user_id, cents
+FROM r WHERE rank <= $TopKPerDay ORDER BY event_type, day, rank"""
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.{TopK, TopKPerGroupExec}
+
+/** The custom whole-operator plan: logical TopKPerGroup → partial +
+  * final bounded-heap execs via the injected strategy.
+  */
+class TopKSpec extends SparkSpec {
+
+  private def events = graft.streaming.StreamingStats
+    .events(spark, sf("sf0.01"))
+    .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  test("TopK.perGroup equals the declarative window-rank form") {
+    val got = TopK.perGroup(events, Seq("event_type", "day"),
+      Seq("cents" -> true, "event_id" -> false), k = 5)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("cents").desc, col("event_id"))
+    val want = events.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("TopK plans partial+final heap execs and k-bounds the exchange") {
+    val df = TopK.perGroup(events, Seq("event_type", "day"),
+      Seq("cents" -> true, "event_id" -> false), k = 5)
+    df.collect() // materialize so AQE finalizes and metrics fill
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // AQE wraps stages in leaf QueryStageExec nodes — flatten through
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(plan)
+    val execs = nodes.collect { case e: TopKPerGroupExec => e }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final pair:\n$plan")
+    // the final phase sits above the exchange, the partial below it —
+    // so the shuffle moves only per-partition survivors
+    val s = plan.toString
+    val finalIdx = s.indexOf("TopKPerGroup")
+    val exIdx = s.indexOf("Exchange", finalIdx)
+    assert(finalIdx >= 0 && exIdx > finalIdx &&
+      s.indexOf("TopKPerGroup", exIdx) > exIdx,
+      s"expected final above Exchange above partial:\n$s")
+    // no Window or Sort anywhere — the heaps replace both
+    assert(!s.contains("Window") && !s.contains("Sort "),
+      s"rank must not plan a Window/Sort:\n$s")
+    // map-side k-bounding, measured: the shuffle carries the partial
+    // survivors (<= inputPartitions * groups * k), never the stream
+    val exchange = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.head
+    val shuffled = exchange.metrics("shuffleRecordsWritten").value
+    val groups = events.select(col("event_type"), col("day"))
+      .distinct().count()
+    val inputParts = events.rdd.getNumPartitions
+    val total = events.count()
+    assert(shuffled <= inputParts * groups * 5,
+      s"shuffled $shuffled of $total rows")
+    assert(shuffled < total, "map-side pass must shrink the shuffle")
+  }
+
+  test("TopK ranks are 1..k per group under the total order") {
+    val rows = TopK.perGroup(events, Seq("event_type", "day"),
+      Seq("cents" -> true, "event_id" -> false), k = 3)
+      .select(col("event_type"), col("day"), col("rank"), col("cents"))
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (g, rs) =>
+        val byRank = rs.sortBy(_.getAs[Int]("rank"))
+        assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+          (1 to byRank.length).toSeq, s"ranks at $g")
+        // rank order must agree with the declared sort order
+        val cents = byRank.map(_.getAs[Long]("cents")).toSeq
+        assert(cents == cents.sorted(Ordering[Long].reverse), s"order at $g")
+    }
+  }
+}
