@@ -104,6 +104,9 @@ object SparkEntry {
     "prof_summary_approx" -> (Analytics.profSummaryApprox _),
     "prof_corr" -> (Analytics.profCorr _),
     "prof_hist" -> (Analytics.profHist _),
+    // frequent-values profile on the custom TopKPerGroup operator
+    "prof_topk" -> (Analytics.profTopk _),
+    "wh_dq" -> (Analytics.whDq _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
     "cp_normalize" -> (Corpus.cpNormalize _),
@@ -196,6 +199,8 @@ object SparkEntry {
     "prof_summary" -> Analytics.profSummarySql,
     "prof_corr" -> Analytics.profCorrSql,
     "prof_hist" -> Analytics.profHistSql,
+    "prof_topk" -> Analytics.profTopkSql,
+    "wh_dq" -> Analytics.whDqSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,
     "cp_pack" -> Corpus.cpPackSql,

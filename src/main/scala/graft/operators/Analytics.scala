@@ -450,4 +450,116 @@ FROM lineitem GROUP BY 1, 2, 3""" }
 ${arms.mkString("\nUNION ALL\n")}
 ORDER BY pair"""
   }
+
+  // ------------------------------------------------------------------
+  // prof_topk — frequent-values profile (top-k values per column)
+  // ------------------------------------------------------------------
+
+  /** Columns profiled for frequent values — int/string only: a double's
+    * text rendering differs between engines, so float columns stay out
+    * of the string-typed `value` channel.
+    */
+  val TopValCols: Seq[String] =
+    Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey")
+
+  val TopValK = 5
+
+  /** Most frequent values per column — the "what's actually in this
+    * column" half of profiling ([[profSummary]] is the "how many"
+    * half). Each branch prunes its scan to one column and partial-aggs
+    * to (value, count); the per-column top-k then runs on the CUSTOM
+    * [[graft.plans.TopKPerGroup]] operator over the aggregated counts
+    * — for a high-cardinality column that input is one row per
+    * distinct value, and the heap pass replaces the per-column sort a
+    * window rank would do (the second production consumer of the
+    * custom plan, after ev_topk). Ties break on the value string —
+    * deterministic on both engines; fixture columns are null-free (the
+    * null-ordering convention difference stays out of play).
+    */
+  def profTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    require(TopValCols.forall(li.columns.contains),
+      s"lineitem is missing one of $TopValCols")
+    val counts = TopValCols.map { c =>
+      li.select(col(c).cast("string").as("value"))
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("column_name"), col("value"), col("cnt"))
+    }.reduce(_.unionByName(_))
+    graft.plans.TopK.perGroup(counts, Seq("column_name"),
+        Seq("cnt" -> true, "value" -> false), TopValK)
+      .select(col("column_name"), col("rank"), col("value"), col("cnt"))
+      .orderBy(col("column_name"), col("rank"))
+  }
+
+  val profTopkSql: String = {
+    val branches = TopValCols.map(c =>
+      s"""SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value,
+  COUNT(*) AS cnt FROM lineitem GROUP BY 2""").mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+$branches
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY column_name ORDER BY cnt DESC, value) AS rank
+  FROM counts
+)
+SELECT column_name, CAST(rank AS INTEGER) AS rank, value, cnt
+FROM r WHERE rank <= $TopValK ORDER BY column_name, rank"""
+  }
+
+  // ------------------------------------------------------------------
+  // wh_dq — referential-integrity / reconciliation audit
+  // ------------------------------------------------------------------
+
+  /** The data-quality audit a warehouse runs after every load: row
+    * counts, key-uniqueness, and referential integrity between the
+    * fact (lineitem), its parent (orders), and the dimension
+    * (customer) — one audit row of exact integers.
+    *
+    * Shape: each check is one scan + partial-agg'd count (the
+    * anti-joins shuffle on the join key and reduce map-side); the
+    * 1-row results cross-join at the end — no driver-side counts, the
+    * whole audit is one job. At 100 TB each check is the cheapest
+    * possible full-table pass and they parallelize as independent
+    * stages.
+    */
+  def whDq(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"))
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"))
+    val nOrders = o.agg(count(lit(1)).as("n_orders"),
+      countDistinct(col("o_orderkey")).as("n_distinct_orderkeys"))
+    val nLi = li.agg(count(lit(1)).as("n_lineitems"))
+    val childless = o.join(li, col("o_orderkey") === col("l_orderkey"),
+      "left_anti").agg(count(lit(1)).as("n_childless_orders"))
+    val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"),
+      "left_anti").agg(count(lit(1)).as("n_orphan_lineitems"))
+    val unknownCust = o.join(c, col("o_custkey") === col("c_custkey"),
+      "left_anti").agg(count(lit(1)).as("n_orders_unknown_customer"))
+    val maxLines = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("max_lines_per_order"))
+    nOrders.crossJoin(nLi).crossJoin(childless).crossJoin(orphans)
+      .crossJoin(unknownCust).crossJoin(maxLines)
+  }
+
+  val whDqSql: String = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct_orderkeys,
+  (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+    AS n_childless_orders,
+  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS n_orphan_lineitems,
+  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS n_orders_unknown_customer,
+  (SELECT MAX(cnt) FROM
+    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey))
+    AS max_lines_per_order"""
 }

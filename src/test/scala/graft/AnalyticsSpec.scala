@@ -57,6 +57,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_topk equals a window-rank recompute per column") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val want = Analytics.TopValCols.map { c =>
+      val w = Window.partitionBy(org.apache.spark.sql.functions.lit(1))
+        .orderBy(col("cnt").desc, col("value"))
+      li.select(col(c).cast("string").as("value"))
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Analytics.TopValK)
+        .select(lit(c).as("column_name"), col("rank"), col("value"), col("cnt"))
+    }.reduce(_.unionByName(_)).collect().map(_.toSeq).toSet
+    val got = Analytics.profTopk(spark, sf("sf0.01"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("wh_dq audit counts match direct recomputes") {
+    val r = Analytics.whDq(spark, sf("sf0.01")).collect().head
+    val o = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    assert(r.getAs[Long]("n_orders") == o.count())
+    assert(r.getAs[Long]("n_lineitems") == li.count())
+    // fixture invariants the audit must reproduce exactly
+    assert(r.getAs[Long]("n_distinct_orderkeys") == r.getAs[Long]("n_orders"))
+    assert(r.getAs[Long]("n_orphan_lineitems") ==
+      li.count() - li.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_semi").count())
+    assert(r.getAs[Long]("n_childless_orders") ==
+      o.count() - o.join(li, col("o_orderkey") === col("l_orderkey"),
+        "left_semi").count())
+    assert(r.getAs[Long]("max_lines_per_order") >= 1L)
+  }
+
   test("wh_scd2 intervals partition each customer's timeline") {
     val rows = Analytics.whScd2(spark, sf("sf0.01")).collect()
       .groupBy(_.getLong(0))
