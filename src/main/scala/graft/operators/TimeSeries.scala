@@ -786,14 +786,16 @@ FROM ranked WHERE rank <= $PathTopK ORDER BY rank"""
 
   /** The k highest-value events per (event_type, day) — executed by
     * the custom [[graft.plans.TopKPerGroup]] plan (logical node →
-    * strategy → partial+final bounded-heap execs), NOT a window: the
-    * shuffle carries ≤ k·groups rows per input partition instead of
-    * the event stream, and no per-group sort ever runs (TopKSpec
-    * measures the shuffle-row bound and pins equality with the
-    * declarative window form; this oracle row hash-verifies the
-    * operator end-to-end). Order is (cents DESC, event_id) — total,
-    * so ranks are deterministic; cents (exact long) is the published
-    * value column, the engine-wide float posture.
+    * strategy → partial+final bounded-heap execs): the shuffle
+    * carries ≤ k·groups rows per input partition and NO sort or
+    * Window operator runs anywhere — Spark's own WindowGroupLimit
+    * matches the shuffle bound but pays two full sorts + the Window
+    * rank machinery (see plans/TopKPerGroup.scala; TopKSpec measures
+    * the shuffle-row bound and pins equality with the declarative
+    * window form; this oracle row hash-verifies the operator
+    * end-to-end). Order is (cents DESC, event_id) — total, so ranks
+    * are deterministic; cents (exact long) is the published value
+    * column, the engine-wide float posture.
     */
   def evTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = StreamingStats.events(spark, sfDir)

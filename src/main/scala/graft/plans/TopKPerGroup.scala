@@ -14,14 +14,7 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator custom planning (the SURVEY §2 preference ladder's
-  * rung (c), and the one genuinely Window-shaped operator Spark plans
-  * suboptimally): top-k rows per group.
-  *
-  * The declarative form — `row_number() OVER (PARTITION BY g ORDER BY
-  * o) <= k` — makes Spark shuffle EVERY input row on `g` and fully
-  * sort each partition (O(n log n), full materialization) just to
-  * throw away all but k·groups rows. This operator plans the same
-  * semantics as two bounded-heap passes:
+  * rung (c)): top-k rows per group as two bounded-heap passes:
   *
   *   partial: per input partition, one k-heap per group (no
   *            distribution requirement, runs map-side) → emits
@@ -30,11 +23,14 @@ import org.apache.spark.sql.types.IntegerType
   *            inserts the Exchange), merges the surviving rows
   *            through the same k-heaps, emits rank 1..k per group.
   *
-  * The shuffle carries ≤ k·groups rows per input partition instead of
-  * the whole relation — at 100 TB with k=5 that is the difference
-  * between shuffling 100 TB and shuffling megabytes. CPU is
-  * O(n log k) heap pushes instead of a sort. Memory per task is
-  * bounded by (groups-in-partition)·k rows.
+  * Honest baseline (plan-pinned in TopKSpec): Spark 4's inferred
+  * partial WindowGroupLimit already k-bounds the declarative
+  * `row_number() <= k` shuffle — but only by FULLY SORTING every
+  * input partition first, then sorting again and running the Window
+  * rank machinery after the exchange. This operator's win is CPU and
+  * memory, not shuffle volume: O(n log k) heap pushes replace both
+  * sorts, no Window runs at all, and task memory is bounded at
+  * (groups-in-partition)·k rows by construction.
   *
   * Rank semantics are `row_number` over the TOTAL order given by the
   * caller's SortOrders — callers must include a tiebreak (the
