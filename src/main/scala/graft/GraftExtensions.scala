@@ -97,5 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded-heap execs (plans/TopKPerGroup.scala). Sessions built
     // without extensions get the same strategy via TopK.setup.
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // ...and the Rule[LogicalPlan] rung: declarative row_number()<=k
+    // filters rewrite to the custom node (plans/RankFilterToTopK.scala)
+    ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }

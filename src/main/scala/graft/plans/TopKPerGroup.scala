@@ -170,6 +170,24 @@ object TopK {
         TopKStrategy +: s.experimental.extraStrategies
   }
 
+  /** Also enable the [[RankFilterToTopK]] optimizer rewrite, so
+    * declarative `row_number() <= k` filters plan as TopKPerGroup
+    * without code changes. Idempotent; [[disableRewrite]] undoes it.
+    */
+  def enableRewrite(spark: SparkSession): Unit = {
+    setup(spark)
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(RankFilterToTopK))
+      s.experimental.extraOptimizations =
+        RankFilterToTopK +: s.experimental.extraOptimizations
+  }
+
+  def disableRewrite(spark: SparkSession): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filterNot(_ == RankFilterToTopK)
+  }
+
   /** Top-k rows per group as a DataFrame. `orderSpecs` are
     * (columnName, descending) pairs and must form a TOTAL order
     * (include a tiebreak) — ranks are `row_number` semantics over it;

@@ -82,6 +82,48 @@ class TopKSpec extends SparkSpec {
     assert(shuffled < total, "map-side pass must shrink the shuffle")
   }
 
+  test("RankFilterToTopK rewrites declarative rank filters to the custom plan") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("cents").desc, col("event_id"))
+    def declarative() = events
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    // baseline results with the rule OFF
+    val want = declarative().collect().map(_.toSeq).toSet
+    TopK.enableRewrite(spark)
+    try {
+      val df = declarative()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerGroup") &&
+        !optimized.contains("Window"),
+        s"rewrite must replace the Window:\n$optimized")
+      assert(df.collect().map(_.toSeq).toSet == want)
+      // residual conjuncts survive as a Filter above the rewrite
+      val mixed = events
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("user_id") =!= 0L)
+      val mixedPlan = mixed.queryExecution.optimizedPlan.toString
+      assert(mixedPlan.contains("TopKPerGroup") &&
+        mixedPlan.contains("Filter"), s"residual filter lost:\n$mixedPlan")
+      val wantMixed = want.filter(r =>
+        r(5).asInstanceOf[Int] <= 3 && r(3).asInstanceOf[Long] != 0L)
+      assert(mixed.collect().map(_.toSeq).toSet == wantMixed)
+      // rank = 1 (the groupwise-max idiom) rewrites too
+      val argmax = events
+        .withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+      assert(argmax.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+      assert(argmax.collect().map(_.toSeq).toSet ==
+        want.filter(_(5).asInstanceOf[Int] == 1))
+      // a rank bound on a COLUMN (not a literal) must NOT rewrite
+      val dynamic = events
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= col("user_id"))
+      assert(!dynamic.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+    } finally TopK.disableRewrite(spark)
+  }
+
   test("TopK ranks are 1..k per group under the total order") {
     val rows = TopK.perGroup(events, Seq("event_type", "day"),
       Seq("cents" -> true, "event_id" -> false), k = 3)
