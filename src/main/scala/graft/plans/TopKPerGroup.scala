@@ -44,6 +44,8 @@ case class TopKPerGroup(
     rankAttr: Attribute,
     child: LogicalPlan) extends UnaryNode {
 
+  require(k >= 1, s"k must be >= 1, got $k") // k=0 would underflow heaps
+
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
   // rankAttr is PRODUCED here, not consumed — without this override it
