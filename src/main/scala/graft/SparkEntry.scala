@@ -106,6 +106,7 @@ object SparkEntry {
     "prof_hist" -> (Analytics.profHist _),
     // frequent-values profile on the custom TopKPerGroup operator
     "prof_topk" -> (Analytics.profTopk _),
+    "prof_drift" -> (Analytics.profDrift _),
     "wh_dq" -> (Analytics.whDq _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
@@ -200,6 +201,7 @@ object SparkEntry {
     "prof_corr" -> Analytics.profCorrSql,
     "prof_hist" -> Analytics.profHistSql,
     "prof_topk" -> Analytics.profTopkSql,
+    "prof_drift" -> Analytics.profDriftSql,
     "wh_dq" -> Analytics.whDqSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,

@@ -545,6 +545,139 @@ FROM r WHERE rank <= $TopValK ORDER BY column_name, rank"""
       .crossJoin(unknownCust).crossJoin(maxLines)
   }
 
+  // ------------------------------------------------------------------
+  // prof_drift — PSI dataset drift between time halves
+  // ------------------------------------------------------------------
+
+  /** Value bins and PSI smoothing: cents fall into [[DriftBins]]
+    * equal-width buckets; Laplace +1 on every (period, bin) count so
+    * empty bins never divide by zero — the standard PSI recipe.
+    */
+  val DriftBins = 10
+  val DriftBinWidth = 5000L
+
+  /** Population-stability-index drift monitor: per event type, does
+    * the `value` distribution shift between the first and second half
+    * of the observed time range? The post-load check a training-data
+    * pipeline runs before trusting a new ingest batch.
+    *
+    * Determinism posture: every count is an integer (Laplace +1
+    * smoothed over a COMPLETE type × bin × period scaffold, so empty
+    * bins exist on both engines); each bin's PSI term
+    * `(pa−pb)·ln(pa/pb)` is one fixed-arity float expression (no
+    * accumulation); the per-type total folds the terms IN BIN ORDER
+    * via `aggregate(array_sort(...))` — the [[graft.functions
+    * .CrossHash]] left-to-right rule — so the float sum is bitwise
+    * identical on both engines. The array HOF runs on a
+    * types × bins post-aggregate table, never per event (the
+    * CLAUDE.md hot-loop rule).
+    *
+    * Scale shape: one partial-agg'd shuffle of (type, period, bin)
+    * rows (≤ types·2·bins after combine), a 2-row bounds aggregate
+    * broadcast-joined; everything after the count aggregation is
+    * bounded by types × bins.
+    */
+  def profDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    // `div`, not `/`: Column./ on integers is DOUBLE division in Spark
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(col("day") - col("mn") < expr("(mx - mn + 1) div 2"), "a")
+          .otherwise("b").as("period"),
+        least(greatest(expr(s"cents div $DriftBinWidth"), lit(0L)),
+          lit(DriftBins - 1L)).cast("int").as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    // complete scaffold: every (type, period, bin) exists, count 0
+    val scaffold = binned.select(col("event_type")).distinct()
+      .crossJoin(spark.range(DriftBins).select(col("id").cast("int").as("bin")))
+      .crossJoin(spark.range(2).select(
+        when(col("id") === 0, "a").otherwise("b").as("period")))
+    val full = scaffold.join(counts, Seq("event_type", "period", "bin"), "left")
+      .select(col("event_type"), col("period"), col("bin"),
+        (coalesce(col("c"), lit(0L)) + 1).as("c")) // Laplace +1
+    val totals = full.groupBy(col("event_type"), col("period"))
+      .agg(sum(col("c")).as("n"))
+    val probs = full.join(totals, Seq("event_type", "period"))
+      .select(col("event_type"), col("period"), col("bin"),
+        col("c"), (col("c").cast("double") / col("n")).as("p"))
+    val a = probs.filter(col("period") === "a")
+      .select(col("event_type"), col("bin"), col("c").as("c_a"),
+        col("p").as("p_a"))
+    val b = probs.filter(col("period") === "b")
+      .select(col("event_type"), col("bin"), col("c").as("c_b"),
+        col("p").as("p_b"))
+    val terms = a.join(b, Seq("event_type", "bin"))
+      .select(col("event_type"), col("bin"), col("c_a"), col("c_b"),
+        ((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")))
+          .as("term"))
+    terms.groupBy(col("event_type"))
+      .agg(sum(col("c_a")).as("n_a_smoothed"),
+        sum(col("c_b")).as("n_b_smoothed"),
+        aggregate(array_sort(collect_list(struct(col("bin"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("psi_raw"))
+      .select(col("event_type"), col("n_a_smoothed"), col("n_b_smoothed"),
+        graft.functions.Determinism.r6(col("psi_raw")).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  val profDriftSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH e AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), bounds AS (
+  SELECT MIN(day) AS mn, MAX(day) AS mx FROM e
+), binned AS (
+  SELECT event_type,
+    CASE WHEN day - mn < (mx - mn + 1) // 2 THEN 'a' ELSE 'b' END AS period,
+    CAST(least(greatest(cents // $DriftBinWidth, 0), ${DriftBins - 1})
+      AS INTEGER) AS bin
+  FROM e CROSS JOIN bounds
+), counts AS (
+  SELECT event_type, period, bin, COUNT(*) AS c
+  FROM binned GROUP BY 1, 2, 3
+), scaffold AS (
+  SELECT t.event_type, p.period, CAST(b.range AS INTEGER) AS bin
+  FROM (SELECT DISTINCT event_type FROM binned) t
+  CROSS JOIN range($DriftBins) b
+  CROSS JOIN (SELECT 'a' AS period UNION ALL SELECT 'b') p
+), full_counts AS (
+  SELECT s.event_type, s.period, s.bin,
+    COALESCE(c.c, 0) + 1 AS c
+  FROM scaffold s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.period = s.period
+      AND c.bin = s.bin
+), totals AS (
+  SELECT event_type, period, CAST(SUM(c) AS BIGINT) AS n
+  FROM full_counts GROUP BY 1, 2
+), probs AS (
+  SELECT f.event_type, f.period, f.bin, f.c,
+    CAST(f.c AS DOUBLE) / t.n AS p
+  FROM full_counts f JOIN totals t
+    ON t.event_type = f.event_type AND t.period = f.period
+), terms AS (
+  SELECT a.event_type, a.bin, a.c AS c_a, b.c AS c_b,
+    (a.p - b.p) * ln(a.p / b.p) AS term
+  FROM probs a JOIN probs b
+    ON b.event_type = a.event_type AND b.bin = a.bin AND b.period = 'b'
+  WHERE a.period = 'a'
+)
+SELECT event_type,
+  CAST(SUM(c_a) AS BIGINT) AS n_a_smoothed,
+  CAST(SUM(c_b) AS BIGINT) AS n_b_smoothed,
+  ${r6Sql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(term ORDER BY bin)), (acc, x) -> acc + x)""")} AS psi
+FROM terms GROUP BY event_type ORDER BY event_type"""
+  }
+
   val whDqSql: String = """
 SELECT
   (SELECT COUNT(*) FROM orders) AS n_orders,

@@ -91,6 +91,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_lines_per_order") >= 1L)
   }
 
+  test("prof_drift PSI matches a brute-force recompute and is non-negative") {
+    val rows = Analytics.profDrift(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    // brute force: replicate binning/smoothing locally
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val half = (mx - mn + 1) / 2
+    def bin(c: Long) = math.min(math.max(c / Analytics.DriftBinWidth, 0L),
+      Analytics.DriftBins - 1L).toInt
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val mine = ev.filter(_._1 == t)
+      def cnt(p: String) = (0 until Analytics.DriftBins).map { b =>
+        mine.count(e =>
+          (if (e._2 - mn < half) "a" else "b") == p && bin(e._3) == b) + 1L
+      }
+      val (ca, cb) = (cnt("a"), cnt("b"))
+      val (na, nb) = (ca.sum.toDouble, cb.sum.toDouble)
+      assert(r.getAs[Long]("n_a_smoothed") == ca.sum)
+      assert(r.getAs[Long]("n_b_smoothed") == cb.sum)
+      val psi = (0 until Analytics.DriftBins).foldLeft(0.0) { (acc, b) =>
+        val (pa, pb) = (ca(b) / na, cb(b) / nb)
+        acc + (pa - pb) * math.log(pa / pb)
+      }
+      val want = java.math.BigDecimal.valueOf(psi)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+      assert(r.getAs[Double]("psi") == want, s"psi at $t")
+      // each PSI term is >= 0 (sign(pa-pb) == sign(ln(pa/pb)))
+      assert(r.getAs[Double]("psi") >= 0.0)
+    }
+  }
+
   test("wh_scd2 intervals partition each customer's timeline") {
     val rows = Analytics.whScd2(spark, sf("sf0.01")).collect()
       .groupBy(_.getLong(0))
