@@ -46,6 +46,7 @@ object SparkEntry {
     "ta_rarity" -> (TextAnalysis.taRarity _),
     "ta_colloc" -> (TextAnalysis.taColloc _),
     "ta_readability" -> (TextAnalysis.taReadability _),
+    "ta_ngram_lm" -> (TextAnalysis.taNgramLm _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "ta_rarity" -> TextAnalysis.taRaritySql,
     "ta_colloc" -> TextAnalysis.taCollocSql,
     "ta_readability" -> TextAnalysis.taReadabilitySql,
+    "ta_ngram_lm" -> TextAnalysis.taNgramLmSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

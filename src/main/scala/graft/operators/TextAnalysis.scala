@@ -496,4 +496,83 @@ SELECT doc_id,
   ${r6Sql(s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * $wps - CAST(84.6 AS DOUBLE) * $spw")} AS flesch
 FROM documents ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // ta_ngram_lm — unigram LM surprisal / perplexity scoring
+  // ------------------------------------------------------------------
+
+  /** Surprisal quantization: micro-nats per token occurrence. */
+  val LmScale = 1000000L
+
+  /** Model-free perplexity scoring — the curation signal a real
+    * pipeline gets from a reference LM, here from the corpus's own
+    * unigram MLE: per-token surprisal `ln(T / C(t))` (T = corpus token
+    * count, C(t) = term count), per-doc mean surprisal and perplexity
+    * `exp(mean)`. Low-ppl docs are repetitive/templated; high-ppl docs
+    * are noise — both tails get dropped or downweighted.
+    *
+    * Parallelism-stable by construction: the float `ln` is evaluated
+    * once per VOCAB TERM (never per token) and quantized to an integer
+    * micro-nat weight; per-doc totals are then exact BIGINT sums whose
+    * order cannot matter. Floats reappear only in the final per-row
+    * projection, in oracle-identical associativity, through [[r6]].
+    *
+    * Scale shape (the [[taRarity]] posture): one explode + (doc, term)
+    * partial agg — the shuffle carries tf rows, not the token stream;
+    * term counts aggregate that same vocab-sized relation; the weight
+    * table is vocabulary-sized and BROADCAST back, so the corpus side
+    * never re-shuffles. The corpus-total cross join broadcasts one row.
+    */
+  def taNgramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val td = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = td.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
+    val wt = cnt.crossJoin(broadcast(tot)).select(col("term"),
+      round(log(col("t").cast("double") / col("c")) * LmScale)
+        .cast("long").as("wt"))
+    val mean = col("surprisal_micro").cast("double") /
+      lit(LmScale.toDouble) / col("n_tokens")
+    td.join(broadcast(wt), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("wt")).as("surprisal_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
+        r6(-mean).as("mean_logprob"),
+        r6(exp(mean)).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taNgramLmSql: String = {
+    val mean =
+      s"(CAST(SUM(td.tf * wt.wt) AS DOUBLE) / CAST($LmScale AS DOUBLE) / SUM(td.tf))"
+    s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), cnt AS (
+  SELECT term, SUM(tf) AS c FROM td GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS t FROM cnt
+), wt AS (
+  SELECT term,
+    CAST(round(ln(CAST(t AS DOUBLE) / c) * $LmScale) AS BIGINT) AS wt
+  FROM cnt CROSS JOIN tot
+)
+SELECT td.doc_id,
+  CAST(SUM(td.tf) AS BIGINT) AS n_tokens,
+  CAST(SUM(td.tf * wt.wt) AS BIGINT) AS surprisal_micro,
+  ${r6Sql(s"-$mean")} AS mean_logprob,
+  ${r6Sql(s"exp($mean)")} AS ppl
+FROM td JOIN wt USING (term)
+GROUP BY td.doc_id ORDER BY td.doc_id"""
+  }
 }

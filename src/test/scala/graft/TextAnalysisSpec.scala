@@ -119,4 +119,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-6, s"flesch: $r")
     }
   }
+
+  test("ta_ngram_lm surprisal matches an exact-integer local recompute") {
+    val got = TextAnalysis.taNgramLm(spark, sf("sf0.01")).collect()
+    val texts = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .toMap
+    val cnt = texts.values.flatten.toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = cnt.values.sum
+    // the same quantization both engines apply: HALF_UP micro-nats
+    val wt = cnt.map { case (t, c) =>
+      t -> math.round(math.log(total.toDouble / c) * TextAnalysis.LmScale)
+    }
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val toks = texts(r.getLong(0))
+      val surprisal = toks.map(wt).sum // exact: integer adds commute
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong, s"n: $r")
+      assert(r.getAs[Long]("surprisal_micro") == surprisal, s"s: $r")
+      val mean = surprisal.toDouble / TextAnalysis.LmScale / toks.length
+      assert(math.abs(r.getAs[Double]("mean_logprob") + mean) < 1e-6)
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(mean)) < 1e-5)
+      // the corpus's own MLE can't be beaten: mean surprisal ≥ entropy > 0
+      assert(r.getAs[Double]("ppl") >= 1.0)
+    }
+  }
 }
