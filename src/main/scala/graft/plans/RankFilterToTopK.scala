@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -17,11 +17,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (`experimental.extraOptimizations`, the public optimizer seam) or
   * `GraftExtensions`' `injectOptimizerRule`.
   *
-  * Deliberately conservative — it fires ONLY on the exact shape whose
+  * Deliberately conservative — it fires ONLY on the exact shapes whose
   * semantics the operator reproduces:
-  *  - a Window with EXACTLY ONE window expression, a `row_number()`
-  *    over the default ROWS UNBOUNDED PRECEDING..CURRENT ROW frame
-  *    with a non-empty ORDER BY;
+  *  - a Window with EXACTLY ONE window expression: a `row_number()`
+  *    over its default ROWS UNBOUNDED PRECEDING..CURRENT ROW frame, or
+  *    a `rank()` over the same running frame (tie-aware mode:
+  *    rows tied at the k-th rank are all kept — SQL rank semantics),
+  *    each with a non-empty ORDER BY;
   *  - directly (or through one Project) under a Filter whose
   *    condition bounds that rank by an integer literal (`rank <= k`,
   *    `rank < k`, `rank = 1`, or flipped; other conjuncts are kept as
@@ -44,17 +46,28 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Match a Window that computes exactly `row_number() AS rank`. */
-  private object RowNumberWindow {
-    def unapply(p: LogicalPlan)
-        : Option[(Alias, Seq[Expression], Seq[SortOrder], LogicalPlan)] =
+  /** Match a Window that computes exactly `row_number() AS rank` or
+    * `rank() AS rank` (the tie-aware mode; the reference's own view
+    * idiom, analysis.sql:182) — both over AggregateWindowFunction's
+    * ROWS running frame. The last tuple element is `tieAware`.
+    */
+  private object RankWindow {
+    def unapply(p: LogicalPlan): Option[
+        (Alias, Seq[Expression], Seq[SortOrder], LogicalPlan, Boolean)] =
       p match {
-        case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+        case Window(Seq(a @ Alias(WindowExpression(fn,
               WindowSpecDefinition(part, order,
                 SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
                   CurrentRow))), _)), _, _, child, _)
             if order.nonEmpty =>
-          Some((a, part, order, stripGroupLimit(child)))
+          // both carry AggregateWindowFunction's ROWS running frame
+          fn match {
+            case RowNumber() =>
+              Some((a, part, order, stripGroupLimit(child), false))
+            case _: Rank =>
+              Some((a, part, order, stripGroupLimit(child), true))
+            case _ => None
+          }
         case _ => None
       }
   }
@@ -91,23 +104,24 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
   }
 
   private def rewrite(rank: Alias, part: Seq[Expression],
-      order: Seq[SortOrder], inner: LogicalPlan, k: Int): LogicalPlan =
-    TopKPerGroup(part, order, k, rank.toAttribute, inner)
+      order: Seq[SortOrder], inner: LogicalPlan, k: Int,
+      tieAware: Boolean): LogicalPlan =
+    TopKPerGroup(part, order, k, rank.toAttribute, tieAware, inner)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Filter directly over the Window
-    case Filter(cond, RowNumberWindow(rank, part, order, inner))
+    case Filter(cond, RankWindow(rank, part, order, inner, tie))
         if extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 =>
       val (kk, rest) = extract(rank.toAttribute, cond).get
-      val topk = rewrite(rank, part, order, inner, kk)
+      val topk = rewrite(rank, part, order, inner, kk, tie)
       rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
     // Filter over a Project over the Window (the withColumn shape)
     case Filter(cond,
-        proj @ Project(_, RowNumberWindow(rank, part, order, inner)))
+        proj @ Project(_, RankWindow(rank, part, order, inner, tie)))
         if proj.projectList.exists(_.exprId == rank.exprId) &&
           extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 =>
       val (kk, rest) = extract(rank.toAttribute, cond).get
-      val topk = rewrite(rank, part, order, inner, kk)
+      val topk = rewrite(rank, part, order, inner, kk, tie)
       val projected = proj.copy(child = topk)
       rest.reduceOption(And).map(Filter(_, projected)).getOrElse(projected)
   }

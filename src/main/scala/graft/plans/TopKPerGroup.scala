@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -14,34 +14,60 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator custom planning (the SURVEY §2 preference ladder's
-  * rung (c)): top-k rows per group as two bounded-heap passes:
+  * rung (c)): top-k rows per group as two bounded-memory passes:
   *
-  *   partial: per input partition, one k-heap per group (no
-  *            distribution requirement, runs map-side) → emits
-  *            ≤ k rows per (partition, group);
+  *   partial: per input partition, one k-buffer per group (no
+  *            distribution requirement, runs map-side) → emits the
+  *            per-partition survivors. Task memory is bounded TWICE:
+  *            each buffer holds ≤ k rows (+ boundary ties in rank
+  *            mode) by construction, and the buffer MAP is flushed to
+  *            output whenever it exceeds
+  *            `spark.graft.topk.partialFlushGroups` (default 65536)
+  *            live groups — so a high-cardinality group key degrades
+  *            to a pass-through instead of an OOM. Flushing is safe
+  *            because the final phase recomputes ranks from scratch:
+  *            a row is only ever dropped when ≥ k strictly-better
+  *            rows from the SAME buffer instance are themselves kept,
+  *            so the emitted superset always contains the true top-k.
   *   final:   requires ClusteredDistribution(g) (EnsureRequirements
-  *            inserts the Exchange), merges the surviving rows
-  *            through the same k-heaps, emits rank 1..k per group.
+  *            inserts the Exchange) AND group-sorted input
+  *            (EnsureRequirements inserts a spillable SortExec over
+  *            the k-bounded CANDIDATE set, not the stream) — then
+  *            streams one contiguous group at a time through a single
+  *            k-buffer, emitting rank 1..k per group. Memory is O(k)
+  *            regardless of group cardinality.
   *
   * Honest baseline (plan-pinned in TopKSpec): Spark 4's inferred
   * partial WindowGroupLimit already k-bounds the declarative
   * `row_number() <= k` shuffle — but only by FULLY SORTING every
   * input partition first, then sorting again and running the Window
   * rank machinery after the exchange. This operator's win is CPU and
-  * memory, not shuffle volume: O(n log k) heap pushes replace both
-  * sorts, no Window runs at all, and task memory is bounded at
-  * (groups-in-partition)·k rows by construction.
+  * memory, not shuffle volume: O(n log k) heap pushes replace the
+  * map-side sort of the full stream, no Window runs at all, and the
+  * only sort left is over the already-k-bounded candidates.
   *
-  * Rank semantics are `row_number` over the TOTAL order given by the
-  * caller's SortOrders — callers must include a tiebreak (the
-  * engine-wide determinism rule); `TopKSpec` pins equality with the
-  * declarative window form on the fixture.
+  * Rank semantics, by `tieAware`:
+  *  - `false` → `row_number` over the TOTAL order given by the
+  *    caller's SortOrders — callers must include a tiebreak (the
+  *    engine-wide determinism rule);
+  *  - `true`  → SQL `rank()`: rows equal under the SortOrders share a
+  *    rank, gaps follow, and ALL rows tied at the k-th rank are kept
+  *    (the reference's own groupwise-max idiom keeps ties —
+  *    analysis.sql:69-76, 172-183).
+  * `TopKSpec` pins equality with the declarative window forms.
+  *
+  * Group-run detection (final phase) and the buffer map (partial) key
+  * on UnsafeRow BYTE equality, like Spark's own hash aggregation —
+  * engine callers group on string/date/integral keys. (Float group
+  * keys would need a NormalizeFloatingNumbers pass; none of the
+  * shipped callers has one.)
   */
 case class TopKPerGroup(
     group: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    tieAware: Boolean,
     child: LogicalPlan) extends UnaryNode {
 
   require(k >= 1, s"k must be >= 1, got $k") // k=0 would underflow heaps
@@ -67,24 +93,110 @@ case class TopKPerGroup(
   */
 object TopKStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(group, order, k, rankAttr, child) =>
-      val partialExec = TopKPerGroupExec(group, order, k, rankAttr,
+    case TopKPerGroup(group, order, k, rankAttr, tieAware, child) =>
+      val partialExec = TopKPerGroupExec(group, order, k, rankAttr, tieAware,
         partial = true, planLater(child))
-      TopKPerGroupExec(group, order, k, rankAttr,
+      TopKPerGroupExec(group, order, k, rankAttr, tieAware,
         partial = false, partialExec) :: Nil
     case _ => Nil
   }
 }
 
-/** The bounded-heap physical operator (both phases — `partial` flags
+/** One group's bounded candidate set. `insert` materializes (copies)
+  * a row only when it is actually kept; both drains hand the buffer's
+  * rows back exactly once.
+  */
+private[plans] sealed trait GroupTopKBuffer {
+  def insert(row: InternalRow, materialize: InternalRow => UnsafeRow): Unit
+  /** Partial phase: surviving rows, order irrelevant (final re-ranks). */
+  def drainUnranked(): Iterator[UnsafeRow]
+  /** Final phase: (row, rank) pairs, ranks 1..k per the semantics. */
+  def drainRanked(): Iterator[(UnsafeRow, Int)]
+}
+
+/** `row_number` semantics: a max-heap on the caller's total order —
+  * the head is the WORST kept row, so a better incoming row evicts it
+  * in O(log k). Memory: exactly ≤ k rows.
+  */
+private[plans] final class RowNumberHeap(
+    ord: Ordering[InternalRow], heapOrd: Ordering[UnsafeRow], k: Int)
+    extends GroupTopKBuffer {
+  private val heap = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+  override def insert(row: InternalRow,
+      materialize: InternalRow => UnsafeRow): Unit = {
+    if (heap.size < k) heap.enqueue(materialize(row))
+    else if (ord.compare(row, heap.head) < 0) {
+      heap.dequeue()
+      heap.enqueue(materialize(row))
+    }
+  }
+  override def drainUnranked(): Iterator[UnsafeRow] = {
+    val rows: Seq[UnsafeRow] = heap.dequeueAll
+    rows.iterator
+  }
+  override def drainRanked(): Iterator[(UnsafeRow, Int)] = {
+    val n = heap.size
+    // dequeueAll pops worst-first: element i has rank n - i
+    val rows: Seq[UnsafeRow] = heap.dequeueAll
+    rows.iterator.zipWithIndex.map { case (row, i) => (row, n - i) }
+  }
+}
+
+/** SQL `rank()` semantics: a sorted multimap of order-key → tied rows.
+  * A tail key-group is evicted as soon as ≥ k rows sort strictly
+  * before it (its rank can never be ≤ k); rows tied AT the k-th rank
+  * are all kept. Memory: ≤ k rows + the boundary tie group (the
+  * irreducible cost of tie-retaining semantics).
+  */
+private[plans] final class RankTieBuffer(
+    ord: Ordering[InternalRow], keyOrd: Ordering[UnsafeRow], k: Int)
+    extends GroupTopKBuffer {
+  private val groups =
+    mutable.TreeMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]](keyOrd)
+  private var total = 0
+  override def insert(row: InternalRow,
+      materialize: InternalRow => UnsafeRow): Unit = {
+    // cheap reject without copying: strictly worse than the current
+    // tail key while already holding ≥ k rows ⇒ rank > k, guaranteed
+    if (total >= k && groups.nonEmpty &&
+      ord.compare(row, groups.lastKey) > 0) return
+    val r = materialize(row)
+    groups.get(r) match {
+      case Some(ties) => ties += r
+      case None => groups.put(r, mutable.ArrayBuffer(r))
+    }
+    total += 1
+    var pruning = true
+    while (pruning && groups.nonEmpty) {
+      val (lastKey, lastTies) = groups.last
+      if (total - lastTies.size >= k) { // tail group's rank would be > k
+        groups.remove(lastKey)
+        total -= lastTies.size
+      } else pruning = false
+    }
+  }
+  override def drainUnranked(): Iterator[UnsafeRow] =
+    groups.valuesIterator.flatMap(_.iterator)
+  override def drainRanked(): Iterator[(UnsafeRow, Int)] = {
+    var before = 0
+    groups.iterator.flatMap { case (_, ties) =>
+      val rank = before + 1
+      before += ties.size
+      ties.iterator.map(row => (row, rank))
+    }
+  }
+}
+
+/** The bounded-memory physical operator (both phases — `partial` flags
   * the map-side pass, whose output order is irrelevant because the
-  * final pass re-heaps after the exchange).
+  * final pass re-ranks after the exchange).
   */
 case class TopKPerGroupExec(
     group: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    tieAware: Boolean,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -102,6 +214,16 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(group) :: Nil
 
+  // final phase streams contiguous group runs — EnsureRequirements
+  // inserts a SortExec (spillable) over the k-bounded candidates
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(group.map(SortOrder(_, Ascending)))
+
+  // group runs stay contiguous and ascending in the output
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else group.map(SortOrder(_, Ascending))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortOrders = order
@@ -109,45 +231,80 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val isPartial = partial
     val outAttrs = output
+    val tie = tieAware
+    val flushGroups = conf
+      .getConfString("spark.graft.topk.partialFlushGroups", "65536").toInt
+    require(flushGroups >= 1, "partialFlushGroups must be >= 1")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      // normalize input rows to UnsafeRow before copying into heaps
+      // normalize input rows to UnsafeRow before copying into buffers
       val rowProj = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
       // total order from the caller's SortOrders, codegen'd once per task
       val ord = GenerateOrdering.generate(sortOrders, childOutput)
-      val heapOrd: Ordering[UnsafeRow] = ord.on(r => r: InternalRow)
-      // max-heap on the total order: the heap head is the WORST kept
-      // row, so a better incoming row evicts it in O(log k)
-      val heaps = mutable.LinkedHashMap
-        .empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = keyProj(row) // transient — copied only on first sight
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
-            heaps.put(key.copy(), h)
-            h
+      val keyOrd: Ordering[UnsafeRow] = ord.on(r => r: InternalRow)
+      def newBuffer(): GroupTopKBuffer =
+        if (tie) new RankTieBuffer(ord, keyOrd, limit)
+        else new RowNumberHeap(ord, keyOrd, limit)
+      val materialize: InternalRow => UnsafeRow = r => rowProj(r).copy()
+
+      if (isPartial) {
+        val buffers = mutable.LinkedHashMap.empty[UnsafeRow, GroupTopKBuffer]
+        val flushes = it.flatMap { row =>
+          val key = keyProj(row) // transient — copied only on first sight
+          val buf = buffers.get(key) match {
+            case Some(b) => b
+            case None =>
+              val b = newBuffer()
+              buffers.put(key.copy(), b)
+              b
+          }
+          buf.insert(row, materialize)
+          if (buffers.size >= flushGroups) {
+            // the memory bound: hand every kept row downstream and
+            // start over — the final phase re-ranks, so emitting a
+            // superset costs shuffle bytes, never correctness
+            val batch = buffers.valuesIterator.flatMap(_.drainUnranked())
+              .toVector
+            buffers.clear()
+            batch.iterator
+          } else Iterator.empty
         }
-        if (heap.size < limit) heap.enqueue(rowProj(row).copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(rowProj(row).copy())
-        }
-      }
-      if (isPartial) heaps.valuesIterator.flatMap(_.iterator)
-      else {
+        flushes ++ buffers.valuesIterator.flatMap(_.drainUnranked())
+      } else {
         val toUnsafe = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
         val joined = new JoinedRow
-        val rankRow = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(1)
-        heaps.valuesIterator.flatMap { heap =>
-          val n = heap.size
-          // dequeueAll pops worst-first: element i has rank n - i
-          val rows: Seq[UnsafeRow] = heap.dequeueAll
-          rows.iterator.zipWithIndex.map { case (row, i) =>
-            rankRow.update(0, n - i)
-            toUnsafe(joined(row, rankRow))
+        val rankRow = new GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private var lookRow: UnsafeRow = _ // next unconsumed row (copied)
+          private var lookKey: UnsafeRow = _ // its group key (copied)
+          private def pull(): Unit =
+            if (it.hasNext) {
+              val r = it.next()
+              lookKey = keyProj(r).copy()
+              lookRow = rowProj(r).copy()
+            } else { lookRow = null; lookKey = null }
+          pull()
+          override def hasNext: Boolean = {
+            while (!pending.hasNext && lookRow != null) {
+              // one contiguous group run → one live buffer: O(k) memory
+              val buf = newBuffer()
+              val groupKey = lookKey
+              while (lookRow != null && lookKey.equals(groupKey)) {
+                val owned = lookRow // already a private copy
+                buf.insert(owned, _ => owned)
+                pull()
+              }
+              pending = buf.drainRanked().map { case (row, rank) =>
+                rankRow.update(0, rank)
+                toUnsafe(joined(row, rankRow))
+              }
+            }
+            pending.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            pending.next()
           }
         }
       }
@@ -173,8 +330,9 @@ object TopK {
   }
 
   /** Also enable the [[RankFilterToTopK]] optimizer rewrite, so
-    * declarative `row_number() <= k` filters plan as TopKPerGroup
-    * without code changes. Idempotent; [[disableRewrite]] undoes it.
+    * declarative `row_number() <= k` / `rank() <= k` filters plan as
+    * TopKPerGroup without code changes. Idempotent; [[disableRewrite]]
+    * undoes it.
     */
   def enableRewrite(spark: SparkSession): Unit = {
     setup(spark)
@@ -190,17 +348,31 @@ object TopK {
       s.experimental.extraOptimizations.filterNot(_ == RankFilterToTopK)
   }
 
-  /** Top-k rows per group as a DataFrame. `orderSpecs` are
-    * (columnName, descending) pairs and must form a TOTAL order
-    * (include a tiebreak) — ranks are `row_number` semantics over it;
-    * computed sort keys are pre-materialized as named columns by the
-    * caller (which also keeps them visible in the output, the
-    * engine-wide auditability posture). Appends an integer `rank`
-    * column (1 = best).
+  /** Top-k rows per group as a DataFrame, `row_number` rank semantics.
+    * `orderSpecs` are (columnName, descending) pairs and must form a
+    * TOTAL order (include a tiebreak) — computed sort keys are
+    * pre-materialized as named columns by the caller (which also keeps
+    * them visible in the output, the engine-wide auditability
+    * posture). Appends an integer `rank` column (1 = best).
     */
   def perGroup(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
       orderSpecs: Seq[(String, Boolean)], k: Int)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    build(df, groupCols, orderSpecs, k, tieAware = false)
+
+  /** Top-k rows per group with SQL `rank()` semantics: rows equal
+    * under `orderSpecs` share a rank and ALL rows tied at the k-th
+    * rank are kept (so groups may return more than k rows). `k = 1`
+    * is the tie-keeping groupwise-max idiom (analysis.sql:69-76).
+    */
+  def perGroupRank(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], orderSpecs: Seq[(String, Boolean)], k: Int)
+      : org.apache.spark.sql.DataFrame =
+    build(df, groupCols, orderSpecs, k, tieAware = true)
+
+  private def build(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], orderSpecs: Seq[(String, Boolean)], k: Int,
+      tieAware: Boolean): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     setup(spark)
     val analyzed = df.queryExecution.analyzed
@@ -214,6 +386,7 @@ object TopK {
     }
     val rankAttr = AttributeReference("rank", IntegerType, nullable = false)()
     org.apache.spark.sql.GraftPlanApi.ofRows(spark,
-      TopKPerGroup(groupCols.map(resolve), orders, k, rankAttr, analyzed))
+      TopKPerGroup(groupCols.map(resolve), orders, k, rankAttr, tieAware,
+        analyzed))
   }
 }

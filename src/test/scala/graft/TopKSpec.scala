@@ -64,9 +64,16 @@ class TopKSpec extends SparkSpec {
     assert(finalIdx >= 0 && exIdx > finalIdx &&
       s.indexOf("TopKPerGroup", exIdx) > exIdx,
       s"expected final above Exchange above partial:\n$s")
-    // no Window or Sort anywhere — the heaps replace both
-    assert(!s.contains("Window") && !s.contains("Sort "),
-      s"rank must not plan a Window/Sort:\n$s")
+    // no Window anywhere, and the ONLY Sort is the group-run sort of
+    // the k-bounded candidates between the exchange and the final
+    // phase (the O(k)-memory streaming merge); the full input stream
+    // below the exchange is never sorted — that's the operator's win
+    assert(!s.contains("Window"), s"rank must not plan a Window:\n$s")
+    val sortIdx = s.indexOf("Sort ")
+    assert(sortIdx > finalIdx && sortIdx < exIdx,
+      s"expected the candidate sort between final and Exchange:\n$s")
+    assert(s.indexOf("Sort ", exIdx) < 0,
+      s"map side must not sort the stream:\n$s")
     // map-side k-bounding, measured: the shuffle carries the partial
     // survivors (<= inputPartitions * groups * k), never the stream
     val exchange = nodes.collect {
@@ -120,6 +127,85 @@ class TopKSpec extends SparkSpec {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= col("user_id"))
       assert(!dynamic.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+    } finally TopK.disableRewrite(spark)
+  }
+
+  test("partial flush bounds task memory without changing results") {
+    // threshold 2 → the partial map flushes constantly on a
+    // high-cardinality key (user_id): the memory bound the
+    // RankFilterToTopK rewrite needs to be OOM-safe on arbitrary keys
+    spark.conf.set("spark.graft.topk.partialFlushGroups", "2")
+    try {
+      val got = TopK.perGroup(events, Seq("user_id"),
+        Seq("cents" -> true, "event_id" -> false), k = 3)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents").desc, col("event_id"))
+      val want = events.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == want)
+      // tie-aware mode flushes safely too
+      val gotTies = TopK.perGroupRank(events, Seq("user_id"),
+        Seq("cents" -> true), k = 3).collect().map(_.toSeq).toSet
+      val wantTies = events.withColumn("rank",
+          rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("cents").desc)))
+        .filter(col("rank") <= 3).collect().map(_.toSeq).toSet
+      assert(gotTies.nonEmpty && gotTies == wantTies)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
+  }
+
+  test("perGroupRank keeps all rows tied at the k-th rank") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 10L, 2L), ("a", 5L, 3L), ("a", 5L, 4L),
+      ("a", 1L, 5L), ("b", 7L, 6L), ("b", 7L, 7L), ("b", 7L, 8L),
+      ("c", 2L, 9L)).toDF("g", "v", "id")
+    val got = TopK.perGroupRank(df, Seq("g"), Seq("v" -> true), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // a: both v=10 rows rank 1; v=5 rows rank 3 (gap) → excluded.
+    // b: THREE rows tied at rank 1 — more than k, all kept.
+    val want = Set(("a", 10L, 1L, 1), ("a", 10L, 2L, 1),
+      ("b", 7L, 6L, 1), ("b", 7L, 7L, 1), ("b", 7L, 8L, 1),
+      ("c", 2L, 9L, 1))
+    assert(got == want)
+    // and it agrees with the declarative rank() form on real data
+    val gotEv = TopK.perGroupRank(events, Seq("event_type", "day"),
+      Seq("cents" -> true), k = 5).collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("cents").desc)
+    val wantEv = events.withColumn("rank", rank().over(w))
+      .filter(col("rank") <= 5).collect().map(_.toSeq).toSet
+    assert(gotEv.nonEmpty && gotEv == wantEv)
+  }
+
+  test("RankFilterToTopK rewrites rank() filters tie-aware (q15 shape)") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc) // ties real: rank() is deterministic
+    def declarative() = events
+      .withColumn("rank", rank().over(w)).filter(col("rank") <= 4)
+    val want = declarative().collect().map(_.toSeq).toSet
+    TopK.enableRewrite(spark)
+    try {
+      val df = declarative()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerGroup") &&
+        !optimized.contains("Window"),
+        s"rank() rewrite must replace the Window:\n$optimized")
+      assert(df.collect().map(_.toSeq).toSet == want)
+      // rank() = 1 keeps ALL argmax ties (the analysis.sql:69-76 idiom)
+      val argmax = events
+        .withColumn("rank", rank().over(w)).filter(col("rank") === 1)
+      val wantArgmax = want.filter(_(5).asInstanceOf[Int] == 1)
+      assert(argmax.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+      assert(argmax.collect().map(_.toSeq).toSet == wantArgmax)
+      // dense_rank has no bounded-prefix rewrite — must NOT fire
+      val dense = events
+        .withColumn("rank", dense_rank().over(w)).filter(col("rank") <= 2)
+      assert(!dense.queryExecution.optimizedPlan.toString
         .contains("TopKPerGroup"))
     } finally TopK.disableRewrite(spark)
   }
