@@ -122,6 +122,10 @@ object SparkEntry {
     // oracleSql entry; CorpusSpec pins the rank-error contract
     "cp_stats_approx" -> (Corpus.cpStatsApprox _),
     "cp_sample" -> (Corpus.cpSample _),
+    // approx twin: sketch-thresholded stratified sample — selected SET
+    // equals cp_sample exactly (CorpusSpec pins it); rows-only because
+    // the mechanism (approx_percentile cuts) is engine-specific
+    "cp_sample_approx" -> (Corpus.cpSampleApprox _),
     "cp_curate" -> (Corpus.cpCurate _),
     "cp_scrub_spans" -> (Corpus.cpScrubSpans _),
     "cp_shuffle" -> (Corpus.cpShuffle _),

@@ -558,6 +558,86 @@ SELECT doc_id, source, rk AS samp_rank, quota
 FROM r WHERE rk <= quota ORDER BY doc_id"""
   }
 
+  /** Sketch accuracy for [[cpSampleApprox]]'s threshold estimate: GK
+    * rank error is DETERMINISTICALLY ≤ n/accuracy.
+    */
+  val SampleApproxAccuracy = 10000
+
+  /** Percentile margin around the quota cut, as a fraction. Must
+    * exceed 1/[[SampleApproxAccuracy]] for the bracket invariant to
+    * hold on large sources; small/edge sources fall back exactly.
+    */
+  val SampleApproxDelta = 0.001
+
+  /** The big-stratum relief for [[cpSample]] (same selected set,
+    * different mechanism — SCALE.md documents this swap): instead of
+    * ranking every row of a stratum through ONE window task, estimate
+    * the quota'th hash with a mergeable `approx_percentile` sketch,
+    * admit the prefix below the low estimate map-side, and exact-rank
+    * only the boundary sliver between the two estimates.
+    *
+    *   pass 1: per-source count + approx_percentile(h, pct∓δ) — one
+    *           partial-agg'd shuffle of constant-size sketches;
+    *   pass 2: exact counts below each estimate (map-side compare
+    *           against the broadcast thresholds, one tiny agg) — and
+    *           the correctness gate: a source whose quota is NOT
+    *           bracketed by [c_lo, c_hi] (sub-margin strata, sketch
+    *           edge) falls back to all-sliver, i.e. the exact
+    *           mechanism for that source only;
+    *   pass 3: core rows (h ≤ t_lo) pass with no shuffle at all;
+    *           sliver rows (t_lo < h ≤ t_hi, ≈ 2δ·n of the stratum)
+    *           are window-ranked and the first quota−c_lo admitted.
+    *
+    * The h-value boundaries are prefix-closed under the (h, doc_id)
+    * total order, so the selected SET equals [[cpSample]]'s exactly —
+    * CorpusSpec pins set equality and per-source quota exactness.
+    * Rows-only in the driver gate (like the other approx twins): the
+    * sketch estimates are engine-specific, but the OUTPUT is
+    * deterministic, so the dump itself is stable across runs.
+    * Output drops `samp_rank` (a global rank would force the full
+    * window the operator exists to avoid).
+    */
+  def cpSampleApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = CrossHash.md5Long(
+      concat(lit("sample-v1:"), col("doc_id").cast("string")))
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val pct = SamplePct.toDouble / 100.0
+    val pLo = (pct - SampleApproxDelta) max 0.0
+    val pHi = (pct + SampleApproxDelta) min 1.0
+    val stats = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(h, $pLo, $SampleApproxAccuracy)").as("t_lo"),
+      expr(s"approx_percentile(h, $pHi, $SampleApproxAccuracy)").as("t_hi"))
+      .withColumn("quota", expr(s"(n * $SamplePct + 99) div 100"))
+    val joined = d.join(broadcast(stats), "source")
+    val gated = joined.groupBy(col("source")).agg(
+      sum(when(col("h") <= col("t_lo"), 1L).otherwise(0L)).as("c_lo"),
+      sum(when(col("h") <= col("t_hi"), 1L).otherwise(0L)).as("c_hi"))
+      .join(broadcast(stats), "source")
+      // the gate: estimates must bracket the quota, else exact fallback
+      // (no core, everything sliver) for that source
+      .withColumn("ok", col("c_lo") <= col("quota") &&
+        col("c_hi") >= col("quota"))
+      .select(col("source"), col("quota"),
+        when(col("ok"), col("t_lo")).otherwise(lit(Long.MinValue))
+          .as("cut_lo"),
+        when(col("ok"), col("t_hi")).otherwise(lit(Long.MaxValue))
+          .as("cut_hi"),
+        when(col("ok"), col("c_lo")).otherwise(lit(0L)).as("core_n"))
+    val withCuts = d.join(broadcast(gated), "source")
+    val core = withCuts.filter(col("h") <= col("cut_lo"))
+      .select(col("doc_id"), col("source"), col("quota"))
+    val sliverW = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val sliver = withCuts
+      .filter(col("h") > col("cut_lo") && col("h") <= col("cut_hi"))
+      .withColumn("srk", row_number().over(sliverW).cast("long"))
+      .filter(col("srk") <= col("quota") - col("core_n"))
+      .select(col("doc_id"), col("source"), col("quota"))
+    core.unionByName(sliver).orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // cp_curate — the end-to-end curation pipeline as ONE query
   // ------------------------------------------------------------------

@@ -47,6 +47,24 @@ class CorpusSpec extends SparkSpec {
       again.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("cp_sample_approx selects EXACTLY cp_sample's set (quota exactness)") {
+    val exact = Corpus.cpSample(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("source"),
+        r.getAs[Long]("quota"))).toSet
+    val approx = Corpus.cpSampleApprox(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("source"),
+        r.getAs[Long]("quota"))).toSet
+    // same docs, same strata, same quotas — the mechanism swap
+    // (sketch cut + boundary sliver vs full per-stratum window) must
+    // be invisible in the selected set
+    assert(approx == exact)
+    // per-stratum quota exactness independently of the exact twin
+    val bySrc = approx.groupBy(_._2)
+    bySrc.foreach { case (src, docs) =>
+      assert(docs.size.toLong == docs.head._3, s"stratum $src")
+    }
+  }
+
   test("cp_stats_approx: exact moments, percentile rank error within 2%") {
     val exact = Corpus.cpStats(spark, sf("sf0.01")).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
