@@ -322,6 +322,66 @@ ORDER BY day, event_type"""
         col("click_cents"))
   }
 
+  /** Incremental per-group top-k over a stream — the streaming twin
+    * of `ev_topk` (TimeSeries.evTopk), built on the SAME custom
+    * operator: each micro-batch's candidates union the retained state
+    * and go back through `TopK.perGroup`, so the state after any
+    * prefix of the stream is exactly the batch top-k of that prefix
+    * (the standard merge property of row_number top-k under a total
+    * order: topK(topK(A) ∪ B) = topK(A ∪ B)).
+    *
+    * State is ≤ k rows per (event_type, day) — the bounded
+    * "dashboard" sink shape — held as local rows on the driver, which
+    * is exactly the candidate volume the batch operator's final phase
+    * shuffles; a cluster deployment would swap [[result]]'s
+    * createDataFrame for a state-store table with identical
+    * semantics. StreamingSpec replays the fixture through micro-
+    * batches and pins equality with the batch `ev_topk` rows.
+    */
+  final class TopKStreamSink(spark: SparkSession, k: Int) {
+    import org.apache.spark.sql.types._
+    private val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", StringType),
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("cents", LongType)))
+    @volatile private var state: Array[org.apache.spark.sql.Row] = Array.empty
+
+    private def topOf(cand: DataFrame): DataFrame =
+      graft.plans.TopK.perGroup(cand, Seq("event_type", "day"),
+        Seq("cents" -> true, "event_id" -> false), k)
+
+    /** Candidate columns from a raw event micro-batch. */
+    private[streaming] def shape(batch: DataFrame): DataFrame =
+      batch.select(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        col("event_id").cast("long"), col("user_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+
+    def processBatch(batch: DataFrame): Unit = {
+      // build prev in the micro-batch's own session: foreachBatch hands
+      // a session clone, and mixing plans across sessions is fragile
+      val prev = batch.sparkSession.createDataFrame(
+        java.util.Arrays.asList(state: _*), schema)
+      val merged = topOf(shape(batch).unionByName(prev)).drop("rank")
+      state = merged.collect() // ≤ k·groups rows by construction
+    }
+
+    /** Current top-k with ranks — matches `ev_topk`'s column set. */
+    def result(): DataFrame =
+      topOf(spark.createDataFrame(java.util.Arrays.asList(state: _*), schema))
+        .select(col("event_type"), col("day"), col("rank"),
+          col("event_id"), col("user_id"), col("cents"))
+  }
+
+  /** Start the incremental top-k run over a raw event stream. */
+  def startTopkSink(events: DataFrame, sink: TopKStreamSink) =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink.processBatch(batch)
+      }
+      .start()
+
   val evSessionsSql: String = s"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,

@@ -194,6 +194,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k sink converges to the batch ev_topk rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the fixture in three arbitrary micro-batch slices: the
+    // merge property makes the final state independent of slicing
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("ts"), col("event_type"), col("event_id").cast("long"),
+        col("user_id").cast("long"), col("value").cast("double"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val mem = MemoryStream[(Timestamp, String, Long, Long, Double)]
+    val sink = new StreamingStats.TopKStreamSink(spark,
+      graft.operators.TimeSeries.TopKPerDay)
+    val q = StreamingStats.startTopkSink(
+      mem.toDF().toDF("ts", "event_type", "event_id", "user_id", "value"),
+      sink)
+    try {
+      fixture.grouped(math.max(1, fixture.length / 3)).foreach { slice =>
+        mem.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = sink.result().collect().map(_.toSeq).toSet
+      val batch = graft.operators.TimeSeries.evTopk(spark, sf())
+        .select(col("event_type"), col("day"), col("rank"),
+          col("event_id").cast("long"), col("user_id").cast("long"),
+          col("cents"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch twin equals a direct aggregation over the events fixture") {
     val df = StreamingStats.evDailyStats(spark, sf())
     val direct = StreamingStats.events(spark, sf())
