@@ -130,13 +130,21 @@ class TextAnalysisSpec extends SparkSpec {
     val cnt = texts.values.flatten.toSeq
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
     val total = cnt.values.sum
-    // the same quantization both engines apply: HALF_UP micro-nats
+    // the same quantization both engines apply: HALF_UP micro-nats.
+    // NOT math.round (floor(x+0.5)): for doubles just below k+0.5 the
+    // +0.5 addition can carry and round UP where the engines' decimal
+    // HALF_UP does not — mirror them exactly via BigDecimal
     val wt = cnt.map { case (t, c) =>
-      t -> math.round(math.log(total.toDouble / c) * TextAnalysis.LmScale)
+      t -> BigDecimal
+        .decimal(math.log(total.toDouble / c) * TextAnalysis.LmScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    assert(got.length == texts.size)
+    // both engines omit docs with zero tokens; keep the recompute's
+    // universe identical so the count and lookups can't drift
+    val nonEmpty = texts.filter(_._2.nonEmpty)
+    assert(got.length == nonEmpty.size)
     got.foreach { r =>
-      val toks = texts(r.getLong(0))
+      val toks = nonEmpty(r.getLong(0))
       val surprisal = toks.map(wt).sum // exact: integer adds commute
       assert(r.getAs[Long]("n_tokens") == toks.length.toLong, s"n: $r")
       assert(r.getAs[Long]("surprisal_micro") == surprisal, s"s: $r")
