@@ -47,6 +47,7 @@ object SparkEntry {
     "ta_colloc" -> (TextAnalysis.taColloc _),
     "ta_readability" -> (TextAnalysis.taReadability _),
     "ta_ngram_lm" -> (TextAnalysis.taNgramLm _),
+    "ta_ttr" -> (TextAnalysis.taTtr _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -108,6 +109,8 @@ object SparkEntry {
     // frequent-values profile on the custom TopKPerGroup operator
     "prof_topk" -> (Analytics.profTopk _),
     "prof_drift" -> (Analytics.profDrift _),
+    "prof_mi" -> (Analytics.profMi _),
+    "prof_fd" -> (Analytics.profFd _),
     "wh_dq" -> (Analytics.whDq _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
@@ -162,6 +165,7 @@ object SparkEntry {
     "ta_colloc" -> TextAnalysis.taCollocSql,
     "ta_readability" -> TextAnalysis.taReadabilitySql,
     "ta_ngram_lm" -> TextAnalysis.taNgramLmSql,
+    "ta_ttr" -> TextAnalysis.taTtrSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -208,6 +212,8 @@ object SparkEntry {
     "prof_hist" -> Analytics.profHistSql,
     "prof_topk" -> Analytics.profTopkSql,
     "prof_drift" -> Analytics.profDriftSql,
+    "prof_mi" -> Analytics.profMiSql,
+    "prof_fd" -> Analytics.profFdSql,
     "wh_dq" -> Analytics.whDqSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,

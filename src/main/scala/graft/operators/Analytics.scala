@@ -678,6 +678,119 @@ SELECT event_type,
 FROM terms GROUP BY event_type ORDER BY event_type"""
   }
 
+  /** Micro-nat quantum for [[profMi]]'s PMI cells (the `ta_ngram_lm` /
+    * `ta_colloc` integer-log posture).
+    */
+  val MiScale = 1000000L
+
+  /** Mutual-information decomposition between two categorical columns
+    * (documents.lang × source) — the profiling question "does source
+    * predict language?" that drives mixture design and leakage checks
+    * in a training-data pipeline. Emits the full cell table: joint and
+    * marginal counts (exact BIGINT), pointwise mutual information in
+    * integer micro-nats, and each cell's exact-integer contribution
+    * `n_xy · pmi_micro` — so MI itself is the reader's exact SUM over
+    * an already-verified column, and every float in the output went
+    * through one vocab-sized `ln` (never per row).
+    *
+    * Scale shape: ONE partial-agg'd shuffle of (x, y) cells; marginals
+    * reduce the cell table (≤ |X|·|Y| rows); both marginals and the
+    * total broadcast back. The corpus is scanned once.
+    */
+  def profMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("n"))
+    cells
+      .join(broadcast(nx), Seq("lang"))
+      .join(broadcast(ny), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_micro",
+        round(log(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y"))) * MiScale)
+          .cast("long"))
+      .select(col("lang"), col("source"), col("n_xy"), col("n_x"),
+        col("n_y"), col("pmi_micro"),
+        (col("n_xy") * col("pmi_micro")).as("mi_contrib_micro"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val profMiSql: String = s"""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+), nx AS (
+  SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1
+), ny AS (
+  SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells
+)
+SELECT c.lang, c.source, c.n_xy, nx.n_x, ny.n_y,
+  CAST(round(ln(CAST(c.n_xy AS DOUBLE) * n.n /
+    (CAST(nx.n_x AS DOUBLE) * ny.n_y)) * $MiScale) AS BIGINT)
+    AS pmi_micro,
+  c.n_xy * CAST(round(ln(CAST(c.n_xy AS DOUBLE) * n.n /
+    (CAST(nx.n_x AS DOUBLE) * ny.n_y)) * $MiScale) AS BIGINT)
+    AS mi_contrib_micro
+FROM cells c
+JOIN nx USING (lang) JOIN ny USING (source) CROSS JOIN n
+ORDER BY c.lang, c.source"""
+
+  /** The functional-dependency / candidate-key audit surface: for each
+    * declared (table, determinant, dependent) pair, exact distinct
+    * counts decide whether det → dep holds (`n_pairs == n_det`) and
+    * whether det is a key (`n_det == n_rows`) — the discovery pass a
+    * warehouse runs before trusting joins or MERGE keys.
+    */
+  val FdPairs: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"))
+
+  /** FD audit over [[FdPairs]]. Each pair is one aggregate whose
+    * shuffle carries distinct values (partial-agg'd), never rows; the
+    * declared pair list bounds the number of scans, and at rest the
+    * scans prune to exactly the two audited columns (`ReadSchema`
+    * shows 2 columns of 6). Violations are exact:
+    * `n_pairs - n_det` = the number of extra dependent values beyond
+    * one-per-determinant. All-integer output — hash-exact by
+    * construction.
+    */
+  def profFd(spark: SparkSession, sfDir: String): DataFrame = {
+    val audits = FdPairs.map { case (table, det, dep) =>
+      spark.read.parquet(s"$sfDir/$table.parquet").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(det)).as("n_det"),
+        countDistinct(col(det), col(dep)).as("n_pairs"))
+        .select(lit(table).as("tab"), lit(det).as("det"),
+          lit(dep).as("dep"), col("n_rows"), col("n_det"), col("n_pairs"),
+          (col("n_pairs") - col("n_det")).as("violations"),
+          when(col("n_pairs") === col("n_det"), 1).otherwise(0)
+            .as("fd_holds"),
+          when(col("n_det") === col("n_rows"), 1).otherwise(0)
+            .as("det_is_key"))
+    }
+    audits.reduce(_ unionByName _).orderBy(col("tab"), col("det"),
+      col("dep"))
+  }
+
+  val profFdSql: String = FdPairs.map { case (table, det, dep) =>
+    s"""SELECT '$table' AS tab, '$det' AS det, '$dep' AS dep,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT $det) AS n_det,
+  COUNT(DISTINCT ($det, $dep)) AS n_pairs,
+  COUNT(DISTINCT ($det, $dep)) - COUNT(DISTINCT $det) AS violations,
+  CAST(CASE WHEN COUNT(DISTINCT ($det, $dep)) = COUNT(DISTINCT $det)
+    THEN 1 ELSE 0 END AS INTEGER) AS fd_holds,
+  CAST(CASE WHEN COUNT(DISTINCT $det) = COUNT(*)
+    THEN 1 ELSE 0 END AS INTEGER) AS det_is_key
+FROM $table"""
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY tab, det, dep")
+
   val whDqSql: String = """
 SELECT
   (SELECT COUNT(*) FROM orders) AS n_orders,

@@ -575,4 +575,57 @@ SELECT td.doc_id,
 FROM td JOIN wt USING (term)
 GROUP BY td.doc_id ORDER BY td.doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // ta_ttr — lexical diversity per source
+  // ------------------------------------------------------------------
+
+  /** Per-source lexical diversity: token/type/hapax counts, type-token
+    * ratio and hapax share — the corpus-health panel that catches
+    * templated or machine-generated sources (low TTR, thin hapax tail)
+    * before they dilute a training mix.
+    *
+    * Integers all the way down: the only floats are the two final
+    * ratios of exact BIGINTs, through [[r6]] in oracle-identical
+    * shape. Scale: explode → (source, term) partial agg (the shuffle
+    * carries term-frequency rows, not the token stream — the
+    * [[taRarity]] posture), then one vocab-sized reduce per source.
+    */
+  def taTtr(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = docs(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    st.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        r6(col("n_hapax").cast("double") / col("n_types"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
+  val taTtrSql: String = s"""
+WITH tok AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM tok WHERE term <> '' GROUP BY source, term
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  ${r6Sql("(CAST(COUNT(*) AS DOUBLE) / SUM(c))")} AS ttr,
+  ${r6Sql(
+    "(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))")}
+    AS hapax_share
+FROM st GROUP BY source ORDER BY source"""
 }

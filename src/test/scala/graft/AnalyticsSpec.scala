@@ -238,4 +238,60 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(1))
     }
   }
+
+  test("prof_mi cells reconstruct marginals, total, and a local MI recompute") {
+    val rows = Analytics.profMi(spark, sf("sf0.01")).collect()
+    val n = rows.map(_.getAs[Long]("n_xy")).sum
+    // marginals are consistent: summing cells per lang/source must
+    // reproduce the joined n_x / n_y on every row
+    val byLang = rows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_xy")).sum }
+    val bySrc = rows.groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_xy")).sum }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_x") == byLang(r.getString(0)))
+      assert(r.getAs[Long]("n_y") == bySrc(r.getString(1)))
+      // BigDecimal HALF_UP, not math.round: mirror the engines exactly
+      // (the TextAnalysisSpec rounding rule)
+      val pmi = BigDecimal
+        .decimal(math.log(r.getAs[Long]("n_xy").toDouble * n /
+          (r.getAs[Long]("n_x").toDouble * r.getAs[Long]("n_y"))) *
+          Analytics.MiScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getAs[Long]("pmi_micro") == pmi, s"pmi: $r")
+      assert(r.getAs[Long]("mi_contrib_micro") ==
+        r.getAs[Long]("n_xy") * pmi)
+    }
+    // MI as the exact integer sum of contributions is non-negative
+    // (Gibbs); independence would make every cell ~0
+    val miMicro = rows.map(_.getAs[Long]("mi_contrib_micro")).sum
+    assert(miMicro.toDouble / n / Analytics.MiScale >= -1e-6)
+  }
+
+  test("prof_fd verdicts match brute-force distinct counts") {
+    val rows = Analytics.profFd(spark, sf("sf0.01")).collect()
+    assert(rows.length == Analytics.FdPairs.length)
+    rows.foreach { r =>
+      val (tab, det, dep) =
+        (r.getString(0), r.getString(1), r.getString(2))
+      val t = spark.read.parquet(sf("sf0.01") + s"/$tab.parquet")
+      val nRows = t.count()
+      val nDet = t.select(det).distinct().count()
+      val nPairs = t.select(det, dep).distinct().count()
+      assert(r.getAs[Long]("n_rows") == nRows, s"rows: $r")
+      assert(r.getAs[Long]("n_det") == nDet, s"det: $r")
+      assert(r.getAs[Long]("n_pairs") == nPairs, s"pairs: $r")
+      assert(r.getAs[Long]("violations") == nPairs - nDet)
+      assert(r.getAs[Int]("fd_holds") == (if (nPairs == nDet) 1 else 0))
+      assert(r.getAs[Int]("det_is_key") == (if (nDet == nRows) 1 else 0))
+    }
+    // the audit must separate the designed cases: PKs are keys and
+    // determine everything; categorical → categorical fails
+    val byPair = rows.map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(byPair(("o_orderkey", "o_custkey")).getAs[Int]("fd_holds") == 1)
+    assert(byPair(("o_orderkey", "o_custkey")).getAs[Int]("det_is_key") == 1)
+    assert(byPair(("c_custkey", "c_nationkey")).getAs[Int]("det_is_key") == 1)
+    assert(byPair(("o_orderstatus", "o_orderpriority"))
+      .getAs[Int]("fd_holds") == 0)
+  }
 }

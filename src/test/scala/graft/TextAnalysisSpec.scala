@@ -120,6 +120,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ta_ttr counts types/hapax exactly per source") {
+    val got = TextAnalysis.taTtr(spark, sf("sf0.01")).collect()
+    val bySrc = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        val toks = rs.flatMap(
+          _.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        src -> toks
+      }
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val toks = bySrc(r.getString(0))
+      val counts = toks.groupBy(identity).map(_._2.length)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong, s"tok: $r")
+      assert(r.getAs[Long]("n_types") == counts.size.toLong, s"typ: $r")
+      assert(r.getAs[Long]("n_hapax") == counts.count(_ == 1).toLong,
+        s"hapax: $r")
+      assert(math.abs(r.getAs[Double]("ttr") -
+        counts.size.toDouble / toks.length) < 1e-6)
+      // diversity bounds: 0 < ttr <= 1, hapax is a subset of types
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+    }
+  }
+
   test("ta_ngram_lm surprisal matches an exact-integer local recompute") {
     val got = TextAnalysis.taNgramLm(spark, sf("sf0.01")).collect()
     val texts = TextAnalysis.docs(spark, sf("sf0.01"))
