@@ -48,6 +48,7 @@ object SparkEntry {
     "ta_readability" -> (TextAnalysis.taReadability _),
     "ta_ngram_lm" -> (TextAnalysis.taNgramLm _),
     "ta_ttr" -> (TextAnalysis.taTtr _),
+    "ta_entropy" -> (TextAnalysis.taEntropy _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "sim_kmeans" -> (Similarity.simKmeans _),
     "sim_recall" -> (Similarity.simRecall _),
     "sim_pq" -> (Similarity.simPq _),
+    "sim_mips" -> (Similarity.simMips _),
     // extension tier: multimodal columns
     "mm_ingest" -> (Multimodal.mmIngest _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -166,6 +168,7 @@ object SparkEntry {
     "ta_readability" -> TextAnalysis.taReadabilitySql,
     "ta_ngram_lm" -> TextAnalysis.taNgramLmSql,
     "ta_ttr" -> TextAnalysis.taTtrSql,
+    "ta_entropy" -> TextAnalysis.taEntropySql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -184,6 +187,7 @@ object SparkEntry {
     "sim_kmeans" -> Similarity.simKmeansSql,
     "sim_recall" -> Similarity.simRecallSql,
     "sim_pq" -> Similarity.simPqSql,
+    "sim_mips" -> Similarity.simMipsSql,
     "mm_ingest" -> Multimodal.mmIngestSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,

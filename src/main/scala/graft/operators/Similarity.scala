@@ -687,4 +687,75 @@ SELECT a.cent_id, a.n_assigned,
 FROM agg a JOIN c$KmIters c ON c.cent_id = a.cent_id
 ORDER BY a.cent_id"""
   }
+
+  // ------------------------------------------------------------------
+  // sim_mips — maximum-inner-product top-k via norm augmentation
+  // ------------------------------------------------------------------
+
+  /** Exact max-inner-product top-k (recommendation scoring ranks by
+    * RAW dot product, where cosine top-k is wrong whenever corpus
+    * norms vary), carrying the classic norm-augmentation reduction in
+    * the output: append `sqrt(M² − ‖x‖²)` to every corpus vector
+    * (M = corpus max norm, one broadcast row) and MIPS becomes cosine
+    * over the augmented space — `aug_cosine = x·q / (M·‖q‖)` is a
+    * strictly monotone transform of the dot, so ANY cosine-ANN index
+    * in this module (LSH/IVF/PQ) serves MIPS after augmentation;
+    * that is the 100 TB path, and the spec pins the rank equality the
+    * reduction rests on. Brute-force here is the oracle-checkable
+    * anchor, exactly like [[simBruteforceTopk]] for cosine.
+    *
+    * Scale shape: query side is [[NQueries]] rows broadcast against
+    * one corpus scan; the only shuffle is the per-query top-k.
+    */
+  def simMips(spark: SparkSession, sfDir: String): DataFrame =
+    simMipsOf(base(spark, sfDir))
+
+  /** Core MIPS over any (vec_id, v: array<double>, nrm) relation —
+    * the fixture's embeddings are unit-normalized (MIPS degenerates
+    * to cosine there), so the spec drives this with varying-norm
+    * vectors to pin the semantics the operator exists for.
+    */
+  private[graft] def simMipsOf(e: DataFrame): DataFrame = {
+    val m = e.agg(max(sqrt(col("nrm"))).as("mx"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val dot = DotProduct.dot(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").desc, col("vec_id"))
+    q.join(e, col("vec_id") =!= col("query_id"))
+      .crossJoin(broadcast(m))
+      .select(col("query_id"), col("vec_id"), dot.as("d"),
+        (dot / (col("mx") * sqrt(col("qn")))).as("ac"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("d")).as("dot"),
+        r6(col("ac")).as("aug_cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simMipsSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), m AS (
+  SELECT MAX(sqrt(nrm)) AS mx FROM n
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < $NQueries
+), scored AS (
+  SELECT q.query_id, n.vec_id,
+    ${dotSql("q.qv", "n.v")} AS d,
+    ${dotSql("q.qv", "n.v")} / (m.mx * sqrt(q.qn)) AS ac
+  FROM q JOIN n ON n.vec_id <> q.query_id CROSS JOIN m
+), ranked AS (
+  SELECT query_id, vec_id, d, ac,
+    row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("d")} AS dot, ${r6Sql("ac")} AS aug_cosine
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
 }

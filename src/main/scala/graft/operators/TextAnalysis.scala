@@ -628,4 +628,62 @@ SELECT source,
     "(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))")}
     AS hapax_share
 FROM st GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // ta_entropy — per-doc token entropy
+  // ------------------------------------------------------------------
+
+  /** Per-document token (Shannon) entropy — the repetition/diversity
+    * quality signal: `H = ln(n) − (Σ c·ln c)/n` over the doc's term
+    * counts. Near-zero H flags looped/templated text that a length or
+    * stopword filter misses; H near ln(n) is all-distinct token soup.
+    *
+    * The parallelism-stable decomposition (the [[taNgramLm]] posture):
+    * `c·ln c` is evaluated once per (doc, term) COUNT — an integer —
+    * and quantized to micro-nats, so the per-doc reduction is an exact
+    * BIGINT sum; `ln(n)` is one libm call per output row on an
+    * integer argument, identical on both engines. Scale: explode →
+    * (doc, term) partial agg; the shuffle carries term frequencies,
+    * never the token stream.
+    */
+  def taEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val td = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val ent = log(col("n_tokens").cast("double")) -
+      col("clnc_micro").cast("double") / lit(LmScale.toDouble) /
+        col("n_tokens")
+    td.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")) *
+          LmScale).cast("long")).as("clnc_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("clnc_micro"), r6(ent).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taEntropySql: String = {
+    val ent =
+      s"(ln(CAST(SUM(c) AS DOUBLE)) - CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * $LmScale) AS BIGINT)) AS DOUBLE) / $LmScale.0 / SUM(c))"
+    s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS c
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_types,
+  CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * $LmScale) AS BIGINT))
+    AS BIGINT) AS clnc_micro,
+  ${r6Sql(ent)} AS entropy
+FROM td GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -36,4 +36,44 @@ class SimilaritySpec extends SparkSpec {
     assert(meanMse < meanNorm,
       s"PQ mse $meanMse should beat the zero-codebook baseline $meanNorm")
   }
+
+  test("sim_mips ranks by raw dot; augmentation is rank-equivalent") {
+    import graft.operators.Similarity
+    val rows = Similarity.simMips(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq ==
+        (1 to byRank.length).toSeq, s"ranks at $q")
+      // dot descends with rank...
+      val dots = byRank.map(_.getAs[Double]("dot")).toSeq
+      assert(dots == dots.sorted(Ordering[Double].reverse), s"dot at $q")
+      // ...and the augmented cosine descends IDENTICALLY — the
+      // monotone-reduction property that lets a cosine ANN serve MIPS
+      val acs = byRank.map(_.getAs[Double]("aug_cosine")).toSeq
+      assert(acs == acs.sorted(Ordering[Double].reverse), s"aug at $q")
+    }
+    // the semantics differ from cosine exactly when norms vary — pin
+    // that the fixture isn't unit-normalized (the top-k SETS may still
+    // coincide on a given corpus; the RANKING CRITERION is what's new)
+    // the fixture embeddings are unit-normalized (MIPS == cosine
+    // there), so pin the norm-sensitive semantics on synthetic
+    // vectors: query 0 = (1,0); vec 10 aligned but short, vec 11
+    // slightly off-axis but LONG. Cosine prefers 10; MIPS must pick 11.
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (10L, Seq(0.9, 0.0)),   // cos 1.0, dot 0.9
+      (11L, Seq(2.0, 0.9)))   // cos 0.912, dot 2.0
+      .toDF("vec_id", "v")
+    val withNrm = vecs.withColumn("nrm",
+      expr("aggregate(zip_with(v, v, (a, b) -> a * b), " +
+        "cast(0.0 as double), (acc, x) -> acc + x)"))
+    val top = Similarity.simMipsOf(withNrm)
+      .filter(col("query_id") === 0L && col("rank") === 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") == 11L,
+      s"MIPS must rank the long vector first: $top")
+  }
 }

@@ -146,6 +146,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ta_entropy matches a local recompute and brackets [0, ln n]") {
+    val got = TextAnalysis.taEntropy(spark, sf("sf0.01")).collect()
+    val texts = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .filter(_._2.nonEmpty).toMap
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val toks = texts(r.getLong(0))
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val clnc = counts.map(c => BigDecimal
+        .decimal(c.toDouble * math.log(c.toDouble) * TextAnalysis.LmScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong, s"n: $r")
+      assert(r.getAs[Long]("n_types") == counts.size.toLong, s"t: $r")
+      assert(r.getAs[Long]("clnc_micro") == clnc, s"clnc: $r")
+      val h = math.log(toks.length.toDouble) -
+        clnc.toDouble / TextAnalysis.LmScale / toks.length
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-6, s"H: $r")
+      // Shannon bounds: 0 <= H <= ln(n) (within quantization slack)
+      assert(r.getAs[Double]("entropy") >= -1e-6)
+      assert(r.getAs[Double]("entropy") <=
+        math.log(toks.length.toDouble) + 1e-6)
+    }
+  }
+
   test("ta_ngram_lm surprisal matches an exact-integer local recompute") {
     val got = TextAnalysis.taNgramLm(spark, sf("sf0.01")).collect()
     val texts = TextAnalysis.docs(spark, sf("sf0.01"))
