@@ -97,8 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded-heap execs (plans/TopKPerGroup.scala). Sessions built
     // without extensions get the same strategy via TopK.setup.
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
-    // ...and the Rule[LogicalPlan] rung: declarative row_number()<=k
-    // filters rewrite to the custom node (plans/RankFilterToTopK.scala)
+    // ...and the Rule[LogicalPlan] rung: declarative row_number()<=k /
+    // rank()<=k (tie-aware) filters rewrite to the custom node
+    // (plans/RankFilterToTopK.scala)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }

@@ -294,4 +294,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(byPair(("o_orderstatus", "o_orderpriority"))
       .getAs[Int]("fd_holds") == 0)
   }
+
+  test("prof_fd prunes every audit scan to its two columns") {
+    val plan = Analytics.profFd(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(schemas.length == Analytics.FdPairs.length, s"scans:\n$plan")
+    // "struct<a:t,b:t>" — one colon for the label + one per column
+    schemas.foreach(s => assert(s.count(_ == ':') == 3,
+      s"audit scan must read exactly its two columns: $s"))
+  }
 }
