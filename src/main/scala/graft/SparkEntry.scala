@@ -60,6 +60,7 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_pairs" -> (Dedup.ddSimhashPairs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_containment" -> (Dedup.ddContainment _),
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
     "dd_spans" -> (Dedup.ddSpans _),
     "dd_incremental" -> (Dedup.ddIncremental _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_pairs" -> Dedup.ddSimhashPairsSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
+    "dd_containment" -> Dedup.ddContainmentSql,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineSql,
     "dd_spans" -> Dedup.ddSpansSql,
     "dd_incremental" -> Dedup.ddIncrementalSql,

@@ -728,6 +728,98 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $NgramJaccardMin
 ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------------------
+  // dd_containment — asymmetric gram containment (quote detection)
+  // ------------------------------------------------------------------
+
+  /** Directional containment threshold: C(A→B) = |A∩B| / |A| over the
+    * char-5-gram sets. Asymmetric where Jaccard is symmetric — a short
+    * doc quoted inside a long one scores C ≈ 1 but Jaccard ≈ |A|/|B|,
+    * which is why near-dup passes miss quotes/subsets.
+    */
+  val ContainMin = 0.8
+
+  /** Round-half-up boundary of [[ContainMin]] (the
+    * [[NgramJaccardBoundary]] pattern): unrounded c at or above this
+    * rounds to ≥ 0.8, making the filter exactly the oracle's
+    * `round(c, 6) >= 0.8`.
+    */
+  val ContainBoundary: Double = (ContainMin * 1e7 - 5).toLong / 1e7
+
+  /** Asymmetric containment with PREFIX-FILTER candidate generation
+    * (the ppjoin/SSJoin family's blocking, exact not approximate):
+    * a pair can pass `overlap ≥ o_min` only if B holds at least one of
+    * A's `na − o_min + 1` SMALLEST gram hashes (if all were missing,
+    * overlap ≤ o_min − 1) — so A explodes only that prefix of its
+    * sorted gram set (~(1−θ) of its grams) while B side is the plain
+    * inverted gram index, and candidates come from an equi-join on the
+    * gram hash. `o_min` is exact integer arithmetic on the ROUNDED
+    * threshold boundary, so no float ceil can shorten the prefix and
+    * cost a pair. md5 gram hashes are uniform ⇒ prefix grams carry no
+    * semantic skew; at 100 TB a df-cap on pathological grams bounds
+    * the worst key (documented, not needed at fixture scale).
+    *
+    * Output is directional: (doc_a contained-in doc_b), both
+    * orientations evaluated independently.
+    */
+  def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.CharGramHashSet.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    val boundary7 = (ContainBoundary * 1e7).toLong // 7999995
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.CharGramHashSet.gramHashes(lower(col("text")))
+          .as("g"))
+      .filter(size(col("g")) > 0)
+      .withColumn("na", size(col("g")).cast("long"))
+      // smallest overlap with round(i/na, 6) >= ContainMin, exactly
+      .withColumn("o_min", expr(s"($boundary7 * na + 9999999) div 10000000"))
+    val pref = base.select(col("doc_id").as("doc_a"),
+      explode(slice(col("g"), lit(1),
+        (col("na") - col("o_min") + 1).cast("int"))).as("gr"))
+    val idx = base.select(col("doc_id").as("doc_b"),
+      explode(col("g")).as("gr"))
+    val cand = pref.join(idx, Seq("gr"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val i = graft.functions.SortedIntersectCount
+      .intersectCount(col("ga"), col("gb")).cast("long")
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("g").as("ga"),
+        col("na")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), i.as("overlap"), col("na"),
+        (i.cast("double") / col("na")).as("c"))
+      .filter(col("c") >= ContainBoundary)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("na"),
+        r6(col("c")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: relational gram join over ALL shared grams (no prefix
+    * filter — a deliberately different candidate path, which is what
+    * cross-checks the filter's completeness).
+    */
+  val ddContainmentSql: String = s"""WITH base AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 3),
+    i -> ${md5ModSql("substr(lower(text), i, 5)")})) AS g
+  FROM documents
+), sized AS (
+  SELECT doc_id, g, CAST(len(g) AS BIGINT) AS na FROM base WHERE len(g) > 0
+), grams AS (
+  SELECT doc_id, unnest(g) AS gr FROM sized
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.gr = b.gr AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS overlap, x.na,
+  ${r6Sql("(CAST(i.i AS DOUBLE) / x.na)")} AS containment
+FROM inter i JOIN sized x ON x.doc_id = i.doc_a
+WHERE ${r6Sql("(CAST(i.i AS DOUBLE) / x.na)")} >= $ContainMin
+ORDER BY i.doc_a, i.doc_b"""
+
+  // ------------------------------------------------------------------
   // dd_embed_cosine — embedding near-dup by cosine similarity
   // ------------------------------------------------------------------
 

@@ -288,6 +288,35 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dd_containment prefix filter is complete vs a brute-force recompute") {
+    val got = Dedup.ddContainment(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("overlap"),
+        r.getAs[Long]("na"), r.getAs[Double]("containment")))
+    assert(got.nonEmpty)
+    // brute force: every directed pair, no candidate filter
+    val sets = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.CharGramHashSet.gramHashes(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a != b
+      i = (ga & gb).size.toLong
+      c = i.toDouble / ga.size
+      if BigDecimal.decimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble >= Dedup.ContainMin
+    } yield (a, b, i, ga.size.toLong)).toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == want)
+    // asymmetry is the point: containment holds where Jaccard fails
+    // for at least one quote-shaped pair (|A| markedly below overlap
+    // requirement for symmetric similarity)
+    got.foreach { case (_, _, overlap, na, c) =>
+      assert(overlap <= na && c >= Dedup.ContainMin - 1e-6 && c <= 1.0)
+    }
+  }
+
   test("dd_incremental equals the full self-join restricted to the split") {
     val inc = Dedup.ddIncremental(spark, sf("sf0.01")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
