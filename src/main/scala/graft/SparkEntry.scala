@@ -133,6 +133,8 @@ object SparkEntry {
     // the mechanism (approx_percentile cuts) is engine-specific
     "cp_sample_approx" -> (Corpus.cpSampleApprox _),
     "cp_curate" -> (Corpus.cpCurate _),
+    // quality-priority survivor election on the custom TopK plan (k=1)
+    "cp_elect" -> (Corpus.cpElect _),
     "cp_scrub_spans" -> (Corpus.cpScrubSpans _),
     "cp_shuffle" -> (Corpus.cpShuffle _),
     // extension tier: quality filtering + scrubbing
@@ -231,6 +233,7 @@ object SparkEntry {
     "cp_stats" -> Corpus.cpStatsSql,
     "cp_sample" -> Corpus.cpSampleSql,
     "cp_curate" -> Corpus.cpCurateSql,
+    "cp_elect" -> Corpus.cpElectSql,
     "cp_scrub_spans" -> Corpus.cpScrubSpansSql,
     "cp_shuffle" -> Corpus.cpShuffleSql,
     "qf_decide" -> Filters.qfDecideSql,

@@ -95,6 +95,67 @@ SELECT doc_id,
 FROM n ORDER BY doc_id"""
 
   // ------------------------------------------------------------------
+  // cp_elect — quality-priority survivor election among duplicates
+  // ------------------------------------------------------------------
+
+  /** Survivor election per exact-dup digest group by QUALITY, not id:
+    * a production dedup keeps the best copy (here: highest distinct-
+    * token count — the cheap lexical-richness proxy — with doc_id as
+    * the total-order tiebreak), where `dd_exact`/`cp_curate`'s min-id
+    * election mirrors the reference's SQLite PK semantics. Runs on the
+    * custom [[graft.plans.TopKPerGroup]] operator at k=1 (the argmax
+    * special case), so the digest groupwise-max never sorts or windows
+    * — and the oracle row hash-verifies the custom plan end-to-end on
+    * a SECOND query shape (string group key, computed priority).
+    *
+    * Scale shape: one map-side pass computes digest + priority, the
+    * TopK partial phase reduces each partition to one row per digest
+    * seen, the exchange moves ≤ digests·partitions rows, and the
+    * dup_count aggregate reuses the same digest partitioning.
+    */
+  def cpElect(spark: SparkSession, sfDir: String): DataFrame = {
+    NfcNormalize.register(spark)
+    cpElectOf(docs(spark, sfDir)
+      .select(col("doc_id"),
+        md5(normExpr(col("text"))).as("dg"),
+        size(array_distinct(graft.operators.TextAnalysis
+          .tokens(lower(col("text"))))).cast("long").as("n_distinct")))
+  }
+
+  /** Election core over any (doc_id, dg, n_distinct) relation — the
+    * fixture has no exact-dup groups at sf0.01 (every digest is a
+    * singleton there, so the oracle checks the plumbing), and the spec
+    * drives THIS with synthetic duplicate groups to pin the
+    * quality-priority semantics.
+    */
+  private[graft] def cpElectOf(d: DataFrame): DataFrame = {
+    val sizes = d.groupBy(col("dg")).agg(count(lit(1)).as("dup_count"))
+    graft.plans.TopK.perGroup(d, Seq("dg"),
+        Seq("n_distinct" -> true, "doc_id" -> false), k = 1)
+      .join(sizes, Seq("dg"))
+      .select(col("dg"), col("doc_id"), col("n_distinct"),
+        col("dup_count"))
+      .orderBy(col("dg"))
+  }
+
+  val cpElectSql: String = s"""
+WITH d AS (
+  SELECT doc_id, md5($normSqlExpr) AS dg,
+    CAST(len(list_distinct(
+      regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+      AS n_distinct
+  FROM documents
+), r AS (
+  SELECT doc_id, dg, n_distinct,
+    row_number() OVER (PARTITION BY dg
+      ORDER BY n_distinct DESC, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY dg) AS dup_count
+  FROM d
+)
+SELECT dg, doc_id, n_distinct, CAST(dup_count AS BIGINT) AS dup_count
+FROM r WHERE rk = 1 ORDER BY dg"""
+
+  // ------------------------------------------------------------------
   // cp_pack — context-window packing (concatenate-then-chunk)
   // ------------------------------------------------------------------
 

@@ -65,6 +65,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_elect picks the highest-quality duplicate through the custom plan") {
+    val df = Corpus.cpElect(spark, sf("sf0.01"))
+    // the k=1 argmax must plan through TopKPerGroupExec, no Window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom plan expected:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must not window:\n$plan")
+    val rows = df.collect()
+    // one survivor per digest, and it's the (n_distinct desc, doc_id)
+    // argmax of its group per a brute-force recompute
+    val d = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"),
+        md5(Corpus.normExpr(col("text"))).as("dg"),
+        size(array_distinct(
+          graft.operators.TextAnalysis.tokens(lower(col("text")))))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val byDg = d.groupBy(_._1)
+    assert(rows.length == byDg.size)
+    rows.foreach { r =>
+      val grp = byDg(r.getString(0))
+      val best = grp.minBy { case (_, id, n) => (-n, id) }
+      assert(r.getLong(1) == best._2, s"survivor at ${r.getString(0)}")
+      assert(r.getAs[Long]("n_distinct") == best._3)
+      assert(r.getAs[Long]("dup_count") == grp.length.toLong)
+    }
+    // the fixture has no exact-dup groups at sf0.01, so pin the
+    // quality-priority semantics on synthetic duplicates: the HIGHEST
+    // n_distinct wins (not the min id — the dd_exact election), ties
+    // break on id
+    import spark.implicits._
+    val syn = Seq(
+      (1L, "g1", 5L), (2L, "g1", 9L), (3L, "g1", 9L), // 2 wins tie at 9
+      (7L, "g2", 4L),                                 // singleton
+      (8L, "g3", 1L), (9L, "g3", 3L))                 // 9 wins
+      .toDF("doc_id", "dg", "n_distinct")
+    val elected = Corpus.cpElectOf(syn).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Long]("dup_count")))
+      .toMap
+    assert(elected == Map("g1" -> (2L, 3L), "g2" -> (7L, 1L),
+      "g3" -> (9L, 2L)))
+  }
+
   test("cp_stats_approx: exact moments, percentile rank error within 2%") {
     val exact = Corpus.cpStats(spark, sf("sf0.01")).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
