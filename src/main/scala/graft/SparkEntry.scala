@@ -98,6 +98,7 @@ object SparkEntry {
     // oracle row hash-verifies the whole custom-plan ladder
     "ev_topk" -> (TimeSeries.evTopk _),
     "ev_json" -> (Analytics.evJson _),
+    "ev_abtest" -> (Analytics.evAbtest _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
     "wh_scd2" -> (Analytics.whScd2 _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "ev_paths" -> TimeSeries.evPathsSql,
     "ev_topk" -> TimeSeries.evTopkSql,
     "ev_json" -> Analytics.evJsonSql,
+    "ev_abtest" -> Analytics.evAbtestSql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,
     "wh_snapshot" -> Analytics.whSnapshotSql,

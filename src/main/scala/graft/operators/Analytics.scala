@@ -678,6 +678,92 @@ SELECT event_type,
 FROM terms GROUP BY event_type ORDER BY event_type"""
   }
 
+  // ------------------------------------------------------------------
+  // ev_abtest — hash-split two-sample comparison (Welch t statistic)
+  // ------------------------------------------------------------------
+
+  /** Hash-split A/B comparison of event value per event_type: users
+    * land deterministically in cohort A or B via the salted md5 split
+    * (the `cp_split` assignment pattern — reproducible, versionable),
+    * and each type gets a Welch t statistic for the value difference —
+    * the pipeline primitive behind "did the experiment move the
+    * metric".
+    *
+    * Exactness: ONE aggregate computes both cohorts' moments as
+    * conditional sums over decimal(38,0) cents (the `prof_corr` q12
+    * posture — order-independent, hash-gate-stable); the variance
+    * numerator `n·ss − s²` stays exact decimal (it exceeds 2^53 even
+    * at gate SF) and converts to double through the correctly-rounded
+    * path on both engines. Scale: map-side split + one partial-agg'd
+    * shuffle of (type) moment rows; nothing downstream scales with
+    * input.
+    */
+  def evAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        (graft.functions.CrossHash.md5Long(
+          concat(lit("ab-v1:"), col("user_id").cast("string"))) % 2)
+          .as("cohort"),
+        round(col("value") * 100).cast("long").cast(M38).as("v"))
+    def arm(c: Int, e2: org.apache.spark.sql.Column) =
+      sum(when(col("cohort") === c, e2).otherwise(lit(0).cast(M38)))
+    val m = e.groupBy(col("event_type")).agg(
+      count(when(col("cohort") === 0, 1)).as("n_a"),
+      count(when(col("cohort") === 1, 1)).as("n_b"),
+      arm(0, col("v")).as("s_a"), arm(1, col("v")).as("s_b"),
+      arm(0, col("v") * col("v")).as("ss_a"),
+      arm(1, col("v") * col("v")).as("ss_b"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n) / 100.0
+    // sample variance from exact moments: (n·ss − s²) / (n·(n−1))
+    def va(n: String, s: String, ss: String) =
+      (col(n).cast(M38) * col(ss) - col(s) * col(s)).cast("double") /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    val t = (mean("s_a", "n_a") - mean("s_b", "n_b")) /
+      (sqrt(va("n_a", "s_a", "ss_a") / col("n_a") +
+        va("n_b", "s_b", "ss_b") / col("n_b")) / 100.0)
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+        r6(mean("s_a", "n_a")).as("mean_a"),
+        r6(mean("s_b", "n_b")).as("mean_b"),
+        when(col("n_a") > 1 && col("n_b") > 1, r6(t)).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val evAbtestSql: String = {
+    // correctly-rounded HUGEINT→DOUBLE via VARCHAR (see profCorrSql)
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val h = graft.functions.CrossHash
+      .md5LongSql("('ab-v1:' || CAST(user_id AS VARCHAR))")
+    def arm(c: Int, e: String) =
+      s"SUM(CASE WHEN cohort = $c THEN $e ELSE CAST(0 AS HUGEINT) END)"
+    def mean(s: String, n: String) = s"(${dbl(s)} / $n / 100.0)"
+    def va(n: String, s: String, ss: String) =
+      s"(${dbl(s"(CAST($n AS HUGEINT) * $ss - $s * $s)")} / " +
+        s"(CAST($n AS DOUBLE) * ($n - 1)))"
+    val t = s"((${mean("s_a", "n_a")} - ${mean("s_b", "n_b")}) / " +
+      s"(sqrt(${va("n_a", "s_a", "ss_a")} / n_a + " +
+      s"${va("n_b", "s_b", "ss_b")} / n_b) / 100.0))"
+    s"""
+WITH e AS (
+  SELECT event_type, ($h % 2) AS cohort,
+    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS v
+  FROM events
+), m AS (
+  SELECT event_type,
+    COUNT(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+    COUNT(CASE WHEN cohort = 1 THEN 1 END) AS n_b,
+    ${arm(0, "v")} AS s_a, ${arm(1, "v")} AS s_b,
+    ${arm(0, "v * v")} AS ss_a, ${arm(1, "v * v")} AS ss_b
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+  ${graft.functions.Determinism.r6Sql(mean("s_a", "n_a"))} AS mean_a,
+  ${graft.functions.Determinism.r6Sql(mean("s_b", "n_b"))} AS mean_b,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    ${graft.functions.Determinism.r6Sql(t)} END AS t_stat
+FROM m ORDER BY event_type"""
+  }
+
   /** Micro-nat quantum for [[profMi]]'s PMI cells (the `ta_ngram_lm` /
     * `ta_colloc` integer-log posture).
     */

@@ -239,6 +239,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_abtest matches a local Welch recompute over the hash split") {
+    val got = Analytics.evAbtest(spark, sf("sf0.01")).collect()
+    assert(got.nonEmpty)
+    // recompute from the raw events with the same salted split
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_type"),
+        (graft.functions.CrossHash.md5Long(
+          concat(lit("ab-v1:"), col("user_id").cast("string"))) % 2)
+          .as("cohort"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { r =>
+      val et = r.getString(0)
+      val a = ev.filter(e => e._1 == et && e._2 == 0L).map(_._3)
+      val b = ev.filter(e => e._1 == et && e._2 == 1L).map(_._3)
+      assert(r.getAs[Long]("n_a") == a.length.toLong)
+      assert(r.getAs[Long]("n_b") == b.length.toLong)
+      def mean(x: Array[Long]) = x.sum.toDouble / x.length / 100.0
+      assert(math.abs(r.getAs[Double]("mean_a") - mean(a)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mean_b") - mean(b)) < 1e-6)
+      // Welch t from exact moments, in dollars
+      def vaOf(x: Array[Long]) = {
+        val n = x.length.toDouble
+        val s = BigInt(x.map(BigInt(_)).sum.toString).toDouble
+        val ss = x.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+        (n * ss - s * s) / (n * (n - 1)) / 10000.0
+      }
+      val t = (mean(a) - mean(b)) /
+        math.sqrt(vaOf(a) / a.length + vaOf(b) / b.length)
+      assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4, s"t: $r vs $t")
+      // both cohorts populated — the split genuinely divides users
+      assert(a.nonEmpty && b.nonEmpty)
+    }
+  }
+
   test("prof_mi cells reconstruct marginals, total, and a local MI recompute") {
     val rows = Analytics.profMi(spark, sf("sf0.01")).collect()
     val n = rows.map(_.getAs[Long]("n_xy")).sum
