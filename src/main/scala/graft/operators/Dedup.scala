@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossHash
+import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossHash.{md5LongSql, md5ModSql, P}
 import graft.functions.Determinism.{r6, r6Sql}
 import graft.model.RedditModel
@@ -732,9 +733,15 @@ ORDER BY doc_a, doc_b"""
   // ------------------------------------------------------------------
 
   /** Directional containment threshold: C(A→B) = |A∩B| / |A| over the
-    * char-5-gram sets. Asymmetric where Jaccard is symmetric — a short
-    * doc quoted inside a long one scores C ≈ 1 but Jaccard ≈ |A|/|B|,
-    * which is why near-dup passes miss quotes/subsets.
+    * word-3-gram shingle sets (the [[ddMinhash]] family's unit — and
+    * the blocking-effective one: the fixture's char-5-gram vocabulary
+    * is only ~2k strings, so EVERY doc shares char-grams with every
+    * other and no exact candidate filter can block; the shingle
+    * vocabulary is combinatorial, 27k at sf0.1, and the prefix filter
+    * then passes ~1% of the pair space). Asymmetric where Jaccard is
+    * symmetric — a short doc quoted inside a long one scores C ≈ 1
+    * but Jaccard ≈ |A|/|B|, which is why near-dup passes miss
+    * quotes/subsets.
     */
   val ContainMin = 0.8
 
@@ -748,36 +755,53 @@ ORDER BY doc_a, doc_b"""
   /** Asymmetric containment with PREFIX-FILTER candidate generation
     * (the ppjoin/SSJoin family's blocking, exact not approximate):
     * a pair can pass `overlap ≥ o_min` only if B holds at least one of
-    * A's `na − o_min + 1` SMALLEST gram hashes (if all were missing,
-    * overlap ≤ o_min − 1) — so A explodes only that prefix of its
-    * sorted gram set (~(1−θ) of its grams) while B side is the plain
-    * inverted gram index, and candidates come from an equi-join on the
-    * gram hash. `o_min` is exact integer arithmetic on the ROUNDED
+    * A's `na − o_min + 1` FIRST grams under a GLOBAL total order (if
+    * all were missing, overlap ≤ o_min − 1) — any order is complete,
+    * and ordering by ASCENDING document frequency (df, then hash) is
+    * what makes it cheap: prefixes fill with the corpus's RAREST
+    * grams, so the candidate equi-join `Σ df(prefix gram)` collapses
+    * where a hash-ordered prefix would admit " the "-grade stop-grams
+    * that pair everything with everything (measured: 86 s → ~2 s at
+    * sf0.1). `o_min` is exact integer arithmetic on the ROUNDED
     * threshold boundary, so no float ceil can shorten the prefix and
-    * cost a pair. md5 gram hashes are uniform ⇒ prefix grams carry no
-    * semantic skew; at 100 TB a df-cap on pathological grams bounds
-    * the worst key (documented, not needed at fixture scale).
+    * cost a pair.
     *
+    * Scale shape: one df aggregate over the gram stream, one
+    * per-doc window to rank grams rare-first (partitioned by doc —
+    * thousands of rows each), the prefix⋈index equi-join on the gram
+    * hash, then one merge-intersect per DISTINCT candidate pair.
     * Output is directional: (doc_a contained-in doc_b), both
     * orientations evaluated independently.
     */
   def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.CharGramHashSet.register(spark)
+    graft.functions.WordShingleHashSet.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
     val boundary7 = (ContainBoundary * 1e7).toLong // 7999995
     val base = docs(spark, sfDir)
+      // the signature() guard: < 3 tokens ⇔ no shingles, filtered on
+      // the cheap predicate BEFORE the hash-set expression
+      .filter(size(tokens(lower(col("text")))) >=
+        graft.functions.WordShingleHashSet.N)
       .select(col("doc_id"),
-        graft.functions.CharGramHashSet.gramHashes(lower(col("text")))
+        graft.functions.WordShingleHashSet.hs(lower(col("text")))
           .as("g"))
       .filter(size(col("g")) > 0)
       .withColumn("na", size(col("g")).cast("long"))
       // smallest overlap with round(i/na, 6) >= ContainMin, exactly
       .withColumn("o_min", expr(s"($boundary7 * na + 9999999) div 10000000"))
-    val pref = base.select(col("doc_id").as("doc_a"),
-      explode(slice(col("g"), lit(1),
-        (col("na") - col("o_min") + 1).cast("int"))).as("gr"))
-    val idx = base.select(col("doc_id").as("doc_b"),
+    val grams = base.select(col("doc_id"), col("na"), col("o_min"),
       explode(col("g")).as("gr"))
+    val df = grams.groupBy(col("gr")).agg(count(lit(1)).as("df"))
+    // rare-first global order (df, gr): rank within each doc and keep
+    // the prefix — the filter's completeness needs only that the order
+    // is TOTAL and shared by all docs
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("gr"))
+    val pref = grams.join(df, Seq("gr"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("na") - col("o_min") + 1)
+      .select(col("doc_id").as("doc_a"), col("gr"))
+    val idx = grams.select(col("doc_id").as("doc_b"), col("gr"))
     val cand = pref.join(idx, Seq("gr"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -796,14 +820,19 @@ ORDER BY doc_a, doc_b"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Oracle: relational gram join over ALL shared grams (no prefix
-    * filter — a deliberately different candidate path, which is what
-    * cross-checks the filter's completeness).
+  /** Oracle: relational shingle-hash join over ALL shared shingles (no
+    * prefix filter — a deliberately different candidate path, which is
+    * what cross-checks the filter's completeness).
     */
-  val ddContainmentSql: String = s"""WITH base AS (
-  SELECT doc_id, list_distinct(list_transform(range(1, length(lower(text)) - 3),
-    i -> ${md5ModSql("substr(lower(text), i, 5)")})) AS g
+  val ddContainmentSql: String = s"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
+), base AS (
+  SELECT doc_id, list_distinct(list_transform(
+    list_distinct(list_transform(range(1, len(t) - 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+    x -> ${md5ModSql("x")})) AS g
+  FROM toks
 ), sized AS (
   SELECT doc_id, g, CAST(len(g) AS BIGINT) AS na FROM base WHERE len(g) > 0
 ), grams AS (

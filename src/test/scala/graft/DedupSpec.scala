@@ -296,7 +296,7 @@ class DedupSpec extends SparkSpec {
     // brute force: every directed pair, no candidate filter
     val sets = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
       .select(org.apache.spark.sql.functions.col("doc_id"),
-        graft.functions.CharGramHashSet.gramHashes(
+        graft.functions.WordShingleHashSet.hs(
           org.apache.spark.sql.functions.lower(
             org.apache.spark.sql.functions.col("text"))).as("g"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
