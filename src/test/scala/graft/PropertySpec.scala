@@ -244,4 +244,86 @@ class PropertySpec extends SparkSpec {
     assert(empty == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
     assert(rounds0 == 0)
   }
+
+  test("dd_containment finds planted quotes and equals brute force on random docs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val r = new Random(7)
+    val vocab = Vector.tabulate(120)(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(r.nextInt(vocab.size)))
+    val bases = Vector.fill(40)(doc(20 + r.nextInt(40)))
+    // planted quotes: contiguous slices of a base doc (containment 1.0)
+    val quotes = (0 until 8).map { i =>
+      val b = bases(r.nextInt(bases.size))
+      val start = r.nextInt(math.max(1, b.size - 12))
+      b.slice(start, start + 10 + r.nextInt(math.min(8, b.size - start - 9)))
+    }
+    val all = (bases ++ quotes).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "synth",
+        ws.mkString(" ").length.toLong) }
+    val dir = Files.createTempDirectory("graft_prop_contain_").toString
+    all.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.ddContainment(spark, dir)
+    // candidate generation must stay equi-join shaped
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val rows = got.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getAs[Long]("overlap"),
+        x.getAs[Long]("na"))).toSet
+    // every planted quote is found contained in its base at C = 1
+    quotes.zipWithIndex.foreach { case (_, qi) =>
+      val qid = (bases.size + qi).toLong
+      assert(rows.exists(t => t._1 == qid && t._3 == t._4),
+        s"planted quote $qid not fully contained")
+    }
+    // and the full directed set equals the unfiltered brute force
+    val sets = all.map { case (id, text, _, _, _) =>
+      id -> spark.range(1).select(graft.functions.WordShingleHashSet
+        .hs(lit(text)).as("g")).collect().head.getSeq[Long](0).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a != b
+      i = (ga & gb).size.toLong
+      if BigDecimal.decimal(i.toDouble / ga.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble >= Dedup.ContainMin
+    } yield (a, b, i, ga.size.toLong)).toSet
+    assert(rows == want)
+  }
+
+  test("TopK row_number and rank modes equal window forms on random data, any flush") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // random groups/values with heavy ties; tiny flush thresholds force
+    // constant partial-phase eviction on every shape
+    for (seed <- Seq(1, 2, 3)) {
+      val r = new Random(seed)
+      val n = 400 + r.nextInt(400)
+      val rows = Seq.fill(n)((r.nextInt(10 + seed * 7).toLong, // group
+        r.nextInt(6).toLong,                                   // value: ties
+        r.nextLong()))                                         // id
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val k = 1 + r.nextInt(4)
+      spark.conf.set("spark.graft.topk.partialFlushGroups",
+        (1 + r.nextInt(3)).toString)
+      try {
+        val rn = graft.plans.TopK.perGroup(df, Seq("g"),
+          Seq("v" -> true, "id" -> false), k).collect().map(_.toSeq).toSet
+        val w = Window.partitionBy(col("g"))
+          .orderBy(col("v").desc, col("id"))
+        val rnWant = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k).collect().map(_.toSeq).toSet
+        assert(rn == rnWant, s"row_number mode at seed $seed k $k")
+        val rk = graft.plans.TopK.perGroupRank(df, Seq("g"),
+          Seq("v" -> true), k).collect().map(_.toSeq).toSet
+        val rkWant = df.withColumn("rank",
+            rank().over(Window.partitionBy(col("g")).orderBy(col("v").desc)))
+          .filter(col("rank") <= k).collect().map(_.toSeq).toSet
+        assert(rk == rkWant, s"rank mode at seed $seed k $k")
+      } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
+    }
+  }
 }
