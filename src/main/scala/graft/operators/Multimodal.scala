@@ -349,6 +349,72 @@ FROM documents ORDER BY doc_id"""
     }
   }
 
+  /** RIFF/WAVE container sniff — the audio twin of [[looksLikeImage]]. */
+  private[graft] def looksLikeWav(c: Array[Byte]): Boolean =
+    c.length >= 44 &&
+      c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F' &&
+      c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E'
+
+  /** REAL audio decode for PCM WAV (round 7) — RIFF needs no external
+    * codec: the chunk walk below parses the `fmt ` header (PCM only,
+    * 16-bit) and the `data` payload with plain little-endian reads,
+    * then blockhashes the AMPLITUDE ENVELOPE: per-[[PhashBits]]-block
+    * sums of |sample|, bit k set iff block k's mean exceeds the global
+    * mean — the same integer cross-product comparison as [[imageSig]],
+    * so the signature is bit-reproducible with no float thresholds.
+    * Returns None for non-RIFF bytes, compressed/8-bit formats, or
+    * truncated payloads: callers fall back to [[byteSig]] (which keeps
+    * the text-derived oracle fixture on its exact text-twin path).
+    * Compressed audio (mp3/ogg/aac) stays honestly stubbed — those
+    * codecs genuinely don't ship here.
+    */
+  private[graft] def wavSig(content: Array[Byte]): Option[Long] = {
+    if (!looksLikeWav(content)) return None
+    val bb = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // chunk walk: [id:4][size:4][payload:size] from offset 12
+    var pos = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= content.length && (!fmtOk || dataOff < 0)) {
+      val id = new String(content, pos, 4, "US-ASCII")
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > content.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(pos + 8) & 0xffff
+        val bits = bb.getShort(pos + 8 + 14) & 0xffff
+        fmtOk = audioFormat == 1 && bits == 16 // PCM 16-bit only
+        if (audioFormat != 1 || bits != 16) return None
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val nSamples = dataLen / 2
+    val sums = new Array[Long](PhashBits)
+    val cnts = new Array[Long](PhashBits)
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + i * 2).toLong
+      val k = (i * PhashBits / nSamples).toInt
+      sums(k) += math.abs(s)
+      cnts(k) += 1
+      i += 1
+    }
+    val total = sums.sum
+    val n = cnts.sum
+    var sig = 0L
+    var k = 0
+    while (k < PhashBits) {
+      if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) sig |= 1L << k
+      k += 1
+    }
+    Some(sig)
+  }
+
   /** Byte-level blockhash — the no-codec fallback (and the oracle's
     * exact text-twin semantics): bytes fold into [[PhashBits]]
     * positional block sums in one pass, bit k set iff block k exceeds
@@ -372,9 +438,11 @@ FROM documents ORDER BY doc_id"""
   }
 
   /** The signature stage over any media table: batched mapPartitions,
-    * real `javax.imageio` decode for image rows (falling back to
-    * [[byteSig]] when the bytes aren't a decodable image), byte-level
-    * blockhash for media types this environment has no codec for.
+    * real `javax.imageio` decode for image rows and real RIFF/PCM
+    * parse for WAV audio rows (each falling back to [[byteSig]] when
+    * the bytes aren't a decodable container), byte-level blockhash for
+    * media types this environment has no codec for (video,
+    * compressed audio).
     */
   private[graft] def signaturesOf(
       media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
@@ -383,10 +451,11 @@ FROM documents ORDER BY doc_id"""
     media.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { r =>
-          val sig =
-            if (r.media_type == "image")
-              imageSig(r.content).getOrElse(byteSig(r.content))
-            else byteSig(r.content)
+          val sig = r.media_type match {
+            case "image" => imageSig(r.content).getOrElse(byteSig(r.content))
+            case "audio" => wavSig(r.content).getOrElse(byteSig(r.content))
+            case _ => byteSig(r.content)
+          }
           MediaSig(r.doc_id, r.media_type, r.content.length, sig)
         }
       }
