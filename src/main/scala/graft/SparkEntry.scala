@@ -99,6 +99,7 @@ object SparkEntry {
     "ev_topk" -> (TimeSeries.evTopk _),
     "ev_json" -> (Analytics.evJson _),
     "ev_abtest" -> (Analytics.evAbtest _),
+    "ev_seasonality" -> (Analytics.evSeasonality _),
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
     "wh_scd2" -> (Analytics.whScd2 _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "ev_topk" -> TimeSeries.evTopkSql,
     "ev_json" -> Analytics.evJsonSql,
     "ev_abtest" -> Analytics.evAbtestSql,
+    "ev_seasonality" -> Analytics.evSeasonalitySql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,
     "wh_snapshot" -> Analytics.whSnapshotSql,

@@ -764,6 +764,62 @@ SELECT event_type, n_a, n_b,
 FROM m ORDER BY event_type"""
   }
 
+  // ------------------------------------------------------------------
+  // ev_seasonality — weekday-uniformity chi-square per event type
+  // ------------------------------------------------------------------
+
+  /** Weekday seasonality readout per event_type: the 7 day-of-week
+    * counts (Monday=0, the T5 convention), the peak day, and the
+    * chi-square statistic against the uniform null — the quick answer
+    * to "is this event type day-of-week shaped" before trusting any
+    * daily aggregate as stationary.
+    *
+    * Exactness: with e = n/7, `χ² = Σ(o−e)²/e` algebraically reduces
+    * to `(7·Σo² − n²)/n` — the numerator is an exact BIGINT of exact
+    * counts, so the ONLY float is one final division through [[r6]]
+    * (no per-bin float folds to order-pin). Scale: one partial-agg'd
+    * shuffle of (type, dow) rows, then a types-sized reduce.
+    */
+  def evSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"), weekday(col("ts")).as("dow"))
+    val counts = e.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+    // peak day as ONE integer key: count·8 + (7−dow) — max takes the
+    // highest count, ties the SMALLEST dow, identically on both
+    // engines, with no struct/arg_max ordering semantics to trust
+    val byType = counts.groupBy(col("event_type")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * col("c")).as("ssq"),
+      max(col("c") * 8 + (lit(7) - col("dow"))).as("pk"))
+    byType.select(col("event_type"), col("n"),
+        (lit(7) - col("pk") % 8).cast("int").as("peak_dow"),
+        // `div`, not `/`: Column./ on integers is DOUBLE division
+        expr("pk div 8").cast("long").as("peak_count"),
+        r6((lit(7) * col("ssq") - col("n") * col("n")).cast("double") /
+          col("n")).as("chi2"))
+      .orderBy(col("event_type"))
+  }
+
+  val evSeasonalitySql: String = s"""
+WITH e AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow FROM events
+), counts AS (
+  SELECT event_type, dow, COUNT(*) AS c FROM e GROUP BY 1, 2
+), t AS (
+  SELECT event_type,
+    CAST(SUM(c) AS BIGINT) AS n,
+    CAST(SUM(c * c) AS BIGINT) AS ssq,
+    MAX(c * 8 + (7 - dow)) AS pk
+  FROM counts GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(7 - (pk % 8) AS INTEGER) AS peak_dow,
+  CAST(pk // 8 AS BIGINT) AS peak_count,
+  ${graft.functions.Determinism.r6Sql(
+    "(CAST(7 * ssq - n * n AS DOUBLE) / n)")} AS chi2
+FROM t ORDER BY event_type"""
+
   /** Micro-nat quantum for [[profMi]]'s PMI cells (the `ta_ngram_lm` /
     * `ta_colloc` integer-log posture).
     */

@@ -275,6 +275,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_seasonality chi2 and peak day match a local recompute") {
+    val got = Analytics.evSeasonality(spark, sf("sf0.01")).collect()
+    assert(got.nonEmpty)
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_type"), weekday(col("ts")).as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    got.foreach { r =>
+      val counts = ev.filter(_._1 == r.getString(0)).groupBy(_._2)
+        .map { case (d, xs) => d -> xs.length.toLong }
+      val n = counts.values.sum
+      assert(r.getAs[Long]("n") == n)
+      // peak: highest count, smallest dow on ties
+      val peak = counts.toSeq.minBy { case (d, c) => (-c, d) }
+      assert(r.getAs[Int]("peak_dow") == peak._1, s"peak: $r")
+      assert(r.getAs[Long]("peak_count") == peak._2)
+      // chi2 vs the direct sum-over-bins form (missing days count 0)
+      val e = n.toDouble / 7
+      val chi2 = (0 to 6).map(d =>
+        math.pow(counts.getOrElse(d, 0L).toDouble - e, 2) / e).sum
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5, s"chi2: $r")
+      assert(r.getAs[Double]("chi2") >= 0)
+    }
+  }
+
   test("prof_mi cells reconstruct marginals, total, and a local MI recompute") {
     val rows = Analytics.profMi(spark, sf("sf0.01")).collect()
     val n = rows.map(_.getAs[Long]("n_xy")).sum
