@@ -148,6 +148,70 @@ object Load {
         .parquet(path))
   }
 
+  /** General MERGE over a `partitionCol`-partitioned parquet table —
+    * the library-API form of `MERGE INTO target USING source ON key`
+    * (the SQL form needs a transactional table format, which this env
+    * can't ship; the partition-scoped rewrite below is the same
+    * execution shape Delta/Iceberg plan for partition-aligned merges):
+    *
+    *  - source rows whose `opCol` equals "delete" remove matching
+    *    target rows (WHEN MATCHED AND op='delete' THEN DELETE);
+    *  - every other source row updates its match or inserts
+    *    (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT);
+    *  - ONLY partitions named by the source rewrite: the target scan
+    *    statically prunes to the source's distinct partition values
+    *    (driver traffic is partition ids, never data), survivors come
+    *    from a key anti-join (keys are non-null by the PK contract) on `keyCols`, and the staged result
+    *    writes back with dynamic partition overwrite — untouched
+    *    partitions stay byte-identical (spec-pinned);
+    *  - a partition whose rows are ALL deleted vanishes: dynamic
+    *    overwrite cannot rewrite an empty partition, so emptied dirty
+    *    partition directories are removed explicitly (the classic
+    *    dynamic-overwrite delete pitfall, handled not documented).
+    *
+    * Source must not contain duplicate keys (the upsert contract);
+    * `source` carries the full target schema for upserts.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], partitionCol: String,
+      opCol: Option[String] = None): Unit = {
+    val upserts = opCol.map(c => source.filter(col(c) =!= "delete").drop(c))
+      .getOrElse(source)
+    val allKeys = opCol.map(c => source.drop(c)).getOrElse(source)
+      .select(keyCols.map(col): _*)
+    if (!tableExists(spark, path)) {
+      upserts.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val dirtyVals = source.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(dirtyVals: _*))
+      .select(upserts.schema.fields
+        .map(f => col(f.name).cast(f.dataType)): _*)
+    val survivors = existing.join(allKeys, keyCols, "left_anti")
+    val merged = survivors.unionByName(upserts)
+    // partitions all of whose rows were deleted won't appear in the
+    // dynamic overwrite output — collect them for explicit removal
+    val liveDirty = merged.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = dirtyVals.filterNot(liveDirty)
+    stageThenRewrite(merged, spark, path)(
+      _.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/$partitionCol=$dirName"), true)
+    }
+  }
+
   /** K4 — the `post_performance` view (reference analysis.sql:173-183). */
   def createPerformanceView(spark: SparkSession, posts: DataFrame): Unit = {
     val w = Window.partitionBy(col("subreddit")).orderBy(col("score").desc)

@@ -71,6 +71,45 @@ class LoadPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 4)
   }
 
+  test("mergeInto: update/insert/delete, partition-scoped, emptied dirs removed") {
+    import spark.implicits._
+    val table = s"${tmpDir()}/items"
+    val seed = Seq(
+      (1L, "2025-01-01", "one"), (2L, "2025-01-01", "two"),
+      (3L, "2025-01-02", "three"),
+      (4L, "2025-01-03", "four"))
+      .toDF("id", "date", "payload")
+    Load.mergeInto(spark, table, seed, Seq("id"), "date")
+    def partFiles(date: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$table/date=$date")
+      if (dir.listFiles() == null) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val d1Before = partFiles("2025-01-01")
+    assert(d1Before.nonEmpty)
+    // MERGE: update id=3, insert id=5 (both on 01-02), delete ALL of
+    // 01-03; 01-01 untouched
+    val batch = Seq(
+      (3L, "2025-01-02", "THREE", "upsert"),
+      (5L, "2025-01-02", "five", "upsert"),
+      (4L, "2025-01-03", "", "delete"))
+      .toDF("id", "date", "payload", "op")
+    Load.mergeInto(spark, table, batch, Seq("id"), "date", Some("op"))
+    val out = spark.read.parquet(table)
+    assert(out.count() == 4) // 1, 2, 3(updated), 5
+    assert(out.filter(col("id") === 3L).collect().head
+      .getAs[String]("payload") == "THREE") // matched → update
+    assert(out.filter(col("id") === 5L).count() == 1) // not matched → insert
+    assert(out.filter(col("id") === 4L).count() == 0) // matched → delete
+    // untouched partition byte-identical; emptied partition dir gone
+    assert(partFiles("2025-01-01") == d1Before)
+    assert(!new java.io.File(s"$table/date=2025-01-03").exists())
+    // idempotent re-merge
+    Load.mergeInto(spark, table, batch, Seq("id"), "date", Some("op"))
+    assert(spark.read.parquet(table).count() == 4)
+  }
+
   test("K5 JSONL export shards round-trip with bounded, ordered shards") {
     val dir = tmpDir()
     val docs = graft.operators.TextAnalysis.docs(spark, sf("sf0.001"))
