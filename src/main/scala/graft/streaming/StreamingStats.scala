@@ -382,6 +382,28 @@ ORDER BY day, event_type"""
       }
       .start()
 
+  /** CDC apply: a change stream (rows carrying an `op` column with
+    * "upsert"/"delete") merges into a partitioned parquet table per
+    * micro-batch through [[graft.sink.Load.mergeInto]] — the streaming
+    * warehouse-maintenance pattern (`foreachBatch` is the idiomatic
+    * bridge, as with [[startUpsertSink]]; a table format would make
+    * each batch's merge transactional, the algorithm is the same).
+    * Batches must not carry duplicate keys (the upsert contract);
+    * dedupe upstream with [[dedupIngestStream]] when the source can
+    * replay.
+    */
+  def startCdcSink(changes: DataFrame, table: String, keyCols: Seq[String],
+      partitionCol: String, checkpoint: String) =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sink.Load.mergeInto(batch.sparkSession, table, batch,
+            keyCols, partitionCol, opCol = Some("op"))
+      }
+      .start()
+
   val evSessionsSql: String = s"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,

@@ -227,6 +227,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC sink applies streamed upserts and deletes through mergeInto") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cdc_").toString + "/items"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt_").toString
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = StreamingStats.startCdcSink(
+      mem.toDF().toDF("id", "date", "payload", "op"),
+      table, Seq("id"), "date", ckpt)
+    try {
+      // batch 1: three inserts across two partitions
+      mem.addData((1L, "2025-01-01", "one", "upsert"),
+        (2L, "2025-01-01", "two", "upsert"),
+        (3L, "2025-01-02", "three", "upsert"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 3)
+      // batch 2: update 1, delete 2, insert 4 on a new partition
+      mem.addData((1L, "2025-01-01", "ONE", "upsert"),
+        (2L, "2025-01-01", "", "delete"),
+        (4L, "2025-01-03", "four", "upsert"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "ONE", 3L -> "three", 4L -> "four"))
+    } finally q.stop()
+  }
+
   test("batch twin equals a direct aggregation over the events fixture") {
     val df = StreamingStats.evDailyStats(spark, sf())
     val direct = StreamingStats.events(spark, sf())
