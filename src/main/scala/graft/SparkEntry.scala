@@ -116,6 +116,8 @@ object SparkEntry {
     "prof_drift" -> (Analytics.profDrift _),
     "prof_mi" -> (Analytics.profMi _),
     "prof_fd" -> (Analytics.profFd _),
+    "prof_moments" -> (Analytics.profMoments _),
+    "prof_benford" -> (Analytics.profBenford _),
     "wh_dq" -> (Analytics.whDq _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
@@ -226,6 +228,8 @@ object SparkEntry {
     "prof_drift" -> Analytics.profDriftSql,
     "prof_mi" -> Analytics.profMiSql,
     "prof_fd" -> Analytics.profFdSql,
+    "prof_moments" -> Analytics.profMomentsSql,
+    "prof_benford" -> Analytics.profBenfordSql,
     "wh_dq" -> Analytics.whDqSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,

@@ -950,4 +950,190 @@ SELECT
   (SELECT MAX(cnt) FROM
     (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey))
     AS max_lines_per_order"""
+
+  // ------------------------------------------------------------------
+  // prof_moments — exact-moment skewness / excess kurtosis
+  // ------------------------------------------------------------------
+
+  /** Columns for the shape profile — the [[CorrCols]] numeric set. */
+  val MomentCols: Seq[String] = CorrCols
+
+  /** Distribution-shape profile (skewness + excess kurtosis) per
+    * numeric column in ONE scan: S1..S4 power sums accumulate as exact
+    * decimal(38,0) over integer centi-units (cast-before-multiply, the
+    * [[profCorr]] posture), so the moments are parallelism-stable at
+    * any partition count; each sum then converts ONCE to a
+    * correctly-rounded double and the skew/kurt formulas run in float
+    * with the identical operation order on both engines. Spark's own
+    * `skewness()`/`kurtosis()` are running double accumulations —
+    * merge-order-dependent, unusable under a hash gate.
+    *
+    * Bound: |cents| ≤ 1e7 (fixture prices) ⇒ S4 ≤ 1e28·rows — inside
+    * decimal(38,0) to ~1e9 rows per column; past that, drop to
+    * per-column dec(38) d⁴ sums over mean-shifted units (smaller
+    * magnitudes), same shape.
+    */
+  def profMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cents = MomentCols.map(c =>
+      round(col(c) * 100).cast("long").cast(M38).as(s"v_$c"))
+    val sums = count(lit(1)).cast(M38).as("n") +:
+      MomentCols.flatMap { c =>
+        val v = col(s"v_$c")
+        Seq(sum(v).as(s"s1_$c"), sum(v * v).as(s"s2_$c"),
+          sum(v * v * v).as(s"s3_$c"), sum(v * v * v * v).as(s"s4_$c"))
+      }
+    // all-double from here; the oracle twin mirrors this expression
+    // tree node-for-node (same literals, same association) so the two
+    // engines run the identical IEEE op sequence
+    def shape(c: String) = {
+      val n = col("n").cast("double")
+      val r1 = col(s"s1_$c").cast("double") / n
+      val r2 = col(s"s2_$c").cast("double") / n
+      val r3 = col(s"s3_$c").cast("double") / n
+      val r4 = col(s"s4_$c").cast("double") / n
+      val m2 = r2 - r1 * r1
+      val m3 = r3 - lit(3.0) * r1 * r2 + lit(2.0) * r1 * r1 * r1
+      val m4 = r4 - lit(4.0) * r1 * r3 + lit(6.0) * r1 * r1 * r2 -
+        lit(3.0) * r1 * r1 * r1 * r1
+      (r6(r1 / lit(100.0)).as(s"mean_$c"),
+        when(m2 > 0, r6(m3 / (m2 * sqrt(m2)))).as(s"skew_$c"),
+        when(m2 > 0, r6(m4 / (m2 * m2) - lit(3.0))).as(s"kurt_$c"))
+    }
+    val shaped = MomentCols.map(shape)
+    li.select(cents: _*)
+      .agg(sums.head, sums.tail: _*)
+      .select(col("n").cast("long").as("n_rows") +:
+        shaped.flatMap(t => Seq(t._1, t._2, t._3)): _*)
+      .select(expr(s"stack(${MomentCols.size}, " +
+        MomentCols.map(c => s"'$c', n_rows, mean_$c, skew_$c, kurt_$c")
+          .mkString(", ") +
+        ") AS (column_name, n_rows, mean, skewness, kurtosis_excess)"))
+      .orderBy(col("column_name"))
+  }
+
+  val profMomentsSql: String = {
+    def v(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val momentCols = "CAST(COUNT(*) AS HUGEINT) AS n" +:
+      MomentCols.flatMap { c =>
+        Seq(s"SUM(${v(c)}) AS s1_$c", s"SUM(${v(c)} * ${v(c)}) AS s2_$c",
+          s"SUM(${v(c)} * ${v(c)} * ${v(c)}) AS s3_$c",
+          s"SUM(${v(c)} * ${v(c)} * ${v(c)} * ${v(c)}) AS s4_$c")
+      }
+    val arms = MomentCols.map { c =>
+      val n = dbl("n")
+      val r1 = s"(${dbl(s"s1_$c")} / $n)"
+      val r2 = s"(${dbl(s"s2_$c")} / $n)"
+      val r3 = s"(${dbl(s"s3_$c")} / $n)"
+      val r4 = s"(${dbl(s"s4_$c")} / $n)"
+      val m2 = s"($r2 - $r1 * $r1)"
+      val m3 = s"($r3 - 3.0 * $r1 * $r2 + 2.0 * $r1 * $r1 * $r1)"
+      val m4 = s"($r4 - 4.0 * $r1 * $r3 + 6.0 * $r1 * $r1 * $r2 - " +
+        s"3.0 * $r1 * $r1 * $r1 * $r1)"
+      s"""SELECT '$c' AS column_name, CAST(n AS BIGINT) AS n_rows,
+  ${r6Sql(s"($r1 / 100.0)")} AS mean,
+  CASE WHEN $m2 > 0 THEN ${r6Sql(s"($m3 / ($m2 * sqrt($m2)))")}
+    END AS skewness,
+  CASE WHEN $m2 > 0 THEN ${r6Sql(s"($m4 / ($m2 * $m2) - 3.0)")}
+    END AS kurtosis_excess
+  FROM m"""
+    }
+    s"""WITH m AS (
+  SELECT ${momentCols.mkString(",\n    ")}
+  FROM lineitem
+)
+${arms.mkString("\nUNION ALL\n")}
+ORDER BY column_name"""
+  }
+
+  // ------------------------------------------------------------------
+  // prof_benford — first-digit-law conformance audit
+  // ------------------------------------------------------------------
+
+  /** Audited (table, column) pairs: organically-generated magnitudes
+    * where first-digit drift signals synthetic or truncated data.
+    */
+  val BenfordCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"), ("orders", "o_totalprice"),
+    ("events", "value"))
+
+  /** Benford expected proportions log10(1 + 1/d), d = 1..9 — computed
+    * ONCE here and embedded as shortest-repr double literals in the
+    * oracle SQL, so both engines consume the identical 64-bit
+    * constants (no cross-libm log10 at query time).
+    */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
+  /** First-significant-digit distribution per audited column vs
+    * Benford's law — the classic synthetic-data / truncation tripwire
+    * a corpus audit runs over value-bearing columns. The digit is
+    * extracted from integer cents (exact on both engines; a ×100
+    * decimal shift never changes the leading digit for values ≥ 0.005,
+    * the declared domain); each (column, digit) cell carries exact
+    * counts plus its chi-square contribution — floats enter only in
+    * that per-cell statistic, from exact integers and the embedded
+    * [[BenfordP]] constants.
+    *
+    * Scale: per column one partial-agg'd shuffle of ≤9 digit rows; the
+    * 9-row scaffold join and the 1-row total are broadcasts. Map-only
+    * against the scan otherwise.
+    */
+  def profBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = spark.range(1L, 10L)
+      .select(col("id").cast("int").as("digit"))
+    val expectedP = BenfordP.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), p).otherwise(acc)
+    }
+    BenfordCols.map { case (tab, c) =>
+      val counts = spark.read.parquet(s"$sfDir/$tab.parquet")
+        .select(round(col(c) * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(
+        coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"))
+      digits.join(counts, Seq("digit"), "left")
+        .crossJoin(broadcast(total))
+        .select(lit(tab).as("tab"), lit(c).as("column_name"), col("digit"),
+          coalesce(col("cnt"), lit(0L)).as("n_d"), col("n"),
+          expectedP.as("p"))
+    }.reduce(_.unionByName(_))
+      .select(col("tab"), col("column_name"), col("digit"), col("n_d"),
+        col("n"),
+        when(col("n") > 0, r6(
+          (col("n_d").cast("double") - col("n").cast("double") * col("p")) *
+            (col("n_d").cast("double") - col("n").cast("double") * col("p")) /
+            (col("n").cast("double") * col("p")))).as("chi2_contrib"))
+      .orderBy(col("tab"), col("column_name"), col("digit"))
+  }
+
+  val profBenfordSql: String = {
+    val pCase = "CASE d.digit " + BenfordP.zipWithIndex.map {
+      case (p, i) => s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)"
+    }.mkString(" ") + " END"
+    BenfordCols.map { case (tab, c) =>
+      s"""SELECT '$tab' AS tab, '$c' AS column_name, d.digit,
+  COALESCE(cnt.n_d, 0) AS n_d, t.n,
+  CASE WHEN t.n > 0 THEN ${r6Sql(
+        s"""((CAST(COALESCE(cnt.n_d, 0) AS DOUBLE) -
+      CAST(t.n AS DOUBLE) * ($pCase)) *
+    (CAST(COALESCE(cnt.n_d, 0) AS DOUBLE) -
+      CAST(t.n AS DOUBLE) * ($pCase)) /
+    (CAST(t.n AS DOUBLE) * ($pCase)))""")} END AS chi2_contrib
+FROM (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS digit) d
+LEFT JOIN (
+  SELECT CAST(substr(CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR),
+      1, 1) AS INTEGER) AS digit,
+    COUNT(*) AS n_d
+  FROM $tab WHERE CAST(round($c * 100) AS BIGINT) > 0 GROUP BY 1
+) cnt ON cnt.digit = d.digit
+CROSS JOIN (
+  SELECT CAST(COALESCE(SUM(1), 0) AS BIGINT) AS n
+  FROM $tab WHERE CAST(round($c * 100) AS BIGINT) > 0
+) t"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY tab, column_name, digit"
+  }
 }

@@ -364,4 +364,64 @@ class AnalyticsSpec extends SparkSpec {
     schemas.foreach(s => assert(s.count(_ == ':') == 3,
       s"audit scan must read exactly its two columns: $s"))
   }
+
+  test("prof_moments matches a local exact-moment recompute in one scan") {
+    val df = Analytics.profMoments(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"the whole shape profile must be ONE scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Analytics.MomentCols.sorted)
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    rows.foreach { r =>
+      val c = r.getString(0)
+      val cents = li.select(round(col(c) * 100).cast("long").as("v"))
+        .collect().map(_.getLong(0))
+      val n = cents.length.toDouble
+      // exact integer power sums, then the operator's double formula
+      def pow(k: Int) = cents.map(v => BigInt(v).pow(k)).sum
+      val (r1, r2, r3, r4) = (
+        BigDecimal(pow(1)).toDouble / n, BigDecimal(pow(2)).toDouble / n,
+        BigDecimal(pow(3)).toDouble / n, BigDecimal(pow(4)).toDouble / n)
+      val m2 = r2 - r1 * r1
+      val m3 = r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1
+      val m4 = r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2 -
+        3.0 * r1 * r1 * r1 * r1
+      assert(r.getAs[Long]("n_rows") == cents.length)
+      assert(math.abs(r.getAs[Double]("mean") - r1 / 100.0) < 1e-6, s"$c mean")
+      assert(math.abs(r.getAs[Double]("skewness") -
+        m3 / (m2 * math.sqrt(m2))) < 1e-5, s"$c skew")
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") -
+        (m4 / (m2 * m2) - 3.0)) < 1e-5, s"$c kurt")
+    }
+  }
+
+  test("prof_benford cells cover all digits and match a digit recompute") {
+    val rows = Analytics.profBenford(spark, sf("sf0.01")).collect()
+    assert(rows.length == Analytics.BenfordCols.length * 9)
+    Analytics.BenfordCols.foreach { case (tab, c) =>
+      val cell = rows.filter(r =>
+        r.getString(0) == tab && r.getString(1) == c)
+      assert(cell.map(_.getInt(2)).toSeq == (1 to 9), s"$tab.$c scaffold")
+      // every cell carries the same per-column total, and the digit
+      // counts partition it
+      assert(cell.map(_.getAs[Long]("n")).distinct.length == 1)
+      assert(cell.map(_.getAs[Long]("n_d")).sum ==
+        cell.head.getAs[Long]("n"), s"$tab.$c counts must partition n")
+      cell.foreach(r =>
+        assert(r.getAs[Double]("chi2_contrib") >= 0.0, s"chi2: $r"))
+    }
+    // spot recompute: first-digit counts of o_totalprice cents
+    val local = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+      .groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong).toMap
+    rows.filter(_.getString(1) == "o_totalprice").foreach { r =>
+      assert(r.getAs[Long]("n_d") == local.getOrElse(r.getInt(2), 0L),
+        s"digit ${r.getInt(2)}")
+    }
+    // Benford expectations are a probability vector
+    assert(math.abs(Analytics.BenfordP.sum - 1.0) < 1e-12)
+  }
 }
