@@ -118,6 +118,7 @@ object SparkEntry {
     "prof_fd" -> (Analytics.profFd _),
     "prof_moments" -> (Analytics.profMoments _),
     "prof_benford" -> (Analytics.profBenford _),
+    "prof_outliers" -> (Analytics.profOutliers _),
     "wh_dq" -> (Analytics.whDq _),
     // extension tier: corpus preparation
     "cp_split" -> (Corpus.cpSplit _),
@@ -230,6 +231,7 @@ object SparkEntry {
     "prof_fd" -> Analytics.profFdSql,
     "prof_moments" -> Analytics.profMomentsSql,
     "prof_benford" -> Analytics.profBenfordSql,
+    "prof_outliers" -> Analytics.profOutliersSql,
     "wh_dq" -> Analytics.whDqSql,
     "cp_split" -> Corpus.cpSplitSql,
     "cp_normalize" -> Corpus.cpNormalizeSql,

@@ -1058,6 +1058,16 @@ ORDER BY column_name"""
     ("lineitem", "l_extendedprice"), ("orders", "o_totalprice"),
     ("events", "value"))
 
+  /** Audit-table reader: `events` must route through
+    * [[StreamingStats.events]] (the TIMESTAMP(NANOS) fixture needs its
+    * nanos-as-long handling — a direct parquet read only works if some
+    * earlier caller already set the session conf).
+    */
+  private def auditTable(spark: SparkSession, sfDir: String,
+      tab: String): DataFrame =
+    if (tab == "events") StreamingStats.events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$tab.parquet")
+
   /** Benford expected proportions log10(1 + 1/d), d = 1..9 — computed
     * ONCE here and embedded as shortest-repr double literals in the
     * oracle SQL, so both engines consume the identical 64-bit
@@ -1087,7 +1097,7 @@ ORDER BY column_name"""
       case (acc, (p, i)) => when(col("digit") === (i + 1), p).otherwise(acc)
     }
     BenfordCols.map { case (tab, c) =>
-      val counts = spark.read.parquet(s"$sfDir/$tab.parquet")
+      val counts = auditTable(spark, sfDir, tab)
         .select(round(col(c) * 100).cast("long").as("cents"))
         .filter(col("cents") > 0)
         .select(substring(col("cents").cast("string"), 1, 1)
@@ -1108,6 +1118,107 @@ ORDER BY column_name"""
             (col("n_d").cast("double") - col("n").cast("double") * col("p")) /
             (col("n").cast("double") * col("p")))).as("chi2_contrib"))
       .orderBy(col("tab"), col("column_name"), col("digit"))
+  }
+
+  // ------------------------------------------------------------------
+  // prof_outliers — exact-quartile Tukey-fence audit
+  // ------------------------------------------------------------------
+
+  /** Columns audited for outliers — value-bearing doubles, quantized
+    * to integer cents for exact rank arithmetic.
+    */
+  val OutlierCols: Seq[(String, String)] = BenfordCols
+
+  /** Tukey-fence outlier audit per declared column with EXACT
+    * quartiles: Q1/Q3 are the cent values at ranks ceil(n/4) and
+    * ceil(3n/4) — integer rank selection, no interpolation, so the
+    * fences and the outlier counts are integer-exact on both engines
+    * (a `percentile`-interpolated fence would put float rounding in a
+    * threshold comparison — the parity failure mode
+    * [[graft.functions.SortedJaccardGE]] exists to avoid). The fence
+    * test runs in doubled-cent space (`2v < 5·Q1 − 3·Q3` ⇔
+    * `v < Q1 − 1.5·IQR`), keeping ±1.5 exact in integers.
+    *
+    * Scale: each column reduces to a (value, count) relation first —
+    * the cumulative-rank window then runs over DISTINCT cents, bounded
+    * by the value DOMAIN (≤ ~1e7 rows for any price-like column), not
+    * the corpus; counts against the fences reuse the same relation.
+    * For a genuinely unbounded domain, swap the window for the
+    * range-sharded two-pass rank ([[graft.operators.Corpus.cpShuffle]]
+    * machinery).
+    */
+  def profOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    OutlierCols.map { case (tab, c) =>
+      val g = auditTable(spark, sfDir, tab)
+        .select(round(col(c) * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cw = g.withColumn("cum", sum(col("cnt")).over(w))
+      val t = g.agg(sum(col("cnt")).cast("long").as("n"))
+      val q = cw.crossJoin(broadcast(t)).agg(
+        min(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 3) div 4") &&
+          col("cum") - col("cnt") < expr("(n + 3) div 4"), col("v")))
+          .as("q1c"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4") &&
+          col("cum") - col("cnt") < expr("(3 * n + 3) div 4"), col("v")))
+          .as("q3c"))
+      cw.crossJoin(broadcast(q)).agg(
+        min(col("n")).as("n"), min(col("q1c")).as("q1c"),
+        min(col("q3c")).as("q3c"),
+        sum(when(lit(2) * col("v") < lit(5) * col("q1c") - lit(3) * col("q3c"),
+          col("cnt")).otherwise(0L)).as("n_below"),
+        sum(when(lit(2) * col("v") > lit(5) * col("q3c") - lit(3) * col("q1c"),
+          col("cnt")).otherwise(0L)).as("n_above"))
+        .select(lit(tab).as("tab"), lit(c).as("column_name"), col("n"),
+          r6(col("q1c").cast("double") / 100.0).as("q1"),
+          r6(col("q3c").cast("double") / 100.0).as("q3"),
+          r6((col("q3c") - col("q1c")).cast("double") / 100.0).as("iqr"),
+          col("n_below").cast("long").as("n_below"),
+          col("n_above").cast("long").as("n_above"))
+    }.reduce(_.unionByName(_)).orderBy(col("tab"), col("column_name"))
+  }
+
+  val profOutliersSql: String = {
+    val ctes = OutlierCols.zipWithIndex.map { case ((tab, c), i) =>
+      s"""g_$i AS (
+  SELECT v, COUNT(*) AS cnt
+  FROM (SELECT CAST(round($c * 100) AS BIGINT) AS v FROM $tab)
+  GROUP BY v
+), cw_$i AS (
+  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g_$i
+), t_$i AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g_$i
+), q_$i AS (
+  SELECT MIN(n) AS n,
+    MIN(CASE WHEN cum >= (n + 3) // 4 AND cum - cnt < (n + 3) // 4
+      THEN v END) AS q1c,
+    MIN(CASE WHEN cum >= (3 * n + 3) // 4 AND cum - cnt < (3 * n + 3) // 4
+      THEN v END) AS q3c
+  FROM cw_$i, t_$i
+), r_$i AS (
+  SELECT '$tab' AS tab, '$c' AS column_name, MIN(n) AS n,
+    MIN(q1c) AS q1c, MIN(q3c) AS q3c,
+    CAST(SUM(CASE WHEN 2 * v < 5 * q1c - 3 * q3c THEN cnt ELSE 0 END)
+      AS BIGINT) AS n_below,
+    CAST(SUM(CASE WHEN 2 * v > 5 * q3c - 3 * q1c THEN cnt ELSE 0 END)
+      AS BIGINT) AS n_above
+  FROM cw_$i, q_$i
+)"""
+    }
+    val arms = OutlierCols.indices.map { i =>
+      s"""SELECT tab, column_name, n,
+  ${r6Sql("(CAST(q1c AS DOUBLE) / 100.0)")} AS q1,
+  ${r6Sql("(CAST(q3c AS DOUBLE) / 100.0)")} AS q3,
+  ${r6Sql("(CAST(q3c - q1c AS DOUBLE) / 100.0)")} AS iqr,
+  n_below, n_above
+FROM r_$i"""
+    }
+    s"""WITH ${ctes.mkString(", ")}
+${arms.mkString("\nUNION ALL\n")}
+ORDER BY tab, column_name"""
   }
 
   val profBenfordSql: String = {

@@ -397,6 +397,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_outliers quartiles and fence counts match a sorted recompute") {
+    val rows = Analytics.profOutliers(spark, sf("sf0.01")).collect()
+    assert(rows.length == Analytics.OutlierCols.length)
+    Analytics.OutlierCols.foreach { case (tab, c) =>
+      val r = rows.find(x => x.getString(0) == tab && x.getString(1) == c).get
+      val cents = spark.read.parquet(sf("sf0.01") + s"/$tab.parquet")
+        .select(round(col(c) * 100).cast("long").as("v"))
+        .collect().map(_.getLong(0)).sorted
+      val n = cents.length
+      // rank-ceil selection on the sorted array (1-based rank k → idx k-1)
+      val q1c = cents((n + 3) / 4 - 1)
+      val q3c = cents((3 * n + 3) / 4 - 1)
+      assert(r.getAs[Long]("n") == n, s"$tab.$c n")
+      assert(r.getAs[Double]("q1") == q1c / 100.0, s"$tab.$c q1")
+      assert(r.getAs[Double]("q3") == q3c / 100.0, s"$tab.$c q3")
+      assert(r.getAs[Long]("n_below") ==
+        cents.count(v => 2 * v < 5 * q1c - 3 * q3c), s"$tab.$c below")
+      assert(r.getAs[Long]("n_above") ==
+        cents.count(v => 2 * v > 5 * q3c - 3 * q1c), s"$tab.$c above")
+      // fences must contain the inter-quartile box itself
+      assert(r.getAs[Long]("n_below") + r.getAs[Long]("n_above") < n / 2)
+    }
+  }
+
   test("prof_benford cells cover all digits and match a digit recompute") {
     val rows = Analytics.profBenford(spark, sf("sf0.01")).collect()
     assert(rows.length == Analytics.BenfordCols.length * 9)
