@@ -87,6 +87,7 @@ object SparkEntry {
     "ev_rolling" -> (TimeSeries.evRolling _),
     "ev_asof" -> (TimeSeries.evAsof _),
     "ev_funnel" -> (TimeSeries.evFunnel _),
+    "ev_funnel_time" -> (TimeSeries.evFunnelTime _),
     "ev_range_join" -> (TimeSeries.evRangeJoin _),
     "ev_retention" -> (TimeSeries.evRetention _),
     "ev_anomaly" -> (TimeSeries.evAnomaly _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "ev_rolling" -> TimeSeries.evRollingSql,
     "ev_asof" -> TimeSeries.evAsofSql,
     "ev_funnel" -> TimeSeries.evFunnelSql,
+    "ev_funnel_time" -> TimeSeries.evFunnelTimeSql,
     "ev_range_join" -> TimeSeries.evRangeJoinSql,
     "ev_retention" -> TimeSeries.evRetentionSql,
     "ev_anomaly" -> TimeSeries.evAnomalySql,

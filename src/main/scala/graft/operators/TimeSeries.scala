@@ -234,7 +234,11 @@ ORDER BY l.event_id"""
       .orderBy(col("user_id"))
   }
 
-  val evFunnelSql: String = """
+  /** The funnel CTE chain through the final per-user row (`fin`) —
+    * shared by [[evFunnelSql]] and [[evFunnelTimeSql]]: ONE copy of
+    * the stage semantics.
+    */
+  private val evFunnelCtes: String = """
 WITH base AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
 ), s1 AS (
@@ -260,13 +264,85 @@ WITH base AS (
     MIN(qclick) AS click_us,
     MIN(qpur) AS purchase_us
   FROM s4 GROUP BY user_id
+), fin AS (
+  SELECT user_id, view_us, click_us, purchase_us,
+    CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+         WHEN click_us IS NOT NULL THEN 2
+         WHEN view_us IS NOT NULL THEN 1
+         ELSE 0 END AS INTEGER) AS stage
+  FROM agg
+)"""
+
+  val evFunnelSql: String = evFunnelCtes + """
+SELECT user_id, view_us, click_us, purchase_us, stage
+FROM fin ORDER BY user_id"""
+
+  // ------------------------------------------------------------------
+  // ev_funnel_time — conversion-latency distribution
+  // ------------------------------------------------------------------
+
+  /** Time-to-convert readout over the [[evFunnel]] cohort: for every
+    * fully-converted user (stage 3), the first-view → qualifying-
+    * purchase latency, summarized as exact-count mean plus EXACT
+    * integer-microsecond p50/p90 — rank-ceil selection (the
+    * prof_outliers rule), never interpolation, so the percentile
+    * micros hash bitwise.
+    *
+    * Scale: the funnel itself is the one user-partitioned shuffle; the
+    * latency summary then reduces to a (delta, count) relation —
+    * distinct observed latencies, not users — before the cumulative
+    * rank. The mean's numerator is an exact BIGINT; BIGINT→double
+    * conversion is correctly rounded on both engines at any magnitude.
+    */
+  def evFunnelTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = evFunnel(spark, sfDir)
+      .filter(col("purchase_us").isNotNull)
+      .select((col("purchase_us") - col("view_us")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = g.withColumn("cum", sum(col("cnt")).over(w))
+    val t = g.agg(sum(col("cnt")).cast("long").as("n"),
+      sum(col("d") * col("cnt")).cast("long").as("sum_d"))
+    cw.crossJoin(broadcast(t)).agg(
+      min(col("n")).as("n"), min(col("sum_d")).as("sum_d"),
+      min(when(col("cum") >= expr("(n + 1) div 2") &&
+        col("cum") - col("cnt") < expr("(n + 1) div 2"), col("d")))
+        .as("p50_us"),
+      min(when(col("cum") >= expr("(9 * n + 9) div 10") &&
+        col("cum") - col("cnt") < expr("(9 * n + 9) div 10"), col("d")))
+        .as("p90_us"))
+      .select(col("n").as("n_converted"),
+        graft.functions.Determinism.r6(
+          col("sum_d").cast("double") / col("n") / lit(1000000.0))
+          .as("mean_sec"),
+        col("p50_us"), col("p90_us"))
+  }
+
+  val evFunnelTimeSql: String = evFunnelCtes + s""", d AS (
+  SELECT purchase_us - view_us AS d FROM fin WHERE purchase_us IS NOT NULL
+), g AS (
+  SELECT d, COUNT(*) AS cnt FROM d GROUP BY d
+), cw AS (
+  SELECT d, cnt, SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+    CAST(SUM(d * cnt) AS BIGINT) AS sum_d
+  FROM g
+), q AS (
+  SELECT MIN(n) AS n, MIN(sum_d) AS sum_d,
+    MIN(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+      THEN d END) AS p50_us,
+    MIN(CASE WHEN cum >= (9 * n + 9) // 10 AND cum - cnt < (9 * n + 9) // 10
+      THEN d END) AS p90_us
+  FROM cw, t
 )
-SELECT user_id, view_us, click_us, purchase_us,
-  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
-       WHEN click_us IS NOT NULL THEN 2
-       WHEN view_us IS NOT NULL THEN 1
-       ELSE 0 END AS INTEGER) AS stage
-FROM agg ORDER BY user_id"""
+SELECT n AS n_converted,
+  ${graft.functions.Determinism.r6Sql(
+    "(CAST(sum_d AS DOUBLE) / n / 1000000.0)")} AS mean_sec,
+  p50_us, p90_us
+FROM q"""
 
   // ------------------------------------------------------------------
   // ev_range_join — bucketed interval join

@@ -290,6 +290,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(plan.contains("Limit"), s"expected a Limit below the rank:\n$plan")
   }
 
+  test("ev_funnel_time percentiles are exact rank-ceil latencies") {
+    val r = TimeSeries.evFunnelTime(spark, sf("sf0.01"))
+      .collect().head
+    val deltas = TimeSeries.evFunnel(spark, sf("sf0.01"))
+      .filter(col("purchase_us").isNotNull)
+      .select((col("purchase_us") - col("view_us")).as("d"))
+      .collect().map(_.getLong(0)).sorted
+    val n = deltas.length
+    assert(n > 0, "fixture must convert at least one user")
+    assert(r.getAs[Long]("n_converted") == n)
+    assert(r.getAs[Long]("p50_us") == deltas((n + 1) / 2 - 1))
+    assert(r.getAs[Long]("p90_us") == deltas((9 * n + 9) / 10 - 1))
+    val mean = deltas.map(BigInt(_)).sum.toDouble / n / 1000000.0
+    assert(math.abs(r.getAs[Double]("mean_sec") - mean) < 1e-6)
+    // funnel latencies are positive by the strictly-after stage rule
+    assert(deltas.head > 0)
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
