@@ -104,6 +104,8 @@ object SparkEntry {
     "ev_cube" -> (Analytics.evCube _),
     // extension tier: warehouse/profiling analytics
     "wh_scd2" -> (Analytics.whScd2 _),
+    // incremental apply: hash-verified EQUAL to the full rebuild
+    "wh_scd2_apply" -> (Analytics.whScd2Apply _),
     "wh_snapshot" -> (Analytics.whSnapshot _),
     "prof_summary" -> (Analytics.profSummary _),
     // approx twin: HLL sketch, not oracle-hashable — no oracleSql
@@ -223,6 +225,7 @@ object SparkEntry {
     "ev_seasonality" -> Analytics.evSeasonalitySql,
     "ev_cube" -> Analytics.evCubeSql,
     "wh_scd2" -> Analytics.whScd2Sql,
+    "wh_scd2_apply" -> Analytics.whScd2ApplySql,
     "wh_snapshot" -> Analytics.whSnapshotSql,
     "prof_summary" -> Analytics.profSummarySql,
     "prof_corr" -> Analytics.profCorrSql,

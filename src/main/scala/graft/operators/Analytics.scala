@@ -121,14 +121,26 @@ ORDER BY 1, 2"""
     * Catalyst plans a single Exchange followed by sorts. Ties on
     * (date) break by order key — deterministic on both engines.
     */
-  def whScd2(spark: SparkSession, sfDir: String): DataFrame = {
-    val byCust = Window.partitionBy(col("custkey"))
-      .orderBy(col("od"), col("okey"))
-    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+  def whScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2From(scd2Orders(spark, sfDir))
+
+  /** The SCD2 input shape: one (custkey, status, od, okey) row per
+    * order event.
+    */
+  private def scd2Orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_custkey").as("custkey"),
         col("o_orderstatus").as("status"),
         col("o_orderdate").cast("timestamp").as("od"),
         col("o_orderkey").as("okey"))
+
+  /** History build over any [[scd2Orders]]-shaped relation — shared by
+    * the full rebuild and the incremental-apply twin's history side.
+    */
+  private def scd2From(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("custkey"))
+      .orderBy(col("od"), col("okey"))
+    val o = orders
       .withColumn("prev", lag(col("status"), 1).over(byCust))
       .withColumn("seg", sum(
         when(col("prev").isNull || col("prev") =!= col("status"), 1)
@@ -224,6 +236,95 @@ FROM scd
 WHERE valid_from <= '$SnapshotDate'
   AND (valid_to IS NULL OR valid_to > '$SnapshotDate')
 ORDER BY custkey"""
+
+  // ------------------------------------------------------------------
+  // wh_scd2_apply — incremental SCD2 merge of a new order batch
+  // ------------------------------------------------------------------
+
+  /** Where the incremental run splits history from the new batch —
+    * mid-fixture so both sides are non-trivial.
+    */
+  val ApplyCutoff = "1999-01-01"
+
+  /** Incremental SCD2 apply — the nightly-load form of [[whScd2]]:
+    * the pre-cutoff history is taken as already built, and only the
+    * new batch re-segments; the batch's first segment either extends
+    * the customer's open interval (same status → version and
+    * valid_from survive, order count accumulates) or closes it and
+    * opens the next version. New customers start at version 1.
+    *
+    * The contract IS the oracle: apply(history(<T), batch(≥T)) must
+    * equal rebuild(all) row-for-row — this query shares [[whScd2Sql]],
+    * so the driver hash-verifies incremental == full every round.
+    *
+    * Scale: this is the shape that makes SCD2 viable at 100 TB — the
+    * rebuild's window scans ALL history every load, while apply
+    * windows only the batch (days, not years, of orders) plus an
+    * equi-join against the history's open slice; closed intervals
+    * stream through untouched (and would stay partition-pruned at
+    * rest). The final valid_to stitch is a lead over (custkey,
+    * version) — the same single partitioning the batch windows
+    * already use.
+    */
+  def whScd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = scd2Orders(spark, sfDir)
+    val cut = lit(ApplyCutoff).cast("timestamp")
+    val hist = scd2From(all.filter(col("od") < cut))
+    val byCust = Window.partitionBy(col("custkey"))
+      .orderBy(col("od"), col("okey"))
+    val bsegs = all.filter(col("od") >= cut)
+      .withColumn("prev", lag(col("status"), 1).over(byCust))
+      .withColumn("bseg", sum(
+        when(col("prev").isNull || col("prev") =!= col("status"), 1)
+          .otherwise(0))
+        .over(byCust.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("custkey"), col("bseg"))
+      .agg(min(col("status")).as("status"),
+        min(col("od")).as("valid_from_ts"),
+        count(lit(1)).as("n_orders"))
+    val open = hist.filter(col("is_current"))
+      .select(col("custkey"), col("version").as("open_ver"),
+        col("status").as("open_status"), col("valid_from").as("open_from"),
+        col("n_orders").as("open_n"))
+    val firstSeg = bsegs.filter(col("bseg") === 1)
+      .select(col("custkey"), col("status").as("first_status"),
+        col("n_orders").as("first_n"))
+    // merged ⇔ the batch's first segment continues the open interval's
+    // status (null-safe false for customers missing either side)
+    val merged = coalesce(col("first_status") === col("open_status"),
+      lit(false))
+    val openRows = open.join(firstSeg, Seq("custkey"), "left")
+      .select(col("custkey"), col("open_ver").as("version"),
+        col("open_status").as("status"), col("open_from").as("valid_from"),
+        (col("open_n") + when(merged, col("first_n")).otherwise(0L))
+          .as("n_orders"))
+    val closedRows = hist.filter(!col("is_current"))
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"), col("n_orders"))
+    val batchRows = bsegs
+      .join(open.select(col("custkey"), col("open_ver"), col("open_status")),
+        Seq("custkey"), "left")
+      .join(firstSeg.select(col("custkey"), col("first_status")),
+        Seq("custkey"), "left")
+      .filter(!(merged && col("bseg") === 1)) // absorbed by the open row
+      .select(col("custkey"),
+        (coalesce(col("open_ver"), lit(0L)) + col("bseg") -
+          when(merged, 1L).otherwise(0L)).cast("long").as("version"),
+        col("status"),
+        col("valid_from_ts").cast("date").cast("string").as("valid_from"),
+        col("n_orders"))
+    val bySeg = Window.partitionBy(col("custkey")).orderBy(col("version"))
+    closedRows.unionByName(openRows).unionByName(batchRows)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(bySeg))
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_orders"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  /** Incremental == rebuild is the contract; ONE oracle definition. */
+  val whScd2ApplySql: String = whScd2Sql
 
   // ------------------------------------------------------------------
   // prof_summary — dataset profiling (nulls + exact distincts)

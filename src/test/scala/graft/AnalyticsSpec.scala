@@ -397,6 +397,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wh_scd2_apply equals the full rebuild and exercises every junction") {
+    val rebuild = Analytics.whScd2(spark, sf("sf0.01")).collect()
+    val applied = Analytics.whScd2Apply(spark, sf("sf0.01")).collect()
+    assert(applied.length == rebuild.length)
+    applied.zip(rebuild).foreach { case (a, r) =>
+      assert(a == r, s"incremental row diverges from rebuild:\n  $a\n  $r")
+    }
+    // the equivalence only tests the merge logic if the fixture hits
+    // all three cutoff junctions; pin that so a fixture change can't
+    // silently hollow the test out
+    val cut = java.sql.Timestamp.valueOf(Analytics.ApplyCutoff + " 00:00:00")
+    val o = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+      .select(col("o_custkey").as("ck"), col("o_orderstatus").as("st"),
+        col("o_orderdate").cast("timestamp").as("od"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getLong(3)))
+    val byCust = o.groupBy(_._1)
+    def lastBefore(evs: Array[(Long, String, java.sql.Timestamp, Long)]) =
+      evs.filter(_._3.before(cut)).sortBy(e => (e._3.getTime, e._4))
+        .lastOption.map(_._2)
+    def firstAfter(evs: Array[(Long, String, java.sql.Timestamp, Long)]) =
+      evs.filter(!_._3.before(cut)).sortBy(e => (e._3.getTime, e._4))
+        .headOption.map(_._2)
+    val junctions = byCust.values.map(evs => (lastBefore(evs), firstAfter(evs)))
+    assert(junctions.exists { case (b, a) => b.isDefined && a == b },
+      "need a same-status continuation across the cutoff")
+    assert(junctions.exists { case (b, a) =>
+      b.isDefined && a.isDefined && a != b },
+      "need a status change at the cutoff")
+    assert(junctions.exists { case (b, a) => b.isEmpty && a.isDefined },
+      "need a customer born after the cutoff")
+  }
+
   test("prof_outliers quartiles and fence counts match a sorted recompute") {
     val rows = Analytics.profOutliers(spark, sf("sf0.01")).collect()
     assert(rows.length == Analytics.OutlierCols.length)
