@@ -130,6 +130,8 @@ object SparkEntry {
     "cp_pack_sharded" -> (Corpus.cpPackSharded _),
     "cp_mix" -> (Corpus.cpMix _),
     "cp_decontam" -> (Corpus.cpDecontam _),
+    // bloom pre-filter twin: hash-verified EQUAL to cp_decontam
+    "cp_decontam_bloom" -> (Corpus.cpDecontamBloom _),
     "cp_vocab" -> (Corpus.cpVocab _),
     "cp_stats" -> (Corpus.cpStats _),
     // approx twin: quantile sketch, value-typed percentiles — no
@@ -244,6 +246,7 @@ object SparkEntry {
     "cp_pack_sharded" -> Corpus.cpPackShardedSql,
     "cp_mix" -> Corpus.cpMixSql,
     "cp_decontam" -> Corpus.cpDecontamSql,
+    "cp_decontam_bloom" -> Corpus.cpDecontamBloomSql,
     "cp_vocab" -> Corpus.cpVocabSql,
     "cp_stats" -> Corpus.cpStatsSql,
     "cp_sample" -> Corpus.cpSampleSql,

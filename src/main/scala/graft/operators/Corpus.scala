@@ -407,6 +407,63 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id"""
   }
 
+  /** Bloom sizing for [[cpDecontamBloom]]: 1M expected grams / 8M bits
+    * (~1 MiB bitmap, ~2% fpp at capacity) — constant-size regardless
+    * of corpus, and generous for any benchmark-suite eval side.
+    */
+  val DecontamBloomItems = 1000000L
+  val DecontamBloomBits = 8000000L
+
+  /** The 100 TB form of [[cpDecontam]]: identical output (same oracle
+    * SQL — the driver hash-verifies bloom == exact every round), but
+    * the corpus side probes a constant-size bloom bitmap of the eval
+    * grams BEFORE the exact join. The broadcast exact join already
+    * avoids a corpus shuffle; what the bloom buys at scale is the
+    * hash-table probe cost and, in the at-rest layout where the
+    * corpus-side gram table IS shuffled (e.g. feeding dd_spans too),
+    * the shuffle volume: ~98%+ of corpus grams die on a bitmap test
+    * (codegen'd `BloomFilterMightContain`) instead of reaching the
+    * join. False positives are removed by the exact join that follows;
+    * no false negatives exist, so equality with [[cpDecontam]] is
+    * structural.
+    */
+  def cpDecontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordGramHashes.register(spark)
+    graft.functions.BloomMightContain.register(spark)
+    val gramRows = docs(spark, sfDir)
+      .select(col("doc_id"), explode(graft.functions.WordGramHashes
+        .grams(lower(col("text")), DecontamN, modded = true)).as("h"))
+    val evalGrams = gramRows.filter(col("doc_id") % EvalMod === 0)
+      .select(col("h")).distinct()
+    // `might_contain` requires its bloom side as a scalar subquery
+    // (enforced by its type check) — express exactly that through
+    // temp views; the subquery evaluates once and broadcasts as a
+    // literal into the codegen'd probe
+    evalGrams.createOrReplaceTempView("graft_decontam_eval_grams")
+    gramRows.filter(col("doc_id") % EvalMod =!= 0)
+      .createOrReplaceTempView("graft_decontam_corpus_grams")
+    val pre = spark.sql(
+      s"""SELECT doc_id, h FROM graft_decontam_corpus_grams
+WHERE graft_might_contain(
+  (SELECT graft_bloom_agg(h, ${DecontamBloomItems}L, ${DecontamBloomBits}L)
+   FROM graft_decontam_eval_grams), h)""")
+    val hits = pre
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("eval_grams_hit"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % EvalMod === 0).as("is_eval"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_eval"),
+        coalesce(col("eval_grams_hit"), lit(0L)).as("eval_grams_hit"),
+        (!col("is_eval") && coalesce(col("eval_grams_hit"), lit(0L)) > 0)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** bloom == exact is the contract; ONE oracle definition. */
+  val cpDecontamBloomSql: String = cpDecontamSql
+
   // ------------------------------------------------------------------
   // cp_mix — domain-mixture weighting (per-source downsampling)
   // ------------------------------------------------------------------

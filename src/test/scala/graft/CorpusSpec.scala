@@ -295,6 +295,21 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((false, 0L, false)))
   }
 
+  test("cp_decontam_bloom equals the exact twin and plants the probe") {
+    val bloomDf = Corpus.cpDecontamBloom(spark, sf("sf0.001"))
+    // the pre-filter must actually be in the plan, codegen'd, below
+    // the exact join
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$plan")
+    val exact = Corpus.cpDecontam(spark, sf("sf0.001")).collect()
+    val bloom = bloomDf.collect()
+    assert(bloom.length == exact.length)
+    bloom.zip(exact).foreach { case (b, e) =>
+      assert(b == e, s"bloom path diverges from exact:\n  $b\n  $e")
+    }
+  }
+
   test("cp_pack_sharded plans a hash-partitioned window, not one task") {
     val plan = Corpus.cpPackSharded(spark, sf("sf0.01"))
       .queryExecution.executedPlan.toString
