@@ -49,6 +49,7 @@ object SparkEntry {
     "ta_ngram_lm" -> (TextAnalysis.taNgramLm _),
     "ta_ttr" -> (TextAnalysis.taTtr _),
     "ta_entropy" -> (TextAnalysis.taEntropy _),
+    "ta_zipf" -> (TextAnalysis.taZipf _),
     // extension tier: deduplication family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_minhash" -> (Dedup.ddMinhash _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "ta_ngram_lm" -> TextAnalysis.taNgramLmSql,
     "ta_ttr" -> TextAnalysis.taTtrSql,
     "ta_entropy" -> TextAnalysis.taEntropySql,
+    "ta_zipf" -> TextAnalysis.taZipfSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_minhash" -> Dedup.ddMinhashSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

@@ -686,4 +686,87 @@ SELECT doc_id,
   ${r6Sql(ent)} AS entropy
 FROM td GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // ta_zipf — rank-frequency power-law fit per source
+  // ------------------------------------------------------------------
+
+  /** Terms per source entering the Zipf fit. */
+  val ZipfTopR = 100
+
+  /** Zipf rank-frequency readout per source: least-squares slope of
+    * `ln(freq)` against `ln(rank)` over the top-[[ZipfTopR]] terms —
+    * natural text sits near −1; templated or synthetic sources drift.
+    * The regression runs entirely in integer micro-nats (the
+    * [[taNgramLm]] posture: one vocab-level `ln` per RANKED TERM,
+    * quantized; all Σx, Σy, Σxy, Σx² are exact BIGINTs), so the only
+    * float is the final slope division. Rank ties break on the term
+    * string — deterministic on both engines.
+    *
+    * Scale: explode → (source, term) partial agg (vocab-sized shuffle,
+    * never the token stream); the rank window partitions by source and
+    * its input can pre-prune to counts that plausibly reach the top-R
+    * per partition. The fit itself reduces 100 rows per source.
+    */
+  def taZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term"))
+    val k = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopR)
+      .select(col("source"), col("term"), col("cnt"), col("rank"),
+        round(log(col("rank").cast("double")) * LmScale).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * LmScale).cast("long").as("y"))
+    val a = k.groupBy(col("source")).agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      max(when(col("rank") === 1, col("term"))).as("top_term"),
+      max(when(col("rank") === 1, col("cnt"))).as("top_count"))
+    a.select(col("source"), col("n_terms"), col("top_term"),
+        col("top_count").cast("long").as("top_count"),
+        when(col("n_terms") * col("sxx") - col("sx") * col("sx") > 0,
+          r6((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))).as("slope"))
+      .orderBy(col("source"))
+  }
+
+  val taZipfSql: String = s"""
+WITH tok AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), c AS (
+  SELECT source, term, COUNT(*) AS cnt
+  FROM tok WHERE term <> '' GROUP BY source, term
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY cnt DESC, term) AS rank
+  FROM c
+), k AS (
+  SELECT source, term, cnt, rank,
+    CAST(round(ln(CAST(rank AS DOUBLE)) * $LmScale) AS BIGINT) AS x,
+    CAST(round(ln(CAST(cnt AS DOUBLE)) * $LmScale) AS BIGINT) AS y
+  FROM r WHERE rank <= $ZipfTopR
+), a AS (
+  SELECT source, COUNT(*) AS n_terms,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    MAX(CASE WHEN rank = 1 THEN term END) AS top_term,
+    MAX(CASE WHEN rank = 1 THEN cnt END) AS top_count
+  FROM k GROUP BY source
+)
+SELECT source, n_terms, top_term, CAST(top_count AS BIGINT) AS top_count,
+  CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+    ${r6Sql("(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(n_terms * sxx - sx * sx AS DOUBLE))")} END AS slope
+FROM a ORDER BY source"""
 }

@@ -208,4 +208,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("ppl") >= 1.0)
     }
   }
+
+  test("ta_zipf slope matches an integer-micro-nat local regression") {
+    val rows = TextAnalysis.taZipf(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val terms = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+"))
+        .as("term"))
+      .filter(col("term") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = terms.groupBy(_._1)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val cnt = bySource(src).groupBy(_._2).view.mapValues(_.length.toLong)
+      // (count desc, term asc) ranking — the operator's tiebreak
+      val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(TextAnalysis.ZipfTopR)
+      assert(r.getAs[Long]("n_terms") == ranked.length)
+      assert(r.getString(2) == ranked.head._1, s"$src top term")
+      assert(r.getAs[Long]("top_count") == ranked.head._2)
+      def q(v: Double) = BigDecimal.decimal(v * TextAnalysis.LmScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val pts = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (q(math.log(i + 1.0)), q(math.log(c.toDouble))) }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6, s"$src slope")
+      // a frequency-ranked fit can never slope upward
+      assert(r.getAs[Double]("slope") <= 0.0, s"$src sign")
+    }
+  }
 }
