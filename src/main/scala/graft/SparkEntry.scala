@@ -85,6 +85,7 @@ object SparkEntry {
     // plus gap-based sessionization (lag + running-flag windows)
     "ev_daily_stats" -> (StreamingStats.evDailyStats _),
     "ev_sessions" -> (StreamingStats.evSessions _),
+    "ev_session_stats" -> (TimeSeries.evSessionStats _),
     "ev_rolling" -> (TimeSeries.evRolling _),
     "ev_asof" -> (TimeSeries.evAsof _),
     "ev_funnel" -> (TimeSeries.evFunnel _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "mm_frames" -> Multimodal.mmFramesSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,
+    "ev_session_stats" -> TimeSeries.evSessionStatsSql,
     "ev_rolling" -> TimeSeries.evRollingSql,
     "ev_asof" -> TimeSeries.evAsofSql,
     "ev_funnel" -> TimeSeries.evFunnelSql,

@@ -345,6 +345,90 @@ SELECT n AS n_converted,
 FROM q"""
 
   // ------------------------------------------------------------------
+  // ev_session_stats — session-population summary
+  // ------------------------------------------------------------------
+
+  /** Population summary over the [[StreamingStats.evSessions]] rows —
+    * the engagement readout a product team keeps on a dashboard:
+    * session/user counts, bounce share (single-event sessions), exact
+    * mean events-per-session, and EXACT rank-ceil p50/p90 session
+    * durations. All counts are exact BIGINTs; the one float is the
+    * mean division.
+    *
+    * Scale: rides the sessionizer's single user_id shuffle, then
+    * reduces to a (duration, count) relation (distinct observed
+    * durations — seconds, so domain-bounded) for the percentile rank;
+    * the totals row is a broadcast. The float `session_value` column
+    * is deliberately NOT re-aggregated — summing per-session rounded
+    * floats is fold-order-dependent; a value rollup belongs on the
+    * exact cents upstream of the rounding.
+    */
+  def evSessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = StreamingStats.evSessions(spark, sfDir)
+      .select(col("user_id"), col("n_events"), col("duration_sec"))
+    val g = s.groupBy(col("duration_sec").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = g.withColumn("cum", sum(col("cnt")).over(w))
+    val t = s.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("n_events")).as("sum_events"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"),
+      max(col("duration_sec")).as("max_duration_sec"))
+    cw.crossJoin(broadcast(t)).agg(
+      min(col("n_sessions")).as("n_sessions"),
+      min(col("n_users")).as("n_users"),
+      min(col("sum_events")).as("sum_events"),
+      min(col("bounces")).as("bounces"),
+      min(col("max_duration_sec")).as("max_duration_sec"),
+      min(when(col("cum") >= expr("(n_sessions + 1) div 2") &&
+        col("cum") - col("cnt") < expr("(n_sessions + 1) div 2"), col("d")))
+        .as("p50_duration_sec"),
+      min(when(col("cum") >= expr("(9 * n_sessions + 9) div 10") &&
+        col("cum") - col("cnt") < expr("(9 * n_sessions + 9) div 10"),
+        col("d"))).as("p90_duration_sec"))
+      .select(col("n_sessions"), col("n_users"), col("bounces"),
+        graft.functions.Determinism.r6(
+          col("sum_events").cast("double") / col("n_sessions"))
+          .as("mean_events"),
+        col("p50_duration_sec"), col("p90_duration_sec"),
+        col("max_duration_sec"))
+  }
+
+  val evSessionStatsSql: String = StreamingStats.evSessionsBody + s""", g AS (
+  SELECT duration_sec AS d, COUNT(*) AS cnt FROM sess_rows GROUP BY 1
+), cw AS (
+  SELECT d, cnt, SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), t AS (
+  SELECT COUNT(*) AS n_sessions,
+    COUNT(DISTINCT user_id) AS n_users,
+    CAST(SUM(n_events) AS BIGINT) AS sum_events,
+    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS bounces,
+    MAX(duration_sec) AS max_duration_sec
+  FROM sess_rows
+), q AS (
+  SELECT MIN(n_sessions) AS n_sessions, MIN(n_users) AS n_users,
+    MIN(sum_events) AS sum_events, MIN(bounces) AS bounces,
+    MIN(max_duration_sec) AS max_duration_sec,
+    MIN(CASE WHEN cum >= (n_sessions + 1) // 2
+      AND cum - cnt < (n_sessions + 1) // 2 THEN d END)
+      AS p50_duration_sec,
+    MIN(CASE WHEN cum >= (9 * n_sessions + 9) // 10
+      AND cum - cnt < (9 * n_sessions + 9) // 10 THEN d END)
+      AS p90_duration_sec
+  FROM cw, t
+)
+SELECT n_sessions, n_users, bounces,
+  ${graft.functions.Determinism.r6Sql(
+    "(CAST(sum_events AS DOUBLE) / n_sessions)")} AS mean_events,
+  p50_duration_sec, p90_duration_sec, max_duration_sec
+FROM q"""
+
+  // ------------------------------------------------------------------
   // ev_range_join — bucketed interval join
   // ------------------------------------------------------------------
 

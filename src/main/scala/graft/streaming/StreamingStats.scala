@@ -404,7 +404,11 @@ ORDER BY day, event_type"""
       }
       .start()
 
-  val evSessionsSql: String = s"""
+  /** The sessionization CTE chain through per-session rows (`sess_rows`)
+    * — shared by [[evSessionsSql]] and the session-stats readout: ONE
+    * copy of the gap semantics.
+    */
+  val evSessionsBody: String = s"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -418,13 +422,18 @@ WITH o AS (
     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS UNBOUNDED PRECEDING) AS sess
   FROM o
-)
-SELECT user_id, CAST(sess AS BIGINT) AS session_id,
-  COUNT(*) AS n_events,
-  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
-    AS duration_sec,
-  epoch_us(MIN(ts)) AS start_us,
-  ${r6Sql(s"($sumCentsSql)")} AS session_value
-FROM s GROUP BY user_id, sess
-ORDER BY user_id, session_id"""
+), sess_rows AS (
+  SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+    COUNT(*) AS n_events,
+    CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+      AS duration_sec,
+    epoch_us(MIN(ts)) AS start_us,
+    ${r6Sql(s"($sumCentsSql)")} AS session_value
+  FROM s GROUP BY user_id, sess
+)"""
+
+  val evSessionsSql: String = evSessionsBody + """
+SELECT user_id, session_id, n_events, duration_sec, start_us,
+  session_value
+FROM sess_rows ORDER BY user_id, session_id"""
 }

@@ -308,6 +308,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(deltas.head > 0)
   }
 
+  test("ev_session_stats summarizes the session rows exactly") {
+    val r = TimeSeries.evSessionStats(spark, sf("sf0.01")).collect().head
+    val s = StreamingStats.evSessions(spark, sf("sf0.01"))
+      .select(col("user_id"), col("n_events"), col("duration_sec"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val durs = s.map(_._3).sorted
+    val n = s.length
+    assert(r.getAs[Long]("n_sessions") == n)
+    assert(r.getAs[Long]("n_users") == s.map(_._1).distinct.length)
+    assert(r.getAs[Long]("bounces") == s.count(_._2 == 1L))
+    assert(r.getAs[Long]("p50_duration_sec") == durs((n + 1) / 2 - 1))
+    assert(r.getAs[Long]("p90_duration_sec") == durs((9 * n + 9) / 10 - 1))
+    assert(r.getAs[Long]("max_duration_sec") == durs.last)
+    val mean = s.map(_._2).sum.toDouble / n
+    assert(math.abs(r.getAs[Double]("mean_events") - mean) < 1e-6)
+  }
+
   test("ev_rolling window input is the aggregated per-day table") {
     // the RANGE window must consume the (event_type, day) aggregate —
     // O(types × days) rows — never the raw event stream
