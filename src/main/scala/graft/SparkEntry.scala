@@ -152,7 +152,9 @@ object SparkEntry {
     // extension tier: quality filtering + scrubbing
     "qf_decide" -> (Filters.qfDecide _),
     "qf_redact" -> (Filters.qfRedact _),
-    "qf_repetition" -> (Filters.qfRepetition _)
+    "qf_repetition" -> (Filters.qfRepetition _),
+    // perplexity-bracket decisions on lmCore's exact integers
+    "qf_lm_filter" -> (Filters.qfLmFilter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,6 +262,7 @@ object SparkEntry {
     "cp_shuffle" -> Corpus.cpShuffleSql,
     "qf_decide" -> Filters.qfDecideSql,
     "qf_redact" -> Filters.qfRedactSql,
-    "qf_repetition" -> Filters.qfRepetitionSql
+    "qf_repetition" -> Filters.qfRepetitionSql,
+    "qf_lm_filter" -> Filters.qfLmFilterSql
   )
 }

@@ -230,4 +230,45 @@ SELECT doc_id,
   md5($redacted) AS redacted_md5
 FROM documents ORDER BY doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // qf_lm_filter — perplexity-bracket quality decisions
+  // ------------------------------------------------------------------
+
+  /** Keep bracket on per-token surprisal, in micro-nats (≈ ppl 29.8 to
+    * 30.3 on the fixture): below ⇒ too repetitive/templated, above ⇒
+    * too random (lorem-noise, encoding damage). Published pipelines
+    * (CCNet, Gopher) filter on exactly this signal from a small LM.
+    */
+  val LmLoMicro = 3396000L
+  val LmHiMicro = 3410000L
+
+  /** Perplexity-bracket filter over [[TextAnalysis.lmCore]]'s exact
+    * integers: a doc is kept iff `LmLo ≤ surprisal/tokens ≤ LmHi` —
+    * evaluated as cross-multiplied BIGINT comparisons
+    * (`surprisal_micro < lo·n_tokens`), so the decision boundary is
+    * integer-exact on both engines; no float threshold ever decides a
+    * row (the [[graft.functions.SortedJaccardGE]] rule applied to LM
+    * scores). Universe = docs with ≥1 token (the LM core's domain).
+    *
+    * Scale: the LM core's vocab-sized broadcast join-back; the
+    * decision itself is map-side arithmetic on the aggregate.
+    */
+  def qfLmFilter(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.lmCore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
+        (col("surprisal_micro") < lit(LmLoMicro) * col("n_tokens"))
+          .as("too_repetitive"),
+        (col("surprisal_micro") > lit(LmHiMicro) * col("n_tokens"))
+          .as("too_random"))
+      .withColumn("keep", !col("too_repetitive") && !col("too_random"))
+      .orderBy(col("doc_id"))
+
+  val qfLmFilterSql: String = TextAnalysis.lmCoreCtes + s"""
+SELECT doc_id, n_tokens, surprisal_micro,
+  surprisal_micro < $LmLoMicro * n_tokens AS too_repetitive,
+  surprisal_micro > $LmHiMicro * n_tokens AS too_random,
+  (NOT surprisal_micro < $LmLoMicro * n_tokens)
+    AND (NOT surprisal_micro > $LmHiMicro * n_tokens) AS keep
+FROM lm ORDER BY doc_id"""
 }

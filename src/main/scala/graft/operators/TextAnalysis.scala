@@ -523,7 +523,12 @@ FROM documents ORDER BY doc_id"""
     * table is vocabulary-sized and BROADCAST back, so the corpus side
     * never re-shuffles. The corpus-total cross join broadcasts one row.
     */
-  def taNgramLm(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The LM core: per-doc exact token count + micro-nat surprisal sum
+    * — shared by [[taNgramLm]] (which adds the float readouts) and
+    * [[graft.operators.Filters.qfLmFilter]] (which thresholds on the
+    * INTEGERS, never the floats).
+    */
+  def lmCore(spark: SparkSession, sfDir: String): DataFrame = {
     val td = docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
@@ -534,23 +539,28 @@ FROM documents ORDER BY doc_id"""
     val wt = cnt.crossJoin(broadcast(tot)).select(col("term"),
       round(log(col("t").cast("double") / col("c")) * LmScale)
         .cast("long").as("wt"))
-    val mean = col("surprisal_micro").cast("double") /
-      lit(LmScale.toDouble) / col("n_tokens")
     td.join(broadcast(wt), Seq("term"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("wt")).as("surprisal_micro"))
+  }
+
+  def taNgramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val mean = col("surprisal_micro").cast("double") /
+      lit(LmScale.toDouble) / col("n_tokens")
+    lmCore(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
         r6(-mean).as("mean_logprob"),
         r6(exp(mean)).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
-  val taNgramLmSql: String = {
-    val mean =
-      s"(CAST(SUM(td.tf * wt.wt) AS DOUBLE) / CAST($LmScale AS DOUBLE) / SUM(td.tf))"
-    s"""
+  /** The LM-core CTE chain ending in `lm(doc_id, n_tokens,
+    * surprisal_micro)` — ONE copy of the weight/aggregation semantics
+    * for [[taNgramLmSql]] and the filter twin.
+    */
+  val lmCoreCtes: String = s"""
 WITH tok AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -566,14 +576,22 @@ WITH tok AS (
   SELECT term,
     CAST(round(ln(CAST(t AS DOUBLE) / c) * $LmScale) AS BIGINT) AS wt
   FROM cnt CROSS JOIN tot
-)
-SELECT td.doc_id,
-  CAST(SUM(td.tf) AS BIGINT) AS n_tokens,
-  CAST(SUM(td.tf * wt.wt) AS BIGINT) AS surprisal_micro,
+), lm AS (
+  SELECT td.doc_id,
+    CAST(SUM(td.tf) AS BIGINT) AS n_tokens,
+    CAST(SUM(td.tf * wt.wt) AS BIGINT) AS surprisal_micro
+  FROM td JOIN wt USING (term)
+  GROUP BY td.doc_id
+)"""
+
+  val taNgramLmSql: String = {
+    val mean =
+      s"(CAST(surprisal_micro AS DOUBLE) / CAST($LmScale AS DOUBLE) / n_tokens)"
+    lmCoreCtes + s"""
+SELECT doc_id, n_tokens, surprisal_micro,
   ${r6Sql(s"-$mean")} AS mean_logprob,
   ${r6Sql(s"exp($mean)")} AS ppl
-FROM td JOIN wt USING (term)
-GROUP BY td.doc_id ORDER BY td.doc_id"""
+FROM lm ORDER BY doc_id"""
   }
 
   // ------------------------------------------------------------------

@@ -75,4 +75,24 @@ class FiltersSpec extends SparkSpec {
     assert(out(2) == "call <PHONE> now")
     assert(out(3) == "clean text with no pii at all")
   }
+
+  test("qf_lm_filter decisions are the integer cross-multiplied bracket") {
+    val rows = Filters.qfLmFilter(spark, sf("sf0.01")).collect()
+    val lm = graft.operators.TextAnalysis.taNgramLm(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length == lm.size, "filter universe = LM-core universe")
+    rows.foreach { r =>
+      val (n, s) = lm(r.getLong(0))
+      val rep = s < Filters.LmLoMicro * n
+      val rnd = s > Filters.LmHiMicro * n
+      assert(r.getAs[Boolean]("too_repetitive") == rep, s"rep: $r")
+      assert(r.getAs[Boolean]("too_random") == rnd, s"rnd: $r")
+      assert(r.getAs[Boolean]("keep") == (!rep && !rnd), s"keep: $r")
+    }
+    // the bracket must actually cut on this fixture — all three classes
+    assert(rows.exists(_.getAs[Boolean]("too_repetitive")))
+    assert(rows.exists(_.getAs[Boolean]("too_random")))
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+  }
 }
