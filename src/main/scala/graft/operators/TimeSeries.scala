@@ -301,10 +301,16 @@ FROM fin ORDER BY user_id"""
       .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals ride the SAME single-partition window pass as the
+    // cumulative rank — a separate aggregate branch would re-evaluate
+    // the whole funnel subtree (measured: 2 scans → 1)
+    val wAll = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cw = g.withColumn("cum", sum(col("cnt")).over(w))
-    val t = g.agg(sum(col("cnt")).cast("long").as("n"),
-      sum(col("d") * col("cnt")).cast("long").as("sum_d"))
-    cw.crossJoin(broadcast(t)).agg(
+      .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
+      .withColumn("sum_d",
+        sum(col("d") * col("cnt")).over(wAll).cast("long"))
+    cw.agg(
       min(col("n")).as("n"), min(col("sum_d")).as("sum_d"),
       min(when(col("cum") >= expr("(n + 1) div 2") &&
         col("cum") - col("cnt") < expr("(n + 1) div 2"), col("d")))
@@ -364,8 +370,14 @@ FROM q"""
     * exact cents upstream of the rounding.
     */
   def evSessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // the totals pass needs countDistinct(user_id) — not derivable
+    // from the (duration, count) relation — so the session rows feed
+    // two branches; cache them rather than run the sessionizer twice
+    // (the dd_minhash_lsh idiom; Verify/Bench clear the cache after
+    // each query)
     val s = StreamingStats.evSessions(spark, sfDir)
       .select(col("user_id"), col("n_events"), col("duration_sec"))
+      .cache()
     val g = s.groupBy(col("duration_sec").as("d"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("d"))
