@@ -136,6 +136,7 @@ object SparkEntry {
     "cp_decontam_bloom" -> (Corpus.cpDecontamBloom _),
     "cp_vocab" -> (Corpus.cpVocab _),
     "cp_stats" -> (Corpus.cpStats _),
+    "cp_truncation" -> (Corpus.cpTruncation _),
     // approx twin: quantile sketch, value-typed percentiles — no
     // oracleSql entry; CorpusSpec pins the rank-error contract
     "cp_stats_approx" -> (Corpus.cpStatsApprox _),
@@ -255,6 +256,7 @@ object SparkEntry {
     "cp_decontam_bloom" -> Corpus.cpDecontamBloomSql,
     "cp_vocab" -> Corpus.cpVocabSql,
     "cp_stats" -> Corpus.cpStatsSql,
+    "cp_truncation" -> Corpus.cpTruncationSql,
     "cp_sample" -> Corpus.cpSampleSql,
     "cp_curate" -> Corpus.cpCurateSql,
     "cp_elect" -> Corpus.cpElectSql,

@@ -585,6 +585,77 @@ SELECT source, n_docs, total_tokens,
 FROM a ORDER BY source"""
   }
 
+  /** Candidate context lengths for [[cpTruncation]] — the budget curve
+    * a tokenizer run is sized against.
+    */
+  val TruncLens: Seq[Long] = Seq(32L, 64L, 128L, 256L)
+
+  /** Truncation-budget curve: for every (source, candidate context
+    * length) cell, exact counts of docs over the limit and tokens
+    * kept/lost under head-truncation — the readout that chooses
+    * `max_seq_len` (the real decision the [[cpStats]] percentiles
+    * approximate). All integers are exact BIGINTs (`min(n, L)` sums);
+    * the one float is the loss share through [[graft.functions.Determinism.r6]].
+    *
+    * Scale: ONE scan — each doc emits its |lens| cells map-side via
+    * the `stack` generator (a 4-way Expand, same family as ev_cube),
+    * and the single shuffle carries (source, ctx_len) partial
+    * aggregates. Lens are constants, so the cell count is
+    * sources × 4 at any corpus size.
+    */
+  def cpTruncation(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val stacked = TruncLens.map(l => s"${l}L, least(n_tokens, ${l}L)")
+      .mkString(", ")
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_tokens"), expr(
+        s"stack(${TruncLens.size}, $stacked) AS (ctx_len, kept)"))
+      .groupBy(col("source"), col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > col("ctx_len"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("kept")).as("tokens_kept"))
+      .select(col("source"), col("ctx_len"), col("n_docs"),
+        col("docs_truncated"), col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_lost"),
+        r6((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total")).as("loss_share"))
+      .orderBy(col("source"), col("ctx_len"))
+  }
+
+  val cpTruncationSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val cells = TruncLens.map(l =>
+      s"SELECT CAST($l AS BIGINT) AS ctx_len").mkString(" UNION ALL ")
+    s"""
+WITH t AS (
+  SELECT source,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), lens AS (
+  $cells
+), a AS (
+  SELECT source, ctx_len,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN n_tokens > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+      AS docs_truncated,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+    CAST(SUM(least(n_tokens, ctx_len)) AS BIGINT) AS tokens_kept
+  FROM t CROSS JOIN lens
+  GROUP BY source, ctx_len
+)
+SELECT source, ctx_len, n_docs, docs_truncated, tokens_total, tokens_kept,
+  tokens_total - tokens_kept AS tokens_lost,
+  ${r6Sql("(CAST(tokens_total - tokens_kept AS DOUBLE) / tokens_total)")}
+    AS loss_share
+FROM a ORDER BY source, ctx_len"""
+  }
+
   /** The 100 TB relief for [[cpStats]]: `approx_percentile` replaces
     * the exact `percentile` aggregate. Exact percentile materializes
     * and sorts each group's full value list in one task — a per-group

@@ -107,6 +107,32 @@ class CorpusSpec extends SparkSpec {
       "g3" -> (9L, 2L)))
   }
 
+  test("cp_truncation cells match a local head-truncation recompute") {
+    val rows = Corpus.cpTruncation(spark, sf("sf0.01")).collect()
+    val toks = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = toks.groupBy(_._1)
+    assert(rows.length == bySrc.size * Corpus.TruncLens.size)
+    rows.foreach { r =>
+      val ns = bySrc(r.getString(0)).map(_._2)
+      val l = r.getAs[Long]("ctx_len")
+      assert(r.getAs[Long]("n_docs") == ns.length)
+      assert(r.getAs[Long]("docs_truncated") == ns.count(_ > l))
+      assert(r.getAs[Long]("tokens_total") == ns.sum)
+      assert(r.getAs[Long]("tokens_kept") == ns.map(math.min(_, l)).sum)
+      assert(r.getAs[Long]("tokens_lost") ==
+        r.getAs[Long]("tokens_total") - r.getAs[Long]("tokens_kept"))
+    }
+    // the len grid must produce a real curve on this fixture: the
+    // tightest budget truncates somewhere, the loosest nowhere
+    val tight = rows.filter(_.getAs[Long]("ctx_len") == Corpus.TruncLens.min)
+    assert(tight.exists(_.getAs[Long]("docs_truncated") > 0))
+    val loose = rows.filter(_.getAs[Long]("ctx_len") == Corpus.TruncLens.max)
+    assert(loose.forall(_.getAs[Long]("docs_truncated") == 0))
+  }
+
   test("cp_stats_approx: exact moments, percentile rank error within 2%") {
     val exact = Corpus.cpStats(spark, sf("sf0.01")).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
