@@ -1274,12 +1274,8 @@ ORDER BY column_name"""
         .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
       val q = cw.agg(
         min(col("n")).as("n"),
-        min(when(col("cum") >= expr("(n + 3) div 4") &&
-          col("cum") - col("cnt") < expr("(n + 3) div 4"), col("v")))
-          .as("q1c"),
-        min(when(col("cum") >= expr("(3 * n + 3) div 4") &&
-          col("cum") - col("cnt") < expr("(3 * n + 3) div 4"), col("v")))
-          .as("q3c"))
+        ExactRank.valueAt(1, 4, "n", col("v")).as("q1c"),
+        ExactRank.valueAt(3, 4, "n", col("v")).as("q3c"))
       // the fence-count pass needs only (v, cnt) + q's scalars — read
       // the cached relation, not the window chain
       g.crossJoin(broadcast(q)).agg(
@@ -1311,10 +1307,8 @@ ORDER BY column_name"""
   SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g_$i
 ), q_$i AS (
   SELECT MIN(n) AS n,
-    MIN(CASE WHEN cum >= (n + 3) // 4 AND cum - cnt < (n + 3) // 4
-      THEN v END) AS q1c,
-    MIN(CASE WHEN cum >= (3 * n + 3) // 4 AND cum - cnt < (3 * n + 3) // 4
-      THEN v END) AS q3c
+    ${ExactRank.valueAtSql(1, 4, "n", "v")} AS q1c,
+    ${ExactRank.valueAtSql(3, 4, "n", "v")} AS q3c
   FROM cw_$i, t_$i
 ), r_$i AS (
   SELECT '$tab' AS tab, '$c' AS column_name, MIN(n) AS n,

@@ -312,12 +312,8 @@ FROM fin ORDER BY user_id"""
         sum(col("d") * col("cnt")).over(wAll).cast("long"))
     cw.agg(
       min(col("n")).as("n"), min(col("sum_d")).as("sum_d"),
-      min(when(col("cum") >= expr("(n + 1) div 2") &&
-        col("cum") - col("cnt") < expr("(n + 1) div 2"), col("d")))
-        .as("p50_us"),
-      min(when(col("cum") >= expr("(9 * n + 9) div 10") &&
-        col("cum") - col("cnt") < expr("(9 * n + 9) div 10"), col("d")))
-        .as("p90_us"))
+      ExactRank.valueAt(1, 2, "n", col("d")).as("p50_us"),
+      ExactRank.valueAt(9, 10, "n", col("d")).as("p90_us"))
       .select(col("n").as("n_converted"),
         graft.functions.Determinism.r6(
           col("sum_d").cast("double") / col("n") / lit(1000000.0))
@@ -338,10 +334,8 @@ FROM fin ORDER BY user_id"""
   FROM g
 ), q AS (
   SELECT MIN(n) AS n, MIN(sum_d) AS sum_d,
-    MIN(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
-      THEN d END) AS p50_us,
-    MIN(CASE WHEN cum >= (9 * n + 9) // 10 AND cum - cnt < (9 * n + 9) // 10
-      THEN d END) AS p90_us
+    ${ExactRank.valueAtSql(1, 2, "n", "d")} AS p50_us,
+    ${ExactRank.valueAtSql(9, 10, "n", "d")} AS p90_us
   FROM cw, t
 )
 SELECT n AS n_converted,
@@ -395,12 +389,10 @@ FROM q"""
       min(col("sum_events")).as("sum_events"),
       min(col("bounces")).as("bounces"),
       min(col("max_duration_sec")).as("max_duration_sec"),
-      min(when(col("cum") >= expr("(n_sessions + 1) div 2") &&
-        col("cum") - col("cnt") < expr("(n_sessions + 1) div 2"), col("d")))
+      ExactRank.valueAt(1, 2, "n_sessions", col("d"))
         .as("p50_duration_sec"),
-      min(when(col("cum") >= expr("(9 * n_sessions + 9) div 10") &&
-        col("cum") - col("cnt") < expr("(9 * n_sessions + 9) div 10"),
-        col("d"))).as("p90_duration_sec"))
+      ExactRank.valueAt(9, 10, "n_sessions", col("d"))
+        .as("p90_duration_sec"))
       .select(col("n_sessions"), col("n_users"), col("bounces"),
         graft.functions.Determinism.r6(
           col("sum_events").cast("double") / col("n_sessions"))
@@ -426,12 +418,8 @@ FROM q"""
   SELECT MIN(n_sessions) AS n_sessions, MIN(n_users) AS n_users,
     MIN(sum_events) AS sum_events, MIN(bounces) AS bounces,
     MIN(max_duration_sec) AS max_duration_sec,
-    MIN(CASE WHEN cum >= (n_sessions + 1) // 2
-      AND cum - cnt < (n_sessions + 1) // 2 THEN d END)
-      AS p50_duration_sec,
-    MIN(CASE WHEN cum >= (9 * n_sessions + 9) // 10
-      AND cum - cnt < (9 * n_sessions + 9) // 10 THEN d END)
-      AS p90_duration_sec
+    ${ExactRank.valueAtSql(1, 2, "n_sessions", "d")} AS p50_duration_sec,
+    ${ExactRank.valueAtSql(9, 10, "n_sessions", "d")} AS p90_duration_sec
   FROM cw, t
 )
 SELECT n_sessions, n_users, bounces,

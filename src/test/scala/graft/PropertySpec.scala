@@ -326,4 +326,38 @@ class PropertySpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
     }
   }
+
+  test("ExactRank selects the sorted-array rank-ceil element on random multisets") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.ExactRank
+    val quantiles = Seq((1, 4), (1, 2), (3, 4), (9, 10), (1, 1))
+    for (seed <- 1 to 5) {
+      val r = new Random(seed)
+      // heavy duplication on purpose: rank boundaries must land inside
+      // multi-count value runs, not only between distinct values
+      val vals = Seq.fill(200 + r.nextInt(300))(r.nextInt(40).toLong - 20L)
+      val sorted = vals.sorted
+      val g = vals.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cw = g.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
+      val got = cw.agg(
+        quantiles.map { case (num, den) =>
+          ExactRank.valueAt(num, den, "n", col("v")).as(s"q_${num}_$den")
+        }.head,
+        quantiles.map { case (num, den) =>
+          ExactRank.valueAt(num, den, "n", col("v")).as(s"q_${num}_$den")
+        }.tail: _*).collect().head
+      quantiles.zipWithIndex.foreach { case ((num, den), i) =>
+        val rank = (num * sorted.length + den - 1) / den // ceil
+        assert(got.getLong(i) == sorted(rank - 1),
+          s"seed $seed q=$num/$den: got ${got.getLong(i)}, " +
+            s"want ${sorted(rank - 1)}")
+      }
+    }
+  }
 }
