@@ -109,6 +109,7 @@ object SparkEntry {
     // incremental apply: hash-verified EQUAL to the full rebuild
     "wh_scd2_apply" -> (Analytics.whScd2Apply _),
     "wh_snapshot" -> (Analytics.whSnapshot _),
+    "wh_churn" -> (Analytics.whChurn _),
     "prof_summary" -> (Analytics.profSummary _),
     // approx twin: HLL sketch, not oracle-hashable — no oracleSql
     // entry (driver records rows-only); AnalyticsSpec pins the ≤2%
@@ -236,6 +237,7 @@ object SparkEntry {
     "wh_scd2" -> Analytics.whScd2Sql,
     "wh_scd2_apply" -> Analytics.whScd2ApplySql,
     "wh_snapshot" -> Analytics.whSnapshotSql,
+    "wh_churn" -> Analytics.whChurnSql,
     "prof_summary" -> Analytics.profSummarySql,
     "prof_corr" -> Analytics.profCorrSql,
     "prof_hist" -> Analytics.profHistSql,

@@ -238,6 +238,61 @@ WHERE valid_from <= '$SnapshotDate'
 ORDER BY custkey"""
 
   // ------------------------------------------------------------------
+  // wh_churn — snapshot-to-snapshot transition matrix
+  // ------------------------------------------------------------------
+
+  /** Churn window: state at [[ChurnFromDate]] vs [[ChurnToDate]]. */
+  val ChurnFromDate = "1997-01-01"
+  val ChurnToDate = "1998-01-01"
+
+  /** Dimension-churn readout between two as-of snapshots of the SCD2
+    * history: for every (status_from → status_to) transition, how many
+    * customers moved — plus `NEW` rows for customers born in the
+    * window (SCD2 never deletes, so the TO snapshot dominates). The
+    * "what changed since last month" question the history table
+    * exists to answer, reduced to a |statuses|² matrix.
+    *
+    * Scale: ONE history build serves both snapshots (cached — a
+    * deployment reads the stored table twice with different
+    * partition-pruned valid_from ranges); the join is per-customer on
+    * the already-partitioned key, and the output is status² rows.
+    */
+  def whChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = whScd2(spark, sfDir)
+      .select(col("custkey"), col("status"), col("valid_from"),
+        col("valid_to")).cache()
+    def snap(d: String) = hist
+      .filter(col("valid_from") <= d &&
+        (col("valid_to").isNull || col("valid_to") > d))
+      .select(col("custkey"), col("status"))
+    snap(ChurnToDate).withColumnRenamed("status", "status_to")
+      .join(snap(ChurnFromDate).withColumnRenamed("status", "status_from"),
+        Seq("custkey"), "left")
+      .groupBy(coalesce(col("status_from"), lit("NEW")).as("status_from"),
+        col("status_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("status_from"), col("status_to"))
+  }
+
+  val whChurnSql: String = s"""
+WITH scd AS (
+  $whScd2Body
+), s1 AS (
+  SELECT custkey, status FROM scd
+  WHERE valid_from <= '$ChurnFromDate'
+    AND (valid_to IS NULL OR valid_to > '$ChurnFromDate')
+), s2 AS (
+  SELECT custkey, status FROM scd
+  WHERE valid_from <= '$ChurnToDate'
+    AND (valid_to IS NULL OR valid_to > '$ChurnToDate')
+)
+SELECT COALESCE(s1.status, 'NEW') AS status_from,
+  s2.status AS status_to,
+  COUNT(*) AS n_customers
+FROM s2 LEFT JOIN s1 USING (custkey)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------------
   // wh_scd2_apply — incremental SCD2 merge of a new order batch
   // ------------------------------------------------------------------
 

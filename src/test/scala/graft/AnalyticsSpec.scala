@@ -397,6 +397,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wh_churn matrix matches a brute-force snapshot diff") {
+    val rows = Analytics.whChurn(spark, sf("sf0.01")).collect()
+    val hist = Analytics.whScd2(spark, sf("sf0.01"))
+      .select(col("custkey"), col("status"), col("valid_from"),
+        col("valid_to")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3))))
+    def snap(d: String) = hist.filter { case (_, _, from, to) =>
+      from <= d && to.forall(_ > d) }
+      .map(r => r._1 -> r._2).toMap
+    val (s1, s2) = (snap(Analytics.ChurnFromDate), snap(Analytics.ChurnToDate))
+    val want = s2.toSeq.map { case (ck, st2) =>
+      (s1.getOrElse(ck, "NEW"), st2) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") ==
+        want((r.getString(0), r.getString(1))), s"cell: $r")
+    }
+    // matrix totals must partition the TO snapshot
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == s2.size)
+    // SCD2 never deletes: FROM-snapshot customers all appear in TO
+    assert(s1.keySet.subsetOf(s2.keySet))
+  }
+
   test("wh_scd2_apply equals the full rebuild and exercises every junction") {
     val rebuild = Analytics.whScd2(spark, sf("sf0.01")).collect()
     val applied = Analytics.whScd2Apply(spark, sf("sf0.01")).collect()
