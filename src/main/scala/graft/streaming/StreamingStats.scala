@@ -254,6 +254,98 @@ ORDER BY day, event_type"""
   }
 
   // ------------------------------------------------------------------
+  // streaming funnel — ev_funnel's incremental twin
+  // ------------------------------------------------------------------
+
+  case class FunnelEvent(user_id: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-user funnel progress; −1 = stage not reached. `lastUs` drives
+    * the quiet-period flush.
+    */
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long,
+      lastUs: Long)
+
+  /** Final funnel record — the [[graft.operators.TimeSeries.evFunnel]]
+    * row shape.
+    */
+  case class FunnelOut(user_id: Long, view_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long], stage: Int)
+
+  /** Default conversion window: a user quiet this long (event-time)
+    * flushes their funnel row and the next event opens a FRESH funnel.
+    */
+  val FunnelQuietMs: Long = 30L * 24L * 60L * 60L * 1000L
+
+  /** Incremental form of the ordered-stage funnel: per-user state is
+    * three stage timestamps (the first view, the first view-qualified
+    * click, the first click-qualified purchase), folded over events in
+    * time order; the row flushes when the watermark proves the user
+    * quiet for `quietMs` — the CONVERSION WINDOW — and then the state
+    * DROPS (unlike the sessionizer there is no ordinal to remember, so
+    * state is bounded by users active within the window, not ever-seen
+    * users). A user returning later starts a new funnel — the batch
+    * twin computes the all-history funnel, so equality holds exactly
+    * when the window covers the replayed span (the spec's setup).
+    *
+    * Same in-order caveat as the sessionizer: the strictly-after stage
+    * rule makes the fold order-sensitive (a late-arriving earlier view
+    * cannot resurrect a click that was rejected before it); in-order
+    * delivery per user reproduces [[graft.operators.TimeSeries.evFunnel]]
+    * exactly — StreamingSpec pins the equality on the fixture replay.
+    */
+  def funnelStream(events: DataFrame,
+      quietMs: Long = FunnelQuietMs): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            def o(v: Long) = if (v >= 0) Some(v) else None
+            val out = state.getOption.map { s =>
+              FunnelOut(user, o(s.viewUs), o(s.clickUs), o(s.purchaseUs),
+                if (s.purchaseUs >= 0) 3
+                else if (s.clickUs >= 0) 2
+                else if (s.viewUs >= 0) 1
+                else 0)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption
+              .getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              e.event_type match {
+                case "view" if s.viewUs < 0 =>
+                  s = s.copy(viewUs = us)
+                case "click" if s.clickUs < 0 && s.viewUs >= 0 &&
+                    s.viewUs < us =>
+                  s = s.copy(clickUs = us)
+                case "purchase" if s.purchaseUs < 0 && s.clickUs >= 0 &&
+                    s.clickUs < us =>
+                  s = s.copy(purchaseUs = us)
+                case _ => ()
+              }
+              s = s.copy(lastUs = math.max(s.lastUs, us))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  // ------------------------------------------------------------------
   // streaming ingest dedup — first-seen-wins on a content digest
   // ------------------------------------------------------------------
 

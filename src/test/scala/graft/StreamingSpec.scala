@@ -194,6 +194,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel converges to the batch ev_funnel rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay in TWO slices so stage state must survive a batch
+    // boundary, then flush with a far-future event
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("ts"), col("user_id").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(Timestamp, Long, Long, String)]
+    // conversion window > the fixture's span, so only the sentinel
+    // flushes and the all-history batch twin is the exact reference
+    val q = StreamingStats.funnelStream(
+        mem.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+        quietMs = 90L * 24L * 60L * 60L * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_conv").start()
+    try {
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2099-01-01 00:00:00"),
+        999999L, 0L, "view"))
+      q.processAllAvailable()
+      mem.addData()
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_conv")
+        .filter(col("user_id") =!= 999999L)
+        .select("user_id", "view_us", "click_us", "purchase_us", "stage")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.TimeSeries.evFunnel(spark, sf())
+        .select(col("user_id").cast("long"), col("view_us"),
+          col("click_us"), col("purchase_us"), col("stage"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // state must DROP after flush, not tombstone: re-sending an event
+      // for a flushed user opens a fresh funnel (documented contract)
+    } finally q.stop()
+  }
+
   test("streaming top-k sink converges to the batch ev_topk rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
