@@ -80,6 +80,7 @@ object SparkEntry {
     "mm_decode_stub" -> (Multimodal.mmDecodeStub _),
     "mm_phash" -> (Multimodal.mmPhash _),
     "mm_near_dup" -> (Multimodal.mmNearDup _),
+    "mm_clusters" -> (Multimodal.mmClusters _),
     "mm_frames" -> (Multimodal.mmFrames _),
     // streaming tier: batch twin of the watermarked windowed agg,
     // plus gap-based sessionization (lag + running-flag windows)
@@ -214,6 +215,7 @@ object SparkEntry {
     "mm_decode_stub" -> Multimodal.mmDecodeStubSql,
     "mm_phash" -> Multimodal.mmPhashSql,
     "mm_near_dup" -> Multimodal.mmNearDupSql,
+    "mm_clusters" -> Multimodal.mmClustersSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "ev_daily_stats" -> StreamingStats.evDailyStatsSql,
     "ev_sessions" -> StreamingStats.evSessionsSql,

@@ -540,19 +540,77 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val mmNearDupSql: String = {
+  /** Banding + qualifying-pair CTEs over `sigs` (no WITH prefix, ends
+    * in `nd_pairs`) — ONE copy shared by [[mmNearDupSql]] and the
+    * cluster oracle.
+    */
+  private val mmNearDupBodySql: String = {
     val bandSelects = (0 until PhashBands).map(b =>
       s"""SELECT doc_id, sig, $b AS band,
         (sig // ${1L << (b * PhashChunk)}) % ${1L << PhashChunk} AS key
       FROM sigs""").mkString("\n  UNION ALL\n  ")
-    s"""WITH $phashSigSql, bands AS (
+    s"""bands AS (
   $bandSelects
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= $PhashHammingMax
-ORDER BY doc_a, doc_b"""
+), nd_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= $PhashHammingMax
+)"""
   }
+
+  val mmNearDupSql: String = s"""WITH $phashSigSql, $mmNearDupBodySql
+SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
+
+  // ------------------------------------------------------------------
+  // mm_clusters — media duplicate groups from the near-dup pairs
+  // ------------------------------------------------------------------
+
+  /** Media duplicate clusters: connected components over the
+    * [[mmNearDup]] pair graph — the dd_clusters contract applied to
+    * perceptual signatures, computed on the SAME large-star/small-star
+    * machinery ([[graft.operators.Dedup.connectedComponentsStar]]), so
+    * one CC implementation serves text and media dedup alike. Output
+    * matches the dd_clusters shape: every signed doc labeled with its
+    * component min, cluster sizes, min-id survivor election.
+    *
+    * Scale: pair generation is the banded equi-join (never all-pairs);
+    * CC is O(log n) rounds bounded by the qualifying-pair count —
+    * duplicate-media graphs are near-clique per asset, exactly the
+    * shape the star alternation bounds.
+    */
+  def mmClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = mmNearDup(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val (labels, _) = graft.operators.Dedup.connectedComponentsStar(
+      signatures(spark, sfDir).select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmClustersSql: String = s"""WITH RECURSIVE $phashSigSql,
+$mmNearDupBodySql, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
+), reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM sigs
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+), labels AS (
+  SELECT doc_id, MIN(lbl) AS lbl FROM reach GROUP BY doc_id
+), sizes AS (
+  SELECT lbl, COUNT(*) AS cluster_size FROM labels GROUP BY lbl
+)
+SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
+  l.doc_id = l.lbl AS is_survivor
+FROM labels l JOIN sizes s ON s.lbl = l.lbl
+ORDER BY l.doc_id"""
 }
