@@ -1210,6 +1210,65 @@ ORDER BY column_name"""
   }
 
   // ------------------------------------------------------------------
+  // prof_col_entropy — categorical-column entropy profile
+  // ------------------------------------------------------------------
+
+  /** Categorical columns profiled for entropy — the "is this column
+    * informative or near-constant" screen.
+    */
+  val EntropyCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("events", "event_type"), ("documents", "lang"),
+    ("documents", "source"))
+
+  /** Shannon entropy per declared categorical column — near-zero flags
+    * a useless (near-constant) column, near ln(n_values) a uniform
+    * one. The [[graft.operators.TextAnalysis.taEntropy]] integer
+    * posture at column grain: `c·ln c` evaluates once per DISTINCT
+    * value, quantized to micro-nats, so the reduction is an exact
+    * BIGINT sum and the final `H = ln(n) − clnc/1e6/n` runs the
+    * identical float op sequence on both engines.
+    *
+    * Scale: per column one pruned scan + a distinct-values shuffle
+    * (partial-agg'd); the entropy fold reduces the value relation.
+    */
+  def profColEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = graft.operators.TextAnalysis.LmScale
+    EntropyCols.map { case (tab, c) =>
+      val g = auditTable(spark, sfDir, tab)
+        .select(col(c).cast("string").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val ent = log(col("n").cast("double")) -
+        col("clnc_micro").cast("double") / lit(scale.toDouble) / col("n")
+      g.agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_values"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")) *
+          scale).cast("long")).as("clnc_micro"))
+        .select(lit(tab).as("tab"), lit(c).as("column_name"), col("n"),
+          col("n_values"), col("clnc_micro"), r6(ent).as("entropy"))
+    }.reduce(_.unionByName(_)).orderBy(col("tab"), col("column_name"))
+  }
+
+  val profColEntropySql: String = {
+    val scale = graft.operators.TextAnalysis.LmScale
+    val ent =
+      s"(ln(CAST(n AS DOUBLE)) - CAST(clnc_micro AS DOUBLE) / $scale.0 / n)"
+    EntropyCols.map { case (tab, c) =>
+      s"""SELECT '$tab' AS tab, '$c' AS column_name, n, n_values,
+  clnc_micro, ${r6Sql(ent)} AS entropy
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_values,
+    CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * $scale) AS BIGINT))
+      AS BIGINT) AS clnc_micro
+  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS c
+        FROM $tab GROUP BY 1)
+)"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY tab, column_name"
+  }
+
+  // ------------------------------------------------------------------
   // prof_benford — first-digit-law conformance audit
   // ------------------------------------------------------------------
 

@@ -397,6 +397,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_col_entropy matches a local plug-in entropy recompute") {
+    val rows = Analytics.profColEntropy(spark, sf("sf0.01")).collect()
+    assert(rows.length == Analytics.EntropyCols.length)
+    Analytics.EntropyCols.foreach { case (tab, c) =>
+      val r = rows.find(x => x.getString(0) == tab && x.getString(1) == c).get
+      val vals =
+        (if (tab == "events")
+           graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+         else spark.read.parquet(sf("sf0.01") + s"/$tab.parquet"))
+          .select(col(c).cast("string")).collect().map(_.getString(0))
+      val counts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = vals.length.toDouble
+      val h = counts.values.map(k => -k / n * math.log(k / n)).sum
+      assert(r.getAs[Long]("n") == vals.length)
+      assert(r.getAs[Long]("n_values") == counts.size)
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-4, s"$tab.$c: $r")
+      // entropy is bounded by ln(n_values)
+      assert(r.getAs[Double]("entropy") <= math.log(counts.size) + 1e-9)
+      assert(r.getAs[Double]("entropy") >= -1e-9)
+    }
+  }
+
   test("wh_churn matrix matches a brute-force snapshot diff") {
     val rows = Analytics.whChurn(spark, sf("sf0.01")).collect()
     val hist = Analytics.whScd2(spark, sf("sf0.01"))
