@@ -182,10 +182,18 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     * of the signature. ONE copy, shared by the self-join and the
     * incremental batch-vs-corpus join.
     */
-  private def bandRows(sig: DataFrame): DataFrame = {
-    val bandKeys = (0 until Bands).map(b =>
-      concat_ws("_", (0 until R).map(r =>
-        col(s"mh_${b * R + r}").cast("string")): _*))
+  private def bandRows(sig: DataFrame): DataFrame =
+    bandRowsCfg(sig, Bands, R)
+
+  /** [[bandRows]] for any (bands × rows) division of the K minhashes
+    * — the production config and the tuning sweep share one banding
+    * definition.
+    */
+  private def bandRowsCfg(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= K, s"$bands bands x $rows rows exceeds K=$K")
+    val bandKeys = (0 until bands).map(b =>
+      concat_ws("_", (0 until rows).map(r =>
+        col(s"mh_${b * rows + r}").cast("string")): _*))
     sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
@@ -273,6 +281,115 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
 
   val ddMinhashLshSql: String =
     ddMinhashLshBodySql + "\nORDER BY doc_a, doc_b"
+
+  // ------------------------------------------------------------------
+  // dd_lsh_tuning — band/row sensitivity sweep for the LSH index
+  // ------------------------------------------------------------------
+
+  /** Candidate (bands × rows-per-band) divisions of the K=16
+    * minhashes, restrictive → permissive.
+    */
+  val LshTuneConfigs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+
+  /** The knob-tuning readout for the MinHash LSH index: for each
+    * (bands, rows) division of the signature, the candidate-pair
+    * volume the banding generates, how many candidates verify at the
+    * production Jaccard threshold (`n_true`), the resulting precision,
+    * and recall against the most permissive config — the table one
+    * reads before picking the banding for a corpus (more bands = more
+    * candidates = higher recall, lower precision, bigger join).
+    *
+    * Every config reuses ONE cached signature table and ONE banding
+    * definition ([[bandRowsCfg]]); verification reuses the
+    * production [[graft.functions.SortedJaccardGE]] single-pass
+    * threshold merge. Scale: each config's join is the banded
+    * equi-join (never all-pairs); the sweep's cost is the union of
+    * its candidate sets.
+    */
+  def ddLshTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedJaccardGE.register(spark)
+    val sig = signature(spark, sfDir).cache()
+    val base = hashSets(spark, sfDir).cache()
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    def stats(bands: Int, rows: Int): DataFrame = {
+      val br = bandRowsCfg(sig, bands, rows)
+      val cands = br.as("a").join(br.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val j = graft.functions.SortedJaccardGE
+        .jaccardGE(col("ha"), col("hb"), MinhashJaccardBoundary)
+      cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(j.as("j"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("j").isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_true"))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_candidates"), col("n_true"))
+    }
+    val all = LshTuneConfigs.map { case (b, r) => stats(b, r) }
+      .reduce(_.unionByName(_)).cache()
+    val widest = all
+      .filter(col("bands") === LshTuneConfigs.last._1)
+      .select(col("n_true").as("t_widest"))
+    all.crossJoin(broadcast(widest))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"),
+        when(col("n_candidates") > 0,
+          r6(col("n_true").cast("double") / col("n_candidates")))
+          .as("precision_est"),
+        when(col("t_widest") > 0,
+          r6(col("n_true").cast("double") / col("t_widest")))
+          .as("recall_vs_widest"))
+      .orderBy(col("bands"))
+  }
+
+  val ddLshTuningSql: String = {
+    val jexpr = "(CAST(i2 AS DOUBLE) / (na + nb2 - i2))"
+    val cfgCtes = LshTuneConfigs.zipWithIndex.map { case ((nb, nr), i) =>
+      val bandSelects = (0 until nb).map { b =>
+        val key = (0 until nr).map(r => s"CAST(mh_${b * nr + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""bands_t$i AS (
+  $bandSelects
+), cands_t$i AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_t$i a JOIN bands_t$i b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), stat_t$i AS (
+  SELECT $nb AS bands, $nr AS rows_per_band,
+    COUNT(*) AS n_candidates,
+    CAST(COALESCE(SUM(CASE WHEN ${r6Sql(jexpr)} >= $MinhashJaccardMin
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true
+  FROM (
+    SELECT len(list_filter(x.hd, g -> list_contains(y.hd, g))) AS i2,
+      len(x.hd) AS na, len(y.hd) AS nb2
+    FROM cands_t$i c
+    JOIN hsets x ON x.doc_id = c.doc_a
+    JOIN hsets y ON y.doc_id = c.doc_b
+  )
+)"""
+    }
+    val unionStats = LshTuneConfigs.indices
+      .map(i => s"SELECT * FROM stat_t$i").mkString(" UNION ALL ")
+    sigBandsCteSql + s""", hsets AS (
+  SELECT doc_id, list_distinct(hs) AS hd FROM hashed
+), ${cfgCtes.mkString(", ")}
+SELECT s.bands, s.rows_per_band, s.n_candidates, s.n_true,
+  CASE WHEN s.n_candidates > 0 THEN
+    ${r6Sql("(CAST(s.n_true AS DOUBLE) / s.n_candidates)")}
+  END AS precision_est,
+  CASE WHEN w.n_true > 0 THEN
+    ${r6Sql("(CAST(s.n_true AS DOUBLE) / w.n_true)")}
+  END AS recall_vs_widest
+FROM ($unionStats) s
+CROSS JOIN stat_t${LshTuneConfigs.size - 1} w
+ORDER BY s.bands"""
+  }
 
   // ------------------------------------------------------------------
   // dd_incremental — new-batch vs existing-corpus dedup (ingest mode)

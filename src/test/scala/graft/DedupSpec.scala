@@ -354,4 +354,22 @@ class DedupSpec extends SparkSpec {
         (if (gs.isEmpty) 0L else gs.map(df(_)).max.toLong))
     }
   }
+
+  test("dd_lsh_tuning sweep is monotone and consistent with the index") {
+    val rows = Dedup.ddLshTuning(spark, sf("sf0.01")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_true")))
+    assert(rows.map(x => (x._1, x._2)).toSeq == Dedup.LshTuneConfigs)
+    // more bands = shorter keys = more (or equal) candidates and true
+    // pairs found; never fewer; and true pairs never exceed candidates
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"candidates must grow with bands: $a -> $b")
+      assert(a._4 <= b._4, s"recall must grow with bands: $a -> $b")
+    }
+    rows.foreach(x => assert(x._4 <= x._3, s"true <= candidates: $x"))
+    // the production (4, 4) config's true-pair count IS the shipped
+    // dd_minhash_lsh result size
+    val prod = rows.find(x => (x._1, x._2) == (4, 4)).get
+    assert(prod._4 == Dedup.ddMinhashLsh(spark, sf("sf0.01")).count())
+  }
 }
