@@ -271,4 +271,46 @@ SELECT doc_id, n_tokens, surprisal_micro,
   (NOT surprisal_micro < $LmLoMicro * n_tokens)
     AND (NOT surprisal_micro > $LmHiMicro * n_tokens) AS keep
 FROM lm ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // qf_composite — the full decision layer, one verdict per doc
+  // ------------------------------------------------------------------
+
+  /** The combined keep decision a pipeline actually runs: Gopher
+    * length/symbol heuristics ([[qfDecide]]) AND not repetition-flagged
+    * ([[qfRepetition]]) AND inside the LM perplexity bracket
+    * ([[qfLmFilter]]) — one auditable verdict row per document, with
+    * each family's contribution visible. Docs outside the LM core's
+    * universe (no tokens) fail the LM leg by definition (they also
+    * fail MinWords, so the verdict is stable either way).
+    *
+    * Pure composition: each leg is the SHIPPED query — Spark reuses
+    * the DataFrames, the oracle embeds the three oracle SQLs verbatim
+    * as subqueries. Scale: three map-shaped legs over the same scan
+    * family, joined on the partition-friendly doc_id key.
+    */
+  def qfComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = qfDecide(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("heuristics_keep"))
+    val r = qfRepetition(spark, sfDir)
+      .select(col("doc_id"), col("is_repetitive"))
+    val l = qfLmFilter(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("lm_keep"))
+    d.join(r, Seq("doc_id"))
+      .join(l, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("heuristics_keep"), col("is_repetitive"),
+        coalesce(col("lm_keep"), lit(false)).as("lm_keep"),
+        (col("heuristics_keep") && !col("is_repetitive") &&
+          coalesce(col("lm_keep"), lit(false))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qfCompositeSql: String = s"""
+SELECT d.doc_id, d.keep AS heuristics_keep, r.is_repetitive,
+  COALESCE(l.keep, false) AS lm_keep,
+  (d.keep AND NOT r.is_repetitive AND COALESCE(l.keep, false)) AS keep
+FROM ($qfDecideSql) d
+JOIN ($qfRepetitionSql) r USING (doc_id)
+LEFT JOIN ($qfLmFilterSql) l USING (doc_id)
+ORDER BY d.doc_id"""
 }

@@ -95,4 +95,29 @@ class FiltersSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("too_random")))
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
+
+  test("qf_composite is the conjunction of its three shipped legs") {
+    val rows = Filters.qfComposite(spark, sf("sf0.01")).collect()
+    val h = Filters.qfDecide(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rep = Filters.qfRepetition(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("is_repetitive")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lm = Filters.qfLmFilter(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.length == h.size, "verdict universe = full corpus")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Boolean]("heuristics_keep") == h(id))
+      assert(r.getAs[Boolean]("is_repetitive") == rep(id))
+      assert(r.getAs[Boolean]("lm_keep") == lm.getOrElse(id, false))
+      assert(r.getAs[Boolean]("keep") ==
+        (h(id) && !rep(id) && lm.getOrElse(id, false)), s"verdict: $r")
+    }
+    // the composite must be strictly more selective than any one leg
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < h.values.count(identity))
+  }
 }
