@@ -225,7 +225,8 @@ ORDER BY query_id, rank"""
     * output — drives the identical plan (DedupSpec pins the
     * swap).
     */
-  def ivfServe(e: DataFrame, cents: DataFrame): DataFrame = {
+  def ivfServe(e: DataFrame, cents: DataFrame,
+      probe: Int = IvfProbe): DataFrame = {
     val centScore = DotProduct.dot(col("v"), col("cv")) /
       sqrt(col("nrm") * col("cn"))
     // assignment: best cell per vector via partial-agg'd lexicographic
@@ -238,7 +239,7 @@ ORDER BY query_id, rank"""
         max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("m.nc")).as("cell"))
-    // probe list: IvfProbe best cells per query vector
+    // probe list: `probe` best cells per query vector
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cent_id"))
     val probes = e.filter(col("vec_id") < NQueries)
@@ -249,7 +250,7 @@ ORDER BY query_id, rank"""
         (DotProduct.dot(col("qv"), col("cv")) /
           sqrt(col("qn") * col("cn"))).as("cs"), col("cent_id"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfProbe)
+      .filter(col("pr") <= probe)
       .select(col("query_id"), col("qv"), col("qn"),
         col("cent_id").as("cell"))
     val cos = DotProduct.dot(col("qv"), col("v")) /
@@ -266,7 +267,10 @@ ORDER BY query_id, rank"""
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simIvfAnnSql: String = s"""WITH e AS (
+  /** Shared IVF oracle core (e → n → cents → scored → assigned), ONE
+    * copy for the serving query and the nprobe sweep.
+    */
+  private val ivfCoreCtesSql: String = s"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -281,25 +285,98 @@ ORDER BY query_id, rank"""
   SELECT vec_id, v, nrm, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY cs DESC, cent_id) AS rn FROM scored) WHERE rn = 1
-), probes AS (
+)"""
+
+  /** The probe → candidate → rank tail for `probe` cells, emitting
+    * `probes_<tag>`, `cand_<tag>`, `ranked_<tag>` CTEs.
+    */
+  private def ivfServeTailSql(tag: String, probe: Int): String = s"""
+probes_$tag AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY cs DESC, cent_id) AS pr FROM scored WHERE vec_id < $NQueries)
-  WHERE pr <= $IvfProbe
-), cand AS (
+  WHERE pr <= $probe
+), cand_$tag AS (
   SELECT p.query_id, a.vec_id,
     ${dotSql("p.qv", "a.v")} / sqrt(p.qn * a.nrm) AS c
-  FROM probes p JOIN assigned a ON a.cell = p.cell
+  FROM probes_$tag p JOIN assigned a ON a.cell = p.cell
     AND a.vec_id <> p.query_id
-), ranked AS (
+), ranked_$tag AS (
   SELECT query_id, vec_id, c,
     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
-  FROM cand
-)
+  FROM cand_$tag
+)"""
+
+  val simIvfAnnSql: String = s"""WITH $ivfCoreCtesSql, ${ivfServeTailSql("p", IvfProbe)}
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("c")} AS cosine
-FROM ranked WHERE rank <= $TopK
+FROM ranked_p WHERE rank <= $TopK
 ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_ivf_tuning — nprobe sensitivity sweep for the IVF index
+  // ------------------------------------------------------------------
+
+  /** Probe counts swept, cheap → exhaustive-ish. */
+  val IvfTuneProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** The nprobe dial table for the IVF index — [[Dedup.ddLshTuning]]'s
+    * vector-side sibling: per probe count, exact candidate volume
+    * (rows paying full cosine), hits against the brute-force top-k
+    * ground truth, recall@k, and the probed cell fraction (the cost
+    * proxy at rest: an IVF layout scans probe/cells of the corpus).
+    * ONE serving definition ([[ivfServe]]) runs every config; the
+    * ground truth is the shipped [[simBruteforceTopk]].
+    */
+  def simIvfTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir).cache()
+    val cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val bf = simBruteforceTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    IvfTuneProbes.map { p =>
+      val ann = ivfServe(e, cents, p)
+        .select(col("query_id"), col("neighbor_id"))
+      ann.join(bf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("nprobe"),
+          lit(NQueries).as("n_queries"),
+          col("hits").cast("long").as("total_hits"),
+          graft.functions.Determinism.r6(col("hits").cast("double") /
+            lit((NQueries * TopK).toDouble)).as("recall_at_k"),
+          graft.functions.Determinism.r6(
+            lit(p).cast("double") / lit(IvfCells.toDouble))
+            .as("cell_fraction"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
+  val simIvfTuningSql: String = {
+    val tails = IvfTuneProbes.map(p => ivfServeTailSql(s"t$p", p).trim)
+    val arms = IvfTuneProbes.map { p =>
+      s"""SELECT $p AS nprobe, $NQueries AS n_queries,
+  (SELECT COUNT(*) FROM
+    (SELECT query_id, vec_id AS neighbor_id FROM ranked_t$p
+     WHERE rank <= $TopK) a
+    JOIN bfp b ON b.query_id = a.query_id
+      AND b.neighbor_id = a.neighbor_id) AS total_hits,
+  ${r6Sql(s"""(CAST((SELECT COUNT(*) FROM
+    (SELECT query_id, vec_id AS neighbor_id FROM ranked_t$p
+     WHERE rank <= $TopK) a
+    JOIN bfp b ON b.query_id = a.query_id
+      AND b.neighbor_id = a.neighbor_id) AS DOUBLE) /
+    ${(NQueries * TopK).toDouble})""")} AS recall_at_k,
+  ${r6Sql(s"(CAST($p AS DOUBLE) / ${IvfCells.toDouble})")} AS cell_fraction"""
+    }
+    s"""WITH $ivfCoreCtesSql, ${tails.mkString(", ")}, bf AS (
+  $simBruteforceTopkSql
+), bfp AS (
+  SELECT query_id, neighbor_id FROM bf
+)
+${arms.mkString("\nUNION ALL\n")}
+ORDER BY nprobe"""
+  }
 
   // ------------------------------------------------------------------
   // sim_quantize — int8 vector quantization (ANN memory reduction)

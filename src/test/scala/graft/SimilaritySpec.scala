@@ -76,4 +76,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 11L,
       s"MIPS must rank the long vector first: $top")
   }
+
+  test("sim_ivf_tuning recall is monotone and consistent with sim_recall") {
+    val rows = Similarity.simIvfTuning(spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Similarity.IvfTuneProbes)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("total_hits") <= b.getAs[Long]("total_hits"),
+        s"recall must not drop with more probes: $a -> $b")
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall bounds: $r")
+    }
+    // the production-probe row reproduces sim_recall's ivf hit total
+    val prod = rows.find(_.getInt(0) == Similarity.IvfProbe).get
+    val recallHits = Similarity.simRecall(spark, sf("sf0.01"))
+      .filter(col("index_name") === "ivf")
+      .agg(sum(col("hits"))).collect().head.getLong(0)
+    assert(prod.getAs[Long]("total_hits") == recallHits)
+  }
 }
