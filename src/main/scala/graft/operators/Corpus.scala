@@ -480,6 +480,20 @@ WHERE graft_might_contain(
     "src3" -> 1000L)
   val MixDefaultBp = 7500L
 
+  /** The `source → weight_bp` mapping as one expression — ONE copy
+    * shared by [[cpMix]] (sampling filter) and [[cpEpochPlan]] (epoch
+    * budgeting), per the fragment rule.
+    */
+  def mixWeightExpr: Column = MixWeightsBp.foldLeft(lit(MixDefaultBp)) {
+    case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+  }
+
+  val mixWeightSql: String =
+    MixWeightsBp.reverse.foldLeft(s"CAST($MixDefaultBp AS BIGINT)") {
+      case (acc, (src, w)) =>
+        s"CASE WHEN source = '$src' THEN CAST($w AS BIGINT) ELSE $acc END"
+    }
+
   /** Deterministic weighted sampling: a doc survives iff its salted
     * hash mod 10000 falls under its source's keep weight — per-doc
     * stable (independent of other rows), reshufflable by salt, and
@@ -489,9 +503,7 @@ WHERE graft_might_contain(
   def cpMix(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = CrossHash.md5Long(
       concat(lit("mix-v1:"), col("doc_id").cast("string"))) % 10000L
-    val weight = MixWeightsBp.foldLeft(lit(MixDefaultBp)) {
-      case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
-    }
+    val weight = mixWeightExpr
     docs(spark, sfDir)
       .select(col("doc_id"), col("source"), bucket.as("bucket"),
         weight.as("weight_bp"))
@@ -505,10 +517,7 @@ WHERE graft_might_contain(
 
   val cpMixSql: String = {
     val bucket = s"(${md5LongSql("('mix-v1:' || doc_id)")} % 10000)"
-    val weight = MixWeightsBp.reverse.foldLeft(s"CAST($MixDefaultBp AS BIGINT)") {
-      case (acc, (src, w)) =>
-        s"CASE WHEN source = '$src' THEN CAST($w AS BIGINT) ELSE $acc END"
-    }
+    val weight = mixWeightSql
     s"""
 WITH d AS (
   SELECT doc_id, source, $bucket AS bucket, $weight AS weight_bp
@@ -1059,4 +1068,172 @@ WITH o AS (
 SELECT doc_id, ord,
   CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS global_pos
 FROM o ORDER BY global_pos"""
+
+  // ------------------------------------------------------------------
+  // cp_decontam_embed — semantic (embedding-space) decontamination
+  // ------------------------------------------------------------------
+
+  /** Eval-set membership for the embedding decontam audit: a
+    * deterministic 10% of vectors stands in for a benchmark suite
+    * (which would arrive as its own table; the operator only needs its
+    * vectors). Coarser than [[EvalMod]] because the cosine audit wants
+    * a non-degenerate eval side at every SF.
+    */
+  val EmbedEvalMod = 10L
+
+  /** A corpus vector within this cosine of ANY eval vector is flagged.
+    * 0.40 sits above the fixture's cross-pair p99.9 (~0.38) — a small,
+    * non-empty contaminated set.
+    */
+  val EmbedDecontamMin = 0.40
+
+  /** [[cpDecontam]]'s semantic sibling: n-gram overlap misses
+    * paraphrased benchmark leakage, so this audits every corpus vector
+    * for cosine proximity to the eval set in embedding space and
+    * reports hit count + max similarity + the drop decision (audit-
+    * shaped, not a silent filter).
+    *
+    * Scale shape: the eval side is benchmark-sized (constant), so the
+    * corpus probes it through ONE broadcast nested-loop pass — a
+    * map-side dot-product loop per corpus row, no shuffle of the
+    * corpus at all; the per-vector hit aggregation is the only
+    * exchange. This is the one join shape where BNLJ is the RIGHT
+    * 100 TB plan (contrast [[Dedup.ddEmbedCosine]], where both sides
+    * are corpus-sized and the block-matrix equi-join exists precisely
+    * to avoid it). An IVF/LSH pre-filter would only approximate the
+    * same audit for zero asymptotic gain.
+    *
+    * Cosine reuses the [[graft.functions.DotProduct]] left-to-right
+    * fold and its [[CrossHash.dotSql]] twin, so the ≥-threshold filter
+    * and max() agree bitwise with the oracle.
+    */
+  def cpDecontamEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    val e = Dedup.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(col("v"), col("v")))
+    val evalSide = e.filter(col("vec_id") % EmbedEvalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ve"),
+        col("nrm").as("ne"))
+    val corpus = e.filter(col("vec_id") % EmbedEvalMod =!= 0)
+    val hits = corpus.crossJoin(broadcast(evalSide))
+      .select(col("vec_id"),
+        (gdot(col("v"), col("ve")) / sqrt(col("nrm") * col("ne"))).as("c"))
+      .filter(col("c") >= EmbedDecontamMin)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("eval_hits"), max(col("c")).as("mc"))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("eval_hits"), lit(0L)).as("eval_hits"),
+        r6(col("mc")).as("max_cosine"),
+        (coalesce(col("eval_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val cpDecontamEmbedSql: String = {
+    import graft.functions.Determinism.r6Sql
+    import graft.functions.CrossHash.dotSql
+    s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), ev AS (
+  SELECT vec_id AS eval_id, v AS ve, nrm AS ne FROM n
+  WHERE vec_id % $EmbedEvalMod = 0
+), co AS (
+  SELECT vec_id, v, nrm FROM n WHERE vec_id % $EmbedEvalMod <> 0
+), p AS (
+  SELECT co.vec_id,
+    (${dotSql("co.v", "ev.ve")} / sqrt(co.nrm * ev.ne)) AS c
+  FROM co CROSS JOIN ev
+), h AS (
+  SELECT vec_id, COUNT(*) AS eval_hits, MAX(c) AS mc
+  FROM p WHERE c >= CAST($EmbedDecontamMin AS DOUBLE) GROUP BY vec_id
+)
+SELECT co.vec_id,
+  COALESCE(h.eval_hits, CAST(0 AS BIGINT)) AS eval_hits,
+  ${r6Sql("h.mc")} AS max_cosine,
+  COALESCE(h.eval_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
+FROM co LEFT JOIN h ON h.vec_id = co.vec_id
+ORDER BY co.vec_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // cp_epoch_plan — token-budget → per-source epoch/repeat planner
+  // ------------------------------------------------------------------
+
+  /** Global token budget the mixture is planned against. A constant of
+    * the training run (like [[MixWeightsBp]]), not of the corpus.
+    */
+  val EpochTokenBudget = 2000000L
+
+  /** The sizing readout a run does before launching: allocate the token
+    * budget across sources by mixture weight, then express each
+    * source's allocation in epochs over the tokens it actually has —
+    * full passes, leftover tokens of the partial pass, and a
+    * milli-epoch rate. Repeating a small high-weight source N times is
+    * how published mixtures (e.g. Wikipedia upsampling) are realized;
+    * this is the plan that drives it.
+    *
+    * All arithmetic is exact BIGINT (floor division) — no float ever
+    * decides a row. Token counts use [[TextAnalysis.taTokens]]'s
+    * ws_tokens definition (ONE copy of the semantics).
+    *
+    * Scale shape: one partial-agg'd shuffle of per-source count rows;
+    * the weight-sum is a full-frame window over the per-source rows
+    * (bounded by the source count — a separate `.agg` branch would
+    * re-run the whole scan+agg subtree, the duplicate-subtree trap;
+    * plan audit measured 2 scans → 1) — nothing downstream scales
+    * with corpus size.
+    */
+  def cpEpochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tk")).as("src_tokens"))
+      .withColumn("weight_bp", mixWeightExpr)
+      .withColumn("wsum", sum(col("weight_bp")).over(whole))
+      .withColumn("target_tokens",
+        expr(s"($EpochTokenBudget * weight_bp) div wsum"))
+      .select(col("source"), col("weight_bp"), col("docs"),
+        col("src_tokens"), col("target_tokens"),
+        expr("CASE WHEN src_tokens > 0 THEN target_tokens div src_tokens" +
+          " END").as("full_epochs"),
+        expr("CASE WHEN src_tokens > 0 THEN target_tokens % src_tokens" +
+          " END").as("rem_tokens"),
+        expr("CASE WHEN src_tokens > 0 THEN" +
+          " (target_tokens * 1000) div src_tokens END").as("epochs_x1000"))
+      .orderBy(col("source"))
+  }
+
+  val cpEpochPlanSql: String = s"""
+WITH per_src AS (
+  SELECT source,
+    COUNT(*) AS docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+      AS src_tokens,
+    $mixWeightSql AS weight_bp
+  FROM documents GROUP BY source
+), w AS (
+  SELECT CAST(SUM(weight_bp) AS BIGINT) AS wsum FROM per_src
+), t AS (
+  SELECT p.*, (($EpochTokenBudget * p.weight_bp) // w.wsum)
+    AS target_tokens
+  FROM per_src p CROSS JOIN w
+)
+SELECT source, weight_bp, docs, src_tokens, target_tokens,
+  CASE WHEN src_tokens > 0 THEN target_tokens // src_tokens END
+    AS full_epochs,
+  CASE WHEN src_tokens > 0 THEN target_tokens % src_tokens END
+    AS rem_tokens,
+  CASE WHEN src_tokens > 0 THEN (target_tokens * 1000) // src_tokens END
+    AS epochs_x1000
+FROM t ORDER BY source"""
 }

@@ -787,4 +787,258 @@ SELECT source, n_terms, top_term, CAST(top_count AS BIGINT) AS top_count,
     ${r6Sql("(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
       "CAST(n_terms * sxx - sx * sx AS DOUBLE))")} END AS slope
 FROM a ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // ta_dup_ngrams — corpus-level duplicated-trigram mass per source
+  // ------------------------------------------------------------------
+
+  /** Width for the duplication census — the [[Dedup.shingles]] trigram. */
+  val DupGramN = 3
+
+  /** Per-source duplicated-n-gram census — the memorization-risk
+    * readout: what fraction of the source's trigram OCCURRENCES is
+    * repeated mass (`dup_rate` = 1 − distinct/total), and what share of
+    * its distinct trigrams recurs across documents (`cross_doc_share`,
+    * the boilerplate/template signal that per-doc repetition scores
+    * miss). Sources near dup_rate 0 are fresh text; high cross_doc_share
+    * flags shared headers/footers worth a [[Dedup.ddSpans]] pass.
+    *
+    * Two cheap relations, never the raw token stream twice:
+    * total occurrences is ARITHMETIC on per-doc token counts
+    * (Σ max(0, n_tokens − 2) — no explode at all), and the distinct
+    * side reuses [[graft.functions.WordGramHashes]]' per-doc-distinct
+    * gram rows — distinct-across-source of a union equals distinct of
+    * the per-doc-distinct union, and a gram's (source, h) row count IS
+    * its containing-doc count. One partial-agg'd exchange of (source,
+    * h) rows; everything after is vocab-sized.
+    */
+  /** Per-source total trigram OCCURRENCES as arithmetic on per-doc
+    * token counts (Σ max(0, n_tokens − (N−1)) — no explode at all).
+    * ONE copy, shared by [[taDupNgrams]] and [[taNgramCoverage]].
+    */
+  private def gramTotals(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"),
+        greatest(lit(0), size(tokens(lower(col("text")))) - (DupGramN - 1))
+          .cast("long").as("g"))
+      .groupBy(col("source")).agg(sum(col("g")).as("total_grams"))
+
+  /** Its oracle twin (same Σ max(0, len−(N−1)) arithmetic over the
+    * `toks` CTE both consumers open with).
+    */
+  private val gramTotalsSql: String =
+    s"""SELECT source,
+    CAST(SUM(greatest(0, len(t) - ${DupGramN - 1})) AS BIGINT)
+      AS total_grams
+  FROM toks GROUP BY source"""
+
+  def taDupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordGramHashes.register(spark)
+    val byGram = docs(spark, sfDir)
+      .select(col("source"), explode(graft.functions.WordGramHashes
+        .grams(lower(col("text")), DupGramN, modded = true)).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+    val distincts = byGram.groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+          .as("cross_doc_grams"))
+    gramTotals(spark, sfDir).join(distincts, Seq("source"), "left")
+      .select(col("source"), col("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        coalesce(col("cross_doc_grams"), lit(0L)).as("cross_doc_grams"),
+        when(col("total_grams") > 0,
+          r6((col("total_grams") - coalesce(col("distinct_grams"), lit(0L)))
+            .cast("double") / col("total_grams"))).as("dup_rate"),
+        when(coalesce(col("distinct_grams"), lit(0L)) > 0,
+          r6(col("cross_doc_grams").cast("double") / col("distinct_grams")))
+          .as("cross_doc_share"))
+      .orderBy(col("source"))
+  }
+
+  val taDupNgramsSql: String = {
+    val gram = (0 until DupGramN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, source,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= $DupGramN THEN
+      list_distinct(list_transform(range(1, len(t) - ${DupGramN - 2}),
+        i -> ($gram)))
+    ELSE [] END AS gs
+  FROM toks
+), gram_rows AS (
+  SELECT source, ${md5ModSql("g2")} AS h
+  FROM (SELECT source, unnest(gs) AS g2 FROM grams)
+), by_gram AS (
+  SELECT source, h, COUNT(*) AS n_docs FROM gram_rows GROUP BY source, h
+), d AS (
+  SELECT source, COUNT(*) AS distinct_grams,
+    CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS cross_doc_grams
+  FROM by_gram GROUP BY source
+), tot AS (
+  $gramTotalsSql
+)
+SELECT t.source, t.total_grams,
+  COALESCE(d.distinct_grams, CAST(0 AS BIGINT)) AS distinct_grams,
+  COALESCE(d.cross_doc_grams, CAST(0 AS BIGINT)) AS cross_doc_grams,
+  CASE WHEN t.total_grams > 0 THEN ${r6Sql(
+      "(CAST(t.total_grams - COALESCE(d.distinct_grams, 0) AS DOUBLE)" +
+      " / t.total_grams)")} END AS dup_rate,
+  CASE WHEN COALESCE(d.distinct_grams, 0) > 0 THEN ${r6Sql(
+      "(CAST(d.cross_doc_grams AS DOUBLE) / d.distinct_grams)")} END
+    AS cross_doc_share
+FROM tot t LEFT JOIN d ON d.source = t.source
+ORDER BY t.source"""
+  }
+
+  // ------------------------------------------------------------------
+  // ta_vocab_overlap — pairwise vocabulary Jaccard between sources
+  // ------------------------------------------------------------------
+
+  /** Pairwise vocabulary overlap between sources: |V_a ∩ V_b| and
+    * Jaccard over distinct lowercased terms — the redundancy map read
+    * before weighting a mixture (two sources sharing most of their
+    * vocabulary contribute less diversity than their token counts
+    * suggest). Pairs with an empty intersection are omitted (their
+    * Jaccard is 0 by definition).
+    *
+    * Scale shape: everything runs on the DISTINCT (source, term)
+    * relation — vocab-sized, never the token stream. It feeds three
+    * consumers (two join sides + sizes), so it is cached (the
+    * Dedup.bandRows idiom; plan audit measured 4 scans / 11 exchanges
+    * → 1 scan with the cache — alias exprIds defeat ReusedExchange
+    * here); output is ≤ sources² rows. At 100 TB the vocab relation is
+    * the same one [[taTtr]] builds — a few hundred million rows at web
+    * scale, a routine cache.
+    */
+  def taVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = docs(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .cache()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    v.select(col("source").as("source_a"), col("term"))
+      .join(v.select(col("source").as("source_b"), col("term")), Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("n_common"),
+        r6(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val taVocabOverlapSql: String = s"""
+WITH v AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source,
+      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM v GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, sa.n AS na, sb.n AS nb, i.n_common,
+  ${r6Sql("(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common))")}
+    AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY i.source_a, i.source_b"""
+
+  // ------------------------------------------------------------------
+  // ta_ngram_coverage — top-k trigram concentration per source
+  // ------------------------------------------------------------------
+
+  /** Head size for the concentration readout. */
+  val CoverageTopK = 20
+
+  /** What share of a source's trigram OCCURRENCES its top-20 trigrams
+    * account for — the head-concentration readout that separates
+    * templated/boilerplate sources (a few grams dominate) from diverse
+    * prose, complementing [[taZipf]]'s slope with an exact head mass.
+    *
+    * The per-source top-k runs on the custom
+    * [[graft.plans.TopKPerGroup]] physical operator (bounded-heap,
+    * no sort — the third oracle-hashed query through the custom plan),
+    * over occurrence counts from
+    * [[graft.functions.WordGramHashes]].gramsAll. Totals reuse
+    * [[gramTotals]]' explode-free arithmetic. One (source, h)
+    * partial-agg'd exchange; everything after is vocab-sized.
+    */
+  def taNgramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.WordGramHashes.register(spark)
+    val counts = docs(spark, sfDir)
+      .select(col("source"), explode(graft.functions.WordGramHashes
+        .gramsAll(lower(col("text")), DupGramN, modded = true)).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopK.perGroup(counts, Seq("source"),
+        Seq("cnt" -> true, "h" -> false), CoverageTopK)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("topk_grams"),
+        sum(col("cnt")).as("topk_occurrences"))
+    gramTotals(spark, sfDir).join(top, Seq("source"), "left")
+      .select(col("source"), col("total_grams"),
+        coalesce(col("topk_grams"), lit(0L)).as("topk_grams"),
+        coalesce(col("topk_occurrences"), lit(0L)).as("topk_occurrences"),
+        when(col("total_grams") > 0,
+          r6(coalesce(col("topk_occurrences"), lit(0L)).cast("double") /
+            col("total_grams"))).as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  val taNgramCoverageSql: String = {
+    val gram = (0 until DupGramN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, source,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT source, ${md5ModSql("g2")} AS h
+  FROM (
+    SELECT source, unnest(
+      CASE WHEN len(t) >= $DupGramN THEN
+        list_transform(range(1, len(t) - ${DupGramN - 2}), i -> ($gram))
+      ELSE [] END) AS g2
+    FROM toks
+  )
+), counts AS (
+  SELECT source, h, COUNT(*) AS cnt FROM occ GROUP BY source, h
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY cnt DESC, h) AS rank
+  FROM counts
+), top AS (
+  SELECT source, COUNT(*) AS topk_grams,
+    CAST(SUM(cnt) AS BIGINT) AS topk_occurrences
+  FROM r WHERE rank <= $CoverageTopK GROUP BY source
+), tot AS (
+  $gramTotalsSql
+)
+SELECT t.source, t.total_grams,
+  COALESCE(p.topk_grams, CAST(0 AS BIGINT)) AS topk_grams,
+  COALESCE(p.topk_occurrences, CAST(0 AS BIGINT)) AS topk_occurrences,
+  CASE WHEN t.total_grams > 0 THEN ${r6Sql(
+      "(CAST(COALESCE(p.topk_occurrences, 0) AS DOUBLE) / t.total_grams)")}
+    END AS coverage
+FROM tot t LEFT JOIN top p ON p.source = t.source
+ORDER BY t.source"""
+  }
 }

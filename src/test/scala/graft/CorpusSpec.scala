@@ -423,4 +423,62 @@ class CorpusSpec extends SparkSpec {
     assert(rows(3L).getString(4) == md5hex("tail1 tail2"))
     assert(rows(4L).getString(4) == md5hex("other1 other2"))
   }
+  test("cp_decontam_embed flags exactly the brute-force cosine neighbors") {
+    val vecs = graft.operators.Dedup.embeddings(spark, sf("sf0.001"))
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val evalSide = vecs.filter(_._1 % Corpus.EmbedEvalMod == 0)
+    val corpus = vecs.filter(_._1 % Corpus.EmbedEvalMod != 0)
+    assert(evalSide.nonEmpty && corpus.nonEmpty)
+    val want = corpus.map { case (id, v) =>
+      val cs = evalSide.map { case (_, e) =>
+        dot(v, e) / math.sqrt(dot(v, v) * dot(e, e))
+      }.filter(_ >= Corpus.EmbedDecontamMin)
+      id -> (cs.length.toLong, if (cs.isEmpty) None else Some(cs.max))
+    }.toMap
+    val rows = Corpus.cpDecontamEmbed(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getLong(0)).toSet == corpus.map(_._1).toSet)
+    rows.foreach { r =>
+      val (hits, maxc) = want(r.getLong(0))
+      assert(r.getAs[Long]("eval_hits") == hits, s"vec ${r.getLong(0)}")
+      assert(r.getAs[Boolean]("contaminated") == (hits > 0))
+      maxc match {
+        case Some(m) =>
+          assert(math.abs(r.getAs[Double]("max_cosine") - m) < 1e-6)
+          assert(r.getAs[Double]("max_cosine") <= 1.0 + 1e-9)
+        case None => assert(r.isNullAt(r.fieldIndex("max_cosine")))
+      }
+    }
+  }
+
+  test("cp_epoch_plan: floor-division identities and budget conservation") {
+    val rows = Corpus.cpEpochPlan(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val weights = Corpus.MixWeightsBp.toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("weight_bp") ==
+        weights.getOrElse(src, Corpus.MixDefaultBp))
+      val tokens = r.getAs[Long]("src_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      assert(tokens > 0) // fixture sources are non-empty
+      val full = r.getAs[Long]("full_epochs")
+      val rem = r.getAs[Long]("rem_tokens")
+      assert(full == target / tokens)
+      assert(rem == target % tokens && rem >= 0 && rem < tokens)
+      assert(full * tokens + rem == target)
+      assert(r.getAs[Long]("epochs_x1000") == target * 1000 / tokens)
+    }
+    // floors lose < 1 token-unit per source: the plan never overshoots
+    // the budget and undershoots by less than the number of sources
+    val allocated = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(allocated <= Corpus.EpochTokenBudget)
+    assert(Corpus.EpochTokenBudget - allocated < rows.length.toLong)
+  }
 }

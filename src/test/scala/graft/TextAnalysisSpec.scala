@@ -242,4 +242,125 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("slope") <= 0.0, s"$src sign")
     }
   }
+  test("ta_dup_ngrams matches a local brute-force trigram census") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val docsRows = TextAnalysis.docs(spark, sf("sf0.001"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tok(r.getString(1).toLowerCase)))
+    val got = TextAnalysis.taDupNgrams(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySrc = docsRows.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val perDoc = rows.map { case (_, ts) =>
+        (math.max(0, ts.length - 2).toLong,
+          if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+          else Set.empty[String])
+      }
+      val total = perDoc.map(_._1).sum
+      val docSets = perDoc.map(_._2)
+      val distinct = docSets.flatten.toSet
+      val crossDoc = distinct.count(g => docSets.count(_.contains(g)) >= 2)
+      val r = got(src)
+      assert(r.getAs[Long]("total_grams") == total, s"$src total")
+      assert(r.getAs[Long]("distinct_grams") == distinct.size.toLong,
+        s"$src distinct")
+      assert(r.getAs[Long]("cross_doc_grams") == crossDoc.toLong, s"$src xdoc")
+      if (total > 0) {
+        val want = (total - distinct.size).toDouble / total
+        assert(math.abs(r.getAs[Double]("dup_rate") - want) < 1e-6)
+      }
+      if (distinct.nonEmpty) {
+        val want = crossDoc.toDouble / distinct.size
+        assert(math.abs(r.getAs[Double]("cross_doc_share") - want) < 1e-6)
+      }
+    }
+  }
+
+  test("ta_vocab_overlap equals local vocab-set intersections, a<b once") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val vocab = TextAnalysis.docs(spark, sf("sf0.001"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tok(r.getString(1).toLowerCase)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).filter(_.nonEmpty).toSet).toMap
+    val rows = TextAnalysis.taVocabOverlap(spark, sf("sf0.001")).collect()
+    val srcs = vocab.keys.toSeq.sorted
+    val wantPairs = for {
+      a <- srcs; b <- srcs if a < b
+      if (vocab(a) & vocab(b)).nonEmpty
+    } yield (a, b)
+    assert(rows.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"))).toSet == wantPairs.toSet)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      assert(r.getAs[Long]("na") == vocab(a).size.toLong)
+      assert(r.getAs[Long]("nb") == vocab(b).size.toLong)
+      assert(r.getAs[Long]("n_common") == inter)
+      val want = inter.toDouble / (vocab(a).size + vocab(b).size - inter)
+      assert(math.abs(r.getAs[Double]("jaccard") - want) < 1e-6)
+    }
+  }
+  test("ta_ngram_coverage matches a local head-mass recompute, custom plan") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val df = TextAnalysis.taNgramCoverage(spark, sf("sf0.001"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"), "must run on the custom operator")
+    val got = df.collect().map(r => r.getString(0) -> r).toMap
+    val docsRows = TextAnalysis.docs(spark, sf("sf0.001"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tok(r.getString(1).toLowerCase)))
+    docsRows.groupBy(_._1).foreach { case (src, rows) =>
+      val occ = rows.flatMap { case (_, ts) =>
+        if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq.empty[String]
+      }
+      val counts = occ.groupBy(identity).map { case (g, xs) =>
+        g -> xs.length.toLong }
+      // head by (count desc); ties in count are broken by gram HASH in
+      // the operator — head MASS is what we can pin locally without
+      // recomputing md5, and it is tie-order-invariant iff the k-th and
+      // (k+1)-th counts differ; when they tie, pin the reachable bounds
+      val sorted = counts.values.toSeq.sorted(Ordering[Long].reverse)
+      val k = TextAnalysis.CoverageTopK
+      val head = sorted.take(k)
+      val r = got(src)
+      assert(r.getAs[Long]("total_grams") == occ.length.toLong)
+      assert(r.getAs[Long]("topk_grams") ==
+        math.min(k, counts.size).toLong)
+      val topkOcc = r.getAs[Long]("topk_occurrences")
+      if (sorted.length <= k || head.last != sorted(k)) {
+        assert(topkOcc == head.sum, s"$src head mass")
+      } else {
+        // k-th count ties past the cut: any tie-break picks the same
+        // multiset of counts EXCEPT possibly swapping equal values —
+        // the sum is still exact
+        assert(topkOcc == head.sum, s"$src head mass (tied cut)")
+      }
+      if (occ.nonEmpty) {
+        val want = topkOcc.toDouble / occ.length
+        assert(math.abs(r.getAs[Double]("coverage") - want) < 1e-6)
+      }
+    }
+  }
 }
