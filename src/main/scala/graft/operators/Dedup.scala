@@ -1162,4 +1162,39 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // dd_sizes — duplicate-cluster size histogram (the savings readout)
+  // ------------------------------------------------------------------
+
+  /** Cluster-size histogram over [[ddExact]]'s content groups: how many
+    * clusters of each size exist, how many rows they hold, and how
+    * many a dedup pass would remove — the number that decides whether
+    * running dedup is worth the scan. Size 1 (unique rows) is included
+    * so the docs_total column reconciles to the corpus row count.
+    *
+    * Shape: the same one-exchange hash-groupBy as dd_exact, then a
+    * second partial-agg'd exchange of (size, count) rows — output is
+    * bounded by the LARGEST cluster size, independent of corpus size.
+    */
+  def ddSizes(spark: SparkSession, sfDir: String): DataFrame =
+    RedditModel.comments(spark, sfDir)
+      .groupBy(md5(col("body")).as("k"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_total"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
+      .orderBy(col("cluster_size"))
+
+  val ddSizesSql: String = graft.queries.RefOracle.modelCte + """
+, sizes AS (
+  SELECT md5(body) AS k, COUNT(*) AS cluster_size
+  FROM comments GROUP BY md5(body)
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS docs_total,
+  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 }

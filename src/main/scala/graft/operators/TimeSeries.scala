@@ -983,4 +983,83 @@ WITH e AS (
 SELECT event_type, day, CAST(rank AS INTEGER) AS rank,
   event_id, user_id, cents
 FROM r WHERE rank <= $TopKPerDay ORDER BY event_type, day, rank"""
+
+  // ------------------------------------------------------------------
+  // ev_gaps — inter-arrival gap distribution per event type
+  // ------------------------------------------------------------------
+
+  /** Per-type inter-arrival profile: for each user's consecutive events
+    * of the same type, the time gap — exact integer-microsecond mean
+    * numerator and rank-ceil p50/p90 (the [[ExactRank]] rule, shared
+    * with funnel-time/sessions/outliers). The cadence readout behind
+    * retention windows and watermark sizing: a p90 gap near the
+    * session gap means the sessionizer is splitting real visits.
+    *
+    * Shape: one exchange on (user_id, event_type) for the lag, one
+    * partial-agg'd exchange of (type, gap, count) rows, then rank +
+    * totals share the SAME per-type window partitioning (a separate
+    * totals branch would re-run the lag subtree — the
+    * duplicate-subtree trap). The quantile relation is bounded by
+    * distinct gap values per type, not by events. Gap moments sum in
+    * decimal(38,0) (a BIGINT micros sum overflows ~1e12 events×days).
+    */
+  def evGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1)
+          .over(byUserType)))
+      .filter(col("gap_us").isNotNull)
+    val g = gaps.groupBy(col("event_type"), col("gap_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("gap_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = byType
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n_gaps", sum(col("cnt")).over(full))
+      .withColumn("sum_gap_us",
+        sum((col("gap_us") * col("cnt")).cast("decimal(38,0)")).over(full))
+      .withColumn("max_gap_us", max(col("gap_us")).over(full))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("n_gaps")).as("n_gaps"),
+        r6(min(col("sum_gap_us")).cast("double") / min(col("n_gaps")) /
+          1000000.0).as("mean_gap_sec"),
+        ExactRank.valueAt(1, 2, "n_gaps", col("gap_us")).as("p50_gap_us"),
+        ExactRank.valueAt(9, 10, "n_gaps", col("gap_us")).as("p90_gap_us"),
+        min(col("max_gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val evGapsSql: String = s"""
+WITH gaps AS (
+  SELECT event_type,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), gg AS (
+  SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL
+), g AS (
+  SELECT event_type, gap_us, COUNT(*) AS cnt FROM gg GROUP BY 1, 2
+), cw AS (
+  SELECT event_type, gap_us, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_us
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n_gaps,
+    SUM(gap_us * cnt) OVER (PARTITION BY event_type) AS sum_gap_us,
+    MAX(gap_us) OVER (PARTITION BY event_type) AS max_gap_us
+  FROM g
+)
+SELECT event_type,
+  CAST(MIN(n_gaps) AS BIGINT) AS n_gaps,
+  ${r6Sql("(CAST(MIN(sum_gap_us) AS DOUBLE) / MIN(n_gaps) / 1000000.0)")}
+    AS mean_gap_sec,
+  ${ExactRank.valueAtSql(1, 2, "n_gaps", "gap_us")} AS p50_gap_us,
+  ${ExactRank.valueAtSql(9, 10, "n_gaps", "gap_us")} AS p90_gap_us,
+  MIN(max_gap_us) AS max_gap_us
+FROM cw GROUP BY event_type ORDER BY event_type"""
 }

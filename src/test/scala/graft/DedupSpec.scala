@@ -372,4 +372,22 @@ class DedupSpec extends SparkSpec {
     val prod = rows.find(x => (x._1, x._2) == (4, 4)).get
     assert(prod._4 == Dedup.ddMinhashLsh(spark, sf("sf0.01")).count())
   }
+  test("dd_sizes reconciles to the corpus and to dd_exact's groups") {
+    val rows = Dedup.ddSizes(spark, sf("sf0.01")).collect()
+    val exact = Dedup.ddExact(spark, sf("sf0.01")).collect()
+      .map(_.getAs[Long]("cnt"))
+    // histogram of group sizes == dd_exact's groups re-binned
+    val want = exact.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("cluster_size") ->
+      r.getAs[Long]("n_clusters")).toMap == want)
+    rows.foreach { r =>
+      val (s0, n) = (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("docs_total") == s0 * n)
+      assert(r.getAs[Long]("docs_removable") == (s0 - 1) * n)
+    }
+    // docs_total reconciles to the corpus row count
+    val corpus = graft.model.RedditModel
+      .comments(spark, sf("sf0.01")).count()
+    assert(rows.map(_.getAs[Long]("docs_total")).sum == corpus)
+  }
 }

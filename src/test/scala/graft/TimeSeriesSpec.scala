@@ -335,4 +335,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(windowIdx >= 0 && aggIdx >= 0 && windowIdx < aggIdx,
       s"expected Window above Aggregate in:\n$plan")
   }
+  test("ev_gaps matches a local inter-arrival recompute") {
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (a._2, b._3 - a._3) }
+    }.toSeq
+    val byType = gaps.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = TimeSeries.evGaps(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, gs) =>
+      val r = got(t)
+      val n = gs.length.toLong
+      assert(r.getAs[Long]("n_gaps") == n, s"$t n")
+      assert(r.getAs[Long]("max_gap_us") == gs.max, s"$t max")
+      val sorted = gs.sorted
+      def rankCeil(num: Int, den: Int): Long =
+        sorted(((num * n + den - 1) / den - 1).toInt)
+      assert(r.getAs[Long]("p50_gap_us") == rankCeil(1, 2), s"$t p50")
+      assert(r.getAs[Long]("p90_gap_us") == rankCeil(9, 10), s"$t p90")
+      val mean = gs.map(BigInt(_)).sum.toDouble / n / 1000000.0
+      assert(math.abs(r.getAs[Double]("mean_gap_sec") - mean) < 1e-6)
+    }
+  }
 }
