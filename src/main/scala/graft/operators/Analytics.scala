@@ -1473,4 +1473,58 @@ CROSS JOIN (
 ) t"""
     }.mkString("\nUNION ALL\n") + "\nORDER BY tab, column_name, digit"
   }
+
+  // ------------------------------------------------------------------
+  // prof_skew — join/partition-key skew profile
+  // ------------------------------------------------------------------
+
+  /** The (table, key) pairs audited for skew — the keys the engine's
+    * own joins and windows partition by.
+    */
+  val SkewKeys: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_custkey",
+    "events" -> "user_id")
+
+  /** Hot-key skew profile for the declared join/partition keys: group
+    * count, row count, the heaviest key's row count, and the skew
+    * ratio max/mean — the number that decides salting and
+    * AQE-skew-join thresholds BEFORE a 100 TB shuffle discovers it the
+    * hard way. skew_ratio near 1 is uniform; a ratio of k means the
+    * hottest partition runs k× the average task.
+    *
+    * Shape per entity: one partial-agg'd groupBy on the key, then a
+    * constant-size roll-up; branches union to rows bounded by the
+    * audit list. The group-count relation is the SAME one a shuffle
+    * would build — nothing here exceeds the cost of the join being
+    * audited.
+    */
+  def profSkew(spark: SparkSession, sfDir: String): DataFrame =
+    SkewKeys.map { case (table, key) =>
+      val base =
+        if (table == "events") StreamingStats.events(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$table.parquet")
+      base.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_rows"))
+        .select(lit(s"$table.$key").as("entity"), col("n_groups"),
+          col("n_rows"), col("max_rows"))
+    }.reduce(_.unionByName(_))
+      .select(col("entity"), col("n_groups"), col("n_rows"),
+        col("max_rows"),
+        r6(col("n_rows").cast("double") / col("n_groups")).as("mean_rows"),
+        r6(col("max_rows").cast("double") * col("n_groups") / col("n_rows"))
+          .as("skew_ratio"))
+      .orderBy(col("entity"))
+
+  val profSkewSql: String = SkewKeys.map { case (table, key) =>
+    s"""SELECT '$table.$key' AS entity,
+  COUNT(*) AS n_groups,
+  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+  MAX(cnt) AS max_rows,
+  ${r6Sql("(CAST(SUM(cnt) AS DOUBLE) / COUNT(*))")} AS mean_rows,
+  ${r6Sql("(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt))")}
+    AS skew_ratio
+FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY $key)"""
+  }.mkString("\nUNION ALL\n") + "\nORDER BY entity"
 }

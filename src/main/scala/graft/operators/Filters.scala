@@ -313,4 +313,65 @@ FROM ($qfDecideSql) d
 JOIN ($qfRepetitionSql) r USING (doc_id)
 LEFT JOIN ($qfLmFilterSql) l USING (doc_id)
 ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------------
+  // qf_pii_census — per-source PII density readout
+  // ------------------------------------------------------------------
+
+  /** The per-source PII census read BEFORE deciding redaction policy:
+    * how many docs carry email/URL/phone-shaped spans, the counts per
+    * kind, and density per kilochar. A source near zero ships as-is; a
+    * dense one routes through [[qfRedact]] (same patterns — ONE copy of
+    * what counts as PII) or gets dropped.
+    *
+    * Shape: pure map-side regexp counts into one partial-agg'd
+    * per-source shuffle — nothing scales past the scan.
+    */
+  def qfPiiCensus(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("source"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("e"),
+      regexp_count(col("text"), lit(UrlPattern)).cast("long").as("u"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("p"),
+      length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("u") + col("p") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("e")).as("emails"),
+        sum(col("u")).as("urls"),
+        sum(col("p")).as("phones"),
+        sum(col("chars")).as("chars"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        col("emails"), col("urls"), col("phones"), col("chars"),
+        when(col("chars") > 0,
+          r6((col("emails") + col("urls") + col("phones")).cast("double") *
+            1000.0 / col("chars"))).as("pii_per_kchar"))
+      .orderBy(col("source"))
+
+  val qfPiiCensusSql: String = s"""
+WITH d AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS e,
+    CAST(len(regexp_extract_all(text, '$UrlPattern')) AS BIGINT) AS u,
+    CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS p,
+    CAST(length(text) AS BIGINT) AS chars
+  FROM documents
+), g AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN e + u + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS docs_with_pii,
+    CAST(SUM(e) AS BIGINT) AS emails,
+    CAST(SUM(u) AS BIGINT) AS urls,
+    CAST(SUM(p) AS BIGINT) AS phones,
+    CAST(SUM(chars) AS BIGINT) AS chars
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, docs_with_pii, emails, urls, phones, chars,
+  CASE WHEN chars > 0 THEN ${r6Sql(
+      "(CAST(emails + urls + phones AS DOUBLE) * 1000.0 / chars)")} END
+    AS pii_per_kchar
+FROM g ORDER BY source"""
 }

@@ -528,4 +528,27 @@ class AnalyticsSpec extends SparkSpec {
     // Benford expectations are a probability vector
     assert(math.abs(Analytics.BenfordP.sum - 1.0) < 1e-12)
   }
+  test("prof_skew matches a local group-count recompute per entity") {
+    val got = Analytics.profSkew(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet ==
+      Analytics.SkewKeys.map { case (t, k) => s"$t.$k" }.toSet)
+    Analytics.SkewKeys.foreach { case (table, key) =>
+      val base =
+        if (table == "events")
+          graft.streaming.StreamingStats.events(spark, sf("sf0.001"))
+        else spark.read.parquet(s"${sf("sf0.001")}/$table.parquet")
+      val counts = base.select(col(key).cast("string")).collect()
+        .map(_.getString(0)).groupBy(identity).map(_._2.length.toLong).toSeq
+      val r = got(s"$table.$key")
+      assert(r.getAs[Long]("n_groups") == counts.length.toLong)
+      assert(r.getAs[Long]("n_rows") == counts.sum)
+      assert(r.getAs[Long]("max_rows") == counts.max)
+      val mean = counts.sum.toDouble / counts.length
+      assert(math.abs(r.getAs[Double]("mean_rows") - mean) < 1e-6)
+      val skew = counts.max.toDouble * counts.length / counts.sum
+      assert(math.abs(r.getAs[Double]("skew_ratio") - skew) < 1e-6)
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+    }
+  }
 }

@@ -120,4 +120,31 @@ class FiltersSpec extends SparkSpec {
     val kept = rows.count(_.getAs[Boolean]("keep"))
     assert(kept > 0 && kept < h.values.count(identity))
   }
+  test("qf_pii_census re-aggregates qf_redact's per-doc counts") {
+    val census = Filters.qfPiiCensus(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val perDoc = Filters.qfRedact(spark, sf("sf0.01"))
+      .join(graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+        .select(col("doc_id"), col("source"), length(col("text"))
+          .cast("long").as("chars")), Seq("doc_id"))
+      .collect()
+    val bySrc = perDoc.groupBy(_.getAs[String]("source"))
+    assert(census.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val r = census(src)
+      def s(c: String) = rows.map(_.getAs[Int](c).toLong).sum
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("emails") == s("emails"), s"$src emails")
+      assert(r.getAs[Long]("urls") == s("urls"), s"$src urls")
+      assert(r.getAs[Long]("phones") == s("phones"), s"$src phones")
+      assert(r.getAs[Long]("docs_with_pii") == rows.count(x =>
+        x.getAs[Int]("emails") + x.getAs[Int]("urls") +
+          x.getAs[Int]("phones") > 0).toLong)
+      val chars = rows.map(_.getAs[Long]("chars")).sum
+      assert(r.getAs[Long]("chars") == chars)
+      val want = (s("emails") + s("urls") + s("phones")).toDouble *
+        1000.0 / chars
+      assert(math.abs(r.getAs[Double]("pii_per_kchar") - want) < 1e-6)
+    }
+  }
 }
