@@ -1070,6 +1070,77 @@ SELECT doc_id, ord,
 FROM o ORDER BY global_pos"""
 
   // ------------------------------------------------------------------
+  // cp_frag — packing-fragmentation curve per candidate context length
+  // ------------------------------------------------------------------
+
+  /** Candidate window lengths for the fragmentation readout. */
+  val FragLens: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** [[cpTruncation]]'s packing sibling: under concatenate-then-chunk
+    * ([[cpPack]]'s layout), how many documents straddle a window
+    * boundary at each candidate context length — the
+    * attention-fragmentation cost a run weighs against the larger
+    * ctx's compute. A doc crosses `(start+n−1) div L − start div L`
+    * boundaries; that and every other column are exact BIGINTs from
+    * cpPack's running offsets (ONE copy of packing semantics — this
+    * operator never re-derives the layout).
+    *
+    * Shape: cpPack's relation through a [[FragLens]]-way stack Expand
+    * into a cells-bounded agg (the cp_truncation/ev_cube family). The
+    * Expand rides cpPack's single-partition window locally; at 100 TB
+    * the same readout runs off [[cpPackSharded]]'s offsets.
+    */
+  def cpFrag(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val stacked = FragLens.map(l =>
+      s"${l}L, ((start_off + n_tokens - 1) div ${l}L) - (start_off div ${l}L)")
+      .mkString(", ")
+    cpPack(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+      .select(col("n_tokens"), expr(
+        s"stack(${FragLens.size}, $stacked) AS (ctx_len, crossings)"))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("docs_split"),
+        sum(col("crossings")).as("boundary_crossings"),
+        sum(col("n_tokens")).as("tokens_total"))
+      .select(col("ctx_len"), col("n_docs"), col("docs_split"),
+        col("boundary_crossings"),
+        expr("(tokens_total + ctx_len - 1) div ctx_len").as("windows_used"),
+        r6(col("docs_split").cast("double") / col("n_docs"))
+          .as("split_share"))
+      .orderBy(col("ctx_len"))
+  }
+
+  val cpFragSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val cells = FragLens.map(l =>
+      s"""SELECT CAST(${l} AS BIGINT) AS ctx_len,
+    ((start_off + n_tokens - 1) // ${l}) - (start_off // ${l}) AS crossings,
+    n_tokens
+  FROM pack""").mkString("\nUNION ALL\n")
+    s"""
+WITH pack AS (
+  ${cpPackSql.replace("\n", "\n  ")}
+), cells AS (
+$cells
+), g AS (
+  SELECT ctx_len,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS docs_split,
+    CAST(SUM(crossings) AS BIGINT) AS boundary_crossings,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM cells GROUP BY ctx_len
+)
+SELECT ctx_len, n_docs, docs_split, boundary_crossings,
+  (tokens_total + ctx_len - 1) // ctx_len AS windows_used,
+  ${r6Sql("(CAST(docs_split AS DOUBLE) / n_docs)")} AS split_share
+FROM g ORDER BY ctx_len"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_decontam_embed — semantic (embedding-space) decontamination
   // ------------------------------------------------------------------
 

@@ -481,4 +481,28 @@ class CorpusSpec extends SparkSpec {
     assert(allocated <= Corpus.EpochTokenBudget)
     assert(Corpus.EpochTokenBudget - allocated < rows.length.toLong)
   }
+  test("cp_frag counts boundary crossings off the packing layout") {
+    val pack = Corpus.cpPack(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off")))
+    val got = Corpus.cpFrag(spark, sf("sf0.001")).collect()
+      .map(r => r.getAs[Long]("ctx_len") -> r).toMap
+    assert(got.keySet == Corpus.FragLens.toSet)
+    Corpus.FragLens.foreach { l =>
+      val crossings = pack.map { case (n, off) => (off + n - 1) / l - off / l }
+      val r = got(l)
+      assert(r.getAs[Long]("n_docs") == pack.length.toLong)
+      assert(r.getAs[Long]("docs_split") == crossings.count(_ > 0).toLong)
+      assert(r.getAs[Long]("boundary_crossings") == crossings.sum)
+      val total = pack.map(_._1).sum
+      assert(r.getAs[Long]("windows_used") == (total + l - 1) / l)
+      assert(math.abs(r.getAs[Double]("split_share") -
+        crossings.count(_ > 0).toDouble / pack.length) < 1e-6)
+      // a doc can split only if the corpus actually spans >1 window
+      if (r.getAs[Long]("windows_used") == 1L)
+        assert(r.getAs[Long]("docs_split") == 0L)
+    }
+    // monotonicity: doubling the window can never split MORE docs
+    val shares = Corpus.FragLens.sorted.map(l => got(l).getAs[Long]("docs_split"))
+    assert(shares.zip(shares.drop(1)).forall { case (a, b) => b <= a })
+  }
 }
