@@ -1002,7 +1002,13 @@ ORDER BY i.doc_a, i.doc_b"""
     * least/greatest ids matches the oracle's `a.vec_id < b.vec_id`
     * orientation exactly.
     */
-  def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Block-matrix all-pairs cosine ≥ `minCos` as (vec_a < vec_b, c)
+    * with c UNROUNDED — ONE copy of the pair enumeration, shared by
+    * [[ddEmbedCosine]] (at [[CosineMin]]) and [[ddCosineSweep]] (at
+    * the sweep's loosest threshold).
+    */
+  private def cosinePairs(spark: SparkSession, sfDir: String,
+      minCos: Double): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val gdot = graft.functions.DotProduct.dot _
     import spark.implicits._
@@ -1025,10 +1031,13 @@ ORDER BY i.doc_a, i.doc_b"""
       .filter(col("blk_a") =!= col("blk_b") || col("vec_a") < col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), cos.as("c"))
-      .filter(col("c") >= CosineMin)
+      .filter(col("c") >= minCos)
+  }
+
+  def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame =
+    cosinePairs(spark, sfDir, CosineMin)
       .select(col("vec_a"), col("vec_b"), r6(col("c")).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   /** The naive theta-join formulation — spec-level ground truth for
     * [[ddEmbedCosine]]'s block decomposition, NOT a shipped query (it
@@ -1054,7 +1063,11 @@ ORDER BY i.doc_a, i.doc_b"""
 
   private def dotSql(a: String, b: String): String = CrossHash.dotSql(a, b)
 
-  val ddEmbedCosineSql: String = s"""WITH e AS (
+  /** Oracle pair CTE `pairs(vec_a < vec_b, c)` with c unrounded — ONE
+    * copy, the [[cosinePairs]] twin shared by the embed-cosine and
+    * sweep oracles.
+    */
+  private val cosinePairsCte: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -1062,10 +1075,71 @@ ORDER BY i.doc_a, i.doc_b"""
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     ${dotSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm) AS c
   FROM n a JOIN n b ON a.vec_id < b.vec_id
-)
+)"""
+
+  val ddEmbedCosineSql: String = cosinePairsCte + s"""
 SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine
 FROM pairs WHERE c >= $CosineMin
 ORDER BY vec_a, vec_b"""
+
+  // ------------------------------------------------------------------
+  // dd_cosine_sweep — threshold tuning table for embedding dedup
+  // ------------------------------------------------------------------
+
+  /** Thresholds probed by the sweep; the loosest drives the single
+    * pair-enumeration pass, [[CosineMin]] is among them so the
+    * production row is directly readable.
+    */
+  val CosineSweep: Seq[Double] = Seq(0.35, 0.40, 0.45, 0.50)
+
+  /** dd_lsh_tuning / sim_ivf_tuning's exact-cosine sibling: the pair
+    * and affected-doc volume at each candidate dedup threshold — the
+    * table read before committing to a τ (too low merges near-topics,
+    * too high leaves dups). ONE [[cosinePairs]] pass at the loosest
+    * threshold serves every row (cached; per-τ counting is arithmetic
+    * on that bounded pair set, never a second all-pairs pass).
+    */
+  def ddCosineSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = cosinePairs(spark, sfDir, CosineSweep.min).cache()
+    val cand = pairs.withColumn("threshold",
+        explode(array(CosineSweep.map(lit): _*)))
+      .filter(col("c") >= col("threshold"))
+    val np = cand.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = cand.select(col("threshold"),
+        explode(array(col("vec_a"), col("vec_b"))).as("v")).distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    CosineSweep.toDF("threshold")
+      .join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  val ddCosineSweepSql: String = {
+    val lst = CosineSweep.mkString("[", ", ", "]")
+    cosinePairsCte + s""", thr AS (
+  SELECT unnest(CAST($lst AS DOUBLE[])) AS threshold
+), cand AS (
+  SELECT t.threshold, p.vec_a, p.vec_b
+  FROM pairs p CROSS JOIN thr t WHERE p.c >= t.threshold
+), np AS (
+  SELECT threshold, COUNT(*) AS n_pairs FROM cand GROUP BY threshold
+), nd AS (
+  SELECT threshold, COUNT(DISTINCT v) AS n_docs
+  FROM (SELECT threshold, unnest([vec_a, vec_b]) AS v FROM cand)
+  GROUP BY threshold
+)
+SELECT t.threshold,
+  COALESCE(np.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+  COALESCE(nd.n_docs, CAST(0 AS BIGINT)) AS n_docs
+FROM thr t
+LEFT JOIN np ON np.threshold = t.threshold
+LEFT JOIN nd ON nd.threshold = t.threshold
+ORDER BY t.threshold"""
+  }
 
   // ------------------------------------------------------------------
   // dd_spans — within-corpus repeated-span audit (word-8-grams)

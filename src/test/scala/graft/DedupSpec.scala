@@ -390,4 +390,19 @@ class DedupSpec extends SparkSpec {
       .comments(spark, sf("sf0.01")).count()
     assert(rows.map(_.getAs[Long]("docs_total")).sum == corpus)
   }
+  test("dd_cosine_sweep: monotone in threshold, production row matches") {
+    val rows = Dedup.ddCosineSweep(spark, sf("sf0.01")).collect()
+      .map(r => (r.getDouble(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs")))
+    assert(rows.map(_._1).toSeq == Dedup.CosineSweep)
+    // tightening the threshold can only shed pairs and docs
+    rows.zip(rows.drop(1)).foreach { case ((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+    // the production threshold's row IS dd_embed_cosine's pair count
+    val prod = rows.find(_._1 == Dedup.CosineMin).get
+    assert(prod._2 == Dedup.ddEmbedCosine(spark, sf("sf0.01")).count())
+    // docs touched can never exceed 2 pairs' worth
+    rows.foreach { case (_, p, d) => assert(d <= 2 * p) }
+  }
 }
