@@ -1062,4 +1062,93 @@ SELECT event_type,
   ${ExactRank.valueAtSql(9, 10, "n_gaps", "gap_us")} AS p90_gap_us,
   MIN(max_gap_us) AS max_gap_us
 FROM cw GROUP BY event_type ORDER BY event_type"""
+
+  // ------------------------------------------------------------------
+  // ev_rfm — recency/frequency/monetary user segmentation
+  // ------------------------------------------------------------------
+
+  /** Bucket boundaries, set near the fixture's per-user quartiles so
+    * every axis discriminates: recency ≤ 0 / ≤ 1 days since the corpus
+    * anchor (its max event day — a data-derived anchor keeps the
+    * segmentation reproducible, unlike wall-clock now()); frequency
+    * ≥ 70 / ≥ 60 events; monetary ≥ 70000 / ≥ 45000 integer cents of
+    * purchases. 3 = best.
+    */
+  val RfmRecencyDays: (Int, Int) = (0, 1)
+  val RfmFreq: (Long, Long) = (70L, 60L)
+  val RfmCents: (Long, Long) = (70000L, 45000L)
+
+  /** The classic RFM segmentation rolled up to segment counts: every
+    * user lands in an (r, f, m) bucket triple from exact integers —
+    * days since last event vs the corpus anchor, event count, integer
+    * purchase cents (the [[StreamingStats.sumCents]] rounding rule, one
+    * copy) — and the output is the ≤27-row segment census a campaign
+    * or cohort decision reads.
+    *
+    * Shape: one partial-agg'd groupBy(user), the anchor as a
+    * full-frame window over the per-user rows (bounded by users, no
+    * second scan — the duplicate-subtree rule), then a constant-size
+    * roll-up. Nothing downstream scales with events.
+    */
+  def evRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perUser = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+      .withColumn("anchor", max(col("last_day")).over(whole))
+      .withColumn("recency_days", col("anchor") - col("last_day"))
+    perUser
+      .withColumn("r_bucket",
+        when(col("recency_days") <= RfmRecencyDays._1, 3)
+          .when(col("recency_days") <= RfmRecencyDays._2, 2).otherwise(1))
+      .withColumn("f_bucket",
+        when(col("freq") >= RfmFreq._1, 3)
+          .when(col("freq") >= RfmFreq._2, 2).otherwise(1))
+      .withColumn("m_bucket",
+        when(col("cents") >= RfmCents._1, 3)
+          .when(col("cents") >= RfmCents._2, 2).otherwise(1))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("freq")).as("sum_events"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  val evRfmSql: String = s"""
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)) AS last_day,
+    COUNT(*) AS freq,
+    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+      CAST(0 AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), anchored AS (
+  SELECT *, MAX(last_day) OVER () AS anchor FROM per_user
+), b AS (
+  SELECT
+    CASE WHEN anchor - last_day <= ${RfmRecencyDays._1} THEN 3
+         WHEN anchor - last_day <= ${RfmRecencyDays._2} THEN 2
+         ELSE 1 END AS r_bucket,
+    CASE WHEN freq >= ${RfmFreq._1} THEN 3
+         WHEN freq >= ${RfmFreq._2} THEN 2 ELSE 1 END AS f_bucket,
+    CASE WHEN cents >= ${RfmCents._1} THEN 3
+         WHEN cents >= ${RfmCents._2} THEN 2 ELSE 1 END AS m_bucket,
+    freq, cents
+  FROM anchored
+)
+SELECT r_bucket, f_bucket, m_bucket,
+  COUNT(*) AS n_users,
+  CAST(SUM(freq) AS BIGINT) AS sum_events,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM b GROUP BY r_bucket, f_bucket, m_bucket
+ORDER BY r_bucket, f_bucket, m_bucket"""
 }

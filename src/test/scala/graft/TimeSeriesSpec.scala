@@ -363,4 +363,26 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_gap_sec") - mean) < 1e-6)
     }
   }
+  test("ev_rfm buckets every user once and reconciles totals") {
+    val segs = TimeSeries.evRfm(spark, sf("sf0.01")).collect()
+    // every user exactly once, all buckets in range
+    val users = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id")).distinct().count()
+    assert(segs.map(_.getAs[Long]("n_users")).sum == users)
+    segs.foreach { r =>
+      Seq("r_bucket", "f_bucket", "m_bucket").foreach(b =>
+        assert(r.getAs[Int](b) >= 1 && r.getAs[Int](b) <= 3))
+    }
+    // the segmentation discriminates on the fixture: >1 value per axis
+    assert(segs.map(_.getAs[Int]("r_bucket")).distinct.length > 1)
+    assert(segs.map(_.getAs[Int]("f_bucket")).distinct.length > 1)
+    assert(segs.map(_.getAs[Int]("m_bucket")).distinct.length > 1)
+    // totals reconcile to the corpus
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+    assert(segs.map(_.getAs[Long]("sum_events")).sum == ev.count())
+    val cents = ev.filter(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(segs.map(_.getAs[Long]("total_cents")).sum == cents)
+  }
 }
