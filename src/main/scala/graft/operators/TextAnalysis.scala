@@ -1041,4 +1041,69 @@ SELECT t.source, t.total_grams,
 FROM tot t LEFT JOIN top p ON p.source = t.source
 ORDER BY t.source"""
   }
+
+  // ------------------------------------------------------------------
+  // ta_chao1 — vocabulary-richness / coverage estimate per source
+  // ------------------------------------------------------------------
+
+  /** Chao1 species-richness estimate over each source's term counts:
+    * how much vocabulary the sample has NOT seen yet. `chao1 = D +
+    * h1²/(2·h2)` (D observed types, h1 singletons, h2 doubletons; the
+    * bias-corrected `D + h1(h1−1)/2` when h2 = 0), plus Good–Turing
+    * sample coverage `1 − h1/N`. A source whose chao1 far exceeds D is
+    * still yielding new vocabulary — sampling more of it buys
+    * diversity; coverage near 1 means the source is exhausted.
+    *
+    * All inputs are exact BIGINTs off the same (source, term, count)
+    * relation [[taTtr]] folds (vocab-sized shuffle, never the token
+    * stream); the estimate itself is one fixed-arity float expression
+    * per source, identical in both engines.
+    */
+  def taChao1(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = docs(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    st.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("h2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("h1"),
+        col("h2"),
+        r6(when(col("h2") > 0,
+          col("n_types") + (col("h1") * col("h1")).cast("double") /
+            (lit(2L) * col("h2")))
+          .otherwise(col("n_types") + (col("h1") * (col("h1") - 1))
+            .cast("double") / 2.0)).as("chao1"),
+        r6(lit(1.0) - col("h1").cast("double") / col("n_tokens"))
+          .as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  val taChao1Sql: String = s"""
+WITH tok AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM tok WHERE term <> '' GROUP BY source, term
+), g AS (
+  SELECT source,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_types,
+    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2
+  FROM st GROUP BY source
+)
+SELECT source, n_tokens, n_types, h1, h2,
+  ${r6Sql("(CASE WHEN h2 > 0 THEN" +
+      " n_types + CAST(h1 * h1 AS DOUBLE) / (2 * h2)" +
+      " ELSE n_types + CAST(h1 * (h1 - 1) AS DOUBLE) / 2.0 END)")}
+    AS chao1,
+  ${r6Sql("(1.0 - CAST(h1 AS DOUBLE) / n_tokens)")} AS coverage
+FROM g ORDER BY source"""
 }

@@ -1151,4 +1151,52 @@ SELECT r_bucket, f_bucket, m_bucket,
   CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM b GROUP BY r_bucket, f_bucket, m_bucket
 ORDER BY r_bucket, f_bucket, m_bucket"""
+
+  // ------------------------------------------------------------------
+  // ev_markov — first-order event-type transition matrix
+  // ------------------------------------------------------------------
+
+  /** The 1-step Markov view [[evPaths]]' top-k trigrams summarize:
+    * per (from → to) event-type pair, the transition count and row
+    * probability P(to | from). The full ≤types² matrix — journey
+    * modeling, anomaly baselines, and the sanity check behind any
+    * sequence feature.
+    *
+    * Shape: one (user) window for the lead, one partial-agg'd
+    * (from, to) groupBy; the row-marginal is a full-frame window per
+    * `from` over the matrix relation itself (types²-bounded, no second
+    * pass over events).
+    */
+  def evMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fromTotal = Window.partitionBy(col("from_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(fromTotal))
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        r6(col("n").cast("double") / col("from_total")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val evMarkovSql: String = s"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+), m AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+  ${r6Sql("(CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY from_type)))")}
+    AS p
+FROM m ORDER BY from_type, to_type"""
 }

@@ -363,4 +363,36 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+  test("ta_chao1 matches a local recompute and bounds D from below") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val bySrc = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.flatMap(r => tok(r.getString(1).toLowerCase)).filter(_.nonEmpty))
+      .toMap
+    val got = TextAnalysis.taChao1(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, toks) =>
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val (d, h1, h2) = (counts.size, counts.count(_ == 1),
+        counts.count(_ == 2))
+      val r = got(src)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_types") == d.toLong)
+      assert(r.getAs[Long]("h1") == h1.toLong && r.getAs[Long]("h2") == h2.toLong)
+      val chao = if (h2 > 0) d + h1.toDouble * h1 / (2 * h2)
+        else d + h1.toDouble * (h1 - 1) / 2.0
+      assert(math.abs(r.getAs[Double]("chao1") - chao) < 1e-6)
+      assert(r.getAs[Double]("chao1") >= d.toDouble - 1e-9) // estimator >= observed
+      val cov = 1.0 - h1.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("coverage") - cov) < 1e-6)
+    }
+  }
 }

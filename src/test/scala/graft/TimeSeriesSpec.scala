@@ -385,4 +385,20 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(segs.map(_.getAs[Long]("total_cents")).sum == cents)
   }
+  test("ev_markov rows are a stochastic matrix over observed transitions") {
+    val rows = TimeSeries.evMarkov(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    // row probabilities sum to ~1 per from_type and n to from_total
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val total = rs.head.getAs[Long]("from_total")
+      assert(rs.map(_.getAs[Long]("n")).sum == total)
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+      rs.foreach(r => assert(r.getAs[Double]("p") > 0 &&
+        r.getAs[Double]("p") <= 1.0))
+    }
+    // transition count reconciles: per-user events minus one each
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == ev.count() - users)
+  }
 }
