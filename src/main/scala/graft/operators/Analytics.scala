@@ -1475,6 +1475,82 @@ CROSS JOIN (
   }
 
   // ------------------------------------------------------------------
+  // wh_ltv — customer-cohort revenue / retention curve
+  // ------------------------------------------------------------------
+
+  /** Cohort LTV triangle over orders: customers grouped by their FIRST
+    * order month; per (cohort, month offset) the active customers,
+    * exact integer-cent revenue, running cumulative revenue, and the
+    * retention share — the lifetime-value readout warehouse teams
+    * build first. Month ordinal is `year·12 + month − 1` (pure integer
+    * calendar math, no interval arithmetic to disagree on).
+    *
+    * Shape: one per-customer window for the cohort tag, one
+    * partial-agg'd (cohort, offset) groupBy; cumulative and
+    * cohort-size ride the SAME per-cohort window partitioning over the
+    * months²-bounded triangle — orders are scanned once.
+    */
+  def whLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+    val byCoh = Window.partitionBy(col("cohort_m"))
+    val cum = byCoh.orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = byCoh
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.withColumn("cohort_m", min(col("m")).over(byCust))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m"))
+        .as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+        sum(col("cents")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .withColumn("cohort_size",
+        sum(when(col("month_offset") === 0, col("active_customers"))
+          .otherwise(0L)).over(full))
+      .select(
+        concat(expr("cohort_m div 12").cast("string"), lit("-"),
+          lpad((col("cohort_m") % 12 + 1).cast("string"), 2, "0"))
+          .as("cohort_month"),
+        col("month_offset"), col("cohort_size"), col("active_customers"),
+        col("cents"), col("cum_cents"),
+        r6(col("active_customers").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  val whLtvSql: String = s"""
+WITH o AS (
+  SELECT o_custkey,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS m,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), tagged AS (
+  SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort_m FROM o
+), g AS (
+  SELECT cohort_m, CAST(m - cohort_m AS INTEGER) AS month_offset,
+    COUNT(DISTINCT o_custkey) AS active_customers,
+    CAST(SUM(cents) AS BIGINT) AS cents
+  FROM tagged GROUP BY cohort_m, m - cohort_m
+), w AS (
+  SELECT *,
+    CAST(SUM(cents) OVER (PARTITION BY cohort_m ORDER BY month_offset
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+    CAST(SUM(CASE WHEN month_offset = 0 THEN active_customers ELSE 0 END)
+      OVER (PARTITION BY cohort_m) AS BIGINT) AS cohort_size
+  FROM g
+)
+SELECT
+  CAST(cohort_m // 12 AS VARCHAR) || '-' ||
+    lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+  month_offset, cohort_size, active_customers, cents, cum_cents,
+  ${r6Sql("(CAST(active_customers AS DOUBLE) / cohort_size)")} AS retention
+FROM w ORDER BY cohort_month, month_offset"""
+
+  // ------------------------------------------------------------------
   // prof_skew — join/partition-key skew profile
   // ------------------------------------------------------------------
 

@@ -551,4 +551,33 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
     }
   }
+  test("wh_ltv triangle reconciles revenue and retention invariants") {
+    val rows = Analytics.whLtv(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val o = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+    // total revenue reconciles to exact order cents
+    val cents = o.select(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("cents")).sum == cents)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("month_offset"))
+      // offset 0 exists (the cohort's defining month) and equals size
+      assert(sorted.head.getAs[Int]("month_offset") == 0)
+      assert(sorted.head.getAs[Long]("active_customers") ==
+        sorted.head.getAs[Long]("cohort_size"))
+      // cumulative is a running sum of cents in offset order
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getAs[Long]("cents")
+        assert(r.getAs[Long]("cum_cents") == run)
+        assert(r.getAs[Double]("retention") <= 1.0 + 1e-9)
+        assert(r.getAs[Long]("active_customers") <=
+          r.getAs[Long]("cohort_size"))
+      }
+    }
+    // every customer appears in exactly one cohort
+    val sizes = rows.filter(_.getAs[Int]("month_offset") == 0)
+      .map(_.getAs[Long]("cohort_size")).sum
+    assert(sizes == o.select(col("o_custkey")).distinct().count())
+  }
 }
