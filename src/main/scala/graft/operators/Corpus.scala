@@ -1070,6 +1070,100 @@ SELECT doc_id, ord,
 FROM o ORDER BY global_pos"""
 
   // ------------------------------------------------------------------
+  // cp_curriculum — quality-tercile curriculum phase assignment
+  // ------------------------------------------------------------------
+
+  /** Number of curriculum phases (quality terciles). */
+  val CurriculumPhases = 3
+
+  /** Curriculum-learning phase assignment: the corpus split into
+    * quality terciles by EXACT rank over [[TextAnalysis.taQuality]]'s
+    * composite score (one copy of the score — this operator embeds the
+    * quality query, it never re-derives the formula). Phase 1 = lowest
+    * tercile, 3 = highest; a run trains phases in either direction —
+    * the assignment is the artifact. Boundary ties share a score value
+    * and land in one phase (value-based cut, deterministic on both
+    * engines; sizes then deviate from n/3 by the tie mass only).
+    *
+    * Scores quantize to exact micro-units (they are r6-rounded, so
+    * ×1e6 is integer-valued), making every downstream sum exact — the
+    * float-mean trap never opens. Thresholds come from the rank-ceil
+    * [[ExactRank]] rule over the (score, count) relation (bounded by
+    * distinct scores); the doc relation is cached for its two
+    * consumers (threshold build + phase assignment).
+    */
+  def cpCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val q = TextAnalysis.taQuality(spark, sfDir)
+      .select(col("doc_id"), col("words").cast("long").as("words"),
+        round(col("quality_score") * 1000000).cast("long").as("score_micro"))
+      .cache()
+    val g = q.groupBy(col("score_micro")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = g.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(full))
+      .agg(
+        ExactRank.valueAt(1, CurriculumPhases, "n", col("score_micro"))
+          .as("t1"),
+        ExactRank.valueAt(2, CurriculumPhases, "n", col("score_micro"))
+          .as("t2"))
+    q.crossJoin(broadcast(thr))
+      .withColumn("phase",
+        when(col("score_micro") <= col("t1"), 1)
+          .when(col("score_micro") <= col("t2"), 2).otherwise(3))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("words")).as("tokens"),
+        r6(min(col("score_micro")).cast("double") / 1000000.0)
+          .as("min_score"),
+        r6(max(col("score_micro")).cast("double") / 1000000.0)
+          .as("max_score"),
+        r6(sum(col("score_micro")).cast("double") / 1000000.0 /
+          count(lit(1))).as("mean_score"))
+      .orderBy(col("phase"))
+  }
+
+  def cpCurriculumSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val qualitySub = TextAnalysis.taQualitySql
+    s"""
+WITH q AS (
+  SELECT doc_id, CAST(words AS BIGINT) AS words,
+    CAST(round(quality_score * 1000000) AS BIGINT) AS score_micro
+  FROM ($qualitySub)
+), g AS (
+  SELECT score_micro, COUNT(*) AS cnt FROM q GROUP BY score_micro
+), cw AS (
+  SELECT score_micro, cnt,
+    SUM(cnt) OVER (ORDER BY score_micro ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER () AS n
+  FROM g
+), thr AS (
+  SELECT
+    ${ExactRank.valueAtSql(1, CurriculumPhases, "n", "score_micro")} AS t1,
+    ${ExactRank.valueAtSql(2, CurriculumPhases, "n", "score_micro")} AS t2
+  FROM cw
+), p AS (
+  SELECT q.*,
+    CASE WHEN score_micro <= t1 THEN 1
+         WHEN score_micro <= t2 THEN 2 ELSE 3 END AS phase
+  FROM q CROSS JOIN thr
+)
+SELECT phase, COUNT(*) AS n_docs,
+  CAST(SUM(words) AS BIGINT) AS tokens,
+  ${r6Sql("(CAST(MIN(score_micro) AS DOUBLE) / 1000000.0)")} AS min_score,
+  ${r6Sql("(CAST(MAX(score_micro) AS DOUBLE) / 1000000.0)")} AS max_score,
+  ${r6Sql(
+      "(CAST(SUM(score_micro) AS DOUBLE) / 1000000.0 / COUNT(*))")}
+    AS mean_score
+FROM p GROUP BY phase ORDER BY phase"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_frag — packing-fragmentation curve per candidate context length
   // ------------------------------------------------------------------
 

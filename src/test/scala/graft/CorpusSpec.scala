@@ -505,4 +505,26 @@ class CorpusSpec extends SparkSpec {
     val shares = Corpus.FragLens.sorted.map(l => got(l).getAs[Long]("docs_split"))
     assert(shares.zip(shares.drop(1)).forall { case (a, b) => b <= a })
   }
+  test("cp_curriculum phases partition the corpus in score order") {
+    val rows = Corpus.cpCurriculum(spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getAs[Int]("phase")).toSeq == Seq(1, 2, 3))
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(n == 500)
+    // value-cut terciles: each phase within one tie-mass of n/3
+    val scores = graft.operators.TextAnalysis.taQuality(spark, sf("sf0.01"))
+      .select(round(col("quality_score") * 1000000).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val maxTie = scores.groupBy(identity).values.map(_.length).max.toLong
+    rows.foreach(r => assert(
+      math.abs(r.getAs[Long]("n_docs") - n / 3) <= maxTie + 1,
+      s"phase ${r.getAs[Int]("phase")} size"))
+    // phases are ordered, non-overlapping score bands
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_score") <= b.getAs[Double]("min_score"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_score") <= r.getAs[Double]("mean_score"))
+      assert(r.getAs[Double]("mean_score") <= r.getAs[Double]("max_score"))
+    }
+  }
 }
