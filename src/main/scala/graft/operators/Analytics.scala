@@ -1551,6 +1551,89 @@ SELECT
 FROM w ORDER BY cohort_month, month_offset"""
 
   // ------------------------------------------------------------------
+  // wh_pareto — revenue-concentration deciles (the 80/20 readout)
+  // ------------------------------------------------------------------
+
+  /** Revenue Pareto curve: customers ranked by lifetime order cents
+    * into deciles (1 = top earners), with each decile's customer
+    * count, exact cents, revenue share, and the cumulative share — how
+    * concentrated the business is. Deciles are EXACT-rank value cuts
+    * on the (cents, count) relation; a tie block (customers with equal
+    * revenue) is assigned whole to its first member's decile, so
+    * sizes deviate from n/10 only by tie mass — deterministic on both
+    * engines, and the rank never forces a window over the raw
+    * customer set.
+    *
+    * Shape: one per-customer agg, then everything runs on the
+    * distinct-revenue relation (bounded by the value domain —
+    * prof_outliers' posture); cents moments sum in decimal(38,0).
+    */
+  def whPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val g = per.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byDecile = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(full))
+      .withColumn("total_cents",
+        sum((col("cents") * col("cnt")).cast("decimal(38,0)")).over(full))
+      .withColumn("decile", expr("((cum - cnt + 1) * 10 + n - 1) div n"))
+      .groupBy(col("decile"))
+      .agg(
+        sum(col("cnt")).as("n_customers"),
+        sum((col("cents") * col("cnt")).cast("decimal(38,0)"))
+          .as("dec_cents"),
+        min(col("total_cents")).as("total_cents"))
+      .withColumn("cum_cents", sum(col("dec_cents")).over(byDecile))
+      .select(col("decile"), col("n_customers"),
+        col("dec_cents").cast("long").as("cents"),
+        r6(col("dec_cents").cast("double") /
+          col("total_cents").cast("double")).as("share"),
+        r6(col("cum_cents").cast("double") /
+          col("total_cents").cast("double")).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val whParetoSql: String = s"""
+WITH per AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), g AS (
+  SELECT cents, COUNT(*) AS cnt FROM per GROUP BY cents
+), cw AS (
+  SELECT cents, cnt,
+    SUM(cnt) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER () AS n,
+    SUM(cents * cnt) OVER () AS total_cents
+  FROM g
+), d AS (
+  SELECT CAST(((cum - cnt + 1) * 10 + n - 1) // n AS BIGINT) AS decile,
+    cnt, cents, total_cents
+  FROM cw
+), a AS (
+  SELECT decile,
+    CAST(SUM(cnt) AS BIGINT) AS n_customers,
+    CAST(SUM(cents * cnt) AS BIGINT) AS dec_cents,
+    MIN(total_cents) AS total_cents
+  FROM d GROUP BY decile
+)
+SELECT decile, n_customers,
+  dec_cents AS cents,
+  ${r6Sql("(CAST(dec_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))")}
+    AS share,
+  ${r6Sql("(CAST(SUM(dec_cents) OVER (ORDER BY decile" +
+      " ROWS UNBOUNDED PRECEDING) AS DOUBLE)" +
+      " / CAST(total_cents AS DOUBLE))")} AS cum_share
+FROM a ORDER BY decile"""
+
+  // ------------------------------------------------------------------
   // prof_skew — join/partition-key skew profile
   // ------------------------------------------------------------------
 

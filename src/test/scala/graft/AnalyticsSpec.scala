@@ -580,4 +580,25 @@ class AnalyticsSpec extends SparkSpec {
       .map(_.getAs[Long]("cohort_size")).sum
     assert(sizes == o.select(col("o_custkey")).distinct().count())
   }
+  test("wh_pareto deciles partition customers; shares telescope to 1") {
+    val rows = Analytics.whPareto(spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val o = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      o.select(col("o_custkey")).distinct().count())
+    val cents = o.select(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("cents")).sum == cents)
+    // decile 1 = top earners: per-customer mean revenue strictly falls
+    val means = rows.map(r =>
+      r.getAs[Long]("cents").toDouble / r.getAs[Long]("n_customers"))
+    means.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    // cumulative share telescopes to exactly 1 (last decile closes it)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-9)
+    var run = 0.0
+    rows.foreach { r =>
+      run += r.getAs[Double]("share")
+      assert(math.abs(r.getAs[Double]("cum_share") - run) < 1e-4)
+    }
+  }
 }
