@@ -1153,6 +1153,48 @@ FROM b GROUP BY r_bucket, f_bucket, m_bucket
 ORDER BY r_bucket, f_bucket, m_bucket"""
 
   // ------------------------------------------------------------------
+  // ev_value_tiers — dense_rank value tiers on the custom TopK plan
+  // ------------------------------------------------------------------
+
+  /** Distinct value tiers kept per event type. */
+  val TierK = 3
+
+  /** Every event at one of its type's top-[[TierK]] DISTINCT cent
+    * values — "the three best price points and everything that hit
+    * them", the value-tier leaderboard `row_number`/`rank` cannot
+    * express (they bound ROWS, not VALUES). Runs on the custom
+    * [[graft.plans.TopKPerGroup]] operator in its `dense_rank` mode
+    * (fourth oracle-hashed query through the custom plan, third rank
+    * semantics); the oracle's DENSE_RANK window form hash-verifies the
+    * whole mode end-to-end.
+    */
+  def evValueTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.plans.TopK.perGroupDenseRank(base, Seq("event_type"),
+        Seq("cents" -> true), TierK)
+      .select(col("event_type"), col("rank"), col("cents"),
+        col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rank"), col("event_id"))
+  }
+
+  val evValueTiersSql: String = s"""
+WITH base AS (
+  SELECT event_type, event_id, user_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY event_type ORDER BY cents DESC) AS rank
+  FROM base
+)
+SELECT event_type, CAST(rank AS INTEGER) AS rank, cents,
+  event_id, user_id
+FROM r WHERE rank <= $TierK
+ORDER BY event_type, rank, event_id"""
+
+  // ------------------------------------------------------------------
   // ev_markov — first-order event-type transition matrix
   // ------------------------------------------------------------------
 

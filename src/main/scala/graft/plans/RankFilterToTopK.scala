@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -46,26 +46,29 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Match a Window that computes exactly `row_number() AS rank` or
-    * `rank() AS rank` (the tie-aware mode; the reference's own view
-    * idiom, analysis.sql:182) — both over AggregateWindowFunction's
-    * ROWS running frame. The last tuple element is `tieAware`.
+  /** Match a Window that computes exactly `row_number() AS rank`,
+    * `rank() AS rank` (the reference's own view idiom,
+    * analysis.sql:182) or `dense_rank() AS rank` — all over
+    * AggregateWindowFunction's ROWS running frame. The last tuple
+    * element is the [[TopKMode]].
     */
   private object RankWindow {
     def unapply(p: LogicalPlan): Option[
-        (Alias, Seq[Expression], Seq[SortOrder], LogicalPlan, Boolean)] =
+        (Alias, Seq[Expression], Seq[SortOrder], LogicalPlan, TopKMode)] =
       p match {
         case Window(Seq(a @ Alias(WindowExpression(fn,
               WindowSpecDefinition(part, order,
                 SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
                   CurrentRow))), _)), _, _, child, _)
             if order.nonEmpty =>
-          // both carry AggregateWindowFunction's ROWS running frame
+          // all three carry AggregateWindowFunction's ROWS running frame
           fn match {
             case RowNumber() =>
-              Some((a, part, order, stripGroupLimit(child), false))
+              Some((a, part, order, stripGroupLimit(child), RowNumberMode))
+            case _: DenseRank =>
+              Some((a, part, order, stripGroupLimit(child), DenseRankMode))
             case _: Rank =>
-              Some((a, part, order, stripGroupLimit(child), true))
+              Some((a, part, order, stripGroupLimit(child), RankMode))
             case _ => None
           }
         case _ => None
@@ -105,8 +108,8 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
 
   private def rewrite(rank: Alias, part: Seq[Expression],
       order: Seq[SortOrder], inner: LogicalPlan, k: Int,
-      tieAware: Boolean): LogicalPlan =
-    TopKPerGroup(part, order, k, rank.toAttribute, tieAware, inner)
+      mode: TopKMode): LogicalPlan =
+    TopKPerGroup(part, order, k, rank.toAttribute, mode, inner)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Filter directly over the Window

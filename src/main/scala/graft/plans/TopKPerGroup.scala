@@ -13,6 +13,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.types.IntegerType
 
+/** Rank semantics of [[TopKPerGroup]] — the three SQL window-rank
+  * functions, each with its bounded buffer:
+  *  - [[RowNumberMode]]: `row_number()` over a caller-supplied TOTAL
+  *    order (include a tiebreak) — max-heap of exactly k rows;
+  *  - [[RankMode]]: SQL `rank()` — ties share a rank with gaps, ALL
+  *    rows tied at the k-th rank are kept;
+  *  - [[DenseRankMode]]: SQL `dense_rank()` — rows from the top k
+  *    DISTINCT order-key values, ranks 1..k with no gaps.
+  */
+sealed trait TopKMode extends Serializable
+case object RowNumberMode extends TopKMode
+case object RankMode extends TopKMode
+case object DenseRankMode extends TopKMode
+
 /** Whole-operator custom planning (the SURVEY §2 preference ladder's
   * rung (c)): top-k rows per group as two bounded-memory passes:
   *
@@ -46,15 +60,11 @@ import org.apache.spark.sql.types.IntegerType
   * map-side sort of the full stream, no Window runs at all, and the
   * only sort left is over the already-k-bounded candidates.
   *
-  * Rank semantics, by `tieAware`:
-  *  - `false` → `row_number` over the TOTAL order given by the
-  *    caller's SortOrders — callers must include a tiebreak (the
-  *    engine-wide determinism rule);
-  *  - `true`  → SQL `rank()`: rows equal under the SortOrders share a
-  *    rank, gaps follow, and ALL rows tied at the k-th rank are kept
-  *    (the reference's own groupwise-max idiom keeps ties —
-  *    analysis.sql:69-76, 172-183).
-  * `TopKSpec` pins equality with the declarative window forms.
+  * Rank semantics come from [[TopKMode]] (row_number / rank /
+  * dense_rank — see the trait); `TopKSpec` pins each mode's equality
+  * with its declarative window form, including under forced partial
+  * flush. The rank()-keeps-ties behavior is the reference's own
+  * groupwise-max idiom (analysis.sql:69-76, 172-183).
   *
   * Group-run detection (final phase) and the buffer map (partial) key
   * on UnsafeRow BYTE equality, like Spark's own hash aggregation —
@@ -67,7 +77,7 @@ case class TopKPerGroup(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    tieAware: Boolean,
+    mode: TopKMode,
     child: LogicalPlan) extends UnaryNode {
 
   require(k >= 1, s"k must be >= 1, got $k") // k=0 would underflow heaps
@@ -93,10 +103,10 @@ case class TopKPerGroup(
   */
 object TopKStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(group, order, k, rankAttr, tieAware, child) =>
-      val partialExec = TopKPerGroupExec(group, order, k, rankAttr, tieAware,
+    case TopKPerGroup(group, order, k, rankAttr, mode, child) =>
+      val partialExec = TopKPerGroupExec(group, order, k, rankAttr, mode,
         partial = true, planLater(child))
-      TopKPerGroupExec(group, order, k, rankAttr, tieAware,
+      TopKPerGroupExec(group, order, k, rankAttr, mode,
         partial = false, partialExec) :: Nil
     case _ => Nil
   }
@@ -187,6 +197,39 @@ private[plans] final class RankTieBuffer(
   }
 }
 
+/** SQL `dense_rank()` semantics: a sorted multimap of order-key →
+  * tied rows, pruned to the k best DISTINCT keys. A new key evicts
+  * the worst key group once k+1 distinct keys are held; a row whose
+  * key is strictly worse than the k-th distinct key while k are held
+  * is rejected without copying. Memory: k key groups × their tie
+  * sizes (the irreducible cost of value-tier semantics).
+  */
+private[plans] final class DenseRankBuffer(
+    ord: Ordering[InternalRow], keyOrd: Ordering[UnsafeRow], k: Int)
+    extends GroupTopKBuffer {
+  private val groups =
+    mutable.TreeMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]](keyOrd)
+  override def insert(row: InternalRow,
+      materialize: InternalRow => UnsafeRow): Unit = {
+    // cheap reject without copying: k distinct keys held and this key
+    // sorts strictly after the worst ⇒ its dense rank would be > k
+    if (groups.size >= k && ord.compare(row, groups.lastKey) > 0) return
+    val r = materialize(row)
+    groups.get(r) match {
+      case Some(ties) => ties += r
+      case None =>
+        groups.put(r, mutable.ArrayBuffer(r))
+        if (groups.size > k) groups.remove(groups.lastKey)
+    }
+  }
+  override def drainUnranked(): Iterator[UnsafeRow] =
+    groups.valuesIterator.flatMap(_.iterator)
+  override def drainRanked(): Iterator[(UnsafeRow, Int)] =
+    groups.iterator.zipWithIndex.flatMap { case ((_, ties), i) =>
+      ties.iterator.map(row => (row, i + 1))
+    }
+}
+
 /** The bounded-memory physical operator (both phases — `partial` flags
   * the map-side pass, whose output order is irrelevant because the
   * final pass re-ranks after the exchange).
@@ -196,7 +239,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    tieAware: Boolean,
+    mode: TopKMode,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -231,7 +274,7 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val isPartial = partial
     val outAttrs = output
-    val tie = tieAware
+    val m = mode
     val flushGroups = conf
       .getConfString("spark.graft.topk.partialFlushGroups", "65536").toInt
     require(flushGroups >= 1, "partialFlushGroups must be >= 1")
@@ -242,9 +285,11 @@ case class TopKPerGroupExec(
       // total order from the caller's SortOrders, codegen'd once per task
       val ord = GenerateOrdering.generate(sortOrders, childOutput)
       val keyOrd: Ordering[UnsafeRow] = ord.on(r => r: InternalRow)
-      def newBuffer(): GroupTopKBuffer =
-        if (tie) new RankTieBuffer(ord, keyOrd, limit)
-        else new RowNumberHeap(ord, keyOrd, limit)
+      def newBuffer(): GroupTopKBuffer = m match {
+        case RowNumberMode => new RowNumberHeap(ord, keyOrd, limit)
+        case RankMode => new RankTieBuffer(ord, keyOrd, limit)
+        case DenseRankMode => new DenseRankBuffer(ord, keyOrd, limit)
+      }
       val materialize: InternalRow => UnsafeRow = r => rowProj(r).copy()
 
       if (isPartial) {
@@ -358,7 +403,7 @@ object TopK {
   def perGroup(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
       orderSpecs: Seq[(String, Boolean)], k: Int)
       : org.apache.spark.sql.DataFrame =
-    build(df, groupCols, orderSpecs, k, tieAware = false)
+    build(df, groupCols, orderSpecs, k, RowNumberMode)
 
   /** Top-k rows per group with SQL `rank()` semantics: rows equal
     * under `orderSpecs` share a rank and ALL rows tied at the k-th
@@ -368,11 +413,21 @@ object TopK {
   def perGroupRank(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], orderSpecs: Seq[(String, Boolean)], k: Int)
       : org.apache.spark.sql.DataFrame =
-    build(df, groupCols, orderSpecs, k, tieAware = true)
+    build(df, groupCols, orderSpecs, k, RankMode)
+
+  /** Top-k rows per group with SQL `dense_rank()` semantics: every row
+    * whose order-key value is among the group's k best DISTINCT
+    * values, ranks 1..k with no gaps (value tiers — "the top k price
+    * points and everything at them").
+    */
+  def perGroupDenseRank(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], orderSpecs: Seq[(String, Boolean)], k: Int)
+      : org.apache.spark.sql.DataFrame =
+    build(df, groupCols, orderSpecs, k, DenseRankMode)
 
   private def build(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], orderSpecs: Seq[(String, Boolean)], k: Int,
-      tieAware: Boolean): org.apache.spark.sql.DataFrame = {
+      mode: TopKMode): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     setup(spark)
     val analyzed = df.queryExecution.analyzed
@@ -386,7 +441,7 @@ object TopK {
     }
     val rankAttr = AttributeReference("rank", IntegerType, nullable = false)()
     org.apache.spark.sql.GraftPlanApi.ofRows(spark,
-      TopKPerGroup(groupCols.map(resolve), orders, k, rankAttr, tieAware,
+      TopKPerGroup(groupCols.map(resolve), orders, k, rankAttr, mode,
         analyzed))
   }
 }

@@ -323,6 +323,13 @@ class PropertySpec extends SparkSpec {
             rank().over(Window.partitionBy(col("g")).orderBy(col("v").desc)))
           .filter(col("rank") <= k).collect().map(_.toSeq).toSet
         assert(rk == rkWant, s"rank mode at seed $seed k $k")
+        val dr = graft.plans.TopK.perGroupDenseRank(df, Seq("g"),
+          Seq("v" -> true), k).collect().map(_.toSeq).toSet
+        val drWant = df.withColumn("rank",
+            dense_rank().over(
+              Window.partitionBy(col("g")).orderBy(col("v").desc)))
+          .filter(col("rank") <= k).collect().map(_.toSeq).toSet
+        assert(dr == drWant, s"dense_rank mode at seed $seed k $k")
       } finally spark.conf.unset("spark.graft.topk.partialFlushGroups")
     }
   }

@@ -202,11 +202,11 @@ class TopKSpec extends SparkSpec {
       assert(argmax.queryExecution.optimizedPlan.toString
         .contains("TopKPerGroup"))
       assert(argmax.collect().map(_.toSeq).toSet == wantArgmax)
-      // dense_rank has no bounded-prefix rewrite — must NOT fire
+      // dense_rank now rewrites too — in its own mode, never tie-aware
       val dense = events
         .withColumn("rank", dense_rank().over(w)).filter(col("rank") <= 2)
-      assert(!dense.queryExecution.optimizedPlan.toString
-        .contains("TopKPerGroup"))
+      assert(dense.queryExecution.optimizedPlan.toString
+        .contains("DenseRankMode"))
     } finally TopK.disableRewrite(spark)
   }
 
@@ -224,5 +224,48 @@ class TopKSpec extends SparkSpec {
         val cents = byRank.map(_.getAs[Long]("cents")).toSeq
         assert(cents == cents.sorted(Ordering[Long].reverse), s"order at $g")
     }
+  }
+  test("perGroupDenseRank keeps the top-k DISTINCT values, no gaps") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 10L, 2L), ("a", 5L, 3L), ("a", 5L, 4L),
+      ("a", 1L, 5L), ("b", 7L, 6L), ("b", 7L, 7L), ("b", 7L, 8L),
+      ("c", 2L, 9L)).toDF("g", "v", "id")
+    val got = TopK.perGroupDenseRank(df, Seq("g"), Seq("v" -> true), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // a: tiers v=10 (rank 1) and v=5 (rank 2) — BOTH 5s kept, unlike
+    // rank(), whose gap excludes them; the 1 is tier 3 → dropped.
+    // b: one tier, all three rows rank 1. c: one row.
+    val want = Set(("a", 10L, 1L, 1), ("a", 10L, 2L, 1),
+      ("a", 5L, 3L, 2), ("a", 5L, 4L, 2),
+      ("b", 7L, 6L, 1), ("b", 7L, 7L, 1), ("b", 7L, 8L, 1),
+      ("c", 2L, 9L, 1))
+    assert(got == want)
+    // agrees with the declarative dense_rank() form on real data
+    val gotEv = TopK.perGroupDenseRank(events, Seq("event_type", "day"),
+      Seq("cents" -> true), k = 3).collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("cents").desc)
+    val wantEv = events.withColumn("rank", dense_rank().over(w))
+      .filter(col("rank") <= 3).collect().map(_.toSeq).toSet
+    assert(gotEv.nonEmpty && gotEv == wantEv)
+  }
+
+  test("RankFilterToTopK rewrites dense_rank() filters to dense mode") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc)
+    def declarative() = events
+      .withColumn("rank", dense_rank().over(w)).filter(col("rank") <= 2)
+    val want = declarative().collect().map(_.toSeq).toSet
+    TopK.enableRewrite(spark)
+    try {
+      val df = declarative()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerGroup") &&
+        !optimized.contains("Window"),
+        s"dense_rank rewrite must replace the Window:\n$optimized")
+      assert(df.collect().map(_.toSeq).toSet == want)
+    } finally TopK.disableRewrite(spark)
   }
 }
