@@ -1475,6 +1475,75 @@ CROSS JOIN (
   }
 
   // ------------------------------------------------------------------
+  // prof_autocorr — lag-1 autocorrelation of daily counts per type
+  // ------------------------------------------------------------------
+
+  /** Is daily traffic trending or noise? Pearson autocorrelation of
+    * consecutive daily event counts per type (lag-1 over the observed
+    * day sequence): near +1 = momentum/trend, near 0 = independent
+    * days, negative = oscillation — the sanity number read before
+    * fitting any forecast ([[graft.operators.TimeSeries.evForecast]]'s
+    * regression assumes trend; this says whether one exists.
+    *
+    * Exact decimal(38,0) moments over the (type, day, count) relation
+    * (bounded by types × days at any event volume) through the same
+    * num/sqrt(d1·d2) formula as prof_corr/q12 — the established
+    * cross-engine CORR parity shape; degenerate series (zero variance
+    * on either side) yield NULL, not NaN.
+    */
+  def profAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("day_num"))
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("x"))
+    daily
+      .withColumn("y", lead(col("x"), 1).over(byType))
+      .filter(col("y").isNotNull)
+      .select(col("event_type"), col("x").cast(M38).as("x"),
+        col("y").cast(M38).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(M38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n").cast("long").as("n_pairs"), {
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+        val d2 = col("n") * col("syy") - col("sy") * col("sy")
+        when(d1 > 0 && d2 > 0, r6(num.cast("double") /
+          sqrt(d1.cast("double") * d2.cast("double"))))
+          .as("autocorr_lag1")
+      })
+      .orderBy(col("event_type"))
+  }
+
+  val profAutocorrSql: String = s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, x,
+    lead(x) OVER (PARTITION BY event_type ORDER BY day_num) AS y
+  FROM daily
+), g AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    ${r6Sql("(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+      "CAST(n * syy - sy * sy AS DOUBLE)))")} END AS autocorr_lag1
+FROM g ORDER BY event_type"""
+
+  // ------------------------------------------------------------------
   // wh_ltv — customer-cohort revenue / retention curve
   // ------------------------------------------------------------------
 

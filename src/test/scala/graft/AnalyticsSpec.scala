@@ -601,4 +601,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cum_share") - run) < 1e-4)
     }
   }
+  test("prof_autocorr matches a local Pearson recompute on lagged days") {
+    val daily = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val got = Analytics.profAutocorr(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3.toDouble)
+      val pairs = xs.zip(xs.drop(1))
+      val r = got(t)
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+      val n = pairs.length
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Double]("autocorr_lag1") - want) < 1e-6, t)
+      assert(math.abs(r.getAs[Double]("autocorr_lag1")) <= 1.0 + 1e-9)
+    }
+  }
 }
