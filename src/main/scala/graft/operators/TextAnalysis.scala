@@ -1043,6 +1043,76 @@ ORDER BY t.source"""
   }
 
   // ------------------------------------------------------------------
+  // ta_burstiness — index of dispersion for the corpus's top terms
+  // ------------------------------------------------------------------
+
+  /** Terms profiled (by total count, term-asc tiebreak). */
+  val BurstTopK = 20
+
+  /** Burstiness (variance-to-mean index of dispersion) of per-doc
+    * counts for the corpus's top terms: ≈1 is Poisson (the term
+    * scatters like noise — function words), >1 is bursty (it clusters
+    * in few docs — topical/templated content). The signal separating
+    * genuinely common vocabulary from boilerplate that happens to be
+    * frequent.
+    *
+    * Implicit zeros are handled in closed form — with D docs, T total
+    * occurrences and Σc² over the docs containing the term,
+    * `dispersion = (D·Σc² − T²) / (D·T)` — so no dense doc×term join
+    * ever materializes. Moments go through decimal(38,0) (D·Σc²
+    * overflows BIGINT at web scale). The ranking window runs over the
+    * vocab relation ([[taZipf]]'s posture).
+    */
+  def taBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val m38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dt = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val byTerm = dt.groupBy(col("term"))
+      .agg(sum(col("c")).cast(m38).as("t"),
+        count(lit(1)).as("doc_freq"),
+        sum(col("c") * col("c")).cast(m38).as("scc"))
+    val d = docs(spark, sfDir).agg(count(lit(1)).cast(m38).as("d_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc, col("term"))
+    byTerm.crossJoin(broadcast(d))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BurstTopK)
+      .select(col("rank"), col("term"),
+        col("t").cast("long").as("total"), col("doc_freq"),
+        r6((col("d_docs") * col("scc") - col("t") * col("t"))
+          .cast("double") / (col("d_docs") * col("t")).cast("double"))
+          .as("dispersion"))
+      .orderBy(col("rank"))
+  }
+
+  val taBurstinessSql: String = s"""
+WITH tok AS (
+  SELECT doc_id, source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), dt AS (
+  SELECT term, doc_id, COUNT(*) AS c
+  FROM tok WHERE term <> '' GROUP BY term, doc_id
+), by_term AS (
+  SELECT term, SUM(c) AS t, COUNT(*) AS doc_freq, SUM(c * c) AS scc
+  FROM dt GROUP BY term
+), d AS (
+  SELECT COUNT(*) AS d_docs FROM documents
+), ranked AS (
+  SELECT b.*, d.d_docs,
+    row_number() OVER (ORDER BY b.t DESC, b.term) AS rank
+  FROM by_term b CROSS JOIN d
+)
+SELECT CAST(rank AS INTEGER) AS rank, term,
+  CAST(t AS BIGINT) AS total, doc_freq,
+  ${r6Sql("(CAST(d_docs * scc - t * t AS DOUBLE) / " +
+      "CAST(d_docs * t AS DOUBLE))")} AS dispersion
+FROM ranked WHERE rank <= $BurstTopK ORDER BY rank"""
+
+  // ------------------------------------------------------------------
   // ta_chao1 — vocabulary-richness / coverage estimate per source
   // ------------------------------------------------------------------
 

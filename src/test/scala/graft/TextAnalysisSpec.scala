@@ -395,4 +395,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("coverage") - cov) < 1e-6)
     }
   }
+  test("ta_burstiness matches a closed-form dispersion recompute") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val docsRows = TextAnalysis.docs(spark, sf("sf0.001"))
+      .select(col("text")).collect()
+      .map(r => tok(r.getString(0).toLowerCase).filter(_.nonEmpty))
+    val dDocs = docsRows.length.toLong
+    val perTerm = docsRows.zipWithIndex
+      .flatMap { case (ts, i) => ts.groupBy(identity)
+        .map { case (t, xs) => (t, i, xs.length.toLong) } }
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val ranked = perTerm.toSeq
+      .map { case (t, cs) => (t, cs.sum, cs.length.toLong,
+        cs.map(c => c * c).sum) }
+      .sortBy { case (t, total, _, _) => (-total, t) }
+      .take(TextAnalysis.BurstTopK)
+    val got = TextAnalysis.taBurstiness(spark, sf("sf0.001")).collect()
+    assert(got.length == math.min(TextAnalysis.BurstTopK, perTerm.size))
+    got.zip(ranked).foreach { case (r, (t, total, df, scc)) =>
+      assert(r.getAs[String]("term") == t, s"rank ${r.getInt(0)}")
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("doc_freq") == df)
+      val want = (dDocs * scc - total * total).toDouble / (dDocs * total)
+      assert(math.abs(r.getAs[Double]("dispersion") - want) < 1e-6)
+      // dispersion of counts is non-negative by construction
+      assert(r.getAs[Double]("dispersion") >= -1e-9)
+    }
+  }
 }
