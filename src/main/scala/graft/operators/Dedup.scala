@@ -1238,6 +1238,53 @@ ORDER BY d.doc_id"""
   }
 
   // ------------------------------------------------------------------
+  // dd_dup_sources — which sources duplicate each other
+  // ------------------------------------------------------------------
+
+  /** The near-dup pair stream aggregated to source grain: how many
+    * LSH-verified pairs fall within each source vs across each source
+    * pair — the provenance readout that turns "the corpus has dups"
+    * into "these two feeds mirror each other / this source
+    * self-duplicates", which decides whether to drop a feed or just
+    * dedup it. PURE composition: the pair generator IS
+    * [[ddMinhashLsh]] (one copy of candidate + verify semantics; the
+    * oracle embeds its SQL the same way), joined back to doc sources.
+    *
+    * Shape: pairs are LSH-bounded (nothing quadratic), the two
+    * source lookups are joins on doc_id, output ≤ sources² rows.
+    */
+  def ddDupSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ddMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("source_a") === col("source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val ddDupSourcesSql: String = s"""
+WITH lsh AS (
+  ${ddMinhashLshSql.replace("\n", "\n  ")}
+), tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+    greatest(da.source, db.source) AS source_b
+  FROM lsh
+  JOIN documents da ON da.doc_id = lsh.doc_a
+  JOIN documents db ON db.doc_id = lsh.doc_b
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+  (source_a = source_b) AS within_source
+FROM tagged GROUP BY source_a, source_b
+ORDER BY source_a, source_b"""
+
+  // ------------------------------------------------------------------
   // dd_sizes — duplicate-cluster size histogram (the savings readout)
   // ------------------------------------------------------------------
 

@@ -405,4 +405,21 @@ class DedupSpec extends SparkSpec {
     // docs touched can never exceed 2 pairs' worth
     rows.foreach { case (_, p, d) => assert(d <= 2 * p) }
   }
+  test("dd_dup_sources re-aggregates the LSH pair stream by source") {
+    val srcOf = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ddMinhashLsh(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.ddDupSources(spark, sf("sf0.01")).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_pairs")).toMap == want)
+    got.foreach(r => assert(r.getAs[Boolean]("within_source") ==
+      (r.getString(0) == r.getString(1))))
+    assert(got.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+  }
 }
