@@ -528,4 +528,72 @@ WITH o AS (
 SELECT user_id, session_id, n_events, duration_sec, start_us,
   session_value
 FROM sess_rows ORDER BY user_id, session_id"""
+
+  // ------------------------------------------------------------------
+  // streaming transition emitter — ev_markov's incremental twin
+  // ------------------------------------------------------------------
+
+  case class MarkovEvent(user_id: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-user state: the latest event seen (type + time + id). ONE row
+    * per ACTIVE user — [[markovStream]]'s EventTimeTimeout drops idle
+    * users, so state is bounded by window-active users, not ever-seen.
+    */
+  case class MarkovState(lastType: String, lastUs: Long, lastId: Long)
+
+  case class MarkovOut(user_id: Long, from_type: String,
+      to_type: String, to_event_id: Long)
+
+  /** Idle window after which a user's chain state drops. */
+  val MarkovQuietMs: Long = 30L * 24L * 60L * 60L * 1000L
+
+  /** [[graft.operators.TimeSeries.evMarkov]]'s incremental twin: emits
+    * one (from → to) transition row per consecutive same-user event as
+    * it arrives; downstream, a plain streaming `groupBy(from, to)
+    * count` maintains the live transition matrix. Exact under
+    * per-user in-order arrival (the at-ingest contract the sessionizer
+    * documents); late cross-batch stragglers chain in arrival order,
+    * and the batch twin is the nightly repair path.
+    *
+    * State is one row per active user and DROPS on the quiet-window
+    * timeout (a user returning later starts a fresh chain — the only
+    * divergence from batch, and only across gaps longer than the
+    * window). StreamingSpec replays the fixture across a batch
+    * boundary and pins the streamed matrix == batch ev_markov.
+    */
+  def markovStream(events: DataFrame,
+      quietMs: Long = MarkovQuietMs): Dataset[MarkovOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[MarkovEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, MarkovOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[MarkovEvent],
+            state: GroupState[MarkovState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Seq.newBuilder[MarkovOut]
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              last.foreach(s =>
+                out += MarkovOut(user, s.lastType, e.event_type, e.event_id))
+              last = Some(MarkovState(e.event_type, micros(e.ts), e.event_id))
+            }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + quietMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

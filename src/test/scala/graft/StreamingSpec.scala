@@ -414,4 +414,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("day", "event_type", "n_events",
       "approx_users", "total_value", "avg_value"))
   }
+  test("streaming transitions converge to the batch ev_markov matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("ts"), col("user_id").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(Timestamp, Long, Long, String)]
+    // quiet window > fixture span: no chain drops during the replay
+    val q = StreamingStats.markovStream(
+        mem.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+        quietMs = 90L * 24L * 60L * 60L * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("markov_steps").start()
+    try {
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq) // chains must survive the batch boundary
+      q.processAllAvailable()
+      val streamed = spark.table("markov_steps")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+      val batch = graft.operators.TimeSeries.evMarkov(spark, sf())
+        .select(col("from_type"), col("to_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // every step row is a real consecutive pair: one per event
+      // beyond each user's first
+      val users = fixture.map(_._2).distinct.length
+      assert(spark.table("markov_steps").count() ==
+        fixture.length - users)
+    } finally q.stop()
+  }
 }
