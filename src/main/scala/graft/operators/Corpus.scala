@@ -1070,6 +1070,66 @@ SELECT doc_id, ord,
 FROM o ORDER BY global_pos"""
 
   // ------------------------------------------------------------------
+  // cp_shard_balance — shard-layout balance audit
+  // ------------------------------------------------------------------
+
+  /** The balance audit over [[cpPackSharded]]'s layout: per-shard doc
+    * and token loads rolled up to the numbers that predict straggler
+    * tasks — shard count, min/max/mean tokens per shard, the max/mean
+    * skew ratio ([[Analytics.profSkew]]'s metric applied to the
+    * layout the engine itself produced), and windows used. One audit
+    * row; a skew ratio near 1 means the doc_id-range sharding is
+    * load-balanced, and a high one says re-shard before training.
+    *
+    * PURE composition off the sharded-pack relation (one copy of the
+    * layout semantics); the roll-up is shard-bounded.
+    */
+  def cpShardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val perShard = cpPackSharded(spark, sfDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        countDistinct(col("pack_id")).as("packs"))
+    perShard.agg(
+      count(lit(1)).as("n_shards"),
+      sum(col("docs")).as("docs"),
+      sum(col("tokens")).as("tokens"),
+      sum(col("packs")).as("packs"),
+      min(col("tokens")).as("min_shard_tokens"),
+      max(col("tokens")).as("max_shard_tokens"))
+      .select(col("n_shards"), col("docs"), col("tokens"), col("packs"),
+        col("min_shard_tokens"), col("max_shard_tokens"),
+        r6(col("tokens").cast("double") / col("n_shards"))
+          .as("mean_shard_tokens"),
+        r6(col("max_shard_tokens").cast("double") * col("n_shards") /
+          col("tokens")).as("skew_ratio"))
+  }
+
+  val cpShardBalanceSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH pack AS (
+  ${cpPackShardedSql.replace("\n", "\n  ")}
+), per_shard AS (
+  SELECT shard, COUNT(*) AS docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+    COUNT(DISTINCT pack_id) AS packs
+  FROM pack GROUP BY shard
+)
+SELECT COUNT(*) AS n_shards,
+  CAST(SUM(docs) AS BIGINT) AS docs,
+  CAST(SUM(tokens) AS BIGINT) AS tokens,
+  CAST(SUM(packs) AS BIGINT) AS packs,
+  MIN(tokens) AS min_shard_tokens,
+  MAX(tokens) AS max_shard_tokens,
+  ${r6Sql("(CAST(SUM(tokens) AS DOUBLE) / COUNT(*))")}
+    AS mean_shard_tokens,
+  ${r6Sql("(CAST(MAX(tokens) AS DOUBLE) * COUNT(*) / SUM(tokens))")}
+    AS skew_ratio
+FROM per_shard"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_curriculum — quality-tercile curriculum phase assignment
   // ------------------------------------------------------------------
 

@@ -527,4 +527,20 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_score") <= r.getAs[Double]("max_score"))
     }
   }
+  test("cp_shard_balance reconciles to the sharded layout") {
+    val pack = Corpus.cpPackSharded(spark, sf("sf0.01")).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_id")))
+    val r = Corpus.cpShardBalance(spark, sf("sf0.01")).collect()(0)
+    val byShard = pack.groupBy(_._1)
+    assert(r.getAs[Long]("n_shards") == byShard.size.toLong)
+    assert(r.getAs[Long]("docs") == pack.length.toLong)
+    assert(r.getAs[Long]("tokens") == pack.map(_._2).sum)
+    assert(r.getAs[Long]("packs") ==
+      byShard.values.map(_.map(_._3).distinct.length.toLong).sum)
+    val loads = byShard.values.map(_.map(_._2).sum)
+    assert(r.getAs[Long]("min_shard_tokens") == loads.min)
+    assert(r.getAs[Long]("max_shard_tokens") == loads.max)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+  }
 }
