@@ -1475,6 +1475,81 @@ CROSS JOIN (
   }
 
   // ------------------------------------------------------------------
+  // wh_basket — market-basket part-pair affinity (support + lift)
+  // ------------------------------------------------------------------
+
+  /** Pairs reported (by co-occurrence count, part-pair tiebreak). */
+  val BasketTopK = 20
+
+  /** Association mining's first query: which part pairs co-occur in
+    * the same order beyond what their individual popularity predicts.
+    * Per top pair: co-occurrence count, each part's order frequency,
+    * and lift = n_ab·N / (n_a·n_b) (>1 = genuine affinity, the
+    * cross-sell signal; ≈1 = coincidence of two popular parts).
+    *
+    * Scale shape: the pair generator is a self-join of the DISTINCT
+    * (order, part) relation on the order key — pairs per order are
+    * bounded by lines-per-order² (TPC-H ≈ 4², never corpus-quadratic),
+    * and the join shuffles on the key the table already joins on.
+    * Lift arithmetic is exact integers until one double division;
+    * part marginals broadcast back onto the top pairs.
+    */
+  def whBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    // 1-row scalar via broadcast cross join — no driver-side count
+    val orders = op.agg(countDistinct(col("o")).as("n_orders"))
+    val pairs = op.select(col("o"), col("p").as("part_a"))
+      .join(op.select(col("o"), col("p").as("part_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val w = Window.orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BasketTopK)
+      .join(broadcast(marg.select(col("p").as("part_a"),
+        col("n").as("n_a"))), "part_a")
+      .join(broadcast(marg.select(col("p").as("part_b"),
+        col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(orders))
+      .select(col("rank"), col("part_a"), col("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        r6((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("rank"))
+  }
+
+  val whBasketSql: String = s"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), marg AS (
+  SELECT p, COUNT(*) AS n FROM op GROUP BY p
+), orders AS (
+  SELECT COUNT(DISTINCT o) AS n_orders FROM op
+), pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+), ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY n_ab DESC, part_a, part_b) AS rank
+  FROM pairs
+)
+SELECT CAST(r.rank AS INTEGER) AS rank, r.part_a, r.part_b, r.n_ab,
+  ma.n AS n_a, mb.n AS n_b,
+  ${r6Sql("(CAST(r.n_ab * o.n_orders AS DOUBLE) / " +
+      "CAST(ma.n * mb.n AS DOUBLE))")} AS lift
+FROM ranked r
+JOIN marg ma ON ma.p = r.part_a
+JOIN marg mb ON mb.p = r.part_b
+CROSS JOIN orders o
+WHERE r.rank <= $BasketTopK
+ORDER BY r.rank"""
+
+  // ------------------------------------------------------------------
   // prof_autocorr — lag-1 autocorrelation of daily counts per type
   // ------------------------------------------------------------------
 

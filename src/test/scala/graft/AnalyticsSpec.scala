@@ -625,4 +625,31 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("autocorr_lag1")) <= 1.0 + 1e-9)
     }
   }
+  test("wh_basket matches a local co-occurrence and lift recompute") {
+    val op = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nOrders = byOrder.size.toLong
+    val marg = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = byOrder.values.flatMap(ps =>
+      for { i <- ps.indices; j <- (i + 1) until ps.length }
+        yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = co.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(Analytics.BasketTopK)
+    val got = Analytics.whBasket(spark, sf("sf0.001")).collect()
+    assert(got.length == math.min(Analytics.BasketTopK, co.size))
+    got.zip(want).foreach { case (r, ((a, b), n)) =>
+      assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) == (a, b),
+        s"rank ${r.getInt(0)}")
+      assert(r.getAs[Long]("n_ab") == n)
+      assert(r.getAs[Long]("n_a") == marg(a) &&
+        r.getAs[Long]("n_b") == marg(b))
+      val lift = n.toDouble * nOrders / (marg(a) * marg(b))
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-6)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
 }
