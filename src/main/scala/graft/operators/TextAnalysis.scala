@@ -1043,6 +1043,124 @@ ORDER BY t.source"""
   }
 
   // ------------------------------------------------------------------
+  // ta_kl_source — per-source KL divergence from the corpus unigram mix
+  // ------------------------------------------------------------------
+
+  /** Top corpus terms kept as individual buckets; the tail folds into
+    * one OTHER bucket, so the distribution support is bounded at
+    * [[KlTopTerms]]+1 regardless of vocabulary size.
+    */
+  val KlTopTerms = 20
+
+  /** How far each source's unigram distribution sits from the corpus
+    * mixture: `KL(source ‖ corpus)` over the top-[[KlTopTerms]] terms
+    * + OTHER, Laplace-smoothed on both sides. Near 0 = the source
+    * speaks the corpus's language; a high value = off-distribution
+    * content (templated feed, different domain) worth re-weighting —
+    * [[graft.operators.Analytics.profDrift]]'s PSI posture applied to
+    * text.
+    *
+    * Determinism (the prof_drift discipline): a COMPLETE
+    * source × bucket scaffold (empty cells exist on both engines,
+    * smoothed to 1), each bucket's contribution one fixed-arity float
+    * expression from integer counts, and the per-source total folded
+    * IN BUCKET ORDER on both engines — never a parallel float sum.
+    * Scale: one vocab shuffle for the ranking, the bucket map
+    * broadcasts back over the token stream, and everything after is
+    * bounded by sources × buckets.
+    */
+  def taKlSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cc").desc, col("term"))
+    val tok = docs(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val bucketOf = tok.groupBy(col("term")).agg(count(lit(1)).as("cc"))
+      .withColumn("r", row_number().over(wr))
+      .select(col("term"),
+        when(col("r") <= KlTopTerms, col("r") - 1)
+          .otherwise(KlTopTerms).cast("int").as("bucket"))
+    val sbRaw = tok.join(broadcast(bucketOf), "term")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val scaffold = docs(spark, sfDir).select(col("source")).distinct()
+      .crossJoin(spark.range(KlTopTerms + 1)
+        .select(col("id").cast("int").as("bucket")))
+    val full = scaffold.join(sbRaw, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        (coalesce(col("c"), lit(0L)) + 1).as("c")) // Laplace +1
+    val nS = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corpusB = full.groupBy(col("bucket"))
+      .agg((sum(col("c") - 1) + 1).as("cc")) // raw corpus count + 1
+    val nCorp = corpusB.agg(sum(col("cc")).as("nc"))
+    val terms = full.join(nS, Seq("source"))
+      .join(broadcast(corpusB), Seq("bucket"))
+      .crossJoin(broadcast(nCorp))
+      .select(col("source"), col("bucket"), col("c"),
+        (col("c").cast("double") / col("n")).as("p"),
+        (col("cc").cast("double") / col("nc")).as("q"))
+      .select(col("source"), col("bucket"), col("c"),
+        (col("p") * log(col("p") / col("q"))).as("term"))
+    terms.groupBy(col("source"))
+      .agg(sum(col("c") - 1).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+          col("term")))), lit(0.0), (acc, x) => acc + x.getField("term"))
+          .as("kl_raw"))
+      .select(col("source"), col("n_tokens"), r6(col("kl_raw")).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val taKlSourceSql: String = s"""
+WITH tok AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tt AS (
+  SELECT source, term FROM tok WHERE term <> ''
+), vocab AS (
+  SELECT term, COUNT(*) AS cc FROM tt GROUP BY term
+), bucket_of AS (
+  SELECT term,
+    CAST(CASE WHEN r <= $KlTopTerms THEN r - 1
+         ELSE $KlTopTerms END AS INTEGER) AS bucket
+  FROM (SELECT term,
+    row_number() OVER (ORDER BY cc DESC, term) AS r FROM vocab)
+), sb_raw AS (
+  SELECT t.source, b.bucket, COUNT(*) AS c
+  FROM tt t JOIN bucket_of b ON b.term = t.term
+  GROUP BY t.source, b.bucket
+), scaffold AS (
+  SELECT s.source, CAST(g.range AS INTEGER) AS bucket
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN range(${KlTopTerms + 1}) g
+), full_counts AS (
+  SELECT sc.source, sc.bucket, COALESCE(r.c, 0) + 1 AS c
+  FROM scaffold sc LEFT JOIN sb_raw r
+    ON r.source = sc.source AND r.bucket = sc.bucket
+), n_s AS (
+  SELECT source, SUM(c) AS n FROM full_counts GROUP BY source
+), corpus_b AS (
+  SELECT bucket, SUM(c - 1) + 1 AS cc FROM full_counts GROUP BY bucket
+), n_corp AS (
+  SELECT SUM(cc) AS nc FROM corpus_b
+), pq AS (
+  SELECT f.source, f.bucket, f.c,
+    CAST(f.c AS DOUBLE) / n_s.n AS p,
+    CAST(cb.cc AS DOUBLE) / n_corp.nc AS q
+  FROM full_counts f
+  JOIN n_s ON n_s.source = f.source
+  JOIN corpus_b cb ON cb.bucket = f.bucket
+  CROSS JOIN n_corp
+), terms AS (
+  SELECT source, bucket, c, p * ln(p / q) AS term FROM pq
+)
+SELECT source,
+  CAST(SUM(c - 1) AS BIGINT) AS n_tokens,
+  ${r6Sql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(term ORDER BY bucket)), (acc, x) -> acc + x)""")} AS kl
+FROM terms GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------------
   // ta_burstiness — index of dispersion for the corpus's top terms
   // ------------------------------------------------------------------
 

@@ -428,4 +428,46 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("dispersion") >= -1e-9)
     }
   }
+  test("ta_kl_source matches a local smoothed-KL recompute, KL >= 0") {
+    def tok(s0: String): Seq[String] = {
+      var b = 0; var e = s0.length
+      while (b < e && s0.charAt(b) == ' ') b += 1
+      while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+")
+        .split(s0.substring(b, e), -1).toSeq
+    }
+    val rows = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tok(r.getString(1).toLowerCase)
+        .filter(_.nonEmpty)))
+    val corpus = rows.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ranked = corpus.toSeq.sortBy { case (t, c) => (-c, t) }
+    val bucketOf = ranked.zipWithIndex.map { case ((t, _), i) =>
+      t -> math.min(i, TextAnalysis.KlTopTerms)
+    }.toMap
+    val nB = TextAnalysis.KlTopTerms + 1
+    val bySrc = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).map(bucketOf)).toMap
+    // smoothed corpus bucket counts
+    val cb = (0 until nB).map(b =>
+      bySrc.values.map(_.count(_ == b).toLong).sum + 1)
+    val nc = cb.sum.toDouble
+    val got = TextAnalysis.taKlSource(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, buckets) =>
+      val c = (0 until nB).map(b => buckets.count(_ == b).toLong + 1)
+      val n = c.sum.toDouble
+      val kl = (0 until nB).map { b =>
+        val p = c(b) / n
+        val q = cb(b) / nc
+        p * math.log(p / q)
+      }.sum
+      val r = got(src)
+      assert(r.getAs[Long]("n_tokens") == buckets.length.toLong)
+      assert(math.abs(r.getAs[Double]("kl") - kl) < 1e-6, src)
+      assert(r.getAs[Double]("kl") >= -1e-12, src) // Gibbs' inequality
+    }
+  }
 }
