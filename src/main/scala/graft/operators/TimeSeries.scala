@@ -1153,6 +1153,62 @@ FROM b GROUP BY r_bucket, f_bucket, m_bucket
 ORDER BY r_bucket, f_bucket, m_bucket"""
 
   // ------------------------------------------------------------------
+  // ev_coverage — per-type day-coverage / silent-gap audit
+  // ------------------------------------------------------------------
+
+  /** Did every day actually report? Per event type: first/last day,
+    * calendar span, days with data, and days silently MISSING inside
+    * the span — the pipeline-health readout that catches a feed that
+    * stopped for a week (a daily-counts chart shows gaps only if
+    * someone looks). Missing days are pure arithmetic
+    * (span − present) on the types×days relation — no calendar
+    * scaffold ever materializes.
+    */
+  def evCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("day_num")).as("mn"),
+        max(col("day_num")).as("mx"),
+        count(lit(1)).as("days_present"),
+        sum(col("n")).as("n_events"),
+        min(col("n")).as("min_day_events"))
+      .select(col("event_type"),
+        date_from_unix_date(col("mn")).cast("string").as("first_day"),
+        date_from_unix_date(col("mx")).cast("string").as("last_day"),
+        (col("mx") - col("mn") + 1).cast("long").as("span_days"),
+        col("days_present"),
+        ((col("mx") - col("mn") + 1).cast("long") - col("days_present"))
+          .as("days_missing"),
+        col("n_events"), col("min_day_events"))
+      .orderBy(col("event_type"))
+
+  val evCoverageSql: String = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, MIN(day_num) AS mn, MAX(day_num) AS mx,
+    COUNT(*) AS days_present,
+    CAST(SUM(n) AS BIGINT) AS n_events,
+    MIN(n) AS min_day_events
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+  CAST(DATE '1970-01-01' + mn AS VARCHAR) AS first_day,
+  CAST(DATE '1970-01-01' + mx AS VARCHAR) AS last_day,
+  CAST(mx - mn + 1 AS BIGINT) AS span_days,
+  days_present,
+  CAST(mx - mn + 1 AS BIGINT) - days_present AS days_missing,
+  n_events, min_day_events
+FROM g ORDER BY event_type"""
+
+  // ------------------------------------------------------------------
   // ev_value_tiers — dense_rank value tiers on the custom TopK plan
   // ------------------------------------------------------------------
 

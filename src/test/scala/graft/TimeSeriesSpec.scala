@@ -401,4 +401,34 @@ class TimeSeriesSpec extends SparkSpec {
     val users = ev.select(col("user_id")).distinct().count()
     assert(rows.map(_.getAs[Long]("n")).sum == ev.count() - users)
   }
+  test("ev_coverage reconciles span arithmetic; gaps surface on a hole") {
+    val rows = TimeSeries.evCoverage(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("span_days") ==
+        r.getAs[Long]("days_present") + r.getAs[Long]("days_missing"))
+      assert(r.getAs[Long]("days_missing") >= 0)
+      assert(r.getAs[Long]("min_day_events") >= 1) // present days have data
+    }
+    // synthesize a feed with a silent week: the audit must count it
+    import spark.implicits._
+    val holes = (Seq.range(0, 10) ++ Seq.range(17, 20))
+      .map(d => (java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 12:00:00"),
+        1L, d.toLong, "sensor"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    holes.createOrReplaceTempView("hole_events")
+    val audited = holes
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day_num")).as("mn"), max(col("day_num")).as("mx"),
+        count(lit(1)).as("days_present"))
+      .select(((col("mx") - col("mn") + 1).cast("long") -
+        col("days_present")).as("days_missing"))
+      .collect()(0).getLong(0)
+    assert(audited == 7L)
+  }
 }
