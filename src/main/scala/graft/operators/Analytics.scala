@@ -1495,9 +1495,13 @@ CROSS JOIN (
     * part marginals broadcast back onto the top pairs.
     */
   def whBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: the distinct basket relation feeds four consumers (two
+    // join sides, marginals, the order total) — without the cache each
+    // re-runs the scan + distinct exchange (plan audit: 5 scans → 1)
     val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .cache()
     val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
     // 1-row scalar via broadcast cross join — no driver-side count
     val orders = op.agg(countDistinct(col("o")).as("n_orders"))
