@@ -1475,6 +1475,79 @@ CROSS JOIN (
   }
 
   // ------------------------------------------------------------------
+  // wh_aging — order-age distribution per status (the backlog readout)
+  // ------------------------------------------------------------------
+
+  /** How old is the backlog? Per order status: order count and the
+    * exact min/p50/p90/max age in days, measured against the table's
+    * own max order date (data-derived anchor — reproducible, unlike
+    * now()). An open-status p90 that grows load over load is the
+    * backlog alarm.
+    *
+    * The [[ev_gaps]] shape: ages are integer day arithmetic against a
+    * 1-row broadcast anchor (no full-table window), quantiles are
+    * rank-ceil [[ExactRank]] selections over the per-status (age,
+    * count) relation — bounded by the day domain — with totals on the
+    * SAME per-status window pass.
+    */
+  def whAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderstatus").as("status"),
+        unix_date(to_date(col("o_orderdate"))).as("day"))
+    val anchor = o.agg(max(col("day")).as("anchor"))
+    val g = o.crossJoin(broadcast(anchor))
+      .select(col("status"), (col("anchor") - col("day")).cast("long")
+        .as("age_days"))
+      .groupBy(col("status"), col("age_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val byStatus = Window.partitionBy(col("status"))
+    val cum = byStatus.orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = byStatus
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(full))
+      .withColumn("mn", min(col("age_days")).over(full))
+      .withColumn("mx", max(col("age_days")).over(full))
+      .groupBy(col("status"))
+      .agg(
+        min(col("n")).as("n_orders"),
+        min(col("mn")).as("min_age_days"),
+        ExactRank.valueAt(1, 2, "n", col("age_days")).as("p50_age_days"),
+        ExactRank.valueAt(9, 10, "n", col("age_days")).as("p90_age_days"),
+        min(col("mx")).as("max_age_days"))
+      .orderBy(col("status"))
+  }
+
+  val whAgingSql: String = s"""
+WITH o AS (
+  SELECT o_orderstatus AS status,
+    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+  FROM orders
+), anchor AS (
+  SELECT MAX(day) AS anchor FROM o
+), g AS (
+  SELECT status, CAST(a.anchor - day AS BIGINT) AS age_days,
+    COUNT(*) AS cnt
+  FROM o CROSS JOIN anchor a GROUP BY status, a.anchor - day
+), cw AS (
+  SELECT status, age_days, cnt,
+    SUM(cnt) OVER (PARTITION BY status ORDER BY age_days
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY status) AS n,
+    MIN(age_days) OVER (PARTITION BY status) AS mn,
+    MAX(age_days) OVER (PARTITION BY status) AS mx
+  FROM g
+)
+SELECT status,
+  CAST(MIN(n) AS BIGINT) AS n_orders,
+  MIN(mn) AS min_age_days,
+  ${ExactRank.valueAtSql(1, 2, "n", "age_days")} AS p50_age_days,
+  ${ExactRank.valueAtSql(9, 10, "n", "age_days")} AS p90_age_days,
+  MIN(mx) AS max_age_days
+FROM cw GROUP BY status ORDER BY status"""
+
+  // ------------------------------------------------------------------
   // wh_basket — market-basket part-pair affinity (support + lift)
   // ------------------------------------------------------------------
 

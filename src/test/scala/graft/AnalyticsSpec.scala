@@ -652,4 +652,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("lift") > 0)
     }
   }
+  test("wh_aging matches a local rank-ceil age recompute per status") {
+    val o = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+      .select(col("o_orderstatus"),
+        unix_date(to_date(col("o_orderdate")))).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    val anchor = o.map(_._2).max
+    val got = Analytics.whAging(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    o.groupBy(_._1).foreach { case (st, rows) =>
+      val ages = rows.map(anchor - _._2).sorted
+      val n = ages.length.toLong
+      def rc(num: Int, den: Int) = ages(((num * n + den - 1) / den - 1).toInt)
+      val r = got(st)
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Long]("min_age_days") == ages.head)
+      assert(r.getAs[Long]("p50_age_days") == rc(1, 2))
+      assert(r.getAs[Long]("p90_age_days") == rc(9, 10))
+      assert(r.getAs[Long]("max_age_days") == ages.last)
+    }
+  }
 }
