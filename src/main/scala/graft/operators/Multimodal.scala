@@ -399,7 +399,8 @@ FROM documents ORDER BY doc_id"""
     var i = 0
     while (i < nSamples) {
       val s = bb.getShort(dataOff + i * 2).toLong
-      val k = (i * PhashBits / nSamples).toInt
+      // Long arithmetic: i*PhashBits overflows Int past ~35.8M samples
+      val k = (i.toLong * PhashBits / nSamples).toInt
       sums(k) += math.abs(s)
       cnts(k) += 1
       i += 1

@@ -186,8 +186,16 @@ object Load {
     }
     val dirtyVals = source.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // isin never matches NULL (three-valued logic): the null partition
+    // needs its own isNull branch or its survivors are silently lost
+    val (nullDirty, valDirty) = dirtyVals.partition(_ == null)
+    val dirtyPred = {
+      val vals = if (valDirty.nonEmpty) col(partitionCol).isin(valDirty: _*)
+        else lit(false)
+      if (nullDirty.nonEmpty) vals || col(partitionCol).isNull else vals
+    }
     val existing = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(dirtyVals: _*))
+      .filter(dirtyPred)
       .select(upserts.schema.fields
         .map(f => col(f.name).cast(f.dataType)): _*)
     val survivors = existing.join(allKeys, keyCols, "left_anti")
@@ -205,8 +213,13 @@ object Load {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     emptied.foreach { v =>
-      val dirName = org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      // a NULL partition value lives under the Hive default-partition
+      // directory name, not "null"
+      val dirName =
+        if (v == null) org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(String.valueOf(v))
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$path/$partitionCol=$dirName"), true)
     }

@@ -22,6 +22,12 @@ import graft.functions.Determinism.{r6, r6Sql}
   */
 object StreamingStats {
 
+  /** Default day-grain state horizon for [[TopKStreamSink]]: days
+    * further than this below the max event day seen are evicted, so
+    * a years-long stream can't grow driver state without bound.
+    */
+  val TopKDefaultHorizonDays: Int = 366
+
   /** Exact order-independent sum of the 2-decimal `value` column:
     * a naive double sum differs in the last bits across partition
     * counts (observed: one rounding-boundary cell flipped between
@@ -422,21 +428,34 @@ ORDER BY day, event_type"""
     * (the standard merge property of row_number top-k under a total
     * order: topK(topK(A) ∪ B) = topK(A ∪ B)).
     *
-    * State is ≤ k rows per (event_type, day) — the bounded
-    * "dashboard" sink shape — held as local rows on the driver, which
-    * is exactly the candidate volume the batch operator's final phase
-    * shuffles; a cluster deployment would swap [[result]]'s
-    * createDataFrame for a state-store table with identical
-    * semantics. StreamingSpec replays the fixture through micro-
-    * batches and pins equality with the batch `ev_topk` rows.
+    * State is ≤ k rows per (event_type, day) AND bounded in days:
+    * the group key grows by event_types×1 per calendar day, so an
+    * unbounded stream needs eviction — days older than `horizonDays`
+    * below the max event day ever seen are dropped on every merge
+    * (the same watermark-horizon discipline the
+    * flatMapGroupsWithState twins get from EventTimeTimeout). Total
+    * state is therefore ≤ k × event_types × horizonDays rows — the
+    * bounded "dashboard" sink shape — held as local rows on the
+    * driver, which is exactly the candidate volume the batch
+    * operator's final phase shuffles; a cluster deployment would swap
+    * [[result]]'s createDataFrame for a state-store table with
+    * identical semantics. The day high-water mark is monotone, so a
+    * late batch can never resurrect an evicted day. StreamingSpec
+    * replays the fixture through micro-batches and pins equality with
+    * the batch `ev_topk` rows (fixture span ≪ default horizon), and a
+    * horizon=1 case pins that old-day state is actually gone.
     */
-  final class TopKStreamSink(spark: SparkSession, k: Int) {
+  final class TopKStreamSink(spark: SparkSession, k: Int,
+      horizonDays: Int = TopKDefaultHorizonDays) {
+    require(horizonDays >= 1, "horizonDays must be >= 1")
     import org.apache.spark.sql.types._
     private val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("day", StringType),
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("cents", LongType)))
     @volatile private var state: Array[org.apache.spark.sql.Row] = Array.empty
+    // monotone max event day ever merged — the eviction watermark base
+    @volatile private var maxDay: String = ""
 
     private def topOf(cand: DataFrame): DataFrame =
       graft.plans.TopK.perGroup(cand, Seq("event_type", "day"),
@@ -455,7 +474,20 @@ ORDER BY day, event_type"""
       val prev = batch.sparkSession.createDataFrame(
         java.util.Arrays.asList(state: _*), schema)
       val merged = topOf(shape(batch).unionByName(prev)).drop("rank")
-      state = merged.collect() // ≤ k·groups rows by construction
+      val rows = merged.collect() // ≤ k·groups rows by construction
+      // evict days below the horizon under the (monotone) max day seen
+      // — ISO day strings order chronologically, so string compares do
+      if (rows.nonEmpty) {
+        val batchMax = rows.view.map(_.getString(1)).max
+        if (batchMax > maxDay) maxDay = batchMax
+      }
+      state =
+        if (maxDay.isEmpty || horizonDays == Int.MaxValue) rows
+        else {
+          val cutoff = java.time.LocalDate.parse(maxDay)
+            .minusDays(horizonDays - 1L).toString
+          rows.filter(_.getString(1) >= cutoff)
+        }
     }
 
     /** Current top-k with ranks — matches `ev_topk`'s column set. */

@@ -110,6 +110,38 @@ class LoadPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 4)
   }
 
+  test("mergeInto: NULL partition keeps survivors and cleans the Hive default dir") {
+    import spark.implicits._
+    val table = s"${tmpDir()}/nullpart"
+    val seed = Seq(
+      (1L, Option.empty[String], "n1"), (2L, Option.empty[String], "n2"),
+      (3L, Option("2025-01-01"), "d1"))
+      .toDF("id", "date", "payload")
+    Load.mergeInto(spark, table, seed, Seq("id"), "date")
+    val nullDir = new java.io.File(s"$table/date=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.exists())
+    // upsert into the null partition: its OTHER row must survive
+    // (isin(null-containing vals) alone would drop id=1 silently)
+    val up = Seq((2L, Option.empty[String], "N2", "upsert"))
+      .toDF("id", "date", "payload", "op")
+    Load.mergeInto(spark, table, up, Seq("id"), "date", Some("op"))
+    val out = spark.read.parquet(table)
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 1L).count() == 1) // null-part survivor
+    assert(out.filter(col("id") === 2L).collect().head
+      .getAs[String]("payload") == "N2")
+    // delete every null-partition row: the default-partition dir must
+    // be removed by name (not a literal "date=null" path)
+    val del = Seq((1L, Option.empty[String], "", "delete"),
+      (2L, Option.empty[String], "", "delete"))
+      .toDF("id", "date", "payload", "op")
+    Load.mergeInto(spark, table, del, Seq("id"), "date", Some("op"))
+    assert(!nullDir.exists())
+    val rest = spark.read.parquet(table)
+    assert(rest.count() == 1 &&
+      rest.collect().head.getAs[Long]("id") == 3L)
+  }
+
   test("K5 JSONL export shards round-trip with bounded, ordered shards") {
     val dir = tmpDir()
     val docs = graft.operators.TextAnalysis.docs(spark, sf("sf0.001"))

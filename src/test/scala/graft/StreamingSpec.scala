@@ -272,6 +272,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k sink evicts days beyond the horizon (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(day: String) = Timestamp.valueOf(s"$day 12:00:00")
+    val mem = MemoryStream[(Timestamp, String, Long, Long, Double)]
+    val sink = new StreamingStats.TopKStreamSink(spark, 2, horizonDays = 1)
+    val q = StreamingStats.startTopkSink(
+      mem.toDF().toDF("ts", "event_type", "event_id", "user_id", "value"),
+      sink)
+    try {
+      // three distinct days across three micro-batches, horizon = 1:
+      // only the newest day may remain in state after each merge
+      Seq("2025-03-01", "2025-03-02", "2025-03-03").zipWithIndex
+        .foreach { case (day, i) =>
+          mem.addData((t(day), "click", i * 10L, 1L, 1.0),
+            (t(day), "click", i * 10L + 1, 2L, 2.0))
+          q.processAllAvailable()
+          val days = sink.result().collect().map(_.getString(1)).distinct
+          assert(days.sameElements(Array(day)),
+            s"state days ${days.mkString(",")} after feeding $day")
+        }
+      // a late batch for an evicted day cannot resurrect it (the
+      // high-water mark is monotone)
+      mem.addData((t("2025-03-01"), "click", 99L, 3L, 9.0))
+      q.processAllAvailable()
+      val days = sink.result().collect().map(_.getString(1)).distinct
+      assert(days.sameElements(Array("2025-03-03")))
+    } finally q.stop()
+  }
+
   test("CDC sink applies streamed upserts and deletes through mergeInto") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
