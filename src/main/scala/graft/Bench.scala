@@ -66,11 +66,26 @@ object Bench {
     val isParity = (k: String) =>
       k.matches("q\\d\\d_.*") || k == "stats_daily" || k == "transform_posts"
     val parity = results.collect { case (k, v) if isParity(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"queries":$qs,"sf":"$sfDir"}""")
-    // The per-query map makes the line above long enough that a bounded
-    // tail capture can truncate its head (BENCH_r05 lost total/parity
-    // that way). Repeat the headline numbers on their own short FINAL
-    // line so any tail capture parses them directly.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The one-line-with-per-query-map contract stands, but bounded log
+    // tails truncated it two rounds running (BENCH_r06/r07 "parsed":
+    // null — half the per-query numbers unauditable). Two mitigations:
+    // (1) persist the complete JSON to a file inside the repo so the
+    // artifact survives any log capture; (2) emit one SHORT line per
+    // query before the final summary so even a tail-only capture holds
+    // every number (142 lines ≈ 6 KB).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","sec":$v}""")
+    }
+    // Repeat the headline numbers on their own short FINAL line so any
+    // tail capture parses them directly.
     println(s"""{"metric":"summary","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
