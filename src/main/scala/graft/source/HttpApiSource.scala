@@ -108,15 +108,24 @@ class HttpApiSource(
 object HttpApiSource {
 
   /** The out-of-the-box live binding: resolved credentials →
-    * [[JdkHttpTransport]] under [[AuthedTransport]]'s auth + backoff
-    * policy. A user with `REDDIT_CLIENT_ID`/`REDDIT_CLIENT_SECRET` in
-    * the environment needs exactly
+    * [[JdkHttpTransport]] under the configured auth policy. A user
+    * with `REDDIT_CLIENT_ID`/`REDDIT_CLIENT_SECRET` in the environment
+    * needs exactly
     * `HttpApiSource.live(LiveConfig.fromOptions(Map.empty).get, url)`
     * — no hand-written transport (the reference does live extraction
-    * out of the box too, script.py:32-36,117).
+    * out of the box too, script.py:32-36,117). With `auth=oauth` the
+    * transport is [[OAuthTransport]] — the client_credentials token
+    * flow PRAW performs, which the real API's data endpoints require;
+    * the default `basic` mode serves the public .json endpoints and
+    * loopback/proxy bindings.
     */
-  def live(cfg: LiveConfig, baseUrl: String): HttpApiSource =
-    new HttpApiSource(new AuthedTransport(JdkHttpTransport, cfg), baseUrl)
+  def live(cfg: LiveConfig, baseUrl: String): HttpApiSource = {
+    val transport: (String, Map[String, String]) => String =
+      if (cfg.authMode == "oauth")
+        new OAuthTransport(JdkHttpTransport, JdkHttpTransport.post _, cfg)
+      else new AuthedTransport(JdkHttpTransport, cfg)
+    new HttpApiSource(transport, baseUrl)
+  }
 
   /** Auto-selection seam for the DSv2 options map: a live source when
     * the credentials resolve (option → env var, [[LiveConfig]] order),

@@ -52,10 +52,27 @@ object JdkHttpTransport
     }
 
   override def apply(url: String, params: Map[String, String],
-      headers: Map[String, String]): HttpResponse = {
-    val builder = HttpRequest.newBuilder(URI.create(withQuery(url, params)))
+      headers: Map[String, String]): HttpResponse =
+    send(HttpRequest.newBuilder(URI.create(withQuery(url, params)))
       .timeout(RequestTimeout)
-      .GET()
+      .GET(), headers)
+
+  /** Form-encoded POST — the access-token endpoint's wire shape
+    * ([[OAuthTransport]] is the only caller; the listing API is
+    * GET-only).
+    */
+  def post(url: String, form: Map[String, String],
+      headers: Map[String, String]): HttpResponse = {
+    val body = form.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    send(HttpRequest.newBuilder(URI.create(url))
+      .timeout(RequestTimeout)
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)), headers)
+  }
+
+  private def send(builder: HttpRequest.Builder,
+      headers: Map[String, String]): HttpResponse = {
     headers.foreach { case (k, v) => builder.header(k, v) }
     val resp = client.send(builder.build(),
       JHttpResponse.BodyHandlers.ofString(UTF_8))

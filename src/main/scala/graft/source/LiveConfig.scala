@@ -18,16 +18,27 @@ final case class LiveConfig(
     userAgent: String,
     maxRetries: Int,
     baseBackoffMs: Long,
-    maxBackoffMs: Long)
+    maxBackoffMs: Long,
+    authMode: String = "basic",
+    tokenUrl: String = LiveConfig.DefaultTokenUrl)
 
 object LiveConfig {
 
   val DefaultUserAgent = "graft/0.1"
 
+  /** The public OAuth2 access-token endpoint (overridable per-options
+    * for specs and proxies). The reference's PRAW client performs this
+    * token dance internally (script.py:32-36).
+    */
+  val DefaultTokenUrl = "https://www.reddit.com/api/v1/access_token"
+
   def fromOptions(opts: Map[String, String],
       env: String => Option[String] = k => sys.env.get(k)): Option[LiveConfig] = {
     def resolve(opt: String, envKey: String): Option[String] =
       opts.get(opt).orElse(env(envKey))
+    val auth = opts.getOrElse("auth", "basic")
+    require(auth == "basic" || auth == "oauth",
+      s"auth must be 'basic' or 'oauth', got '$auth'")
     for {
       id <- resolve("client_id", "REDDIT_CLIENT_ID")
       secret <- resolve("client_secret", "REDDIT_CLIENT_SECRET")
@@ -38,7 +49,9 @@ object LiveConfig {
         .getOrElse(DefaultUserAgent),
       maxRetries = opts.getOrElse("max_retries", "5").toInt,
       baseBackoffMs = opts.getOrElse("backoff_ms", "1000").toLong,
-      maxBackoffMs = opts.getOrElse("max_backoff_ms", "60000").toLong)
+      maxBackoffMs = opts.getOrElse("max_backoff_ms", "60000").toLong,
+      authMode = auth,
+      tokenUrl = opts.getOrElse("token_url", DefaultTokenUrl))
   }
 }
 

@@ -158,6 +158,74 @@ class Dsv2SourceSpec extends SparkSpec {
       tuned.maxRetries == 2 && tuned.baseBackoffMs == 100L)
   }
 
+  test("OAuthTransport: token fetched once with Basic creds, bearer on calls, skew refresh") {
+    import graft.source.OAuthTransport
+    val cfg = LiveConfig("my-id", "my-secret", "my-agent", 5, 1000L, 60000L,
+      authMode = "oauth", tokenUrl = "http://t/api/v1/access_token")
+    val tokenFetches = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Map[String, String], Map[String, String])]
+    val apiCalls = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, String]]
+    var clock = 0L
+    var tokenN = 0
+    val t = new OAuthTransport(
+      rawGet = (_, _, headers) => { apiCalls += headers; HttpResponse(200, "ok") },
+      rawPost = (url, form, headers) => {
+        tokenFetches += ((url, form, headers)); tokenN += 1
+        HttpResponse(200,
+          s"""{"access_token":"tok$tokenN","token_type":"bearer","expires_in":3600,"scope":"*"}""")
+      },
+      cfg, sleep = _ => (), now = () => clock)
+    assert(t("http://api/r/scala/hot.json", Map.empty) == "ok")
+    assert(t("http://api/r/scala/new.json", Map.empty) == "ok")
+    // ONE token fetch serves both calls; correct endpoint, grant, creds
+    assert(tokenFetches.size == 1)
+    val (tUrl, tForm, tHeaders) = tokenFetches.head
+    assert(tUrl == "http://t/api/v1/access_token")
+    assert(tForm == Map("grant_type" -> "client_credentials"))
+    val basic = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("my-id:my-secret".getBytes("UTF-8"))
+    assert(tHeaders("Authorization") == basic &&
+      tHeaders("User-Agent") == "my-agent")
+    // API calls carry the bearer token, never the Basic credential
+    assert(apiCalls.forall(h => h("Authorization") == "bearer tok1" &&
+      h("User-Agent") == "my-agent"))
+    // clock past expires_in - skew: next call refreshes
+    clock = (3600L - OAuthTransport.TokenSkewSec) * 1000L
+    assert(t("http://api/r/scala/hot.json", Map.empty) == "ok")
+    assert(tokenFetches.size == 2 &&
+      apiCalls.last("Authorization") == "bearer tok2")
+  }
+
+  test("OAuthTransport: 401 refreshes the token once, then fails fast") {
+    import graft.source.OAuthTransport
+    val cfg = LiveConfig("i", "s", "a", 5, 1L, 10L,
+      authMode = "oauth", tokenUrl = "http://t/token")
+    var tokenN = 0
+    def mk(apiStatus: String => Int) = new OAuthTransport(
+      rawGet = (_, _, headers) =>
+        HttpResponse(apiStatus(headers("Authorization")), "body"),
+      rawPost = (_, _, _) => { tokenN += 1
+        HttpResponse(200, s"""{"access_token":"tok$tokenN","expires_in":3600}""") },
+      cfg, sleep = _ => (), now = () => 0L)
+    // stale first token: 401 once -> ONE refresh -> retried call serves
+    val healed = mk(auth => if (auth == "bearer tok1") 401 else 200)
+    assert(healed("http://api/x", Map.empty) == "body")
+    assert(tokenN == 2)
+    // persistent 401 (bad credential): exactly one refresh, then IOException
+    tokenN = 0
+    val broken = mk(_ => 401)
+    val e = intercept[java.io.IOException](broken("http://api/x", Map.empty))
+    assert(e.getMessage.contains("401") && tokenN == 2)
+    // token endpoint rejecting the credential fails fast with context
+    val noToken = new OAuthTransport(
+      rawGet = (_, _, _) => HttpResponse(200, "never reached"),
+      rawPost = (_, _, _) => HttpResponse(401, "unauthorized"),
+      cfg, sleep = _ => (), now = () => 0L)
+    val e2 = intercept[java.io.IOException](noToken("http://api/x", Map.empty))
+    assert(e2.getMessage.contains("token fetch failed"))
+  }
+
   test("AuthedTransport injects Basic auth + User-Agent on every request") {
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(String, Map[String, String], Map[String, String])]
@@ -277,6 +345,64 @@ class Dsv2SourceSpec extends SparkSpec {
         Map("User-Agent" -> "probe"))
       assert(raw.status == 200 && raw.body == listing)
       assert(cfg.maxRetries == 2) // cfg itself exercised via fromOptions
+    } finally server.stop(0)
+  }
+
+  test("auth=oauth drives the live source end-to-end: token POST, bearer GET") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val listing =
+      """{"data":{"after":null,"children":[{"data":{"id":"p9","title":"t",
+        |"author":"a","subreddit":"scala","score":3,"upvote_ratio":0.8,
+        |"num_comments":0,"created_utc":1735725600,"selftext":"","url":"u",
+        |"is_video":false,"is_original_content":false,"over_18":false,
+        |"stickied":false,"locked":false}}]}}""".stripMargin.replace("\n", "")
+    val tokenHits = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)] // method, auth, body
+    val apiAuths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/access_token", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      tokenHits += ((ex.getRequestMethod,
+        ex.getRequestHeaders.getFirst("Authorization"), body))
+      val resp = """{"access_token":"live-tok","token_type":"bearer","expires_in":86400,"scope":"*"}"""
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.createContext("/r/", (ex: HttpExchange) => {
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      apiAuths += auth
+      // the real API's contract: data endpoints serve bearer only
+      val (status, body) =
+        if (auth == "bearer live-tok") (200, listing) else (401, "forbidden")
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val src = graft.source.HttpApiSource
+        .fromOptions(Map("client_id" -> "live-id",
+          "client_secret" -> "live-secret", "user_agent" -> "live-agent",
+          "auth" -> "oauth",
+          "token_url" -> s"http://127.0.0.1:$port/api/v1/access_token"),
+          s"http://127.0.0.1:$port").get
+      val rows = src.fetchPosts(spark, "scala", limit = 2, sort = "hot")
+        .collect()
+      assert(rows.map(_.getAs[String]("id")).toSeq == Seq("p9"))
+      // one client_credentials POST with Basic creds, form-encoded
+      assert(tokenHits.size == 1)
+      val (method, tAuth, tBody) = tokenHits.head
+      val basic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("live-id:live-secret".getBytes("UTF-8"))
+      assert(method == "POST" && tAuth == basic &&
+        tBody == "grant_type=client_credentials")
+      // the data endpoint saw ONLY the bearer token
+      assert(apiAuths.nonEmpty && apiAuths.forall(_ == "bearer live-tok"))
     } finally server.stop(0)
   }
 
