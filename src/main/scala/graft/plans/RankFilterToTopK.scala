@@ -111,10 +111,52 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
       mode: TopKMode): LogicalPlan =
     TopKPerGroup(part, order, k, rank.toAttribute, mode, inner)
 
+  /** Cost sanity gate: decline the rewrite when available statistics
+    * estimate MORE groups than the partial phase can hold times
+    * `spark.graft.topk.costGateFactor` (default 8) — past that point
+    * the partial heaps flush pass-through on every batch and the
+    * WindowGroupLimit plan this rule strips does strictly less work,
+    * so keeping the built-in plan is the right call. The estimate is
+    * the product of the partition attributes' distinct counts
+    * (capped by the row count), which exists only when column stats
+    * do (CBO/ANALYZE); without evidence the rewrite proceeds as
+    * before — the flush bound keeps it memory-safe regardless.
+    */
+  private def estimatedGroups(part: Seq[Expression],
+      inner: LogicalPlan): Option[BigInt] = {
+    if (part.isEmpty) return Some(BigInt(1))
+    val stats = inner.stats
+    val attrs = part.map {
+      case a: Attribute => Some(a)
+      case Alias(a: Attribute, _) => Some(a)
+      case _ => None
+    }
+    if (attrs.contains(None)) return None // non-attribute key: no evidence
+    val counts = attrs.flatten
+      .map(a => stats.attributeStats.get(a).flatMap(_.distinctCount))
+    if (counts.contains(None)) None
+    else {
+      val product = counts.flatten.product.max(BigInt(1))
+      Some(stats.rowCount.fold(product)(product.min)) // groups <= rows
+    }
+  }
+
+  private def withinCostGate(part: Seq[Expression],
+      inner: LogicalPlan): Boolean = {
+    val flushGroups = conf
+      .getConfString("spark.graft.topk.partialFlushGroups", "65536").toInt
+    val factor = conf
+      .getConfString("spark.graft.topk.costGateFactor", "8").toInt
+    require(factor >= 1, "costGateFactor must be >= 1")
+    estimatedGroups(part, inner)
+      .forall(_ <= BigInt(flushGroups) * factor)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Filter directly over the Window
     case Filter(cond, RankWindow(rank, part, order, inner, tie))
-        if extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 =>
+        if extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 &&
+          withinCostGate(part, inner) =>
       val (kk, rest) = extract(rank.toAttribute, cond).get
       val topk = rewrite(rank, part, order, inner, kk, tie)
       rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
@@ -122,7 +164,8 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
     case Filter(cond,
         proj @ Project(_, RankWindow(rank, part, order, inner, tie)))
         if proj.projectList.exists(_.exprId == rank.exprId) &&
-          extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 =>
+          extract(rank.toAttribute, cond).isDefined && k(rank, cond) > 0 &&
+          withinCostGate(part, inner) =>
       val (kk, rest) = extract(rank.toAttribute, cond).get
       val topk = rewrite(rank, part, order, inner, kk, tie)
       val projected = proj.copy(child = topk)

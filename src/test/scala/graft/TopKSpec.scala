@@ -268,4 +268,81 @@ class TopKSpec extends SparkSpec {
       assert(df.collect().map(_.toSeq).toSet == want)
     } finally TopK.disableRewrite(spark)
   }
+
+  test("cost gate declines the rewrite on a high group-cardinality estimate") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, CurrentRow, Literal, RowFrame, RowNumber,
+      SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Descending, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, LeafNode, LogicalPlan, Statistics, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.AttributeMap
+    import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.RankFilterToTopK
+
+    // a leaf that reports exactly the statistics we choose — the shape
+    // CBO/ANALYZE produces on a real table
+    case class StatsLeaf(output: Seq[AttributeReference], rows: Long,
+        distinct: Map[AttributeReference, Long]) extends LeafNode {
+      override def computeStats(): Statistics = Statistics(
+        sizeInBytes = BigInt(rows) * 32,
+        rowCount = Some(BigInt(rows)),
+        attributeStats = AttributeMap(distinct.toSeq.map { case (a, d) =>
+          (a: org.apache.spark.sql.catalyst.expressions.Attribute,
+            ColumnStat(distinctCount = Some(BigInt(d))))
+        }))
+    }
+    val g = AttributeReference("g", LongType)()
+    val v = AttributeReference("v", LongType)()
+    def plan(distinctGroups: Long): LogicalPlan = {
+      val leaf = StatsLeaf(Seq(g, v), rows = distinctGroups * 10,
+        Map(g -> distinctGroups))
+      val spec = WindowSpecDefinition(Seq(g),
+        Seq(SortOrder(v, Descending)),
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+      val rank = Alias(WindowExpression(RowNumber(), spec), "rank")()
+      val win = LWindow(Seq(rank), Seq(g),
+        Seq(SortOrder(v, Descending)), leaf)
+      Filter(LessThanOrEqual(rank.toAttribute, Literal(10)), win)
+    }
+    spark.conf.set("spark.graft.topk.partialFlushGroups", "1000")
+    spark.conf.set("spark.graft.topk.costGateFactor", "8")
+    try {
+      // 1e9 estimated groups >> 8 * 1000: the pass-through partial
+      // phase would do strictly more work than WindowGroupLimit — keep
+      // the built-in plan
+      val declined = RankFilterToTopK(plan(1000000000L))
+      assert(declined.collectFirst {
+        case t: graft.plans.TopKPerGroup => t }.isEmpty &&
+        declined.collectFirst { case w: LWindow => w }.isDefined,
+        s"high-cardinality estimate must decline:\n$declined")
+      // comfortably under the gate: rewrite fires
+      val accepted = RankFilterToTopK(plan(500L))
+      assert(accepted.collectFirst {
+        case t: graft.plans.TopKPerGroup => t }.isDefined,
+        s"low-cardinality estimate must rewrite:\n$accepted")
+    } finally {
+      spark.conf.unset("spark.graft.topk.partialFlushGroups")
+      spark.conf.unset("spark.graft.topk.costGateFactor")
+    }
+  }
+
+  test("cost gate is evidence-only: stats-free plans still rewrite") {
+    // fixture-derived frames carry no column stats (CBO off, no
+    // ANALYZE) — the gate must not regress the existing rewrites
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc, col("event_id"))
+    TopK.enableRewrite(spark)
+    try {
+      val df = events.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerGroup"),
+        s"no-stats plan must still rewrite:\n$optimized")
+    } finally TopK.disableRewrite(spark)
+  }
 }
