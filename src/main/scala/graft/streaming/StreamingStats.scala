@@ -92,9 +92,16 @@ object StreamingStats {
     * oracle can check it; the streaming variant returns the HLL sketch
     * approximation (documented divergence: sketches are for streams).
     */
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and convert with integer `div`
-    * (a double division would lose precision past 2^53 nanos).
+  /** Schema-adaptive events reader. The fixture's `ts` physical type
+    * has varied across data generations: TIMESTAMP(NANOS) (which
+    * Spark's parquet reader only accepts as INT64 via the
+    * `nanosAsLong` legacy conf — converted with integer `div`, since a
+    * double division would lose precision past 2^53 nanos),
+    * TIMESTAMP(MICROS) without tz (read as TIMESTAMP_NTZ — cast to
+    * session-TZ TIMESTAMP; every session pins UTC so the wall clock is
+    * preserved), and plain TIMESTAMP. All converge to the same LTZ
+    * `ts` column so every downstream operator and its DuckDB oracle
+    * (which reads the file natively) see identical instants.
     *
     * NOTE: sessions should set `spark.sql.legacy.parquet.nanosAsLong`
     * at build time (Verify/Bench do); the set here is a safety net for
@@ -102,8 +109,14 @@ object StreamingStats {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def evDailyStats(spark: SparkSession, sfDir: String): DataFrame =
