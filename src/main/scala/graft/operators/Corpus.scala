@@ -1461,4 +1461,78 @@ SELECT source, weight_bp, docs, src_tokens, target_tokens,
   CASE WHEN src_tokens > 0 THEN (target_tokens * 1000) // src_tokens END
     AS epochs_x1000
 FROM t ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // cp_split_leakage — train/val/test near-duplicate contamination
+  // ------------------------------------------------------------------
+
+  /** Cross-split near-duplicate leakage census: for each split, how
+    * many of its documents have an LSH-verified near-duplicate in a
+    * DIFFERENT split — the train/eval contamination audit every
+    * held-out set needs before its numbers can be trusted (a val doc
+    * whose near-twin is in train measures memorization, not
+    * generalization). PURE composition: the pair stream IS
+    * [[graft.operators.Dedup.ddMinhashLsh]] and the assignment IS
+    * [[cpSplit]]'s hash split — one copy of each semantics; the
+    * oracle embeds their SQL the same way.
+    *
+    * Shape: pairs are LSH-bounded (banded equi-join, nothing
+    * quadratic), mirrored once to edge grain (2×pairs), split tags
+    * are equi-joins on doc_id, and the census is a 3-row aggregate —
+    * at 100 TB every stage is a shuffle on doc_id or a bounded
+    * groupBy, the same posture as dd_dup_sources.
+    */
+  def cpSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val split = cpSplit(spark, sfDir).select(col("doc_id"), col("split"))
+    val pairs = Dedup.ddMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .unionByName(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+    val leaked = edges
+      .join(split, "doc_id")
+      .join(split.select(col("doc_id").as("other"),
+        col("split").as("other_split")), "other")
+      .filter(col("split") =!= col("other_split"))
+      .select(col("doc_id"), col("split")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        r6(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_docs")).as("leak_rate"))
+      .orderBy(col("split"))
+  }
+
+  val cpSplitLeakageSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH lsh AS (
+  ${Dedup.ddMinhashLshSql.replace("\n", "\n  ")}
+), splits AS (
+  SELECT doc_id, $splitLabelSql AS split FROM documents
+), edges AS (
+  SELECT doc_a AS doc_id, doc_b AS other FROM lsh
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other FROM lsh
+), leaked AS (
+  SELECT s.split, COUNT(DISTINCT e.doc_id) AS n_leaked
+  FROM edges e
+  JOIN splits s ON s.doc_id = e.doc_id
+  JOIN splits o ON o.doc_id = e.other
+  WHERE s.split <> o.split
+  GROUP BY s.split
+), totals AS (
+  SELECT split, COUNT(*) AS n_docs FROM splits GROUP BY split
+)
+SELECT t.split, t.n_docs,
+  CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+  ${r6Sql("(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / t.n_docs)")}
+    AS leak_rate
+FROM totals t LEFT JOIN leaked l ON l.split = t.split
+ORDER BY t.split"""
+  }
 }

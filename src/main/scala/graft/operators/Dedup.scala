@@ -1061,6 +1061,16 @@ ORDER BY i.doc_a, i.doc_b"""
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The complete unordered cosine neighborhood (vec_a < vec_b, c
+    * UNROUNDED) — [[cosinePairs]] with no effective threshold (−∞
+    * drops nothing; NaN orders above it in both engines), for
+    * consumers that need every pair, not just the near-dup band
+    * ([[Similarity.simLabelKnn]]'s exact kNN baseline). Same block
+    * decomposition, so the plan stays equi-join shaped.
+    */
+  def allCosinePairs(spark: SparkSession, sfDir: String): DataFrame =
+    cosinePairs(spark, sfDir, Double.NegativeInfinity)
+
   private def dotSql(a: String, b: String): String = CrossHash.dotSql(a, b)
 
   /** Oracle pair CTE `pairs(vec_a < vec_b, c)` with c unrounded — ONE
@@ -1076,6 +1086,12 @@ ORDER BY i.doc_a, i.doc_b"""
     ${dotSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm) AS c
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 )"""
+
+  /** Public oracle twin of [[allCosinePairs]] — the shared
+    * unthresholded `pairs(vec_a, vec_b, c)` CTE, for cross-family
+    * composition (one copy of the pair enumeration on BOTH engines).
+    */
+  def cosinePairsCteSql: String = cosinePairsCte
 
   val ddEmbedCosineSql: String = cosinePairsCte + s"""
 SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine

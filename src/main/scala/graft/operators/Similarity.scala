@@ -835,4 +835,92 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("d")} AS dot, ${r6Sql("ac")} AS aug_cosine
 FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_label_knn — kNN label-consistency census over the embeddings
+  // ------------------------------------------------------------------
+
+  /** Neighbors voting per vector. */
+  val KnnK = 5
+
+  /** Leave-one-out kNN label-consistency census: every vector is
+    * classified by the majority label of its [[KnnK]] nearest cosine
+    * neighbors (itself excluded), and the census reports per true
+    * label how often the vote agrees — the embedding-quality audit
+    * that tells a pipeline whether its vectors separate the classes
+    * BEFORE anything trains on them. Votes tie-break deterministically
+    * (most votes, then smallest label); neighbor rank ties break on
+    * vec_id, and cosines are bitwise-identical cross-engine (shared
+    * fold order), so the census is exact.
+    *
+    * Composition: the pair enumeration IS
+    * [[graft.operators.Dedup.allCosinePairs]] (the block-decomposed
+    * equi-join — one copy on both engines); the per-vector top-k runs
+    * through the custom bounded-heap [[graft.plans.TopK]] operator
+    * (fifth oracle-hashed consumer), so no full per-group sort
+    * materializes. At 100 TB the exact all-pairs generator swaps for
+    * the IVF/LSH candidate streams ([[simIvfAnn]]/[[simLshAnn]]) in
+    * front of the SAME vote-and-census tail — this query is the
+    * correctness baseline for that substitution.
+    */
+  def simLabelKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.allCosinePairs(spark, sfDir)
+    val edges = pairs
+      .select(col("vec_a").as("query_id"), col("vec_b").as("nb"), col("c"))
+      .unionByName(pairs
+        .select(col("vec_b").as("query_id"), col("vec_a").as("nb"),
+          col("c")))
+    val top = graft.plans.TopK.perGroup(edges, Seq("query_id"),
+      Seq("c" -> true, "nb" -> false), KnnK)
+    val lab = embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val votes = top
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+        "nb")
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nb_label"))
+    val pred = votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nb_label").as("predicted"))
+    pred
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("label")), "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        r6(col("n_correct").cast("double") / col("n")).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
+  val simLabelKnnSql: String =
+    graft.operators.Dedup.cosinePairsCteSql + s""", edges AS (
+  SELECT vec_a AS query_id, vec_b AS nb, c FROM pairs
+  UNION ALL
+  SELECT vec_b AS query_id, vec_a AS nb, c FROM pairs
+), top AS (
+  SELECT query_id, nb,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nb) AS rn
+  FROM edges
+), votes AS (
+  SELECT t.query_id, l.label AS nb_label, COUNT(*) AS votes
+  FROM top t JOIN embeddings l ON l.vec_id = t.nb
+  WHERE t.rn <= $KnnK
+  GROUP BY t.query_id, l.label
+), pred AS (
+  SELECT query_id, nb_label AS predicted,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY votes DESC, nb_label) AS vr
+  FROM votes
+)
+SELECT e.label AS label, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  ${r6Sql("(CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)" +
+      " AS DOUBLE) / COUNT(*))")} AS accuracy
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+WHERE p.vr = 1
+GROUP BY e.label ORDER BY label"""
 }

@@ -543,4 +543,31 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("max_shard_tokens") == loads.max)
     assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
   }
+
+  test("cp_split_leakage recomputes from the LSH pairs and the split") {
+    val pairs = graft.operators.Dedup.ddMinhashLsh(spark, sf("sf0.01"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val split = Corpus.cpSplit(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // a doc leaks iff ANY of its near-dup partners sits in another split
+    val leakedBySplit = pairs
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (d, o) => split(d) != split(o) }
+      .map { case (d, _) => (split(d), d) }.distinct
+      .groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+    val totals = split.values.groupBy(identity)
+      .map { case (s, g) => s -> g.size.toLong }
+    val got = Corpus.cpSplitLeakage(spark, sf("sf0.01")).collect()
+    // always a complete 3-row census, zero-leak splits included
+    assert(got.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getAs[Long]("n_docs") == totals(s), s"n_docs at $s")
+      assert(r.getAs[Long]("n_leaked") == leakedBySplit.getOrElse(s, 0L),
+        s"n_leaked at $s")
+      assert(math.abs(r.getAs[Double]("leak_rate") -
+        leakedBySplit.getOrElse(s, 0L).toDouble / totals(s)) < 1e-6)
+    }
+  }
 }

@@ -95,4 +95,46 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum(col("hits"))).collect().head.getLong(0)
     assert(prod.getAs[Long]("total_hits") == recallHits)
   }
+
+  test("sim_label_knn census matches a brute-force leave-one-out vote") {
+    val e = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v",
+        "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    // exact local kNN: cosine desc, vec_id asc tie-break, self excluded
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); da += a(i) * a(i)
+        db += b(i) * b(i); i += 1 }
+      d / math.sqrt(da * db)
+    }
+    val predicted = e.map { case (id, v, _) =>
+      val nb = e.filter(_._1 != id)
+        .map { case (oid, ov, olab) => (cos(v, ov), oid, olab) }
+        .sortBy { case (c, oid, _) => (-c, oid) }
+        .take(Similarity.KnnK)
+      // toSeq BEFORE mapping to (count, label): mapping a Map would
+      // collapse labels with equal counts (count becomes the key)
+      val vote = nb.groupBy(_._3).toSeq.map { case (l, g) => (g.length, l) }
+      // most votes, then smallest label — the operator's tie-break
+      id -> vote.sortBy { case (n, l) => (-n, l) }.head._2
+    }.toMap
+    val want = e.groupBy(_._3).map { case (lab, g) =>
+      val correct = g.count { case (id, _, l) => predicted(id) == l }
+      lab -> ((g.length.toLong, correct.toLong))
+    }
+    val df = Similarity.simLabelKnn(spark, sf("sf0.01"))
+    // the per-vector top-k runs through the custom bounded-heap plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val got = df.collect()
+    assert(got.map(_.getAs[Long]("n")).sum == e.length.toLong)
+    got.foreach { r =>
+      val (n, correct) = want(r.getInt(0))
+      assert(r.getAs[Long]("n") == n, s"n at label ${r.getInt(0)}")
+      assert(r.getAs[Long]("n_correct") == correct,
+        s"n_correct at label ${r.getInt(0)}")
+      assert(math.abs(r.getAs[Double]("accuracy") -
+        correct.toDouble / n) < 1e-6)
+    }
+  }
 }
