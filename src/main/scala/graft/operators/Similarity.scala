@@ -393,27 +393,19 @@ ORDER BY nprobe"""
     * reconstruction MSE rather than 64 code columns.
     */
   def simQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // max|x|: fold once; materialized as a column so the quantize
-      // lambda reads an attribute (see Dedup.shingles PERF note)
-      .withColumn("s", aggregate(col("v"), lit(0.0),
-        (acc, x) => greatest(acc, abs(x))))
-      .withColumn("q", transform(col("v"),
-        x => floor(x * lit(127.0) / col("s") + lit(0.5)).cast("long")))
-    val checksum = aggregate(zip_with(col("q"),
-        sequence(lit(1), size(col("q"))).cast("array<bigint>"),
-        (qi, i) => qi * i),
-      lit(0L), (acc, x) => acc + x)
-    val mse = aggregate(zip_with(col("q"), col("v"),
-        (qi, xi) => (qi.cast("double") * col("s") / lit(127.0) - xi) *
-          (qi.cast("double") * col("s") / lit(127.0) - xi)),
-      lit(0.0), (acc, x) => acc + x) / size(col("v"))
-    e.select(
-      col("vec_id"),
-      r6(col("s")).as("scale"),
-      checksum.as("q_checksum"),
-      r6(mse).as("recon_mse"))
+    graft.functions.QuantizeStats.register(spark)
+    // the whole per-vector bundle is ONE primitive pass
+    // (graft_quantize_stats) — the declarative six-HOF chain it is
+    // bit-identical to lives in SimilaritySpec as the pinned twin
+    embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.QuantizeStats
+          .stats(col("embedding").cast("array<double>")).as("st"))
+      .select(
+        col("vec_id"),
+        r6(col("st.scale")).as("scale"),
+        col("st.q_checksum").as("q_checksum"),
+        r6(col("st.recon_mse")).as("recon_mse"))
       .orderBy(col("vec_id"))
   }
 

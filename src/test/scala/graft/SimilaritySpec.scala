@@ -96,6 +96,48 @@ class SimilaritySpec extends SparkSpec {
     assert(prod.getAs[Long]("total_hits") == recallHits)
   }
 
+  test("graft_quantize_stats is bit-identical to the declarative HOF twin") {
+    // the six-HOF chain QuantizeStats replaced — kept here as the pin
+    graft.functions.QuantizeStats.register(spark)
+    val e = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("s", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(127.0) / col("s") + lit(0.5)).cast("long")))
+    val checksum = aggregate(zip_with(col("q"),
+        sequence(lit(1), size(col("q"))).cast("array<bigint>"),
+        (qi, i) => qi * i),
+      lit(0L), (acc, x) => acc + x)
+    val mse = aggregate(zip_with(col("q"), col("v"),
+        (qi, xi) => (qi.cast("double") * col("s") / lit(127.0) - xi) *
+          (qi.cast("double") * col("s") / lit(127.0) - xi)),
+      lit(0.0), (acc, x) => acc + x) / size(col("v"))
+    val rows = e.select(col("vec_id"),
+        graft.functions.QuantizeStats.stats(col("v")).as("st"),
+        col("s"), checksum.as("ck"), mse.as("mse"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getStruct(1)
+      assert(java.lang.Double.doubleToRawLongBits(st.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"scale at ${r.getLong(0)}")
+      assert(st.getLong(1) == r.getLong(3), s"checksum at ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToRawLongBits(st.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        s"mse at ${r.getLong(0)}")
+    }
+    // the empty-vector edge mirrors the declarative divide-by-zero NULL
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[Double])).toDF("vec_id", "v")
+      .select(graft.functions.QuantizeStats.stats(col("v")).as("st"))
+      .select(col("st.scale"), col("st.q_checksum"), col("st.recon_mse"))
+      .collect()(0)
+    assert(empty.getDouble(0) == 0.0 && empty.getLong(1) == 0L &&
+      empty.isNullAt(2))
+  }
+
   test("sim_label_knn census matches a brute-force leave-one-out vote") {
     val e = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
       .selectExpr("vec_id", "cast(embedding as array<double>) as v",
