@@ -1,0 +1,92 @@
+package graft
+
+/** Mechanized plan audit over EVERY shipped query — the per-round
+  * hand-audit (SCALE.md's plan notes) as a regression net. Uses
+  * [[PlanLint.findings]] on the pre-AQE physical plan at smoke scale:
+  * planning only, nothing executes.
+  *
+  * Policy:
+  *  - CartesianProduct: never. An unpartitioned all-pairs join cannot
+  *    ship.
+  *  - ScalaUDF: never (the engine's no-UDF rule — custom Catalyst
+  *    expressions or nothing).
+  *  - BroadcastNestedLoopJoin: only where the broadcast side is
+  *    constant-size BY CONSTRUCTION, per-query allowlisted below.
+  *  - CodegenFallback expressions inside Project/Filter (the per-row
+  *    hot path): only the engine's own `graft_*` per-row-once
+  *    expressions (each file documents the one-JVM-call-per-row
+  *    trade) plus per-query allowlisted built-ins at bounded grain.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose BNLJ side is constant-size by construction:
+    *  - 1-row broadcast scalar anchors/totals (the "no driver count"
+    *    pattern): cp_curriculum, ev_session_stats, prof_drift,
+    *    prof_mi, prof_outliers, qf_composite, qf_lm_filter,
+    *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
+    *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning.
+    *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
+    *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
+    *    sim_kmeans, sim_mips, sim_pq, sim_recall.
+    *  - the constant-size eval side (the one documented BNLJ-is-right
+    *    case): cp_decontam_embed.
+    */
+  private val bnljOk: Set[String] = Set(
+    "cp_curriculum", "cp_decontam_embed", "dd_lsh_tuning",
+    "ev_session_stats", "prof_drift", "prof_mi", "prof_outliers",
+    "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
+    "sim_ivf_tuning", "sim_kmeans", "sim_mips", "sim_pq", "sim_recall",
+    "ta_burstiness", "ta_colloc", "ta_keywords", "ta_kl_source",
+    "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq")
+
+  /** Built-in CodegenFallback expressions allowed per query, each at a
+    * bounded (non-corpus) grain: ev_json's from_json has no codegen in
+    * Spark at all; ev_mad's array ops run over trailing windows at
+    * (type, day) grain; sim_kmeans' checksum/rebuild HOFs run over the
+    * ≤k-row centroid table.
+    */
+  private val fallbackOk: Map[String, Set[String]] = Map(
+    "ev_json" -> Set("from_json"),
+    "ev_mad" -> Set("array_sort", "transform", "lambdafunction",
+      "namedlambdavariable"),
+    "sim_kmeans" -> Set("aggregate", "zip_with", "lambdafunction",
+      "namedlambdavariable"))
+
+  private lazy val findings: Map[String, Seq[(String, String)]] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> PlanLint.findings(fn(spark, sf()).queryExecution.sparkPlan)
+    }
+
+  test("no shipped query plans a cartesian product or a Scala UDF") {
+    val bad = findings.toSeq.flatMap { case (n, fs) =>
+      fs.collect { case (k, d) if k == "cartesian" || k == "udf" =>
+        s"$n $k $d" }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("broadcast nested-loop joins only where constant-size by construction") {
+    val bad = findings.toSeq.flatMap { case (n, fs) =>
+      fs.collect { case ("bnlj", d) if !bnljOk(n) => s"$n $d" }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // hygiene: no stale allowlist entries
+    val stale = bnljOk.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"allowlisted but not shipped: $stale")
+  }
+
+  test("hot-path interpreted expressions are the designed per-row customs") {
+    val bad = findings.toSeq.flatMap { case (n, fs) =>
+      fs.collect {
+        case ("fallback", d)
+            if !d.substring(d.indexOf(": ") + 2).startsWith("graft_") &&
+              !fallbackOk.getOrElse(n, Set.empty)
+                .contains(d.substring(d.indexOf(": ") + 2)) =>
+          s"$n $d"
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    val stale = fallbackOk.keySet.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"allowlisted but not shipped: $stale")
+  }
+}
