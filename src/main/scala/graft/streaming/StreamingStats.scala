@@ -641,4 +641,124 @@ FROM sess_rows ORDER BY user_id, session_id"""
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // streaming coverage — the incremental twin of ev_coverage
+  // ------------------------------------------------------------------
+
+  case class CovEvent(event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-type coverage state: FROZEN aggregates for days evicted past
+    * the horizon plus LIVE per-day counts inside it. Eviction is
+    * LOSSLESS for the coverage aggregate — a frozen day contributes
+    * its presence, its count, and its min exactly; only its per-day
+    * cell is discarded — so the state is O(horizonDays) per type while
+    * the emitted coverage row stays all-time exact (provided the
+    * horizon covers the watermark, so an evicted day can no longer
+    * receive events).
+    */
+  case class CovState(mn: Int, frozenMx: Int, frozenPresent: Long,
+      frozenEvents: Long, frozenMin: Long, live: Map[Int, Long])
+
+  /** Snapshot row — same columns as [[graft.operators.TimeSeries.evCoverage]]. */
+  case class CovOut(event_type: String, first_day: String,
+      last_day: String, span_days: Long, days_present: Long,
+      days_missing: Long, n_events: Long, min_day_events: Long)
+
+  /** Live-day window retained per type (matches the TopK sink's
+    * default horizon discipline). */
+  val CovDefaultHorizonDays = 366
+
+  object CovState {
+    val empty: CovState =
+      CovState(Int.MaxValue, Int.MinValue, 0L, 0L, Long.MaxValue,
+        Map.empty)
+
+    /** Fold a batch's (day → count) increments in, then evict live
+      * days older than `horizonDays` below the max day seen into the
+      * frozen aggregates. Pure — StreamingSpec pins the eviction bound
+      * and losslessness directly.
+      */
+    def merge(s: CovState, dayCounts: Map[Int, Long],
+        horizonDays: Int): CovState = {
+      val live = dayCounts.foldLeft(s.live) { case (m, (d, n)) =>
+        m.updated(d, m.getOrElse(d, 0L) + n)
+      }
+      val maxDay = math.max(s.frozenMx,
+        if (live.isEmpty) Int.MinValue else live.keysIterator.max)
+      val cutoff = maxDay - (horizonDays - 1)
+      val (evict, keep) = live.partition(_._1 < cutoff)
+      CovState(
+        mn = math.min(s.mn,
+          if (live.isEmpty) Int.MaxValue else live.keysIterator.min),
+        frozenMx = math.max(s.frozenMx,
+          if (evict.isEmpty) Int.MinValue else evict.keysIterator.max),
+        frozenPresent = s.frozenPresent + evict.size,
+        frozenEvents = s.frozenEvents + evict.valuesIterator.sum,
+        frozenMin = math.min(s.frozenMin,
+          if (evict.isEmpty) Long.MaxValue else evict.valuesIterator.min),
+        live = keep)
+    }
+
+    def snapshot(typ: String, s: CovState): CovOut = {
+      val mx = math.max(s.frozenMx,
+        if (s.live.isEmpty) Int.MinValue else s.live.keysIterator.max)
+      val present = s.frozenPresent + s.live.size
+      val events = s.frozenEvents + s.live.valuesIterator.sum
+      val minDay = math.min(s.frozenMin,
+        if (s.live.isEmpty) Long.MaxValue else s.live.valuesIterator.min)
+      val span = mx.toLong - s.mn + 1L
+      CovOut(typ,
+        java.time.LocalDate.ofEpochDay(s.mn.toLong).toString,
+        java.time.LocalDate.ofEpochDay(mx.toLong).toString,
+        span, present, span - present, events, minDay)
+    }
+  }
+
+  /** UTC day number of an event — the stateful mirror of
+    * `unix_date(to_date(ts))` under the pinned UTC session. */
+  private def dayNum(ts: java.sql.Timestamp): Int =
+    math.floorDiv(micros(ts), 86400000000L).toInt
+
+  /** [[graft.operators.TimeSeries.evCoverage]]'s incremental twin: one
+    * updated coverage row per (type, micro-batch) — the live
+    * feed-stopped detector (days_missing growing while n_events stands
+    * still IS the alert). Per-batch counts fold into [[CovState]];
+    * the emitted row is all-time exact while state stays bounded (see
+    * CovState's lossless-eviction note).
+    *
+    * NoTimeout is deliberate, unlike the other twins: the key domain
+    * is the event-TYPE vocabulary (naturally bounded, same retention
+    * argument as any grouped-by-type aggregate), each state is
+    * O(horizonDays), and dropping an idle type would silently reset
+    * its all-time coverage — for a feed-stopped detector the idle
+    * types are exactly the signal.
+    */
+  def coverageStream(events: DataFrame,
+      horizonDays: Int = CovDefaultHorizonDays): Dataset[CovOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type").cast("string").as("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[CovEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CovState, CovOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[CovEvent],
+            state: GroupState[CovState]) =>
+          val dayCounts = it.foldLeft(Map.empty[Int, Long]) { (m, e) =>
+            val d = dayNum(e.ts)
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          if (dayCounts.isEmpty) Iterator.empty
+          else {
+            val next = CovState.merge(
+              state.getOption.getOrElse(CovState.empty), dayCounts,
+              horizonDays)
+            state.update(next)
+            Iterator.single(CovState.snapshot(typ, next))
+          }
+      }
+  }
 }

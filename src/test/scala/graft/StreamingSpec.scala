@@ -484,4 +484,58 @@ class StreamingSpec extends SparkSpec {
         fixture.length - users)
     } finally q.stop()
   }
+
+  test("streaming coverage converges to the batch ev_coverage rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_type"), col("ts"))
+      .orderBy(col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = StreamingStats.coverageStream(
+        mem.toDF().toDF("event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cov_rows").start()
+    try {
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq) // counts must survive the batch boundary
+      q.processAllAvailable()
+      // n_events per type is monotone across snapshots, so the final
+      // snapshot is the max-n_events row
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n_events").desc)
+      val streamed = spark.table("cov_rows")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").collect()
+        .map(r => r.toSeq.toList).toSet
+      val batch = graft.operators.TimeSeries.evCoverage(spark, sf())
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("coverage state eviction is bounded and lossless") {
+    import StreamingStats.CovState
+    // 40 days of data with a hole at days 10-19, folded in two batches
+    val batch1 = (0 until 10).map(d => d -> (d + 1).toLong).toMap
+    val batch2 = (20 until 40).map(d => d -> (d + 1).toLong).toMap
+    val full = CovState.merge(CovState.merge(CovState.empty, batch1,
+      Int.MaxValue), batch2, Int.MaxValue)
+    val tight = CovState.merge(CovState.merge(CovState.empty, batch1,
+      5), batch2, 5)
+    // the live map respects the horizon; the full-horizon one keeps all
+    assert(full.live.size == 30)
+    assert(tight.live.size <= 5)
+    // eviction folded the dropped days losslessly: identical snapshot
+    assert(CovState.snapshot("t", tight) == CovState.snapshot("t", full))
+    val snap = CovState.snapshot("t", full)
+    assert(snap.days_present == 30 && snap.span_days == 40 &&
+      snap.days_missing == 10 && snap.min_day_events == 1L &&
+      snap.n_events == (1 to 10).sum + (21 to 40).sum)
+  }
 }
