@@ -829,6 +829,86 @@ FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
 
   // ------------------------------------------------------------------
+  // sim_dim_stats — per-dimension embedding profile (index design input)
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for dimension moments: component values are
+    * folded as floor(x·2^24 + 0.5) integers so the sums are exact
+    * under ANY partitioning (the KmFp / cents discipline); the
+    * reported moments are of the 2^-24-quantized values, documented.
+    */
+  val DimFp = 16777216L
+
+  /** Per-dimension profile of the embedding column: n, mean, variance,
+    * min, max for each of the 64 components — the input an index
+    * designer reads before choosing PQ sub-spaces, IVF cell counts, or
+    * quantization ranges (a dead dimension wastes a PQ codebook; a
+    * heavy-tailed one breaks symmetric int8). The prof_* family at
+    * embedding grain.
+    *
+    * Shape: posexplode → ONE hash aggregate keyed by pos (64 groups,
+    * constant output regardless of corpus size); moments accumulate
+    * as decimal(38,0) over the fixed-point integers
+    * (cast-before-multiply, the prof_corr envelope: exact to ~1e9
+    * vectors per dimension), min/max on the raw doubles are
+    * order-free. One float division per statistic at the end.
+    */
+  def simDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val M38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fp = floor(col("x") * lit(DimFp.toDouble) + lit(0.5))
+      .cast("long").cast(M38)
+    embeddings(spark, sfDir)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("pos"), col("x"), fp.as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"))
+      .withColumn("mean", col("s").cast("double") /
+        (col("n").cast("double") * lit(DimFp.toDouble)))
+      .withColumn("variance",
+        (col("n").cast(M38) * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) /
+          (lit(DimFp.toDouble) * lit(DimFp.toDouble)))
+      .select(col("pos"), col("n"), r6(col("mean")).as("mean"),
+        r6(col("variance")).as("variance"),
+        r6(col("mn")).as("min_x"), r6(col("mx")).as("max_x"))
+      .orderBy(col("pos"))
+  }
+
+  val simDimStatsSql: String = {
+    // HUGEINT→DOUBLE via VARCHAR round-trip: correctly rounded where
+    // the direct cast is not (see profCorrSql's measured note)
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), expl AS (
+  SELECT CAST(t.pos AS INTEGER) AS pos, v[t.pos] AS x,
+    CAST(CAST(floor(v[t.pos] * ${DimFp}.0 + 0.5) AS BIGINT) AS HUGEINT)
+      AS fv
+  FROM e, UNNEST(range(1, len(v) + 1)) AS t(pos)
+), m AS (
+  SELECT pos, COUNT(*) AS n, SUM(fv) AS s, SUM(fv * fv) AS ss,
+    MIN(x) AS mn, MAX(x) AS mx
+  FROM expl GROUP BY pos
+), st AS (
+  SELECT pos, n, mn, mx,
+    ${dbl("s")} / (CAST(n AS DOUBLE) * ${DimFp}.0) AS mean,
+    ${dbl(s"(CAST(n AS HUGEINT) * ss - s * s)")} /
+      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+      (${DimFp}.0 * ${DimFp}.0) AS variance
+  FROM m
+)
+SELECT pos, n, ${r6Sql("mean")} AS mean, ${r6Sql("variance")} AS variance,
+  ${r6Sql("mn")} AS min_x, ${r6Sql("mx")} AS max_x
+FROM st ORDER BY pos"""
+  }
+
+  // ------------------------------------------------------------------
   // sim_label_knn — kNN label-consistency census over the embeddings
   // ------------------------------------------------------------------
 

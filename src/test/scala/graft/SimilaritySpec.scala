@@ -138,6 +138,35 @@ class SimilaritySpec extends SparkSpec {
       empty.isNullAt(2))
   }
 
+  test("sim_dim_stats matches a local fixed-point moment recompute") {
+    val vecs = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
+      .selectExpr("cast(embedding as array<double>) as v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    val got = Similarity.simDimStats(spark, sf("sf0.01")).collect()
+    assert(got.length == dim && got.map(_.getInt(0)).toSeq ==
+      (1 to dim).toSeq)
+    val F = Similarity.DimFp
+    got.foreach { r =>
+      val p = r.getInt(0) - 1
+      val xs = vecs.map(_(p))
+      val fps = xs.map(x => math.floor(x * F + 0.5).toLong)
+      val n = xs.length.toLong
+      val s = fps.map(BigInt(_)).sum
+      val ss = fps.map(f => BigInt(f) * BigInt(f)).sum
+      val mean = s.toDouble / (n.toDouble * F)
+      val variance = (BigInt(n) * ss - s * s).toDouble /
+        (n.toDouble * n.toDouble) / (F.toDouble * F.toDouble)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-6, s"mean@$p")
+      assert(math.abs(r.getAs[Double]("variance") - variance) < 1e-6,
+        s"var@$p")
+      assert(math.abs(r.getAs[Double]("min_x") - xs.min) < 1e-6)
+      assert(math.abs(r.getAs[Double]("max_x") - xs.max) < 1e-6)
+      assert(variance >= -1e-12)
+    }
+  }
+
   test("sim_label_knn census matches a brute-force leave-one-out vote") {
     val e = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
       .selectExpr("vec_id", "cast(embedding as array<double>) as v",
