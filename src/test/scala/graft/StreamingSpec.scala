@@ -485,6 +485,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("events reader normalizes long-nanos, NTZ, and LTZ ts fixtures identically") {
+    // the fixture's physical ts type has changed across driver data
+    // generations (r8: NANOS→MICROS broke 75 specs); pin the reader's
+    // dispatch on all three encodings it claims to handle
+    import spark.implicits._
+    val base = StreamingStats.events(spark, sf())
+      .orderBy(col("event_id")).limit(50)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val want = base.collect().map(_.toSeq.toList).toList
+    val dir = java.nio.file.Files.createTempDirectory("evts").toString
+    // long nanos (the nanosAsLong shape rounds 1-7 read)
+    base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$dir/nanos/events.parquet")
+    // NTZ micros (the r8 fixture shape)
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    // native LTZ timestamp
+    base.write.mode("overwrite").parquet(s"$dir/ltz/events.parquet")
+    Seq("nanos", "ntz", "ltz").foreach { enc =>
+      val got = StreamingStats.events(spark, s"$dir/$enc")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id")).collect().map(_.toSeq.toList).toList
+      assert(got == want, s"mismatch for $enc encoding")
+      assert(StreamingStats.events(spark, s"$dir/$enc")
+        .schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"type for $enc")
+    }
+  }
+
   test("streaming coverage converges to the batch ev_coverage rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
