@@ -374,4 +374,64 @@ SELECT source, n_docs, docs_with_pii, emails, urls, phones, chars,
       "(CAST(emails + urls + phones AS DOUBLE) * 1000.0 / chars)")} END
     AS pii_per_kchar
 FROM g ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // qf_source_census — per-feed quality verdict (cut-the-feed readout)
+  // ------------------------------------------------------------------
+
+  /** [[qfDecide]]'s per-document verdicts rolled up to source grain:
+    * per feed, how many documents survive the quality gate and which
+    * rule kills the rest — the number that decides whether to fix a
+    * feed's extraction or drop the feed. PURE composition: the rule
+    * semantics ARE qfDecide's (the oracle embeds its SQL as a CTE);
+    * this query adds one doc_id join to sources and a sources-bounded
+    * aggregate. Failure counts sum per RULE, so a doc failing two
+    * rules appears under both (the actionable view; n_keep is the
+    * conjunction).
+    */
+  def qfSourceCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    qfDecide(spark, sfDir)
+      .join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("ok_words"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("ok_mean_word_len"), 1L).otherwise(0L))
+          .as("fail_mean_word_len"),
+        sum(when(!col("ok_symbols"), 1L).otherwise(0L)).as("fail_symbols"),
+        sum(when(!col("ok_repetition"), 1L).otherwise(0L))
+          .as("fail_repetition"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        r6(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+        col("fail_words"), col("fail_mean_word_len"), col("fail_symbols"),
+        col("fail_repetition"))
+      .orderBy(col("source"))
+  }
+
+  val qfSourceCensusSql: String = s"""
+WITH q AS (
+  ${qfDecideSql.replace("\n", "\n  ")}
+), j AS (
+  SELECT d.source, q.keep, q.ok_words, q.ok_mean_word_len, q.ok_symbols,
+    q.ok_repetition
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+), g AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+    CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT)
+      AS fail_words,
+    CAST(SUM(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+      AS fail_mean_word_len,
+    CAST(SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT)
+      AS fail_symbols,
+    CAST(SUM(CASE WHEN NOT ok_repetition THEN 1 ELSE 0 END) AS BIGINT)
+      AS fail_repetition
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_keep,
+  ${r6Sql("(CAST(n_keep AS DOUBLE) / n_docs)")} AS keep_rate,
+  fail_words, fail_mean_word_len, fail_symbols, fail_repetition
+FROM g ORDER BY source"""
 }

@@ -1297,4 +1297,67 @@ SELECT from_type, to_type, n,
   ${r6Sql("(CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY from_type)))")}
     AS p
 FROM m ORDER BY from_type, to_type"""
+
+  // ------------------------------------------------------------------
+  // ev_type_overlap — cross-type user co-occurrence (adoption matrix)
+  // ------------------------------------------------------------------
+
+  /** Which event types share users: for each unordered type pair, the
+    * distinct users doing BOTH, each side's audience, and the Jaccard
+    * overlap — the unordered co-adoption matrix ([[evMarkov]] and
+    * [[evFunnel]] are its ordered siblings; this one answers "do
+    * searchers also purchase AT ALL", order-free). Pairs nobody
+    * shares are absent (observed co-occurrence, not a scaffold).
+    *
+    * Shape: ONE distinct pass to the (user, type) relation (bounded
+    * by users × type vocabulary), a self-equi-join on user_id whose
+    * per-user fan-out is ≤ types², and a types²-row aggregate — no
+    * window, no cartesian, corpus size only touches the first
+    * distinct.
+    */
+  def evTypeOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nu"))
+    val both = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    both
+      .join(totals.select(col("event_type").as("type_a"),
+        col("nu").as("users_a")), "type_a")
+      .join(totals.select(col("event_type").as("type_b"),
+        col("nu").as("users_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("users_both"),
+        col("users_a"), col("users_b"),
+        r6(col("users_both").cast("double") /
+          (col("users_a") + col("users_b") - col("users_both")))
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val evTypeOverlapSql: String = s"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), t AS (
+  SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY event_type
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    COUNT(*) AS users_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.users_both,
+  ta.nu AS users_a, tb.nu AS users_b,
+  ${r6Sql("(CAST(p.users_both AS DOUBLE) / " +
+      "(ta.nu + tb.nu - p.users_both))")} AS jaccard
+FROM p
+JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b
+ORDER BY type_a, type_b"""
 }

@@ -147,4 +147,31 @@ class FiltersSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("pii_per_kchar") - want) < 1e-6)
     }
   }
+
+  test("qf_source_census reconciles with qf_decide rows per source") {
+    val src = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val decide = Filters.qfDecide(spark, sf("sf0.01")).collect()
+      .groupBy(r => src(r.getLong(0)))
+    val got = Filters.qfSourceCensus(spark, sf("sf0.01")).collect()
+    assert(got.map(_.getString(0)).toSeq == decide.keys.toSeq.sorted)
+    got.foreach { r =>
+      val rows = decide(r.getString(0))
+      def cnt(p: org.apache.spark.sql.Row => Boolean) =
+        rows.count(p).toLong
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("n_keep") == cnt(_.getAs[Boolean]("keep")))
+      assert(r.getAs[Long]("fail_words") ==
+        cnt(!_.getAs[Boolean]("ok_words")))
+      assert(r.getAs[Long]("fail_mean_word_len") ==
+        cnt(!_.getAs[Boolean]("ok_mean_word_len")))
+      assert(r.getAs[Long]("fail_symbols") ==
+        cnt(!_.getAs[Boolean]("ok_symbols")))
+      assert(r.getAs[Long]("fail_repetition") ==
+        cnt(!_.getAs[Boolean]("ok_repetition")))
+      assert(math.abs(r.getAs[Double]("keep_rate") -
+        cnt(_.getAs[Boolean]("keep")).toDouble / rows.length) < 1e-6)
+    }
+  }
 }

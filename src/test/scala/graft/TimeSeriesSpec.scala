@@ -431,4 +431,31 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(audited == 7L)
   }
+
+  test("ev_type_overlap matches a local distinct-user intersection") {
+    val ut = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).map { case (t, g) =>
+      t -> g.map(_._1).toSet }
+    val got = graft.operators.TimeSeries.evTypeOverlap(spark, sf("sf0.01"))
+      .collect()
+    assert(got.nonEmpty)
+    // every observed pair matches the set intersection; absent pairs
+    // really share nobody
+    val seen = got.map(r => (r.getString(0), r.getString(1))).toSet
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (ua, ub) = (byType(a), byType(b))
+      val both = (ua & ub).size.toLong
+      assert(r.getAs[Long]("users_both") == both, s"$a~$b both")
+      assert(r.getAs[Long]("users_a") == ua.size.toLong, s"$a~$b a")
+      assert(r.getAs[Long]("users_b") == ub.size.toLong, s"$a~$b b")
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        both.toDouble / (ua.size + ub.size - both)) < 1e-6)
+    }
+    for (a <- byType.keys; b <- byType.keys if a < b && !seen((a, b)))
+      assert((byType(a) & byType(b)).isEmpty, s"missing pair $a~$b")
+  }
 }
