@@ -18,6 +18,9 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // audit the STATIC plan: an unexecuted AdaptiveSparkPlan prints
+      // no WholeStageCodegen spans, which made that count read 0
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -25,10 +28,14 @@ object Explain {
       val plan = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.executedPlan.toString
     def c(re: String) = re.r.findAllIn(plan).size
+      // codegen spans print as `*(n)` star prefixes in treeString, not
+      // as a literal node name — count the DISTINCT span ids
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       println(s"[explain] $n scans=${c("Scan parquet")} " +
         s"exchanges=${c("Exchange ")} reused=${c("ReusedExchange")} " +
         s"windows=${c("Window ")} sorts=${c("Sort ")} " +
-        s"wholestage=${c("WholeStageCodegen")}")
+        s"wholestage=$spans")
       if (verbose) println(plan)
     }
     spark.stop()

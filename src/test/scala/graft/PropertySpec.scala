@@ -367,4 +367,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CovState: any batch split x any safe horizon folds to the unbounded snapshot") {
+    import graft.streaming.StreamingStats.CovState
+    for (seed <- 1 to 20) {
+      val r = new Random(seed)
+      val span = 10 + r.nextInt(60)
+      val days = (0 until span).filter(_ => r.nextDouble() < 0.7)
+        .map(d => d -> (1L + r.nextInt(50))).toMap
+      if (days.nonEmpty) {
+        val ref = CovState.snapshot("t",
+          CovState.merge(CovState.empty, days, Int.MaxValue))
+        // random partition into batches, folded in day order (the
+        // watermark contract: a day never arrives after its eviction)
+        val order = days.keys.toSeq.sorted
+        val horizon = 1 + r.nextInt(5)
+        var st = CovState.empty
+        var i = 0
+        while (i < order.length) {
+          val take = 1 + r.nextInt(4)
+          val batch = order.slice(i, i + take).map(d => d -> days(d)).toMap
+          st = CovState.merge(st, batch, horizon)
+          assert(st.live.size <= horizon, s"seed $seed live bound")
+          i += take
+        }
+        assert(CovState.snapshot("t", st) == ref, s"seed $seed")
+      }
+    }
+  }
+
+  test("graft_quantize_stats equals a local recompute on random vectors") {
+    import spark.implicits._
+    graft.functions.QuantizeStats.register(spark)
+    val vecs = (1 to 60).map { i =>
+      val r = new Random(i)
+      (i.toLong, Seq.fill(1 + r.nextInt(80))(r.nextDouble() * 4 - 2))
+    }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.QuantizeStats.stats(col("v")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    vecs.foreach { case (id, v) =>
+      var s = 0.0
+      v.foreach(x => s = math.max(s, math.abs(x)))
+      var ck = 0L; var sq = 0.0
+      v.zipWithIndex.foreach { case (x, i) =>
+        val q = math.floor(x * 127.0 / s + 0.5).toLong
+        ck += q * (i + 1L)
+        val e = q.toDouble * s / 127.0 - x
+        sq += e * e
+      }
+      val st = got(id)
+      assert(st.getDouble(0) == s && st.getLong(1) == ck, s"vec $id")
+      assert(java.lang.Double.doubleToRawLongBits(st.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(sq / v.length), s"mse $id")
+    }
+  }
 }
