@@ -1535,4 +1535,81 @@ SELECT t.split, t.n_docs,
 FROM totals t LEFT JOIN leaked l ON l.split = t.split
 ORDER BY t.split"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_dataset_card — the one-row dataset summary (the card a corpus
+  // ships with)
+  // ------------------------------------------------------------------
+
+  /** One row answering "what is this dataset": volume (docs, sources,
+    * languages, tokens), the dominant language and its share, the
+    * exact-duplicate rate (distinct text digests), and the
+    * quality-gate keep rate — every statistic reusing the shipped
+    * semantics (token count = cp_stats/cp_epoch_plan's whitespace
+    * fold; keep = [[graft.operators.Filters.keepExpr]], the ONE copy
+    * of the rule set; dup digest = dd_sizes' md5 discipline).
+    *
+    * Shape: ONE corpus scan into a global aggregate (the three exact
+    * COUNT(DISTINCT)s expand the scan ×4 — acceptable for a one-off
+    * card; prof_summary_approx is the repeated-profiling path), plus
+    * a languages-bounded groupBy for the argmax joined back as a
+    * 1-row broadcast (the no-driver-count pattern; tie → smallest
+    * lang). Output is exactly one row regardless of corpus size.
+    */
+  def cpDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    import graft.operators.TextAnalysis.tokens
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .withColumn("toks", tokens(lower(col("text"))))
+    val agg = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(col("toks")).cast("long")).as("total_tokens"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"),
+      sum(when(Filters.keepExpr(col("text"), col("toks")), 1L)
+        .otherwise(0L)).as("n_keep"))
+    val top = d.groupBy(col("lang")).agg(count(lit(1)).as("top_n"))
+      .orderBy(col("top_n").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("top_n"))
+    agg.crossJoin(broadcast(top))
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"), col("top_lang"),
+        r6(col("top_n").cast("double") / col("n_docs"))
+          .as("top_lang_share"),
+        col("total_tokens"),
+        r6(col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_tokens"),
+        r6(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        r6(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
+  }
+
+  val cpDatasetCardSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""
+WITH a AS (
+  SELECT COUNT(*) AS n_docs,
+    COUNT(DISTINCT source) AS n_sources,
+    COUNT(DISTINCT lang) AS n_langs,
+    CAST(SUM($words) AS BIGINT) AS total_tokens,
+    COUNT(DISTINCT md5(text)) AS n_unique_texts,
+    CAST(SUM(CASE WHEN ${Filters.keepSqlExpr} THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_keep
+  FROM documents
+), t AS (
+  SELECT lang AS top_lang, COUNT(*) AS top_n FROM documents
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+)
+SELECT n_docs, n_sources, n_langs, top_lang,
+  ${r6Sql("(CAST(top_n AS DOUBLE) / n_docs)")} AS top_lang_share,
+  total_tokens,
+  ${r6Sql("(CAST(total_tokens AS DOUBLE) / n_docs)")} AS avg_tokens,
+  ${r6Sql("(CAST(1.0 AS DOUBLE) - CAST(n_unique_texts AS DOUBLE) / n_docs)")}
+    AS dup_rate,
+  ${r6Sql("(CAST(n_keep AS DOUBLE) / n_docs)")} AS keep_rate
+FROM a CROSS JOIN t"""
+  }
 }

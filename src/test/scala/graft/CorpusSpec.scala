@@ -544,6 +544,40 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
   }
 
+  test("cp_dataset_card reconciles with its component semantics") {
+    val d = graft.operators.TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+    val r = Corpus.cpDatasetCard(spark, sf("sf0.01")).collect() match {
+      case Array(only) => only
+    }
+    assert(r.getAs[Long]("n_docs") == d.length.toLong)
+    assert(r.getAs[Long]("n_sources") ==
+      d.map(_.getString(3)).distinct.length.toLong)
+    assert(r.getAs[Long]("n_langs") ==
+      d.map(_.getString(2)).distinct.length.toLong)
+    // top language: most docs, smallest lang on ties
+    val byLang = d.groupBy(_.getString(2)).map { case (l, g) =>
+      l -> g.length }
+    val top = byLang.toSeq.sortBy { case (l, n) => (-n, l) }.head
+    assert(r.getAs[String]("top_lang") == top._1)
+    assert(math.abs(r.getAs[Double]("top_lang_share") -
+      top._2.toDouble / d.length) < 1e-6)
+    // token total matches the whitespace fold
+    val toks = d.map(_.getString(1).trim.split("\\s+").length.toLong).sum
+    assert(r.getAs[Long]("total_tokens") == toks)
+    // dup rate from distinct texts (md5 is injective enough locally)
+    val uniq = d.map(_.getString(1)).distinct.length
+    assert(math.abs(r.getAs[Double]("dup_rate") -
+      (1.0 - uniq.toDouble / d.length)) < 1e-6)
+    // keep rate reconciles with the shipped qf_decide gate
+    val nKeep = graft.operators.Filters.qfDecide(spark, sf("sf0.01"))
+      .collect()
+      .count(_.getAs[Boolean]("keep"))
+    assert(math.abs(r.getAs[Double]("keep_rate") -
+      nKeep.toDouble / d.length) < 1e-6)
+  }
+
   test("cp_split_leakage recomputes from the LSH pairs and the split") {
     val pairs = graft.operators.Dedup.ddMinhashLsh(spark, sf("sf0.01"))
       .select("doc_a", "doc_b").collect()
