@@ -846,6 +846,81 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $NgramJaccardMin
 ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------------------
+  // dd_ngram_jaccard_lsh — MinHash-banded candidates, same exact verify
+  // ------------------------------------------------------------------
+
+  /** Banding of the char-gram MinHash signature for
+    * [[ddNgramJaccardLsh]]'s pre-blocker: 8 bands × 2 rows of the
+    * K=16 minima. The S-curve at the production threshold is
+    * P(candidate | j) = 1 − (1 − j²)⁸ — 0.97 at j = 0.6 and > 0.9999
+    * at j ≥ 0.8, while background pairs (the fixture's ~2k-string
+    * char-gram vocabulary makes every doc share SOME grams) die at
+    * the band-key equality instead of reaching the verifier. The
+    * 4×4 word-shingle banding ([[Bands]]×[[R]]) is too blunt here
+    * (0.43 at j = 0.6); 16×1 admits any shared minimum — 8×2 is the
+    * knee, and the driver's hash gate against the EXACT twin's oracle
+    * re-proves fixture-total recall every round.
+    */
+  val NgramLshBands = 8
+  val NgramLshRows = 2
+
+  /** The 100 TB form of [[ddNgramJaccard]]: IDENTICAL output (same
+    * oracle SQL — the [[graft.operators.Corpus.cpDecontamBloom]]
+    * move), but candidate pairs come from a banded MinHash equi-join
+    * over the SAME char-5-gram hash sets instead of the length-bucket
+    * neighbor explode, and only banded collisions pay the exact
+    * [[graft.functions.SortedJaccardGE]] merge (plus the twin's
+    * |Δlen| < [[BucketW]] guard, evaluated as a cheap integer filter
+    * BEFORE the merge). The length-bucket blocker is exact but its
+    * candidate volume is a constant fraction of the PAIR SPACE (~3%
+    * of n²/2); the banded join's volume rides the real near-dup rate
+    * — the property that survives a 1000× corpus. Both the signature
+    * ([[graft.functions.MinHash16]], map-only) and the verifier are
+    * the production custom expressions; candidates are distinct by
+    * construction of the band self-join + distinct, so each surviving
+    * pair is emitted once with the bitwise-identical jaccard.
+    */
+  def ddNgramJaccardLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedJaccardGE.register(spark)
+    graft.functions.CharGramHashSet.register(spark)
+    graft.functions.MinHash16.register(spark)
+    // gram-less docs (< 5 chars ⇔ empty gram set) drop on the cheap
+    // length predicate BEFORE the hash-set expression (the signature()
+    // pushdown note); they cannot appear in the exact twin's output.
+    val base = docs(spark, sfDir)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.CharGramHashSet.gramHashes(lower(col("text")))
+          .as("g"))
+    val sig = base
+      .select(col("doc_id"),
+        graft.functions.MinHash16.mins(col("g")).as("mh"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
+    val bands = bandRowsCfg(sig, NgramLshBands, NgramLshRows)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"),
+      col("n_chars").as("len_a"), col("g").as("ga"))
+    val sb = base.select(col("doc_id").as("doc_b"),
+      col("n_chars").as("len_b"), col("g").as("gb"))
+    val j = graft.functions.SortedJaccardGE
+      .jaccardGE(col("ga"), col("gb"), NgramJaccardBoundary)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(abs(col("len_a") - col("len_b")) < BucketW)
+      .select(col("doc_a"), col("doc_b"), j.as("j"))
+      .filter(col("j").isNotNull)
+      .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH-verified == exact is the contract; ONE oracle definition. */
+  val ddNgramJaccardLshSql: String = ddNgramJaccardSql
+
+  // ------------------------------------------------------------------
   // dd_containment — asymmetric gram containment (quote detection)
   // ------------------------------------------------------------------
 

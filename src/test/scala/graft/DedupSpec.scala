@@ -422,4 +422,18 @@ class DedupSpec extends SparkSpec {
       (r.getString(0) == r.getString(1))))
     assert(got.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
   }
+
+  test("dd_ngram_jaccard_lsh equals the exact length-blocked twin") {
+    // the shipped contract: banded-MinHash candidates + the SAME
+    // SortedJaccardGE verify reproduce the exact twin's rows bitwise
+    // (the driver re-proves this against the shared oracle each round)
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val exact = Dedup.ddNgramJaccard(spark, sf(d)).collect().toSeq
+      val lsh = Dedup.ddNgramJaccardLsh(spark, sf(d)).collect().toSeq
+      assert(exact.nonEmpty, s"vacuous fixture at $d")
+      assert(lsh == exact,
+        s"LSH composition diverges from exact at $d: " +
+          s"${lsh.size} vs ${exact.size} rows")
+    }
+  }
 }

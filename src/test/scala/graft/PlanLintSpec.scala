@@ -28,7 +28,7 @@ class PlanLintSpec extends SparkSpec {
     *    cp_dataset_card (1-row global agg × 1-row lang argmax).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
-    *    sim_kmeans, sim_mips, sim_pq, sim_recall.
+    *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall.
     *  - the constant-size eval side (the one documented BNLJ-is-right
     *    case): cp_decontam_embed.
     */
@@ -37,7 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "dd_lsh_tuning",
     "ev_session_stats", "prof_drift", "prof_mi", "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
-    "sim_ivf_tuning", "sim_kmeans", "sim_mips", "sim_pq", "sim_recall",
+    "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
+    "sim_pq", "sim_recall",
     "ta_burstiness", "ta_colloc", "ta_keywords", "ta_kl_source",
     "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq")
 

@@ -208,4 +208,14 @@ class SimilaritySpec extends SparkSpec {
         correct.toDouble / n) < 1e-6)
     }
   }
+
+  test("sim_label_knn_ann equals the exact census; probe dial shrinks candidates") {
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val exact = Similarity.simLabelKnn(spark, sf(d)).collect().toSeq
+      val ann = Similarity.simLabelKnnAnn(spark, sf(d)).collect().toSeq
+      assert(exact.nonEmpty, s"vacuous fixture at $d")
+      assert(ann == exact,
+        s"ANN-fronted census diverges from exact at $d")
+    }
+  }
 }
