@@ -19,7 +19,13 @@ import org.apache.spark.sql.types._
   * the declarative `aggregate`/`zip_with`/`transform` chain it
   * replaces (same fold order, same IEEE op sequence per element; the
   * empty vector yields (0.0, 0, NULL) exactly like the declarative
-  * divide-by-zero). The declarative twin is six CodegenFallback
+  * divide-by-zero, and a non-empty ALL-ZERO vector yields
+  * (0.0, NULL, NULL) — scale 0 makes the quantization step x·127/0
+  * undefined, and BOTH declarative engines agree it is NULL there:
+  * Spark's non-ANSI Divide and DuckDB's double division each return
+  * NULL on a zero divisor, so the fused expression must not invent a
+  * NaN-collapsed 0 checksum where the twins propagate NULL). The
+  * declarative twin is six CodegenFallback
   * higher-order evaluations per row, each boxing every element; this
   * is one JVM call per ROW with primitive loops inside — the same
   * per-row-once trade as [[CharGramHashSet]], pinned to the twin by
@@ -37,7 +43,9 @@ case class QuantizeStats(child: Expression)
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
-    StructField("q_checksum", LongType, nullable = false),
+    // nullable: the all-zero-vector row carries the declarative
+    // divide-by-zero NULL (see class doc)
+    StructField("q_checksum", LongType, nullable = true),
     StructField("recon_mse", DoubleType, nullable = true)))
 
   override def prettyName: String = "graft_quantize_stats"
@@ -53,6 +61,11 @@ case class QuantizeStats(child: Expression)
       s = math.max(s, math.abs(arr.getDouble(i)))
       i += 1
     }
+    // all-zero vector: the declarative twin's x·127/0 divide is NULL
+    // in both engines (non-ANSI Spark Divide, DuckDB double division),
+    // so checksum and mse propagate NULL — not the NaN→0 collapse the
+    // JVM division would produce below
+    if (s == 0.0) return InternalRow(0.0, null, null)
     // codes, checksum, squared error — one pass, declarative op order
     var checksum = 0L
     var sq = 0.0

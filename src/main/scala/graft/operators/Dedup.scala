@@ -1100,13 +1100,17 @@ ORDER BY i.doc_a, i.doc_b"""
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("blk").as("blk_b")).join(blockPairs, "blk_b")
     val cos = gdot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
-    a.join(b, Seq("blk_a", "blk_b"))
+    val pairs = a.join(b, Seq("blk_a", "blk_b"))
       // cross-block: every unordered pair appears exactly once (only
       // (i,j) with i<j exists); same-block: keep the ordered half
       .filter(col("blk_a") =!= col("blk_b") || col("vec_a") < col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), cos.as("c"))
-      .filter(col("c") >= minCos)
+    // −∞ means UNTHRESHOLDED: skip the predicate entirely rather than
+    // evaluate `c >= −∞`, which silently drops a NULL cosine (zero-norm
+    // vector ÷ 0 is NULL in non-ANSI Spark) that the unfiltered oracle
+    // CTE keeps — the filter must not exist, not be vacuous
+    if (minCos.isNegInfinity) pairs else pairs.filter(col("c") >= minCos)
   }
 
   def ddEmbedCosine(spark: SparkSession, sfDir: String): DataFrame =
@@ -1137,11 +1141,12 @@ ORDER BY i.doc_a, i.doc_b"""
   }
 
   /** The complete unordered cosine neighborhood (vec_a < vec_b, c
-    * UNROUNDED) — [[cosinePairs]] with no effective threshold (−∞
-    * drops nothing; NaN orders above it in both engines), for
-    * consumers that need every pair, not just the near-dup band
-    * ([[Similarity.simLabelKnn]]'s exact kNN baseline). Same block
-    * decomposition, so the plan stays equi-join shaped.
+    * UNROUNDED) — [[cosinePairs]] with NO threshold filter in the plan
+    * at all (−∞ elides the predicate, so even a NULL cosine from a
+    * zero-norm vector survives, exactly like the unfiltered oracle
+    * CTE), for consumers that need every pair, not just the near-dup
+    * band ([[Similarity.simLabelKnn]]'s exact kNN baseline). Same
+    * block decomposition, so the plan stays equi-join shaped.
     */
   def allCosinePairs(spark: SparkSession, sfDir: String): DataFrame =
     cosinePairs(spark, sfDir, Double.NegativeInfinity)

@@ -736,6 +736,19 @@ FROM sess_rows ORDER BY user_id, session_id"""
     */
   def coverageStream(events: DataFrame,
       horizonDays: Int = CovDefaultHorizonDays): Dataset[CovOut] = {
+    // Lossless eviction REQUIRES that an evicted day can never receive
+    // another event. The watermark admits events up to 1 hour behind
+    // the max event time, i.e. at worst in day(maxDay) − 1; eviction
+    // keeps days ≥ maxDay − (horizonDays − 1), so the oldest evicted
+    // day is ≤ maxDay − horizonDays. horizonDays ≥ 2 makes
+    // maxDay − horizonDays < maxDay − 1: no admissible event targets
+    // an evicted day. horizonDays = 1 would re-admit a just-evicted
+    // day into live and double-count its frozen aggregates — enforce
+    // the precondition instead of documenting it (round-8 advice).
+    require(horizonDays >= 2,
+      s"horizonDays=$horizonDays must be >= 2 so the 1-hour watermark " +
+        "cannot deliver an event into an evicted day " +
+        "(lossless-eviction precondition)")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events

@@ -436,4 +436,13 @@ class DedupSpec extends SparkSpec {
           s"${lsh.size} vs ${exact.size} rows")
     }
   }
+
+  test("allCosinePairs plans no threshold filter at all") {
+    // -Inf must elide the predicate, not evaluate it: `c >= -Inf`
+    // silently drops a NULL cosine (zero-norm vector) that the
+    // unfiltered oracle CTE keeps (round-8 advice)
+    val plan = Dedup.allCosinePairs(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Infinity"), s"threshold filter survived:\n$plan")
+  }
 }

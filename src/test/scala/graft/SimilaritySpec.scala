@@ -136,6 +136,15 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0)
     assert(empty.getDouble(0) == 0.0 && empty.getLong(1) == 0L &&
       empty.isNullAt(2))
+    // the all-zero vector (scale 0): both declarative engines return
+    // NULL from the x*127/0 divide — the fused expression must
+    // propagate NULL checksum/mse, not a NaN-collapsed 0 (round-8
+    // advice; DuckDB double division by zero verified NULL)
+    val zero = Seq((1L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+      .select(graft.functions.QuantizeStats.stats(col("v")).as("st"))
+      .select(col("st.scale"), col("st.q_checksum"), col("st.recon_mse"))
+      .collect()(0)
+    assert(zero.getDouble(0) == 0.0 && zero.isNullAt(1) && zero.isNullAt(2))
   }
 
   test("sim_dim_stats matches a local fixed-point moment recompute") {

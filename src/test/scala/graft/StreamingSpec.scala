@@ -569,4 +569,18 @@ class StreamingSpec extends SparkSpec {
       snap.days_missing == 10 && snap.min_day_events == 1L &&
       snap.n_events == (1 to 10).sum + (21 to 40).sum)
   }
+
+  test("coverageStream rejects a horizon the watermark could outrun") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    // horizonDays = 1: a 1-hour-late event can target a just-evicted
+    // day and double-count its frozen aggregates — the entry point
+    // must refuse the unsafe combination outright
+    val e = intercept[IllegalArgumentException] {
+      StreamingStats.coverageStream(
+        mem.toDF().toDF("event_type", "ts"), horizonDays = 1)
+    }
+    assert(e.getMessage.contains("lossless-eviction precondition"))
+  }
 }
