@@ -103,13 +103,30 @@ object StreamingStats {
     * `ts` column so every downstream operator and its DuckDB oracle
     * (which reads the file natively) see identical instants.
     *
-    * NOTE: sessions should set `spark.sql.legacy.parquet.nanosAsLong`
-    * at build time (Verify/Bench do); the set here is a safety net for
-    * externally-created sessions and is a visible, session-wide effect.
+    * The `nanosAsLong` legacy conf is needed only during SCHEMA
+    * INFERENCE (the illegal-type check lives in the parquet→Spark
+    * schema converter; an already-built DataFrame executes fine after
+    * the conf reverts — probed empirically on this Spark build), so
+    * the reader scopes it: set before the footer read, RESTORED to its
+    * prior state in a finally. A session that did not opt in at build
+    * time is left exactly as it was — any OTHER nanos parquet it reads
+    * later fails with the standard PARQUET_TYPE_ILLEGAL instead of
+    * silently becoming longs (round-8 advice: no global side effect in
+    * a shared reader). Builder-time opt-ins (Verify/Bench) see their
+    * value preserved. Concurrent readers on one session could observe
+    * the transient set (the usual session-conf caveat) — the window is
+    * one footer inference, not the query's lifetime.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -583,4 +583,24 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("lossless-eviction precondition"))
   }
+
+  test("events reader leaves the session nanosAsLong conf as it found it") {
+    // the r8-advice fix: the shared reader must not leak the legacy
+    // conf session-wide (a leaked `true` silently turns every OTHER
+    // nanos-annotated parquet in the session into longs). The conf is
+    // only needed during footer inference (probed: an already-built
+    // DataFrame executes after the conf reverts), so events() scopes
+    // set/restore around the read.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.get(key)
+    StreamingStats.events(spark, sf()).count()
+    assert(spark.conf.get(key) == before,
+      "shared reader leaked the legacy conf into the session")
+    // an explicit builder-time opt-out survives the call too
+    spark.conf.set(key, "false")
+    try {
+      StreamingStats.events(spark, sf()).count()
+      assert(spark.conf.get(key) == "false")
+    } finally spark.conf.set(key, before)
+  }
 }
