@@ -503,7 +503,16 @@ ORDER BY day, event_type"""
       // a session clone, and mixing plans across sessions is fragile
       val prev = batch.sparkSession.createDataFrame(
         java.util.Arrays.asList(state: _*), schema)
-      val merged = topOf(shape(batch).unionByName(prev)).drop("rank")
+      // PK-dedup before the merge: under at-least-once delivery a
+      // restarted query re-runs its last uncommitted batch, so
+      // candidates can coincide with rows already retained in state —
+      // without the dedup both copies of a duplicated event enter the
+      // per-group ranking and can evict a legitimate k-th row. A
+      // re-delivered copy is byte-identical by the re-delivery
+      // contract, so either survivor is correct.
+      val merged = topOf(shape(batch).unionByName(prev)
+          .dropDuplicates(Seq("event_type", "day", "event_id")))
+        .drop("rank")
       val rows = merged.collect() // ≤ k·groups rows by construction
       // evict days below the horizon under the (monotone) max day seen
       // — ISO day strings order chronologically, so string compares do
@@ -527,14 +536,20 @@ ORDER BY day, event_type"""
           col("event_id"), col("user_id"), col("cents"))
   }
 
-  /** Start the incremental top-k run over a raw event stream. */
-  def startTopkSink(events: DataFrame, sink: TopKStreamSink) =
-    events.writeStream
-      .outputMode("append")
+  /** Start the incremental top-k run over a raw event stream. A
+    * checkpoint makes the run restartable: on recovery the engine
+    * re-delivers its last uncommitted batch, which the sink's PK-dedup
+    * merge absorbs idempotently (StreamingSpec restart case).
+    */
+  def startTopkSink(events: DataFrame, sink: TopKStreamSink,
+      checkpoint: Option[String] = None) = {
+    val w = events.writeStream.outputMode("append")
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) sink.processBatch(batch)
       }
       .start()
+  }
 
   /** CDC apply: a change stream (rows carrying an `op` column with
     * "upsert"/"delete") merges into a partitioned parquet table per

@@ -603,4 +603,127 @@ class StreamingSpec extends SparkSpec {
       assert(spark.conf.get(key) == "false")
     } finally spark.conf.set(key, before)
   }
+
+  // ---------------------------------------------------------------
+  // checkpoint-restart: the at-least-once re-delivery cases. A file
+  // source is fully replayable; deleting the newest entry from
+  // <ckpt>/commits re-opens the offsets/commits gap, so the restarted
+  // query RE-RUNS its last batch before taking new data — exactly the
+  // failure-recovery overlap a real deployment hits first. Each sink's
+  // external merge must absorb the duplicate delivery.
+  // ---------------------------------------------------------------
+
+  private def dropNewestCommit(ckpt: String): Unit = {
+    val dir = new java.io.File(s"$ckpt/commits")
+    val files = dir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(files.nonEmpty, "no commits to drop")
+    // the local Hadoop fs keeps a sibling .N.crc — drop it too, or the
+    // restarted query's re-write of commit N trips the stale checksum
+    // file and reads as a concurrent-log-update failure
+    val crc = new java.io.File(dir, s".${files.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(files.last.delete())
+  }
+
+  test("top-k sink restart with re-delivered batch keeps the single-run rows") {
+    import spark.implicits._
+    def t(day: String, h: Int) = Timestamp.valueOf(f"$day $h%02d:00:00")
+    val in = java.nio.file.Files.createTempDirectory("graft_tk_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tk_ck_").toString
+    def feed(rows: Seq[(Timestamp, String, Long, Long, Double)]): Unit =
+      rows.toDF("ts", "event_type", "event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def stream() = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, event_id LONG, " +
+        "user_id LONG, value DOUBLE")
+      .parquet(in)
+    val sink = new StreamingStats.TopKStreamSink(spark, 2)
+    feed(Seq((t("2025-03-01", 10), "click", 1L, 1L, 5.0),
+      (t("2025-03-01", 11), "click", 2L, 2L, 7.0),
+      (t("2025-03-01", 12), "view", 3L, 1L, 2.0)))
+    val q1 = StreamingStats.startTopkSink(stream(), sink, Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    // crash before the commit record: batch 0 will be RE-delivered to
+    // the same driver-side sink state on restart
+    dropNewestCommit(ckpt)
+    feed(Seq((t("2025-03-02", 10), "click", 4L, 3L, 9.0),
+      (t("2025-03-02", 11), "view", 5L, 2L, 1.0)))
+    val q2 = StreamingStats.startTopkSink(stream(), sink, Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sink.result().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // the single-run top-2 per (type, day) — event 1 must NOT have
+    // been evicted by a duplicated copy of event 2
+    val want = Set(
+      ("click", "2025-03-01", 1, 2L, 2L, 700L),
+      ("click", "2025-03-01", 2, 1L, 1L, 500L),
+      ("view", "2025-03-01", 1, 3L, 1L, 200L),
+      ("click", "2025-03-02", 1, 4L, 3L, 900L),
+      ("view", "2025-03-02", 1, 5L, 2L, 100L))
+    assert(got == want, s"got $got")
+  }
+
+  test("CDC sink restart re-applies its last merge idempotently") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_cdc_in_").toString
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cdc_rs_").toString + "/items"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck_").toString
+    def feed(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("id", "date", "payload", "op")
+        .coalesce(1).write.mode("append").parquet(in)
+    def stream() = spark.readStream
+      .schema("id LONG, date STRING, payload STRING, op STRING").parquet(in)
+    feed(Seq((1L, "2025-01-01", "one", "upsert"),
+      (2L, "2025-01-01", "two", "upsert"),
+      (3L, "2025-01-02", "three", "upsert")))
+    val q1 = StreamingStats.startCdcSink(stream(), table, Seq("id"),
+      "date", ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    dropNewestCommit(ckpt)
+    feed(Seq((1L, "2025-01-01", "ONE", "upsert"),
+      (2L, "2025-01-01", "", "delete"),
+      (4L, "2025-01-03", "four", "upsert")))
+    val q2 = StreamingStats.startCdcSink(stream(), table, Seq("id"),
+      "date", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(table).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "ONE", 3L -> "three", 4L -> "four"),
+      s"got $out")
+  }
+
+  test("upsert sink restart re-delivers the emitting batch idempotently") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_ups_in_").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_ups_wh_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ups_ck_").toString
+    def feed(rows: Seq[(Timestamp, String, Long, Double)]): Unit =
+      rows.toDF("ts", "event_type", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def stream() = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, user_id LONG, value DOUBLE")
+      .parquet(in)
+    feed(Seq(
+      (Timestamp.valueOf("2025-03-01 10:00:00"), "click", 1L, 2.0),
+      (Timestamp.valueOf("2025-03-03 09:00:00"), "view", 2L, 1.0)))
+    val q1 = StreamingStats.startUpsertSink(stream(), wh, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // run 1 upserted the closed (click, 03-01) window; dropping the
+    // newest commit re-delivers that emitting batch on restart
+    assert(spark.read.parquet(s"$wh/subreddit_stats").count() == 1)
+    dropNewestCommit(ckpt)
+    feed(Seq((Timestamp.valueOf("2025-03-05 09:00:00"), "click", 3L, 3.0)))
+    val q2 = StreamingStats.startUpsertSink(stream(), wh, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$wh/subreddit_stats").collect()
+      .map(r => (r.getAs[String]("subreddit"), r.getAs[String]("date"),
+        r.getAs[Long]("n_events"))).toSet
+    // double-applied (click, 03-01) stays one latest-wins row; the
+    // (view, 03-03) window closed by the 03-05 event lands once
+    assert(out == Set(("click", "2025-03-01", 1L),
+      ("view", "2025-03-03", 1L)), s"got $out")
+  }
 }
