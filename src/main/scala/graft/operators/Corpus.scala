@@ -1586,6 +1586,50 @@ ORDER BY t.split"""
         r6(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
   }
 
+  /** The repeated-profiling form of [[cpDatasetCard]]: identical row
+    * shape, but the three exact COUNT(DISTINCT)s (source, lang, text
+    * digest) become mergeable HyperLogLog++ sketches (rsd 0.02 — the
+    * measured register knee, see
+    * [[graft.operators.Analytics.profSummaryApprox]]), so the card is
+    * ONE corpus scan into ONE ordinary hash aggregate with map-side
+    * partials — no Expand ×4, no distinct re-keying of the corpus.
+    * Every non-distinct statistic (docs, tokens, keep rate, the
+    * languages-bounded top-lang argmax) stays exact, so only
+    * n_sources/n_langs/n_unique_texts and the dup_rate derived from
+    * the last carry sketch error. Not oracle-hashable (DuckDB's HLL
+    * differs); CorpusSpec pins exact columns equal to the exact twin,
+    * each approx within 2%, and no Expand in the plan.
+    */
+  def cpDatasetCardApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    import graft.operators.TextAnalysis.tokens
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .withColumn("toks", tokens(lower(col("text"))))
+    val agg = d.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("source"), 0.02).as("n_sources"),
+      approx_count_distinct(col("lang"), 0.02).as("n_langs"),
+      sum(size(col("toks")).cast("long")).as("total_tokens"),
+      approx_count_distinct(md5(col("text")), 0.02).as("n_unique_texts"),
+      sum(when(Filters.keepExpr(col("text"), col("toks")), 1L)
+        .otherwise(0L)).as("n_keep"))
+    val top = d.groupBy(col("lang")).agg(count(lit(1)).as("top_n"))
+      .orderBy(col("top_n").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("top_n"))
+    agg.crossJoin(broadcast(top))
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"), col("top_lang"),
+        r6(col("top_n").cast("double") / col("n_docs"))
+          .as("top_lang_share"),
+        col("total_tokens"),
+        r6(col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_tokens"),
+        r6(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        r6(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
+  }
+
   val cpDatasetCardSql: String = {
     import graft.functions.Determinism.r6Sql
     val words = "len(regexp_split_to_array(trim(text), '\\s+'))"

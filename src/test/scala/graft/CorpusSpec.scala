@@ -604,4 +604,22 @@ class CorpusSpec extends SparkSpec {
         leakedBySplit.getOrElse(s, 0L).toDouble / totals(s)) < 1e-6)
     }
   }
+
+  test("cp_dataset_card_approx: exact columns equal, ≤2% sketch error, no Expand") {
+    val exact = Corpus.cpDatasetCard(spark, sf("sf0.01")).collect()(0)
+    val apxDf = Corpus.cpDatasetCardApprox(spark, sf("sf0.01"))
+    val plan = apxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"sketch card must not Expand:\n$plan")
+    val apx = apxDf.collect()(0)
+    // non-distinct statistics are exact — identical to the twin
+    for (c <- Seq("n_docs", "top_lang", "total_tokens", "top_lang_share",
+        "avg_tokens", "keep_rate"))
+      assert(apx.getAs[Any](c) == exact.getAs[Any](c), s"column $c")
+    // sketched distincts within the rsd envelope
+    for (c <- Seq("n_sources", "n_langs"))
+      assert(math.abs(apx.getAs[Long](c) - exact.getAs[Long](c)).toDouble
+        <= 0.02 * exact.getAs[Long](c) + 1, s"column $c")
+    val de = exact.getAs[Double]("dup_rate")
+    assert(math.abs(apx.getAs[Double]("dup_rate") - de) <= 0.02 + 1e-9)
+  }
 }

@@ -25,7 +25,7 @@ class PlanLintSpec extends SparkSpec {
     *    prof_mi, prof_outliers, qf_composite, qf_lm_filter,
     *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
     *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning,
-    *    cp_dataset_card (1-row global agg × 1-row lang argmax).
+    *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall.
@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
     *    case): cp_decontam_embed.
     */
   private val bnljOk: Set[String] = Set(
-    "cp_curriculum", "cp_dataset_card", "cp_decontam_embed",
+    "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
+    "cp_decontam_embed",
     "dd_lsh_tuning",
     "ev_session_stats", "prof_drift", "prof_mi", "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
