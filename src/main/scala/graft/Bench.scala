@@ -13,7 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same timestamp semantics as Verify: events' NTZ→LTZ cast must
@@ -21,6 +21,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // dev-only experiment knob (the driver never sets it): extra confs
+    // as "k=v;k=v" — used by the SCALE.md skew measurements to toggle
+    // AQE skew handling / broadcast thresholds without forking the
+    // harness, so A/B numbers come from the IDENTICAL timing loop
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty)
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle paths and the bench SF's parquet
@@ -40,7 +50,19 @@ object Bench {
       case Some(o) => SparkEntry.queries.keys.toSeq.filter(o.split(",").toSet)
       case None => SparkEntry.queries.keys.toSeq
     }
-    val times = scala.collection.mutable.Map.empty[String, Double]
+    // Contention telemetry (round-8 verdict: a contended artifact must
+    // be self-identifying): host 1/5/15-min load captured before and
+    // after the timed loop, plus per-query min/median/max across the
+    // iterations — a quiet run shows med ≈ min; a contended one shows
+    // the spread without anyone having to trust run notes.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Exception => "" }
+    val loadBefore = loadavg()
+    val samples = scala.collection.mutable
+      .Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to Iters; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -51,17 +73,30 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // a failed iteration must NOT enter the min — a fast crash would
-      // masquerade as a speedup; a never-succeeding query reports -1
-      if (ok && (!times.contains(name) || dt < times(name)))
-        times(name) = dt
+      // a failed iteration must NOT enter the samples — a fast crash
+      // would masquerade as a speedup; a never-succeeding query
+      // reports -1
+      if (ok) samples(name) = dt :: samples(name)
       // queries that cache (dd_minhash_lsh, dd_simhash_pairs) must not
       // leak their cache into the next query's memory budget or timing
       spark.catalog.clearCache()
     }
-    val results = names.map(n => n -> times.getOrElse(n, -1.0))
+    val loadAfter = loadavg()
+    // headline per-query number stays the MIN (the contention-robust
+    // statistic every prior round's artifact used)
+    val results = names.map { n =>
+      val s = samples(n)
+      n -> (if (s.isEmpty) -1.0 else s.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val stats = names.map { n =>
+      val s = samples(n).sorted
+      val (mn, md, mx) =
+        if (s.isEmpty) (-1.0, -1.0, -1.0)
+        else (s.head, s(s.size / 2), s.last)
+      s"""\"$n\":{\"min\":$mn,\"med\":$md,\"max\":$mx}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // decomposition: the reference's own query surface (baseline-
     // comparable) vs the extension tier it has no counterpart for.
@@ -69,7 +104,7 @@ object Bench {
     val isParity = (k: String) =>
       k.matches("q\\d\\d_.*") || k == "stats_daily" || k == "transform_posts"
     val parity = results.collect { case (k, v) if isParity(k) => v }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"load_before":"$loadBefore","load_after":"$loadAfter","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
     println(full)
     // The one-line-with-per-query-map contract stands, but bounded log
     // tails truncated it two rounds running (BENCH_r06/r07 "parsed":

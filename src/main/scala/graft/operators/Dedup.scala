@@ -853,13 +853,15 @@ ORDER BY doc_a, doc_b"""
     * [[ddNgramJaccardLsh]]'s pre-blocker: 8 bands × 2 rows of the
     * K=16 minima. The S-curve at the production threshold is
     * P(candidate | j) = 1 − (1 − j²)⁸ — 0.97 at j = 0.6 and > 0.9999
-    * at j ≥ 0.8, while background pairs (the fixture's ~2k-string
-    * char-gram vocabulary makes every doc share SOME grams) die at
-    * the band-key equality instead of reaching the verifier. The
-    * 4×4 word-shingle banding ([[Bands]]×[[R]]) is too blunt here
-    * (0.43 at j = 0.6); 16×1 admits any shared minimum — 8×2 is the
-    * knee, and the driver's hash gate against the EXACT twin's oracle
-    * re-proves fixture-total recall every round.
+    * at j ≥ 0.8 (the fixture's true pairs all sit ≥ 0.83), while a
+    * blunter 4×4 ([[Bands]]×[[R]]) would pass only 0.43 at the
+    * threshold. Recall dictates 8×2; SELECTIVITY comes from the
+    * operator's own |Δlen| < [[BucketW]] contract applied INSIDE the
+    * band join: the fixture's ~2k-string char-gram vocabulary gives
+    * unrelated docs enough background overlap that banding alone
+    * admits ~28% of the pair space (measured, sf0.1), but only the
+    * length-compatible ~3% of those survive the integer guard —
+    * 3.53M → ~106k candidates, each then paying the exact merge.
     */
   val NgramLshBands = 8
   val NgramLshRows = 2
@@ -893,24 +895,30 @@ ORDER BY doc_a, doc_b"""
         graft.functions.CharGramHashSet.gramHashes(lower(col("text")))
           .as("g"))
     val sig = base
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_chars"),
         graft.functions.MinHash16.mins(col("g")).as("mh"))
-      .select(col("doc_id") +:
+      .select(col("doc_id") +: col("n_chars") +:
         (0 until K).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
-    val bands = bandRowsCfg(sig, NgramLshBands, NgramLshRows)
+    // band rows carry the doc length so the |Δlen| contract prunes
+    // INSIDE the equi-join — band equality finds the collision, the
+    // integer guard kills the background-similarity bulk before the
+    // distinct and the gram-array joins ever see it
+    val bandKeys = (0 until NgramLshBands).map(b =>
+      concat_ws("_", (0 until NgramLshRows).map(r =>
+        col(s"mh_${b * NgramLshRows + r}").cast("string")): _*))
+    val bands = sig.select(col("doc_id"), col("n_chars"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) < BucketW)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = base.select(col("doc_id").as("doc_a"),
-      col("n_chars").as("len_a"), col("g").as("ga"))
-    val sb = base.select(col("doc_id").as("doc_b"),
-      col("n_chars").as("len_b"), col("g").as("gb"))
+    val sa = base.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("g").as("gb"))
     val j = graft.functions.SortedJaccardGE
       .jaccardGE(col("ga"), col("gb"), NgramJaccardBoundary)
     cands.join(sa, "doc_a").join(sb, "doc_b")
-      .filter(abs(col("len_a") - col("len_b")) < BucketW)
       .select(col("doc_a"), col("doc_b"), j.as("j"))
       .filter(col("j").isNotNull)
       .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))

@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Derive an N-times-larger perf-soak dataset from a driver fixture dir.
 
-Usage: python3 tools/make_scale.py SRC_DIR OUT_DIR COPIES
+Usage: python3 tools/make_scale.py SRC_DIR OUT_DIR COPIES [--skew-events PCT]
+
+--skew-events PCT additionally reassigns PCT% of event rows (chosen by
+a deterministic event_id hash, across all copies) to ONE hot user_id —
+the adversarial key distribution for every user-keyed shuffle
+(sessionization windows, interval joins, per-user aggregates). Used
+for the SCALE.md skew-resilience measurements; referential integrity
+is unaffected (events has no FK into the TPC-H tables).
 
 Replicates every fact table COPIES times with per-copy key offsets so
 referential integrity holds within each copy (customer<-orders<-lineitem,
@@ -31,6 +38,9 @@ OFF = 10 ** 12  # beyond any fixture key; copy c shifts keys by c*OFF
 
 def main() -> None:
     src, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    skew_pct = 0
+    if "--skew-events" in sys.argv:
+        skew_pct = int(sys.argv[sys.argv.index("--skew-events") + 1])
     import os
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -95,6 +105,16 @@ def main() -> None:
                              pc.add(t["user_id"], c * OFF))
         ev_copies.append(t)
     ev_all = pa.concat_tables(ev_copies)
+    if skew_pct:
+        # deterministic hot-key injection: event_id % 100 < PCT rows all
+        # become user 1 — one user now owns PCT% of the stream
+        sel = pc.less(pc.mod(ev_all["event_id"], 100), skew_pct)
+        hot = pc.if_else(sel, pa.scalar(1, ev_all["user_id"].type),
+                         ev_all["user_id"])
+        ev_all = ev_all.set_column(
+            ev_all.schema.get_field_index("user_id"), "user_id", hot)
+        n_hot = pc.sum(pc.cast(sel, pa.int64())).as_py()
+        print(f"events skew: {n_hot}/{ev_all.num_rows} rows -> user 1")
     pq.write_table(ev_all, f"{out}/events.parquet")
     print(f"events: {ev_all.num_rows} rows (pyarrow, ns preserved)")
 
