@@ -108,7 +108,11 @@ def main() -> None:
     if skew_pct:
         # deterministic hot-key injection: event_id % 100 < PCT rows all
         # become user 1 — one user now owns PCT% of the stream
-        sel = pc.less(pc.mod(ev_all["event_id"], 100), skew_pct)
+        hashed = pc.subtract(
+            ev_all["event_id"],
+            pc.multiply(pc.divide(ev_all["event_id"], 100),
+                        pa.scalar(100, ev_all["event_id"].type)))
+        sel = pc.less(hashed, skew_pct)
         hot = pc.if_else(sel, pa.scalar(1, ev_all["user_id"].type),
                          ev_all["user_id"])
         ev_all = ev_all.set_column(
