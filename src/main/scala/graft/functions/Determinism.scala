@@ -16,4 +16,14 @@ object Determinism {
 
   /** Oracle-side (DuckDB) twin of [[r6]]. */
   def r6Sql(e: String): String = s"(round($e, 6) + 0.0)"
+
+  /** Driver/JVM twin of [[r6]] for stateful streaming outputs that
+    * must row-compare equal to an r6'd batch column: Spark's `Round`
+    * on DOUBLE goes through `BigDecimal.valueOf(x).setScale(6,
+    * HALF_UP)` — mirror that exactly, then the same signed-zero
+    * normalization.
+    */
+  def r6Jvm(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 }

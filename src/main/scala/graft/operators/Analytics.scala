@@ -1907,4 +1907,86 @@ FROM a ORDER BY decile"""
     AS skew_ratio
 FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY $key)"""
   }.mkString("\nUNION ALL\n") + "\nORDER BY entity"
+
+  // ------------------------------------------------------------------
+  // prof_ks — exact two-sample Kolmogorov–Smirnov split-drift audit
+  // ------------------------------------------------------------------
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the train
+    * and val splits ([[Corpus.splitLabelExpr]] — the SAME hash split
+    * `cp_split` publishes) over `n_chars`, per language: did the
+    * hash split accidentally skew the length distribution a model
+    * would train vs validate on? The distribution-level companion to
+    * `cp_split_leakage`'s instance-level audit; PSI (`prof_drift`)
+    * needs binning, KS does not.
+    *
+    * Determinism posture: D = max_v |F_train(v) − F_val(v)| is
+    * computed on the INTEGER lattice — max_v |cum_t·n_val −
+    * cum_v·n_train| — so the statistic is exact until one final
+    * division, r6'd. Languages with an empty side are dropped (a
+    * 0-denominator KS is undefined; both engines drop identically).
+    *
+    * Scale shape: one partial-agg'd shuffle of (lang, value, split)
+    * counts — bounded by langs × distinct lengths, NOT by docs — then
+    * windows over that bounded relation sharing one per-lang
+    * partitioning (cumulative + full-frame totals, the ev_gaps rule).
+    * No sort of the raw corpus, no sampling: the exact statistic at
+    * any corpus size.
+    */
+  def profKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = Corpus.splitBucketExpr(col("doc_id"))
+    val d = graft.operators.TextAnalysis.docs(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        Corpus.splitLabelExpr(bucket).as("split"))
+      .filter(col("split").isin("train", "val"))
+    val c = d.groupBy(col("lang"), col("n_chars"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_v"))
+    val byLang = Window.partitionBy(col("lang"))
+    val cum = byLang.orderBy(col("n_chars"))
+    val w = c.select(col("lang"),
+      sum(col("c_t")).over(cum).as("cum_t"),
+      sum(col("c_v")).over(cum).as("cum_v"),
+      sum(col("c_t")).over(byLang).as("n_train"),
+      sum(col("c_v")).over(byLang).as("n_val"))
+    w.select(col("lang"), col("n_train"), col("n_val"),
+        abs(col("cum_t") * col("n_val") - col("cum_v") * col("n_train"))
+          .as("dn"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_val")).as("n_val"),
+        max(col("dn")).as("d_num"))
+      .filter(col("n_train") > 0 && col("n_val") > 0)
+      .select(col("lang"), col("n_train"), col("n_val"), col("d_num"),
+        r6(col("d_num").cast("double") / (col("n_train") * col("n_val")))
+          .as("ks"))
+      .orderBy(col("lang"))
+  }
+
+  val profKsSql: String = s"""
+WITH d AS (
+  SELECT lang, n_chars, ${Corpus.splitLabelSql} AS split FROM documents
+), c AS (
+  SELECT lang, n_chars,
+    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_t,
+    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_v
+  FROM d WHERE split IN ('train', 'val') GROUP BY lang, n_chars
+), w AS (
+  SELECT lang,
+    SUM(c_t) OVER (PARTITION BY lang ORDER BY n_chars) AS cum_t,
+    SUM(c_v) OVER (PARTITION BY lang ORDER BY n_chars) AS cum_v,
+    SUM(c_t) OVER (PARTITION BY lang) AS n_train,
+    SUM(c_v) OVER (PARTITION BY lang) AS n_val
+  FROM c
+), dn AS (
+  SELECT lang, n_train, n_val,
+    ABS(cum_t * n_val - cum_v * n_train) AS dn
+  FROM w
+)
+SELECT lang, CAST(MAX(n_train) AS BIGINT) AS n_train,
+  CAST(MAX(n_val) AS BIGINT) AS n_val,
+  CAST(MAX(dn) AS BIGINT) AS d_num,
+  ${r6Sql("(CAST(MAX(dn) AS DOUBLE) / (MAX(n_train) * MAX(n_val)))")} AS ks
+FROM dn GROUP BY lang
+HAVING MAX(n_train) > 0 AND MAX(n_val) > 0
+ORDER BY lang"""
 }

@@ -1081,4 +1081,171 @@ GROUP BY e.label ORDER BY label"""
     * move).
     */
   val simLabelKnnAnnSql: String = simLabelKnnSql
+
+  // ------------------------------------------------------------------
+  // sim_semantic_clusters — embedding-grain duplicate clusters
+  // ------------------------------------------------------------------
+
+  /** Semantic duplicate clusters: connected components over the
+    * cosine-≥-[[graft.operators.Dedup.CosineMin]] pair graph, at
+    * vector grain — the embedding-space twin of the text pipeline's
+    * `dd_clusters` and the media pipeline's `mm_clusters`, and the
+    * semantic-dedup survivor election step ("keep one doc per
+    * meaning", where `dd_exact` keeps one per byte-form). PURE
+    * composition: the edges ARE `dd_embed_cosine`'s pairs and the
+    * components come from the SAME large-star/small-star loop all
+    * three cluster families share (O(log n) rounds on any graph
+    * shape, property-tested once in DedupSpec).
+    *
+    * Scale shape: the block-matrix pair join is dd_embed_cosine's
+    * documented posture; the CC loop shuffles edge lists (bounded by
+    * the near-dup rate), never vectors.
+    */
+  def simSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.ddEmbedCosine(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(true)
+    val (labels, _) = graft.operators.Dedup.connectedComponentsStar(
+      embeddings(spark, sfDir).select(col("vec_id")), pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the shared unthresholded pair CTE + the dd_clusters
+    * recursive-closure pattern at vec grain. */
+  val simSemanticClustersSql: String =
+    "WITH RECURSIVE " +
+      graft.operators.Dedup.cosinePairsCteSql.stripPrefix("WITH ") +
+      s""", sel AS (
+  SELECT vec_a, vec_b FROM pairs
+  WHERE c >= ${graft.operators.Dedup.CosineMin}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM sel
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM sel
+), reach(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id
+), labels AS (
+  SELECT vec_id, MIN(lbl) AS lbl FROM reach GROUP BY vec_id
+), sizes AS (
+  SELECT lbl, COUNT(*) AS cluster_size FROM labels GROUP BY lbl
+)
+SELECT l.vec_id, l.lbl AS cluster_rep, s.cluster_size,
+  l.vec_id = l.lbl AS is_survivor
+FROM labels l JOIN sizes s ON s.lbl = l.lbl
+ORDER BY l.vec_id"""
+
+  // ------------------------------------------------------------------
+  // sim_embed_drift — per-dimension train/val embedding drift
+  // ------------------------------------------------------------------
+
+  /** |z| at or above this flags a drifting dimension. */
+  val EmbedDriftZ = 3.0
+
+  /** Per-dimension embedding drift between the train and val sides of
+    * the engine's hash split: Welch z on each coordinate's mean —
+    * does the split (or, in deployment, a new ingest batch vs the
+    * reference corpus) shift the embedding distribution anywhere? The
+    * third member of the drift family: PSI for event values
+    * (`prof_drift`), KS for document lengths (`prof_ks`), and this
+    * for the vectors everything downstream trains on. A drifting
+    * dimension invalidates IVF centroids and PQ codebooks
+    * (`sim_kmeans`/`sim_pq`) before it hurts the model.
+    *
+    * Determinism: coordinates quantize to the [[DimFp]] fixed-point
+    * lattice (the `sim_dim_stats` discipline), so per-side moments are
+    * exact decimal(38,0) integers; mean/variance/z are the one final
+    * float chain, r6'd, with the oracle's HUGEINT→VARCHAR→DOUBLE
+    * round-trip keeping the decimal→double rounding identical.
+    *
+    * Scale shape: posexplode + one partial-agg'd (pos, side) shuffle —
+    * the shuffle carries 2·dims moment rows, never vectors; the join
+    * and the z arithmetic run on the dims-bounded relation.
+    */
+  def simEmbedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val M38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fp = floor(col("x") * lit(DimFp.toDouble) + lit(0.5))
+      .cast("long").cast(M38)
+    val side = graft.operators.Corpus.splitLabelExpr(
+      graft.operators.Corpus.splitBucketExpr(col("vec_id")))
+    val m = embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("pos"), fp.as("v"),
+        side.as("split"))
+      .filter(col("split").isin("train", "val"))
+      .groupBy(col("pos"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    def stats(tag: String) = m.filter(col("split") === tag)
+      .select(col("pos"), col("n").as(s"n_$tag"), col("s").as(s"s_$tag"),
+        col("ss").as(s"ss_$tag"))
+    def mean(tag: String) = col(s"s_$tag").cast("double") /
+      (col(s"n_$tag").cast("double") * lit(DimFp.toDouble))
+    def variance(tag: String) =
+      (col(s"n_$tag").cast(M38) * col(s"ss_$tag") -
+        col(s"s_$tag") * col(s"s_$tag")).cast("double") /
+        (col(s"n_$tag").cast("double") * col(s"n_$tag").cast("double")) /
+        (lit(DimFp.toDouble) * lit(DimFp.toDouble))
+    val se2 = variance("train") / col("n_train") +
+      variance("val") / col("n_val")
+    val z = (mean("train") - mean("val")) / sqrt(se2)
+    stats("train").join(stats("val"), Seq("pos"))
+      .select(col("pos"), col("n_train").cast("long").as("n_train"),
+        col("n_val").cast("long").as("n_val"),
+        r6(mean("train")).as("mean_train"),
+        r6(mean("val")).as("mean_val"),
+        when(se2 > 0.0, r6(z)).as("z"),
+        coalesce(when(se2 > 0.0, abs(z) >= EmbedDriftZ), lit(false))
+          .as("is_drift"))
+      .orderBy(col("pos"))
+  }
+
+  val simEmbedDriftSql: String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    def mean(t: String) =
+      s"(${dbl(s"s_$t")} / (CAST(n_$t AS DOUBLE) * ${DimFp}.0))"
+    def variance(t: String) =
+      s"(${dbl(s"(CAST(n_$t AS HUGEINT) * ss_$t - s_$t * s_$t)")} / " +
+        s"(CAST(n_$t AS DOUBLE) * CAST(n_$t AS DOUBLE)) / " +
+        s"(${DimFp}.0 * ${DimFp}.0))"
+    val se2 = s"(${variance("train")} / n_train + ${variance("val")} / n_val)"
+    val z = s"((${mean("train")} - ${mean("val")}) / sqrt($se2))"
+    s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), expl AS (
+  SELECT vec_id, CAST(t.pos AS INTEGER) AS pos,
+    CAST(CAST(floor(v[t.pos] * ${DimFp}.0 + 0.5) AS BIGINT) AS HUGEINT)
+      AS fv,
+    ${graft.operators.Corpus.splitLabelSql
+        .replace("doc_id", "vec_id")} AS split
+  FROM e, UNNEST(range(1, len(v) + 1)) AS t(pos)
+), m AS (
+  SELECT pos, split, COUNT(*) AS n, SUM(fv) AS s, SUM(fv * fv) AS ss
+  FROM expl WHERE split IN ('train', 'val') GROUP BY pos, split
+), j AS (
+  SELECT a.pos,
+    a.n AS n_train, a.s AS s_train, a.ss AS ss_train,
+    b.n AS n_val, b.s AS s_val, b.ss AS ss_val
+  FROM m a JOIN m b ON a.pos = b.pos
+    AND a.split = 'train' AND b.split = 'val'
+)
+SELECT pos, CAST(n_train AS BIGINT) AS n_train,
+  CAST(n_val AS BIGINT) AS n_val,
+  ${r6Sql(mean("train"))} AS mean_train,
+  ${r6Sql(mean("val"))} AS mean_val,
+  CASE WHEN $se2 > 0.0 THEN ${r6Sql(z)} END AS z,
+  COALESCE(CASE WHEN $se2 > 0.0 THEN abs($z) >= $EmbedDriftZ END, false)
+    AS is_drift
+FROM j ORDER BY pos"""
+  }
 }

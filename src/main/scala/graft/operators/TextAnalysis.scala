@@ -137,14 +137,40 @@ FROM documents ORDER BY doc_id"""
     "fr" -> "\\b(le|la|est)\\b",
     "zh" -> "[一-鿿]")
 
-  def taLangId(spark: SparkSession, sfDir: String): DataFrame = {
-    val scores = LangProfiles.map { case (l, pat) =>
-      l -> regexp_count(lower(col("text")), lit(pat))
+  /** Per-language marker-hit scores over `text` — ONE copy of the
+    * profile evaluation, shared by [[taLangId]] and
+    * [[taLangidConfusion]]. */
+  private def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (l, pat) =>
+      l -> regexp_count(lower(text), lit(pat))
     }
+
+  /** Argmax language (profile-order tie-break) — the single predictor
+    * expression both consumers rank with. */
+  def langPredExpr(text: Column): Column = {
+    val scores = langScores(text)
     val m = greatest(scores.map(_._2): _*)
-    val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
       coalesce(acc, when(s === m, lit(l)))
     }
+  }
+
+  private def langScoresSql: Seq[(String, String)] =
+    LangProfiles.map { case (l, pat) =>
+      l -> s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER)"
+    }
+
+  /** Oracle twin of [[langPredExpr]] over the `text` column. */
+  val langPredSqlExpr: String = {
+    val scores = langScoresSql
+    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+    scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+  }
+
+  def taLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = langScores(col("text"))
+    val pred = langPredExpr(col("text"))
     docs(spark, sfDir).select(
       col("doc_id") +: col("lang") +:
         scores.map { case (l, s) => s.as(s"score_$l") } :+
@@ -153,20 +179,61 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val taLangIdSql: String = {
-    val scores = LangProfiles.map { case (l, pat) =>
-      l -> s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER)"
-    }
-    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
-    val pred = scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }
-      .mkString("CASE ", " ", " END")
-    s"""
+  val taLangIdSql: String = s"""
 SELECT doc_id, lang,
-  ${scores.map { case (l, s) => s"$s AS score_$l" }.mkString(",\n  ")},
-  $pred AS predicted_lang,
-  ($pred = lang) AS label_match
+  ${langScoresSql.map { case (l, s) => s"$s AS score_$l" }
+      .mkString(",\n  ")},
+  $langPredSqlExpr AS predicted_lang,
+  ($langPredSqlExpr = lang) AS label_match
 FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // ta_langid_confusion — declared × predicted language census
+  // ------------------------------------------------------------------
+
+  /** Confusion matrix of the language-ID heuristic against the
+    * declared `lang` labels: per (declared, predicted) cell the count
+    * and its share of the declared language — the calibration readout
+    * that decides whether the classifier can gate ingest (high
+    * diagonal share) or only flag for review. PURE composition: the
+    * predictor IS [[langPredExpr]]/[[langPredSqlExpr]], one copy on
+    * each engine.
+    *
+    * Scale shape: prediction is map-side regex work; one partial-agg'd
+    * (declared, predicted) shuffle bounded by langs²; the share window
+    * rides that tiny relation.
+    */
+  def taLangidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    docs(spark, sfDir)
+      .select(col("lang"), langPredExpr(col("text")).as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        sum(col("n")).over(byLang).as("lang_total"))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        col("lang_total"),
+        r6(col("n").cast("double") / col("lang_total")).as("share"),
+        (col("lang") === col("predicted_lang")).as("is_correct"))
+      .orderBy(col("lang"), col("predicted_lang"))
   }
+
+  val taLangidConfusionSql: String = s"""
+WITH p AS (
+  SELECT lang, $langPredSqlExpr AS predicted_lang FROM documents
+), c AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+), w AS (
+  SELECT lang, predicted_lang, n,
+    SUM(n) OVER (PARTITION BY lang) AS lang_total
+  FROM c
+)
+SELECT lang, predicted_lang, CAST(n AS BIGINT) AS n,
+  CAST(lang_total AS BIGINT) AS lang_total,
+  ${r6Sql("(CAST(n AS DOUBLE) / lang_total)")} AS share,
+  (lang = predicted_lang) AS is_correct
+FROM w ORDER BY lang, predicted_lang"""
 
   // ------------------------------------------------------------------
   // ta_fingerprint — rolling-hash document fingerprint
@@ -1069,7 +1136,14 @@ ORDER BY t.source"""
     * broadcasts back over the token stream, and everything after is
     * bounded by sources × buckets.
     */
-  def taKlSource(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared by [[taKlSource]] and [[taJsd]]: the smoothed
+    * (source, bucket, count) relation over the corpus's
+    * top-[[KlTopTerms]] terms + OTHER — a COMPLETE scaffold
+    * (every cell exists, Laplace +1), cached because each consumer
+    * folds it several ways. sources × buckets rows.
+    */
+  private def sourceBucketCounts(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window
       .orderBy(col("cc").desc, col("term"))
     // ONE token-explode pass: the (source, term, count) relation is
@@ -1093,34 +1167,18 @@ ORDER BY t.source"""
     val scaffold = docs(spark, sfDir).select(col("source")).distinct()
       .crossJoin(spark.range(KlTopTerms + 1)
         .select(col("id").cast("int").as("bucket")))
-    // sources × buckets rows — tiny, and it feeds three consumers
-    val full = scaffold.join(sbRaw, Seq("source", "bucket"), "left")
+    scaffold.join(sbRaw, Seq("source", "bucket"), "left")
       .select(col("source"), col("bucket"),
         (coalesce(col("c"), lit(0L)) + 1).as("c")) // Laplace +1
       .cache()
-    val nS = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val corpusB = full.groupBy(col("bucket"))
-      .agg((sum(col("c") - 1) + 1).as("cc")) // raw corpus count + 1
-    val nCorp = corpusB.agg(sum(col("cc")).as("nc"))
-    val terms = full.join(nS, Seq("source"))
-      .join(broadcast(corpusB), Seq("bucket"))
-      .crossJoin(broadcast(nCorp))
-      .select(col("source"), col("bucket"), col("c"),
-        (col("c").cast("double") / col("n")).as("p"),
-        (col("cc").cast("double") / col("nc")).as("q"))
-      .select(col("source"), col("bucket"), col("c"),
-        (col("p") * log(col("p") / col("q"))).as("term"))
-    terms.groupBy(col("source"))
-      .agg(sum(col("c") - 1).as("n_tokens"),
-        aggregate(array_sort(collect_list(struct(col("bucket"),
-          col("term")))), lit(0.0), (acc, x) => acc + x.getField("term"))
-          .as("kl_raw"))
-      .select(col("source"), col("n_tokens"), r6(col("kl_raw")).as("kl"))
-      .orderBy(col("source"))
   }
 
-  val taKlSourceSql: String = s"""
-WITH tok AS (
+  /** The oracle-side twin of [[sourceBucketCounts]]: the CTE chain
+    * ending at `full_counts(source, bucket, c)`, shared verbatim by
+    * [[taKlSourceSql]] and [[taJsdSql]] (the CrossHash never-duplicate
+    * rule applied to a relation, not just an expression).
+    */
+  private val sourceBucketCtesSql: String = s"""tok AS (
   SELECT source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
   FROM documents
@@ -1146,7 +1204,34 @@ WITH tok AS (
   SELECT sc.source, sc.bucket, COALESCE(r.c, 0) + 1 AS c
   FROM scaffold sc LEFT JOIN sb_raw r
     ON r.source = sc.source AND r.bucket = sc.bucket
-), n_s AS (
+)"""
+
+  def taKlSource(spark: SparkSession, sfDir: String): DataFrame = {
+    // sources × buckets rows — tiny, and it feeds three consumers
+    val full = sourceBucketCounts(spark, sfDir)
+    val nS = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corpusB = full.groupBy(col("bucket"))
+      .agg((sum(col("c") - 1) + 1).as("cc")) // raw corpus count + 1
+    val nCorp = corpusB.agg(sum(col("cc")).as("nc"))
+    val terms = full.join(nS, Seq("source"))
+      .join(broadcast(corpusB), Seq("bucket"))
+      .crossJoin(broadcast(nCorp))
+      .select(col("source"), col("bucket"), col("c"),
+        (col("c").cast("double") / col("n")).as("p"),
+        (col("cc").cast("double") / col("nc")).as("q"))
+      .select(col("source"), col("bucket"), col("c"),
+        (col("p") * log(col("p") / col("q"))).as("term"))
+    terms.groupBy(col("source"))
+      .agg(sum(col("c") - 1).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+          col("term")))), lit(0.0), (acc, x) => acc + x.getField("term"))
+          .as("kl_raw"))
+      .select(col("source"), col("n_tokens"), r6(col("kl_raw")).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val taKlSourceSql: String = s"""
+WITH $sourceBucketCtesSql, n_s AS (
   SELECT source, SUM(c) AS n FROM full_counts GROUP BY source
 ), corpus_b AS (
   SELECT bucket, SUM(c - 1) + 1 AS cc FROM full_counts GROUP BY bucket
@@ -1168,6 +1253,82 @@ SELECT source,
   ${r6Sql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
     list(term ORDER BY bucket)), (acc, x) -> acc + x)""")} AS kl
 FROM terms GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // ta_jsd — pairwise Jensen–Shannon divergence between sources
+  // ------------------------------------------------------------------
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions over the SAME top-[[KlTopTerms]]+OTHER bucket
+    * support as [[taKlSource]] — the symmetric, bounded (≤ ln 2)
+    * source-similarity matrix. `ta_kl_source` says how far each feed
+    * sits from the mixture; this says which feeds are NEAR-DUPLICATES
+    * OF EACH OTHER at distribution grain — the signal for collapsing
+    * redundant feeds before `cp_mix` assigns weights (the
+    * `ta_vocab_overlap` question asked of distributions, not sets).
+    *
+    * Determinism: identical to the KL posture — integer smoothed
+    * counts on a complete scaffold, each bucket's JSD contribution
+    * `½(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))` one fixed-arity float
+    * expression (p, q > 0 by smoothing, so no log-of-zero branch),
+    * folded IN BUCKET ORDER per pair on both engines.
+    *
+    * Scale shape: everything downstream of the shared vocab shuffle
+    * is bounded by sources² × buckets — pairs of FEEDS, not of
+    * documents; a thousand-source corpus yields ~500k fold rows.
+    */
+  def taJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = sourceBucketCounts(spark, sfDir)
+    val nS = full.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val sb = full.join(nS, Seq("source"))
+    val a = sb.select(col("source").as("source_a"), col("bucket"),
+      col("c").as("c_a"), col("n").as("n_a"))
+    val b = sb.select(col("source").as("source_b"), col("bucket"),
+      col("c").as("c_b"), col("n").as("n_b"))
+    val p = col("c_a").cast("double") / col("n_a")
+    val q = col("c_b").cast("double") / col("n_b")
+    val term = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q)))
+    a.join(b, Seq("bucket")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("bucket"),
+        col("c_a"), col("c_b"), term.as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("c_a") - 1).as("n_tokens_a"),
+        sum(col("c_b") - 1).as("n_tokens_b"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+          col("term")))), lit(0.0), (acc, x) => acc + x.getField("term"))
+          .as("jsd_raw"))
+      .select(col("source_a"), col("source_b"), col("n_tokens_a"),
+        col("n_tokens_b"), r6(col("jsd_raw")).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val taJsdSql: String = s"""
+WITH $sourceBucketCtesSql, n_s AS (
+  SELECT source, SUM(c) AS n FROM full_counts GROUP BY source
+), sb AS (
+  SELECT f.source, f.bucket, f.c, n_s.n
+  FROM full_counts f JOIN n_s ON n_s.source = f.source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.bucket,
+    a.c AS c_a, b.c AS c_b,
+    CAST(a.c AS DOUBLE) / a.n AS p,
+    CAST(b.c AS DOUBLE) / b.n AS q
+  FROM sb a JOIN sb b
+    ON a.bucket = b.bucket AND a.source < b.source
+), terms AS (
+  SELECT source_a, source_b, bucket, c_a, c_b,
+    CAST(0.5 AS DOUBLE) * (p * ln(CAST(2.0 AS DOUBLE) * p / (p + q)) +
+      q * ln(CAST(2.0 AS DOUBLE) * q / (p + q))) AS term
+  FROM pairs
+)
+SELECT source_a, source_b,
+  CAST(SUM(c_a - 1) AS BIGINT) AS n_tokens_a,
+  CAST(SUM(c_b - 1) AS BIGINT) AS n_tokens_b,
+  ${r6Sql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(term ORDER BY bucket)), (acc, x) -> acc + x)""")} AS jsd
+FROM terms GROUP BY source_a, source_b
+ORDER BY source_a, source_b"""
 
   // ------------------------------------------------------------------
   // ta_burstiness — index of dispersion for the corpus's top terms
@@ -1303,4 +1464,115 @@ SELECT source, n_tokens, n_types, h1, h2,
     AS chao1,
   ${r6Sql("(1.0 - CAST(h1 AS DOUBLE) / n_tokens)")} AS coverage
 FROM g ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // ta_bm25 — BM25 lexical retrieval top-k
+  // ------------------------------------------------------------------
+
+  /** The fixed keyword query the shipped entry ranks against. */
+  val Bm25Query: Seq[String] = Seq("join", "query", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** BM25 keyword retrieval: the top-[[Bm25TopK]] documents for a
+    * keyword query — the LEXICAL retrieval path the embedding ANN
+    * family (`sim_*`) deliberately doesn't cover, and the first stage
+    * of every hybrid (BM25 ∪ ANN) retrieval stack. Lucene's floored
+    * idf `ln(1 + (N−df+½)/(df+½))` keeps common terms non-negative
+    * (the fixture's word-soup vocabulary is dense, like real web
+    * boilerplate terms).
+    *
+    * Determinism: idf and each term's score are fixed-arity float
+    * expressions from exact integer (tf, df, dl) counts plus ONE
+    * shared avgdl double; per-doc scores fold IN TERM ORDER
+    * (the prof_drift rule); ranking sorts the r6'd score with doc_id
+    * as total tie-break, so the cut at k is identical on both
+    * engines.
+    *
+    * Scale shape: one token-explode partial agg to the (doc, term)
+    * relation — shared shape with `lmCore` — then dl is a doc-grain
+    * reduce and everything query-specific lives on |query| terms:
+    * df/idf is a ≤|query|-row broadcast, the scored relation is
+    * docs-matching-query × |query| rows, and the final ORDER BY
+    * LIMIT k plans TakeOrderedAndProject (no global sort
+    * materializes). A real deployment swaps the fixed query for a
+    * parameter; the plan is unchanged.
+    */
+  def taBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val td = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = td.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val qtd = td.filter(col("term").isin(Bm25Query: _*))
+    val idf = qtd.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val norm = lit(1.0 - Bm25B) +
+      lit(Bm25B) * (col("dl").cast("double") / avgdl)
+    val termScore = (col("idf") * (col("tf") * lit(Bm25K1 + 1.0))) /
+      (col("tf") + lit(Bm25K1) * norm)
+    qtd.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("dl"), termScore.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms"),
+        aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score_raw"))
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        r6(col("score_raw")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val taBm25Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM td GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+), qtd AS (
+  SELECT doc_id, term, tf FROM td WHERE term IN ($qList)
+), idf AS (
+  SELECT term,
+    ln(CAST(1.0 AS DOUBLE) +
+       (n_docs - df + CAST(0.5 AS DOUBLE)) /
+       (df + CAST(0.5 AS DOUBLE))) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM qtd GROUP BY term)
+  CROSS JOIN stats
+), scored AS (
+  SELECT q.doc_id, q.term, dl.dl,
+    (i.idf * (q.tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))) /
+      (q.tf + CAST($Bm25K1 AS DOUBLE) *
+        (CAST(${1.0 - Bm25B} AS DOUBLE) + CAST($Bm25B AS DOUBLE) *
+         (CAST(dl.dl AS DOUBLE) /
+          (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))) AS s
+  FROM qtd q
+  JOIN idf i ON i.term = q.term
+  JOIN dl ON dl.doc_id = q.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl,
+  CAST(COUNT(*) AS BIGINT) AS n_terms,
+  ${r6Sql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(s ORDER BY term)), (acc, x) -> acc + x)""")} AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
 }

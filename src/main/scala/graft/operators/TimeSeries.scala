@@ -1360,4 +1360,342 @@ FROM p
 JOIN t ta ON ta.event_type = p.type_a
 JOIN t tb ON tb.event_type = p.type_b
 ORDER BY type_a, type_b"""
+
+  // ------------------------------------------------------------------
+  // ev_cusum — integer-exact CUSUM change-point per event type
+  // ------------------------------------------------------------------
+
+  /** CUSUM change-point detection on daily volumes: for each event
+    * type, the cumulative deviation of observed counts from a
+    * constant-rate model peaks at the most likely rate-change day.
+    * `ev_anomaly`/`ev_mad` flag single outlier DAYS against a trailing
+    * baseline; this finds the LEVEL SHIFT those baselines silently
+    * absorb — the "did the feed change on day X" readout.
+    *
+    * Determinism posture: with D days in the type's active range and
+    * T total events, S_k = D·cum_k − k·T is INTEGER-exact (the mean
+    * rate T/D never materializes as a float); the peak |S_k| and its
+    * earliest day are integer comparisons, and `cusum` =
+    * max|S_k|/(D·T) = max_k |cum_k/T − k/D| — the KS distance of the
+    * event-time distribution from uniform — takes one final r6'd
+    * division. D·T fits int64 through ~10^14 events×days; both
+    * engines widen identically beyond (HUGEINT / decimal if ever
+    * needed).
+    *
+    * Scale shape: one partial-agg'd shuffle of (type, day) counts —
+    * the same tiny relation every ev_* monitor rides — then a
+    * per-type day scaffold (missing days MUST count 0 or a silent
+    * feed outage hides from the statistic), one window pass, and a
+    * peak join all bounded by types × days, never by events.
+    */
+  def evCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day_num")).as("mn"), max(col("day_num")).as("mx"),
+        sum(col("n")).as("total"))
+    val scaffold = bounds.select(col("event_type"), col("mn"), col("mx"),
+      col("total"), explode(sequence(col("mn"), col("mx"))).as("day_num"))
+    val full = scaffold.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("mn"), col("mx"), col("total"),
+        col("day_num"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+    val dev = full
+      .select(col("event_type"), (col("mx") - col("mn") + 1).as("n_days"),
+        col("total"), col("day_num"), col("mn"),
+        sum(col("n")).over(w).as("cum"))
+      .select(col("event_type"), col("n_days"), col("total"), col("day_num"),
+        abs(col("n_days") * col("cum") -
+          (col("day_num") - col("mn") + 1) * col("total")).as("dev"))
+    val peaks = dev.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+        max(col("dev")).as("peak_dev"))
+    dev.select(col("event_type"), col("day_num"), col("dev"))
+      .join(peaks, Seq("event_type"))
+      .filter(col("dev") === col("peak_dev"))
+      .groupBy(col("event_type"), col("n_days"), col("total"),
+        col("peak_dev"))
+      .agg(min(col("day_num")).as("cd"))
+      .select(col("event_type"), col("n_days").cast("int").as("n_days"),
+        col("total"), col("peak_dev"),
+        date_from_unix_date(col("cd")).cast("string").as("change_day"),
+        r6(col("peak_dev").cast("double") /
+          (col("n_days").cast("double") * col("total"))).as("cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  val evCusumSql: String = s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, MIN(day_num) AS mn, MAX(day_num) AS mx,
+    CAST(SUM(n) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+), scaf AS (
+  SELECT b.event_type, b.mn, b.mx, b.total,
+    unnest(generate_series(b.mn, b.mx)) AS day_num
+  FROM b
+), filled AS (
+  SELECT s.event_type, s.mn, s.mx, s.total, s.day_num,
+    COALESCE(d.n, 0) AS n
+  FROM scaf s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day_num = s.day_num
+), c AS (
+  SELECT event_type, (mx - mn + 1) AS n_days, total, day_num,
+    ABS((mx - mn + 1) *
+        SUM(n) OVER (PARTITION BY event_type ORDER BY day_num)
+      - (day_num - mn + 1) * total) AS dev
+  FROM filled
+), p AS (
+  SELECT event_type, MAX(n_days) AS n_days, MAX(total) AS total,
+    MAX(dev) AS peak_dev
+  FROM c GROUP BY 1
+)
+SELECT p.event_type, CAST(p.n_days AS INTEGER) AS n_days, p.total,
+  CAST(p.peak_dev AS BIGINT) AS peak_dev,
+  CAST(DATE '1970-01-01' + CAST(MIN(c.day_num) AS INTEGER) AS VARCHAR)
+    AS change_day,
+  ${r6Sql("(CAST(p.peak_dev AS DOUBLE) / " +
+      "(CAST(p.n_days AS DOUBLE) * p.total))")} AS cusum
+FROM p JOIN c ON c.event_type = p.event_type AND c.dev = p.peak_dev
+GROUP BY p.event_type, p.n_days, p.total, p.peak_dev
+ORDER BY p.event_type"""
+
+  // ------------------------------------------------------------------
+  // ev_survival — Kaplan–Meier user-lifetime curve
+  // ------------------------------------------------------------------
+
+  /** The conversion event whose first occurrence is the KM "death". */
+  val SurvivalEvent = "purchase"
+
+  /** Micro-nat quantum for the KM log-product (the
+    * [[graft.operators.TextAnalysis]] `LmScale` discipline).
+    */
+  val KmScale = 1000000L
+
+  /** Kaplan–Meier product-limit curve of time-to-first-purchase:
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over conversion times (days from a
+    * user's first event to their first [[SurvivalEvent]]); users who
+    * never convert are right-censored at their last observed day and
+    * leave the risk set without a death. `ev_funnel_time` reads the
+    * latency distribution of COMPLETED funnels; this is the survival
+    * CURVE — "what fraction of users remain unconverted past day t" —
+    * with the never-converted handled by censoring instead of being
+    * silently dropped (the bias every naive conversion-time average
+    * has).
+    *
+    * Determinism posture: dᵢ/nᵢ come from exact integer counts; each
+    * factor's ln quantizes to integer micro-nats (the `ta_ngram_lm`
+    * rule: `round(ln((n−d)/n)·KmScale)` — ONE fixed-arity float op
+    * per death time), so the running product is an INTEGER cumulative
+    * sum — order-free, no float window accumulation on either engine
+    * — with one exp at the end, r6'd. A d=n time (risk set wiped out)
+    * pins S to exactly 0.0 from there on rather than routing −∞
+    * through the quantizer.
+    *
+    * Scale shape: one partial-agg'd shuffle to (user, first, last,
+    * first-conversion) — the `ev_retention` relation — then
+    * everything lives on distinct conversion-time values, bounded by
+    * the day span. The single-partition windows run over that
+    * ≤days-sized relation only (the ev_gaps quantile posture); the
+    * 1-row user-total broadcast is the prof_drift pattern.
+    */
+  def evSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_date(to_date(col("ts"))).as("day"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"),
+        min(when(col("event_type") === SurvivalEvent, col("day")))
+          .as("fp"))
+      .select(
+        when(col("fp").isNotNull, col("fp") - col("f"))
+          .otherwise(col("l") - col("f")).as("t_obs"),
+        col("fp").isNull.as("censored"))
+    val byT = users.groupBy(col("t_obs"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("cns"))
+    val totals = byT.agg(sum(col("d") + col("cns")).as("nu"))
+    val wOrd = Window.orderBy(col("t_obs"))
+    val cumBefore = sum(col("d") + col("cns"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val risk = byT.crossJoin(broadcast(totals))
+      .select(col("t_obs"), col("d"), col("cns"),
+        (col("nu") - coalesce(cumBefore, lit(0L))).as("n_risk"))
+    val lnQ = when(col("d") < col("n_risk"),
+      round(log((col("n_risk") - col("d")).cast("double") / col("n_risk")) *
+        KmScale).cast("long")).otherwise(lit(0L))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val km = risk
+      .select(col("t_obs"), col("d"), col("cns"), col("n_risk"),
+        lnQ.as("ln_q"),
+        when(col("d") === col("n_risk"), 1).otherwise(0).as("wiped"))
+      .select(col("t_obs"), col("d"), col("cns"), col("n_risk"),
+        sum(col("ln_q")).over(cum).as("cum_q"),
+        max(col("wiped")).over(cum).as("dead"))
+    km.filter(col("d") > 0)
+      .select(col("t_obs").cast("int").as("t_days"),
+        col("n_risk"), col("d").as("n_deaths"), col("cns").as("n_censored"),
+        r6(when(col("dead") === 1, lit(0.0))
+          .otherwise(exp(col("cum_q").cast("double") /
+            KmScale.toDouble))).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  val evSurvivalSql: String = s"""
+WITH days AS (
+  SELECT user_id, event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+  FROM events
+), u AS (
+  SELECT user_id, MIN(day) AS f, MAX(day) AS l,
+    MIN(CASE WHEN event_type = '$SurvivalEvent' THEN day END) AS fp
+  FROM days GROUP BY user_id
+), users AS (
+  SELECT CASE WHEN fp IS NOT NULL THEN fp - f ELSE l - f END AS t_obs,
+    fp IS NULL AS censored
+  FROM u
+), by_t AS (
+  SELECT t_obs,
+    SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+    SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS cns
+  FROM users GROUP BY t_obs
+), tot AS (
+  SELECT SUM(d + cns) AS nu FROM by_t
+), risk AS (
+  SELECT t_obs, d, cns,
+    nu - COALESCE(SUM(d + cns) OVER (ORDER BY t_obs
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM by_t CROSS JOIN tot
+), km AS (
+  SELECT t_obs, d, cns, n_risk,
+    SUM(CASE WHEN d < n_risk THEN
+        CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * $KmScale)
+          AS BIGINT) ELSE 0 END)
+      OVER (ORDER BY t_obs ROWS UNBOUNDED PRECEDING) AS cum_q,
+    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY t_obs ROWS UNBOUNDED PRECEDING) AS dead
+  FROM risk
+)
+SELECT CAST(t_obs AS INTEGER) AS t_days,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS n_deaths,
+  CAST(cns AS BIGINT) AS n_censored,
+  ${r6Sql(s"""CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+    ELSE exp(CAST(cum_q AS DOUBLE) / CAST($KmScale AS DOUBLE)) END""")}
+    AS survival
+FROM km WHERE d > 0 ORDER BY t_days"""
+
+  // ------------------------------------------------------------------
+  // ev_lag_corr — lead–lag cross-correlation between event types
+  // ------------------------------------------------------------------
+
+  /** Largest day shift probed (lags 0..MaxLag). */
+  val XcorrMaxLag = 7
+
+  /** Lead–lag cross-correlation matrix: for every ordered type pair
+    * (a, b) and lag ℓ, the Pearson correlation between a's daily
+    * count series and b's series ℓ days later — "do errors on day t
+    * predict purchases on day t+ℓ?" `prof_autocorr` reads each
+    * series against itself at lag 1; this is the CROSS-series causal
+    * screen (the readout behind alert routing and campaign-echo
+    * analysis).
+    *
+    * Series are ZERO-FILLED on the complete global day scaffold —
+    * cross-type alignment is meaningless over each type's present
+    * days only — so every (pair, lag) correlates the same n = D − ℓ
+    * aligned days. Moments are exact decimal(38,0) integers; corr is
+    * one final guarded float expression (the q12/prof_autocorr
+    * discipline).
+    *
+    * Scale shape: one partial-agg'd (type, day) shuffle — the shared
+    * ev_* monitor relation — then scaffold × lags ≈ types·days·8 tiny
+    * rows, self-joined on the shifted day and reduced to
+    * types²·lags moment rows. Nothing here scales with events.
+    */
+  def evLagCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = StreamingStats.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_date(to_date(col("ts"))).as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day_num")).as("mn"),
+      max(col("day_num")).as("mx"))
+    val scaffold = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day_num"))
+    val filled = scaffold.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val a = filled
+      .select(col("event_type").as("type_a"), col("day_num"),
+        col("x").as("xa"))
+      .withColumn("lag",
+        explode(sequence(lit(0), lit(XcorrMaxLag))))
+    val b = filled.select(col("event_type").as("type_b"),
+      col("day_num").as("day_b"), col("x").as("xb"))
+    a.join(b, col("day_b") === col("day_num") + col("lag"))
+      .filter(col("type_a") =!= col("type_b"))
+      .select(col("type_a"), col("type_b"), col("lag"),
+        col("xa").cast(M).as("xa"), col("xb").cast(M).as("xb"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).cast(M).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("lag").cast("int").as("lag"),
+        col("n").cast("long").as("n_days"), {
+          val num = col("n") * col("sxy") - col("sx") * col("sy")
+          val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+          val d2 = col("n") * col("syy") - col("sy") * col("sy")
+          when(d1 > 0 && d2 > 0, r6(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double"))))
+            .as("xcorr")
+        })
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  val evLagCorrSql: String = s"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day_num) AS mn, MAX(day_num) AS mx FROM daily
+), scaffold AS (
+  SELECT t.event_type, CAST(u.day_num AS INTEGER) AS day_num
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS day_num
+              FROM bounds) u
+), filled AS (
+  SELECT s.event_type, s.day_num, COALESCE(d.n, 0) AS x
+  FROM scaffold s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day_num = s.day_num
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+    a.x AS xa, b.x AS xb
+  FROM filled a
+  CROSS JOIN (SELECT unnest(generate_series(0, $XcorrMaxLag)) AS lag) l
+  JOIN filled b ON b.day_num = a.day_num + l.lag
+    AND b.event_type <> a.event_type
+), g AS (
+  SELECT type_a, type_b, lag, COUNT(*) AS n,
+    SUM(xa) AS sx, SUM(xb) AS sy,
+    SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy, SUM(xa * xb) AS sxy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
+  CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    ${r6Sql("(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+      "CAST(n * syy - sy * sy AS DOUBLE)))")} END AS xcorr
+FROM g ORDER BY type_a, type_b, lag"""
 }

@@ -806,4 +806,103 @@ FROM sess_rows ORDER BY user_id, session_id"""
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // streaming anomaly monitor — the incremental twin of ev_anomaly
+  // ------------------------------------------------------------------
+
+  case class AnomEvent(event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-type anomaly state: live per-day counts plus the last day
+    * already emitted. Bounded: eviction keeps only the days a future
+    * emission can still reference as baseline
+    * (≤ watermark-open days + [[graft.operators.TimeSeries
+    * .AnomalyBaselineDays]] closed ones).
+    */
+  case class AnomState(live: Map[Int, Long], lastEmitted: Int)
+
+  /** Same columns as [[graft.operators.TimeSeries.evAnomaly]];
+    * Option fields mirror the batch NULLs (undefined baseline/z). */
+  case class AnomOut(event_type: String, day: String, n_events: Long,
+      baseline_days: Long, baseline_mean: Option[Double],
+      z_score: Option[Double], is_anomaly: Boolean)
+
+  /** [[graft.operators.TimeSeries.evAnomaly]]'s incremental twin: a
+    * day's anomaly row emits as soon as the watermark CLOSES that day
+    * — the live volume-spike pager, vs the batch twin's nightly sweep.
+    *
+    * Exactness: a row emits only once the watermark passes the day's
+    * end, at which point (a) the day's own count is final (later
+    * arrivals would be late-dropped by the watermark filter) and
+    * (b) every baseline day, being strictly older, is final too — so
+    * each emitted row is computed from exactly the integers the batch
+    * query sees, through the SAME float expression shape
+    * (integer moments → mean/varPop/z in one arity, [[graft.functions
+    * .Determinism.r6Jvm]] at the end). StreamingSpec replays the
+    * fixture across batch boundaries and pins streamed rows == batch
+    * rows for every closed day.
+    *
+    * NoTimeout like [[coverageStream]]: keys are the bounded
+    * event-type vocabulary and an idle type's silence is itself
+    * signal; state per type is O(baseline + open days).
+    */
+  def anomalyStream(events: DataFrame): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TimeSeries.{AnomalyBaselineDays, AnomalyMinBaseline, AnomalyZ}
+    events
+      .select(col("event_type").cast("string").as("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[AnomEvent],
+            state: GroupState[AnomState]) =>
+          val prev = state.getOption.getOrElse(
+            AnomState(Map.empty, Int.MinValue))
+          val live = it.foldLeft(prev.live) { (m, e) =>
+            val d = dayNum(e.ts)
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val closed = live.keysIterator
+            .filter(d => d > prev.lastEmitted &&
+              (d + 1L) * 86400000L <= wmMs)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            val base = (d - AnomalyBaselineDays until d)
+              .flatMap(live.get)
+            val n = live(d)
+            val cnt = base.size.toLong
+            // the batch twin's decimal(38,0) moments, mirrored in
+            // BigInt; the float expressions keep the identical arity
+            val s1 = base.foldLeft(BigInt(0))(_ + _)
+            val s2 = base.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+            val mean = (s1.toDouble / cnt)
+            val varPop = (BigInt(cnt) * s2 - s1 * s1).toDouble /
+              (cnt * cnt).toDouble
+            val z = (n.toDouble - mean) / math.sqrt(varPop)
+            val defined = cnt >= AnomalyMinBaseline && varPop > 0.0
+            AnomOut(typ,
+              java.time.LocalDate.ofEpochDay(d.toLong).toString,
+              n, cnt,
+              if (cnt > 0) Some(graft.functions.Determinism.r6Jvm(mean))
+              else None,
+              if (defined) Some(graft.functions.Determinism.r6Jvm(z))
+              else None,
+              defined && math.abs(z) >= AnomalyZ)
+          }
+          val lastEmitted =
+            if (closed.isEmpty) prev.lastEmitted else closed.max
+          // keep the baseline window behind the emission frontier
+          // (Long arithmetic: the Int.MinValue sentinel minus the
+          // window must not wrap positive and evict everything)
+          val keep = live.filter { case (d, _) =>
+            d.toLong >= lastEmitted.toLong + 1 - AnomalyBaselineDays
+          }
+          state.update(AnomState(keep, lastEmitted))
+          out.iterator
+      }
+  }
 }

@@ -672,4 +672,38 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("max_age_days") == ages.last)
     }
   }
+
+  test("prof_ks equals a brute-force two-sample KS per language") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = Analytics.profKs(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val split = graft.operators.Corpus.cpSplit(spark, sf("sf0.01"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(1), split(r.getLong(0)), r.getLong(2)))
+      .filter(t => t._2 == "train" || t._2 == "val")
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val train = docs.filter(d => d._1 == lang && d._2 == "train").map(_._3)
+      val vals = docs.filter(d => d._1 == lang && d._2 == "val").map(_._3)
+      assert(train.nonEmpty && vals.nonEmpty)
+      assert(r.getAs[Long]("n_train") == train.length.toLong)
+      assert(r.getAs[Long]("n_val") == vals.length.toLong)
+      val pooled = (train ++ vals).distinct.sorted
+      val dNum = pooled.map { v =>
+        math.abs(train.count(_ <= v).toLong * vals.length -
+          vals.count(_ <= v).toLong * train.length)
+      }.max
+      assert(r.getAs[Long]("d_num") == dNum, s"d_num at $lang")
+      assert(r.getAs[Double]("ks") ==
+        r6Jvm(dNum.toDouble / (train.length.toLong * vals.length)),
+        s"ks at $lang")
+    }
+    // every language with both sides populated is present
+    val langs = docs.groupBy(_._1).filter { case (_, ds) =>
+      ds.exists(_._2 == "train") && ds.exists(_._2 == "val")
+    }.keySet
+    assert(rows.map(_.getAs[String]("lang")).toSet == langs)
+  }
 }

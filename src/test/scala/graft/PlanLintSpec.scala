@@ -25,6 +25,9 @@ class PlanLintSpec extends SparkSpec {
     *    prof_mi, prof_outliers, qf_composite, qf_lm_filter,
     *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
     *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning,
+    *    ev_survival (1-row user-total anchor), ev_lag_corr (1-row
+    *    day-bounds anchor for the zero-fill scaffold), ta_bm25
+    *    (1-row corpus-stats anchor),
     *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
@@ -36,12 +39,14 @@ class PlanLintSpec extends SparkSpec {
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed",
     "dd_lsh_tuning",
-    "ev_session_stats", "prof_drift", "prof_mi", "prof_outliers",
+    "ev_lag_corr", "ev_session_stats", "ev_survival", "prof_drift",
+    "prof_mi",
+    "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
-    "ta_burstiness", "ta_colloc", "ta_keywords", "ta_kl_source",
-    "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq")
+    "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",
+    "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq")
 
   /** Built-in CodegenFallback expressions allowed per query, each at a
     * bounded (non-corpus) grain: ev_json's from_json has no codegen in

@@ -227,4 +227,78 @@ class SimilaritySpec extends SparkSpec {
         s"ANN-fronted census diverges from exact at $d")
     }
   }
+
+  test("sim_semantic_clusters equals a union-find over the cosine pairs") {
+    val pairs = graft.operators.Dedup.ddEmbedCosine(spark, sf("sf0.01"))
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lbl = ids.map(i => i -> find(i)).toMap
+    val sizes = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = ids.sorted.map(i =>
+      (i, lbl(i), sizes(lbl(i)), i == lbl(i))).toSeq
+    val got = Similarity.simSemanticClusters(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == want)
+    // fixture isn't vacuous: at least one non-trivial semantic cluster
+    assert(got.exists(_._3 > 1))
+  }
+
+  test("sim_embed_drift equals a fixed-point Welch-z recompute per dim") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = Similarity.simEmbedDrift(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val split = graft.operators.Corpus.cpSplit(spark, sf("sf0.01"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val vecs = graft.operators.Dedup.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (split(r.getLong(0)), r.getSeq[Double](1)))
+      .filter(v => v._1 == "train" || v._1 == "val")
+    val dims = vecs.head._2.length
+    assert(rows.length == dims)
+    def fp(x: Double): BigInt =
+      BigInt(math.floor(x * Similarity.DimFp.toDouble + 0.5).toLong)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("pos") - 1
+      def side(tag: String) = {
+        val xs = vecs.filter(_._1 == tag).map(v => fp(v._2(d)))
+        val n = xs.length.toLong
+        val s = xs.sum
+        val ss = xs.map(x => x * x).sum
+        val mean = s.toDouble / (n.toDouble * Similarity.DimFp.toDouble)
+        val v = (BigInt(n) * ss - s * s).toDouble /
+          (n.toDouble * n.toDouble) /
+          (Similarity.DimFp.toDouble * Similarity.DimFp.toDouble)
+        (n, mean, v)
+      }
+      val (na, ma, va) = side("train")
+      val (nb, mb, vb) = side("val")
+      assert(r.getAs[Long]("n_train") == na && r.getAs[Long]("n_val") == nb)
+      assert(r.getAs[Double]("mean_train") == r6Jvm(ma))
+      assert(r.getAs[Double]("mean_val") == r6Jvm(mb))
+      val se2 = va / na + vb / nb
+      if (se2 > 0.0) {
+        val z = (ma - mb) / math.sqrt(se2)
+        assert(r.getAs[Double]("z") == r6Jvm(z), s"z at dim ${d + 1}")
+        assert(r.getAs[Boolean]("is_drift") ==
+          (math.abs(z) >= Similarity.EmbedDriftZ))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("z")) && !r.getAs[Boolean]("is_drift"))
+      }
+    }
+  }
 }

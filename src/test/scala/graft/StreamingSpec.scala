@@ -550,6 +550,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly rows equal batch ev_anomaly for every closed day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_type"), col("ts"))
+      .orderBy(col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val types = fixture.map(_._1).distinct.toSeq
+    val maxMs = fixture.map(_._2.getTime).max
+    // two far-future flush rounds per type: round 1 advances the
+    // watermark past every real day; round 2 makes each type's state
+    // function run AFTER that advance so the tail days emit
+    def flush(days: Int) =
+      types.map(t => (t, new Timestamp(maxMs + days * 86400000L)))
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = StreamingStats.anomalyStream(
+        mem.toDF().toDF("event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_rows").start()
+    try {
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq) // baselines must survive the batch boundary
+      q.processAllAvailable()
+      mem.addData(flush(30))
+      q.processAllAvailable()
+      mem.addData(flush(31))
+      q.processAllAvailable()
+      val maxDay = java.time.Instant.ofEpochMilli(maxMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val streamed = spark.table("anom_rows")
+        .filter(col("day") <= lit(maxDay)) // drop the flush-day rows
+        .collect().map(_.toSeq.toList).toSet
+      val batch = graft.operators.TimeSeries.evAnomaly(spark, sf())
+        .collect().map(_.toSeq.toList).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("coverage state eviction is bounded and lossless") {
     import StreamingStats.CovState
     // 40 days of data with a hole at days 10-19, folded in two batches

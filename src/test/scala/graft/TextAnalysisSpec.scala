@@ -470,4 +470,119 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("kl") >= -1e-12, src) // Gibbs' inequality
     }
   }
+
+  test("ta_jsd equals a bucket-order JSD recompute, bounded by ln 2") {
+    import graft.functions.Determinism.r6Jvm
+    def tok(s0: String): Seq[String] =
+      s0.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val rows = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), tok(r.getString(1))))
+    val corpus = rows.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bucketOf = corpus.toSeq.sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, _), i) =>
+        t -> math.min(i, TextAnalysis.KlTopTerms)
+      }.toMap
+    val nB = TextAnalysis.KlTopTerms + 1
+    // smoothed bucket counts + totals per source
+    val bySrc = rows.groupBy(_._1).view.mapValues { ds =>
+      val bs = ds.flatMap(_._2).map(bucketOf)
+      (0 until nB).map(b => bs.count(_ == b).toLong + 1)
+    }.toMap
+    val sources = bySrc.keys.toSeq.sorted
+    val got = TextAnalysis.taJsd(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val wantPairs = for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b)
+    assert(got.keySet == wantPairs.toSet)
+    wantPairs.foreach { case (sa, sb) =>
+      val ca = bySrc(sa); val cb2 = bySrc(sb)
+      val na = ca.sum.toDouble; val nb = cb2.sum.toDouble
+      // the operator's fold: one term per bucket, summed in order
+      var jsd = 0.0
+      (0 until nB).foreach { b =>
+        val p = ca(b) / na; val q = cb2(b) / nb
+        jsd += 0.5 * (p * math.log(2.0 * p / (p + q)) +
+          q * math.log(2.0 * q / (p + q)))
+      }
+      val r = got((sa, sb))
+      assert(r.getAs[Long]("n_tokens_a") == ca.sum - nB,
+        s"n_tokens_a at $sa~$sb")
+      assert(r.getAs[Long]("n_tokens_b") == cb2.sum - nB,
+        s"n_tokens_b at $sa~$sb")
+      assert(r.getAs[Double]("jsd") == r6Jvm(jsd), s"jsd at $sa~$sb")
+      assert(r.getAs[Double]("jsd") >= -1e-12 &&
+        r.getAs[Double]("jsd") <= math.log(2.0) + 1e-9, s"bound at $sa~$sb")
+    }
+  }
+
+  test("ta_langid_confusion reconciles with ta_langid rows cell by cell") {
+    import graft.functions.Determinism.r6Jvm
+    val preds = TextAnalysis.taLangId(spark, sf("sf0.01"))
+      .select(col("lang"), col("predicted_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextAnalysis.taLangidConfusion(spark, sf("sf0.01")).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      want.keySet)
+    val totals = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n") == want(key), s"n at $key")
+      assert(r.getAs[Long]("lang_total") == totals(key._1))
+      assert(r.getAs[Double]("share") ==
+        r6Jvm(want(key).toDouble / totals(key._1)))
+      assert(r.getAs[Boolean]("is_correct") == (key._1 == key._2))
+    }
+    // the matrix is complete: cells sum to the corpus
+    assert(rows.map(_.getAs[Long]("n")).sum == preds.length.toLong)
+  }
+
+  test("ta_bm25 equals a brute-force BM25 ranking over all documents") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = TextAnalysis.taBm25(spark, sf("sf0.01")).collect()
+    assert(rows.length == TextAnalysis.Bm25TopK)
+    val dt = TextAnalysis.docs(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty))
+    val nDocs = dt.length.toLong
+    val total = dt.map(_._2.length.toLong).sum
+    val avgdl = total.toDouble / nDocs
+    val q = TextAnalysis.Bm25Query.sorted
+    val df = q.map(t =>
+      t -> dt.count(_._2.contains(t)).toLong).toMap
+    val idf = q.map { t =>
+      t -> math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+    }.toMap
+    val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
+    val scored = dt.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val matched = q.filter(t => toks.contains(t))
+      if (matched.isEmpty) None
+      else {
+        var s = 0.0
+        matched.foreach { t =>
+          val tf = toks.count(_ == t).toLong
+          s += (idf(t) * (tf * (k1 + 1.0))) /
+            (tf + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+        }
+        Some((id, dl, matched.length.toLong, r6Jvm(s)))
+      }
+    }
+    val want = scored.sortBy { case (id, _, _, s) => (-s, id) }
+      .take(TextAnalysis.Bm25TopK).toSeq
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+      r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toSeq
+    assert(got == want)
+    // ranking sanity: scores descend, every score positive
+    got.map(_._4).sliding(2).foreach {
+      case Seq(a, c) => assert(c <= a)
+      case _ => ()
+    }
+    assert(got.forall(_._4 > 0.0))
+  }
 }

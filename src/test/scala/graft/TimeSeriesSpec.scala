@@ -458,4 +458,164 @@ class TimeSeriesSpec extends SparkSpec {
     for (a <- byType.keys; b <- byType.keys if a < b && !seen((a, b)))
       assert((byType(a) & byType(b)).isEmpty, s"missing pair $a~$b")
   }
+
+  test("ev_cusum equals a brute-force cumulative-deviation scan") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = TimeSeries.evCusum(spark, sf("sf0.01")).collect()
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), unix_date(to_date(col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val types = daily.map(_._1).distinct
+    assert(rows.length == types.length && rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ds = daily.filter(_._1 == et)
+      val counts = ds.map(t => t._2 -> t._3).toMap
+      val mn = ds.map(_._2).min
+      val mx = ds.map(_._2).max
+      val dDays = mx - mn + 1
+      val total = ds.map(_._3).sum
+      var cum = 0L
+      var peak = -1L
+      var peakDay = 0
+      (mn to mx).foreach { day =>
+        cum += counts.getOrElse(day, 0L)
+        val dev = math.abs(dDays * cum - (day - mn + 1).toLong * total)
+        if (dev > peak) { peak = dev; peakDay = day }
+      }
+      assert(r.getAs[Int]("n_days") == dDays, s"n_days at $et")
+      assert(r.getAs[Long]("total") == total, s"total at $et")
+      assert(r.getAs[Long]("peak_dev") == peak, s"peak at $et")
+      assert(r.getAs[String]("change_day") ==
+        java.time.LocalDate.ofEpochDay(peakDay.toLong).toString,
+        s"change_day at $et")
+      assert(r.getAs[Double]("cusum") ==
+        r6Jvm(peak.toDouble / (dDays.toDouble * total)), s"cusum at $et")
+    }
+  }
+
+  test("ev_survival matches a brute-force Kaplan–Meier recompute") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = TimeSeries.evSurvival(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty)
+    val users = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_date(to_date(col("ts")))).as("f"),
+        max(unix_date(to_date(col("ts")))).as("l"),
+        min(when(col("event_type") === TimeSeries.SurvivalEvent,
+          unix_date(to_date(col("ts"))))).as("fp"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    val obs = users.map { case (f, l, fp) =>
+      fp match {
+        case Some(p) => (p - f, false)
+        case None => (l - f, true)
+      }
+    }
+    val byT = obs.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.count(!_._2).toLong, xs.count(_._2).toLong)
+    }
+    val times = byT.keys.toSeq.sorted
+    var atRisk = obs.length.toLong
+    var q = 0L
+    var dead = false
+    val expected = times.flatMap { t =>
+      val (d, cns) = byT(t)
+      val row = if (d > 0) {
+        if (d < atRisk)
+          q += java.math.BigDecimal
+            .valueOf(math.log((atRisk - d).toDouble / atRisk) *
+              TimeSeries.KmScale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        else dead = true
+        val s =
+          if (dead) 0.0
+          else r6Jvm(math.exp(q.toDouble / TimeSeries.KmScale.toDouble))
+        Some((t, atRisk, d, cns, s))
+      } else None
+      atRisk -= (d + cns)
+      row
+    }
+    val got = rows.map(r => (r.getAs[Int]("t_days"),
+      r.getAs[Long]("n_risk"), r.getAs[Long]("n_deaths"),
+      r.getAs[Long]("n_censored"), r.getAs[Double]("survival"))).toSeq
+    assert(got == expected)
+    // the curve is a survival function: non-increasing from ≤ 1
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.head <= 1.0 + 1e-9)
+    surv.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12)
+      case _ => ()
+    }
+  }
+
+  test("ev_survival right-censors never-converted users") {
+    // the driver fixture has no never-purchasers, so censoring is
+    // pinned on a constructed feed: u3 never converts (leaves the
+    // risk set at its censor time without a death), u4 converts last
+    // (risk set of 1 → wiped → survival exactly 0)
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 2L, "view", 1.0, "{}"),
+      (4L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(0), 3L, "view", 1.0, "{}"),
+      (6L, ts(5), 3L, "click", 1.0, "{}"),
+      (7L, ts(0), 4L, "view", 1.0, "{}"),
+      (8L, ts(8), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("surv").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.evSurvival(spark, dir).collect()
+      .map(r => (r.getAs[Int]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_deaths"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival"))).toSeq
+    // t=2: 2 of 4 convert → S=0.5 (micro-nat path rounds back to 0.5)
+    // t=5: censor only — no row; t=8: last at-risk converts → S=0
+    assert(got == Seq((2, 4L, 2L, 0L, 0.5), (8, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("ev_lag_corr equals a brute-force zero-filled Pearson recompute") {
+    import graft.functions.Determinism.r6Jvm
+    val rows = TimeSeries.evLagCorr(spark, sf("sf0.01")).collect()
+    val daily = StreamingStats.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"), unix_date(to_date(col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    val mn = daily.map(_._2).min
+    val mx = daily.map(_._2).max
+    // zero-filled series per type over the global range
+    val series = types.map { t =>
+      val m = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      t -> (mn to mx).map(d => m.getOrElse(d, 0L)).toIndexedSeq
+    }.toMap
+    assert(rows.length ==
+      types.length * (types.length - 1) * (TimeSeries.XcorrMaxLag + 1))
+    rows.foreach { r =>
+      val xs0 = series(r.getAs[String]("type_a"))
+      val ys0 = series(r.getAs[String]("type_b"))
+      val lag = r.getAs[Int]("lag")
+      val xs = xs0.dropRight(lag)
+      val ys = ys0.drop(lag)
+      val n = BigInt(xs.length)
+      assert(r.getAs[Long]("n_days") == xs.length.toLong)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      if (d1 > 0 && d2 > 0)
+        assert(r.getAs[Double]("xcorr") ==
+          r6Jvm((n * sxy - sx * sy).toDouble /
+            math.sqrt(d1.toDouble * d2.toDouble)))
+      else assert(r.isNullAt(r.fieldIndex("xcorr")))
+    }
+  }
 }
