@@ -1989,4 +1989,188 @@ SELECT lang, CAST(MAX(n_train) AS BIGINT) AS n_train,
 FROM dn GROUP BY lang
 HAVING MAX(n_train) > 0 AND MAX(n_val) > 0
 ORDER BY lang"""
+
+  // ------------------------------------------------------------------
+  // wh_pricing — pricing summary rollup (the TPC-H Q1 shape)
+  // ------------------------------------------------------------------
+
+  /** Lines shipped at or before max(shipdate) − this many days are in
+    * scope (the classic pricing-report cutoff, anchored to the data
+    * instead of a wall clock). */
+  val PricingCutoffDays = 90
+
+  /** The canonical warehouse pricing summary (TPC-H Q1's shape): per
+    * (returnflag, linestatus) over lines shipped before the cutoff —
+    * quantities, base price, discounted price, discounted+tax charge,
+    * and the per-line averages. The engine-wide money discipline makes
+    * it hash-exact: dollars→cents, discount/tax→integer percent, so
+    * `disc_price` sums in exact cents·pct (e4) and `charge` in
+    * cents·pct² (e6) units — decimal(38,0) folds, no float
+    * accumulation anywhere; the published dollar columns are single
+    * final divisions, r6'd.
+    *
+    * Scale shape: filter + canonicalize are map-side; ONE partial-agg
+    * shuffle of (flag, status) groups — the textbook
+    * full-scan-one-reduce query whole-stage codegen exists for.
+    */
+  def whPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        unix_date(to_date(col("l_shipdate"))).as("sday"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_p"),
+        round(col("l_tax") * 100).cast("long").as("tax_p"))
+    val anchor = li.agg(max(col("sday")).as("mx"))
+    li.crossJoin(broadcast(anchor))
+      .filter(col("sday") <= col("mx") - PricingCutoffDays)
+      .select(col("l_returnflag"), col("l_linestatus"), col("qty"),
+        col("ext_c").cast(M38).as("ext_c"),
+        col("disc_p"),
+        (col("ext_c").cast(M38) * (lit(100) - col("disc_p")))
+          .as("disc_e4"),
+        (col("ext_c").cast(M38) * (lit(100) - col("disc_p")) *
+          (lit(100) + col("tax_p"))).as("charge_e6"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("ext_c")).cast("long").as("sum_base_cents"),
+        sum(col("disc_e4")).cast("long").as("sum_disc_e4"),
+        sum(col("charge_e6")).cast("long").as("sum_charge_e6"),
+        sum(col("disc_p")).as("sum_disc_p"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_lines"),
+        col("sum_qty"), col("sum_base_cents"), col("sum_disc_e4"),
+        col("sum_charge_e6"),
+        r6(col("sum_qty").cast("double") / col("n_lines")).as("avg_qty"),
+        r6(col("sum_base_cents").cast("double") / col("n_lines") /
+          lit(100.0)).as("avg_price"),
+        r6(col("sum_disc_p").cast("double") / col("n_lines") /
+          lit(100.0)).as("avg_disc"),
+        r6(col("sum_disc_e4").cast("double") / lit(10000.0))
+          .as("disc_price_total"),
+        r6(col("sum_charge_e6").cast("double") / lit(1000000.0))
+          .as("charge_total"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val whPricingSql: String = s"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INTEGER)
+      AS sday,
+    CAST(round(l_quantity) AS BIGINT) AS qty,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+    CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+    CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem
+), anchor AS (
+  SELECT MAX(sday) AS mx FROM li
+), f AS (
+  SELECT l_returnflag, l_linestatus, qty, ext_c, disc_p,
+    ext_c * (100 - disc_p) AS disc_e4,
+    ext_c * (100 - disc_p) * (100 + tax_p) AS charge_e6
+  FROM li CROSS JOIN anchor
+  WHERE sday <= mx - $PricingCutoffDays
+), g AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+    CAST(SUM(qty) AS BIGINT) AS sum_qty,
+    CAST(SUM(ext_c) AS BIGINT) AS sum_base_cents,
+    CAST(SUM(disc_e4) AS BIGINT) AS sum_disc_e4,
+    CAST(SUM(charge_e6) AS BIGINT) AS sum_charge_e6,
+    CAST(SUM(disc_p) AS BIGINT) AS sum_disc_p
+  FROM f GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, CAST(n_lines AS BIGINT) AS n_lines,
+  sum_qty, sum_base_cents, sum_disc_e4, sum_charge_e6,
+  ${r6Sql("(CAST(sum_qty AS DOUBLE) / n_lines)")} AS avg_qty,
+  ${r6Sql("(CAST(sum_base_cents AS DOUBLE) / n_lines / " +
+      "CAST(100.0 AS DOUBLE))")} AS avg_price,
+  ${r6Sql("(CAST(sum_disc_p AS DOUBLE) / n_lines / " +
+      "CAST(100.0 AS DOUBLE))")} AS avg_disc,
+  ${r6Sql("(CAST(sum_disc_e4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))")}
+    AS disc_price_total,
+  ${r6Sql("(CAST(sum_charge_e6 AS DOUBLE) / CAST(1000000.0 AS DOUBLE))")}
+    AS charge_total
+FROM g ORDER BY l_returnflag, l_linestatus"""
+
+  // ------------------------------------------------------------------
+  // wh_ship_lag — order-to-ship latency distribution per month
+  // ------------------------------------------------------------------
+
+  /** Fulfillment latency: per order month, the distribution of
+    * order-date → ship-date lag across line items — min/p50/p90/max by
+    * the engine's exact rank-ceil rule ([[ExactRank]], the
+    * wh_aging/ev_gaps discipline) plus the exact integer-moment mean.
+    * The supply-chain twin of `ev_funnel_time`: same latency question,
+    * warehouse grain.
+    *
+    * Scale shape: the orders⋈lineitem equi-join is the engine's
+    * standard big join (bucketed co-location in sink/Warehouse when
+    * materialized); after it, everything lives on (month, distinct
+    * lag) rows — the quantile relation is bounded by the lag domain,
+    * not by line items.
+    */
+  def whShipLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        unix_date(to_date(col("l_shipdate"))).as("sday"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).as("oday"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"))
+    val g = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("month"), (col("sday") - col("oday")).cast("long")
+        .as("lag_days"))
+      .groupBy(col("month"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val byMonth = Window.partitionBy(col("month"))
+    val cum = byMonth.orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = byMonth
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(full))
+      .withColumn("mn", min(col("lag_days")).over(full))
+      .withColumn("mx", max(col("lag_days")).over(full))
+      .groupBy(col("month"))
+      .agg(
+        min(col("n")).as("n_lines"),
+        min(col("mn")).as("min_lag_days"),
+        ExactRank.valueAt(1, 2, "n", col("lag_days")).as("p50_lag_days"),
+        ExactRank.valueAt(9, 10, "n", col("lag_days")).as("p90_lag_days"),
+        min(col("mx")).as("max_lag_days"),
+        sum(col("lag_days") * col("cnt")).as("sum_lag"))
+      .select(col("month"), col("n_lines"), col("min_lag_days"),
+        col("p50_lag_days"), col("p90_lag_days"), col("max_lag_days"),
+        r6(col("sum_lag").cast("double") / col("n_lines"))
+          .as("mean_lag_days"))
+      .orderBy(col("month"))
+  }
+
+  val whShipLagSql: String = s"""
+WITH j AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+      AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), g AS (
+  SELECT month, lag_days, COUNT(*) AS cnt FROM j GROUP BY 1, 2
+), cw AS (
+  SELECT month, lag_days, cnt,
+    SUM(cnt) OVER (PARTITION BY month ORDER BY lag_days
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY month) AS n,
+    MIN(lag_days) OVER (PARTITION BY month) AS mn,
+    MAX(lag_days) OVER (PARTITION BY month) AS mx
+  FROM g
+)
+SELECT month,
+  CAST(MIN(n) AS BIGINT) AS n_lines,
+  MIN(mn) AS min_lag_days,
+  ${ExactRank.valueAtSql(1, 2, "n", "lag_days")} AS p50_lag_days,
+  ${ExactRank.valueAtSql(9, 10, "n", "lag_days")} AS p90_lag_days,
+  MIN(mx) AS max_lag_days,
+  ${r6Sql("(CAST(SUM(lag_days * cnt) AS DOUBLE) / MIN(n))")}
+    AS mean_lag_days
+FROM cw GROUP BY month ORDER BY month"""
 }

@@ -1698,4 +1698,195 @@ SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
       "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
       "CAST(n * syy - sy * sy AS DOUBLE)))")} END AS xcorr
 FROM g ORDER BY type_a, type_b, lag"""
+
+  // ------------------------------------------------------------------
+  // ev_attribution — multi-touch attribution with exact cent allocation
+  // ------------------------------------------------------------------
+
+  /** Linear multi-touch attribution over the SAME 30-minute
+    * click→purchase window as `ev_range_join`: every purchase's cents
+    * split across its prior clicks and rolled up by click day — the
+    * marketing readout behind spend decisions. The split is
+    * LARGEST-REMAINDER INTEGER allocation, not a float division: with
+    * n prior clicks, each gets `cents div n` and the `cents mod n`
+    * leftover cents go one each to the most recent clicks
+    * (recency-favoring, event_id tie-break). Every allocated unit is
+    * an exact cent, the books balance to the cent by construction,
+    * and there is NO cross-row float sum to make nondeterministic —
+    * the allocation discipline any billing-grade pipeline needs
+    * anyway.
+    *
+    * Scale shape: the pair stream is the shared bucketed [[rangeJoin]]
+    * (shuffle ∝ inputs, never the cross product); the two windows
+    * partition by purchase id over that pair stream; the rollup is a
+    * days-bounded partial agg.
+    */
+  def evAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = StreamingStats.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("click_id"))
+    val byPurchase = Window.partitionBy(col("event_id"))
+    val ranked = rangeJoin(purchases, clicks, "user_id",
+        RangeLoUs, RangeHiUs, Seq("click_id"))
+      .select(col("event_id"), col("cents"), col("click_id"),
+        col("r_us"),
+        count(lit(1)).over(byPurchase).as("n"),
+        row_number().over(byPurchase
+          .orderBy(col("r_us").desc, col("click_id"))).as("rk"))
+    ranked
+      .select(expr("(r_us - pmod(r_us, 86400000000)) div 86400000000")
+          .cast("int").as("click_day_num"),
+        (expr("cents div n") +
+          when(col("rk") <= pmod(col("cents"), col("n")), 1L)
+            .otherwise(0L)).as("w"),
+        col("event_id"))
+      .groupBy(col("click_day_num"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("event_id")).as("n_purchases"),
+        sum(col("w")).as("attributed_cents"))
+      .select(date_from_unix_date(col("click_day_num")).cast("string")
+          .as("click_day"),
+        col("n_credits"), col("n_purchases"), col("attributed_cents"))
+      .orderBy(col("click_day"))
+  }
+
+  val evAttributionSql: String = s"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT p.event_id, p.cents, c.click_id, c.us AS r_us
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.us >= p.us + $RangeLoUs AND c.us < p.us + $RangeHiUs
+), ranked AS (
+  SELECT event_id, cents, click_id, r_us,
+    COUNT(*) OVER (PARTITION BY event_id) AS n,
+    row_number() OVER (PARTITION BY event_id
+      ORDER BY r_us DESC, click_id) AS rk
+  FROM pairs
+), w AS (
+  SELECT CAST((r_us - (r_us % 86400000000)) // 86400000000 AS INTEGER)
+      AS click_day_num,
+    cents // n + (CASE WHEN rk <= cents % n THEN 1 ELSE 0 END) AS w,
+    event_id
+  FROM ranked
+)
+SELECT CAST(DATE '1970-01-01' + click_day_num AS VARCHAR) AS click_day,
+  COUNT(*) AS n_credits,
+  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases,
+  CAST(SUM(w) AS BIGINT) AS attributed_cents
+FROM w GROUP BY click_day_num ORDER BY click_day"""
+
+  // ------------------------------------------------------------------
+  // ev_growth_accounting — new / retained / resurrected / churned
+  // ------------------------------------------------------------------
+
+  /** A returning gap ≤ this many days counts as retained; longer is
+    * resurrected, and silence past it after a last-active day is the
+    * churn event. */
+  val GrowthGapDays = 7
+
+  /** Daily growth accounting: every active (user, day) classifies as
+    * NEW (first day ever), RETAINED (returned within
+    * [[GrowthGapDays]]) or RESURRECTED (returned after a longer
+    * silence); a user CHURNS on `last_active + gap + 1` when that day
+    * is inside the observed range. The canonical DAU-decomposition
+    * behind every growth dashboard — `ev_active_users` counts heads,
+    * this explains the CHANGE in heads; all-integer, so hash-exact
+    * with no float discipline needed.
+    *
+    * Scale shape: one partial-agg'd distinct (user, day) pass — the
+    * `ev_retention` relation — one per-user lag window, then
+    * day-bounded aggregates joined on the complete day scaffold
+    * (days with zero events must still report their churn).
+    */
+  def evGrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classed = ud
+      .withColumn("prev", lag(col("day"), 1).over(byUser))
+      .select(col("day"),
+        when(col("prev").isNull, "new")
+          .when(col("day") - col("prev") <= GrowthGapDays, "retained")
+          .otherwise("resurrected").as("cls"))
+    val active = classed.groupBy(col("day"))
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val bounds = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val churn = ud.groupBy(col("user_id")).agg(max(col("day")).as("l"))
+      .select((col("l") + GrowthGapDays + 1).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    val scaffold = bounds.select(
+      explode(sequence(col("mn"), col("mx"))).as("day"))
+    scaffold.join(active, Seq("day"), "left")
+      .join(churn, Seq("day"), "left")
+      .select(date_from_unix_date(col("day")).cast("string").as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        (coalesce(col("n_new"), lit(0L)) +
+          coalesce(col("n_retained"), lit(0L)) +
+          coalesce(col("n_resurrected"), lit(0L))).as("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val evGrowthAccountingSql: String = s"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+  FROM events
+), classed AS (
+  SELECT day,
+    CASE WHEN prev IS NULL THEN 'new'
+      WHEN day - prev <= $GrowthGapDays THEN 'retained'
+      ELSE 'resurrected' END AS cls
+  FROM (SELECT user_id, day,
+          lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM ud)
+), active AS (
+  SELECT day,
+    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+      AS n_resurrected
+  FROM classed GROUP BY day
+), b AS (
+  SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud
+), churn AS (
+  SELECT l + ${GrowthGapDays + 1} AS day, COUNT(*) AS n_churned
+  FROM (SELECT user_id, MAX(day) AS l FROM ud GROUP BY user_id)
+  CROSS JOIN b
+  WHERE l + ${GrowthGapDays + 1} <= mx
+  GROUP BY 1
+), scaffold AS (
+  SELECT CAST(unnest(generate_series(mn, mx)) AS INTEGER) AS day FROM b
+)
+SELECT CAST(DATE '1970-01-01' + s.day AS VARCHAR) AS day,
+  CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+  CAST(COALESCE(a.n_retained, 0) AS BIGINT) AS n_retained,
+  CAST(COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+  CAST(COALESCE(a.n_new, 0) + COALESCE(a.n_retained, 0) +
+    COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_active,
+  CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM scaffold s
+LEFT JOIN active a ON a.day = s.day
+LEFT JOIN churn c ON c.day = s.day
+ORDER BY s.day"""
 }

@@ -673,6 +673,78 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wh_pricing equals an integer-cents brute-force rollup") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def i(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        unix_date(to_date(col("l_shipdate"))).as("sday"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        i(r.getDouble(3)), cents(r.getDouble(4)), cents(r.getDouble(5)),
+        cents(r.getDouble(6))))
+    val cutoff = li.map(_._3).max - Analytics.PricingCutoffDays
+    val inScope = li.filter(_._3 <= cutoff)
+    val rows = Analytics.whPricing(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      inScope.map(t => (t._1, t._2)).toSet)
+    rows.foreach { r =>
+      val g = inScope.filter(t => t._1 == r.getString(0) &&
+        t._2 == r.getString(1))
+      val n = g.length.toLong
+      val sumQty = g.map(_._4).sum
+      val sumBase = g.map(_._5).sum
+      val sumDiscP = g.map(_._6).sum
+      val sumDiscE4 = g.map(t => t._5 * (100 - t._6)).sum
+      val sumChargeE6 = g.map(t => t._5 * (100 - t._6) * (100 + t._7)).sum
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(r.getAs[Long]("sum_qty") == sumQty)
+      assert(r.getAs[Long]("sum_base_cents") == sumBase)
+      assert(r.getAs[Long]("sum_disc_e4") == sumDiscE4)
+      assert(r.getAs[Long]("sum_charge_e6") == sumChargeE6)
+      assert(r.getAs[Double]("avg_qty") == r6Jvm(sumQty.toDouble / n))
+      assert(r.getAs[Double]("avg_price") ==
+        r6Jvm(sumBase.toDouble / n / 100.0))
+      assert(r.getAs[Double]("avg_disc") ==
+        r6Jvm(sumDiscP.toDouble / n / 100.0))
+      assert(r.getAs[Double]("disc_price_total") ==
+        r6Jvm(sumDiscE4.toDouble / 10000.0))
+      assert(r.getAs[Double]("charge_total") ==
+        r6Jvm(sumChargeE6.toDouble / 1000000.0))
+    }
+  }
+
+  test("wh_ship_lag percentiles follow the rank-ceil rule per month") {
+    import graft.functions.Determinism.r6Jvm
+    val lags = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .join(spark.read.parquet(sf("sf0.01") + "/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM"),
+        (unix_date(to_date(col("l_shipdate"))) -
+          unix_date(to_date(col("o_orderdate")))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = Analytics.whShipLag(spark, sf("sf0.01")).collect()
+    assert(rows.map(_.getString(0)).toSet == lags.map(_._1).toSet)
+    rows.foreach { r =>
+      val s = lags.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = s.length
+      def rc(num: Int, den: Int): Long = s((num * n + den - 1) / den - 1)
+      assert(r.getAs[Long]("n_lines") == n.toLong)
+      assert(r.getAs[Long]("min_lag_days") == s.head)
+      assert(r.getAs[Long]("p50_lag_days") == rc(1, 2))
+      assert(r.getAs[Long]("p90_lag_days") == rc(9, 10))
+      assert(r.getAs[Long]("max_lag_days") == s.last)
+      assert(r.getAs[Double]("mean_lag_days") ==
+        r6Jvm(s.sum.toDouble / n))
+    }
+  }
+
   test("prof_ks equals a brute-force two-sample KS per language") {
     import graft.functions.Determinism.r6Jvm
     val rows = Analytics.profKs(spark, sf("sf0.01")).collect()

@@ -26,8 +26,9 @@ class PlanLintSpec extends SparkSpec {
     *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
     *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning,
     *    ev_survival (1-row user-total anchor), ev_lag_corr (1-row
-    *    day-bounds anchor for the zero-fill scaffold), ta_bm25
-    *    (1-row corpus-stats anchor),
+    *    day-bounds anchor for the zero-fill scaffold), ev_growth_accounting
+    *    (1-row day-bounds anchor for churn clipping + scaffold), ta_bm25
+    *    (1-row corpus-stats anchor), wh_pricing (1-row ship-date anchor),
     *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
@@ -39,14 +40,16 @@ class PlanLintSpec extends SparkSpec {
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed",
     "dd_lsh_tuning",
-    "ev_lag_corr", "ev_session_stats", "ev_survival", "prof_drift",
+    "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
+    "ev_survival", "prof_drift",
     "prof_mi",
     "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",
-    "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq")
+    "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq",
+    "wh_pricing")
 
   /** Built-in CodegenFallback expressions allowed per query, each at a
     * bounded (non-corpus) grain: ev_json's from_json has no codegen in

@@ -580,6 +580,89 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((2, 4L, 2L, 0L, 0.5), (8, 1L, 1L, 0L, 0.0)))
   }
 
+  test("ev_attribution allocates every purchase's cents exactly once") {
+    val ev = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val purchases = ev.filter(_._1 == "purchase")
+    val clicks = ev.filter(_._1 == "click")
+    // brute force: per purchase, window clicks ranked most-recent
+    // first; largest-remainder split; roll up by click day
+    val byDay = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L)) // (credits, cents)
+    val purchasesByDay = scala.collection.mutable
+      .Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    var attributedTotal = 0L
+    var touchedTotal = 0L
+    purchases.foreach { case (_, pid, user, pus, cents) =>
+      val prior = clicks.filter(c => c._3 == user &&
+          c._4 >= pus + TimeSeries.RangeLoUs &&
+          c._4 < pus + TimeSeries.RangeHiUs)
+        .sortBy(c => (-c._4, c._2))
+      if (prior.nonEmpty) {
+        val n = prior.length
+        touchedTotal += cents
+        prior.zipWithIndex.foreach { case (c, i) =>
+          val w = cents / n + (if (i < cents % n) 1L else 0L)
+          attributedTotal += w
+          val day = c._4 / 86400000000L
+          val (cr, ct) = byDay(day)
+          byDay(day) = (cr + 1, ct + w)
+          purchasesByDay(day) = purchasesByDay(day) + pid
+        }
+      }
+    }
+    val rows = TimeSeries.evAttribution(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    // the books balance: allocation is exhaustive and exact
+    assert(attributedTotal == touchedTotal)
+    assert(rows.map(_.getAs[Long]("attributed_cents")).sum == touchedTotal)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+      assert(r.getAs[Long]("n_credits") == byDay(day)._1)
+      assert(r.getAs[Long]("attributed_cents") == byDay(day)._2)
+      assert(r.getAs[Long]("n_purchases") ==
+        purchasesByDay(day).size.toLong)
+    }
+    assert(rows.length == byDay.size)
+  }
+
+  test("ev_growth_accounting classifies every active user-day once") {
+    val ud = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val mn = ud.map(_._2).min; val mx = ud.map(_._2).max
+    val gap = TimeSeries.GrowthGapDays
+    val rows = TimeSeries.evGrowthAccounting(spark, sf("sf0.01")).collect()
+    assert(rows.length == mx - mn + 1)
+    val cls = byUser.values.flatMap { days =>
+      days.zipWithIndex.map { case (d, i) =>
+        d -> (if (i == 0) "new"
+          else if (d - days(i - 1) <= gap) "retained"
+          else "resurrected")
+      }
+    }.toSeq
+    val churnByDay = byUser.values.map(_.last + gap + 1)
+      .filter(_ <= mx).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(0)).toEpochDay.toInt
+      def cnt(c: String) = cls.count(t => t._1 == d && t._2 == c).toLong
+      assert(r.getAs[Long]("n_new") == cnt("new"))
+      assert(r.getAs[Long]("n_retained") == cnt("retained"))
+      assert(r.getAs[Long]("n_resurrected") == cnt("resurrected"))
+      assert(r.getAs[Long]("n_active") == cls.count(_._1 == d).toLong)
+      assert(r.getAs[Long]("n_churned") == churnByDay.getOrElse(d, 0L))
+    }
+    // every user is new exactly once
+    assert(rows.map(_.getAs[Long]("n_new")).sum == byUser.size.toLong)
+  }
+
   test("ev_lag_corr equals a brute-force zero-filled Pearson recompute") {
     import graft.functions.Determinism.r6Jvm
     val rows = TimeSeries.evLagCorr(spark, sf("sf0.01")).collect()
