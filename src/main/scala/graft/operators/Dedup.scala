@@ -1422,4 +1422,64 @@ SELECT cluster_size, COUNT(*) AS n_clusters,
   CAST(cluster_size * COUNT(*) AS BIGINT) AS docs_total,
   CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removable
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+
+  // ------------------------------------------------------------------
+  // dd_family_overlap — lexical vs semantic near-dup agreement
+  // ------------------------------------------------------------------
+
+  /** Agreement census between the two near-dup families: the pair
+    * sets found by MinHash-LSH over text (`dd_minhash_lsh`) and by
+    * embedding cosine (`dd_embed_cosine`), on the fixture's aligned
+    * vec_id == doc_id identification. Lexical-only pairs are
+    * copy-edits the embedding missed; semantic-only pairs are
+    * paraphrases no shingle catches; the Jaccard of the two sets is
+    * the number that decides whether a deployment needs BOTH passes
+    * or one subsumes the other. PURE composition — both pair streams
+    * and both oracle bodies are the shipped ones, embedded verbatim.
+    *
+    * Scale shape: each family's stream keeps its own documented
+    * posture; the agreement join keys on the pair ids (bounded by the
+    * near-dup rate) and the census is three 1-row aggregates.
+    */
+  def ddFamilyOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = ddMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val sem = ddEmbedCosine(spark, sfDir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val both = lex.join(sem, Seq("doc_a", "doc_b"))
+    val den = col("n_lexical") + col("n_semantic") - col("n_both")
+    lex.agg(count(lit(1)).as("n_lexical"))
+      .crossJoin(broadcast(sem.agg(count(lit(1)).as("n_semantic"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+        (col("n_lexical") - col("n_both")).as("n_lexical_only"),
+        (col("n_semantic") - col("n_both")).as("n_semantic_only"),
+        when(den > 0,
+          r6(col("n_both").cast("double") / den)).as("jaccard"))
+  }
+
+  val ddFamilyOverlapSql: String = s"""
+WITH lexp AS (
+  SELECT doc_a, doc_b FROM (
+  ${ddMinhashLshSql.replace("\n", "\n  ")}
+  )
+), semp AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+  ${ddEmbedCosineSql.replace("\n", "\n  ")}
+  )
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM lexp) AS n_lexical,
+    (SELECT COUNT(*) FROM semp) AS n_semantic,
+    (SELECT COUNT(*) FROM lexp JOIN semp USING (doc_a, doc_b))
+      AS n_both
+)
+SELECT CAST(n_lexical AS BIGINT) AS n_lexical,
+  CAST(n_semantic AS BIGINT) AS n_semantic,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST(n_lexical - n_both AS BIGINT) AS n_lexical_only,
+  CAST(n_semantic - n_both AS BIGINT) AS n_semantic_only,
+  CASE WHEN n_lexical + n_semantic - n_both > 0 THEN
+    ${graft.functions.Determinism.r6Sql(
+      "(CAST(n_both AS DOUBLE) / (n_lexical + n_semantic - n_both))")}
+  END AS jaccard
+FROM counts"""
 }

@@ -445,4 +445,26 @@ class DedupSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Infinity"), s"threshold filter survived:\n$plan")
   }
+
+  test("dd_family_overlap reconciles with the two shipped pair streams") {
+    import graft.functions.Determinism.r6Jvm
+    val lex = Dedup.ddMinhashLsh(spark, sf("sf0.01"))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.ddEmbedCosine(spark, sf("sf0.01"))
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Dedup.ddFamilyOverlap(spark, sf("sf0.01")).collect().head
+    val both = (lex & sem).size.toLong
+    assert(r.getAs[Long]("n_lexical") == lex.size.toLong)
+    assert(r.getAs[Long]("n_semantic") == sem.size.toLong)
+    assert(r.getAs[Long]("n_both") == both)
+    assert(r.getAs[Long]("n_lexical_only") == (lex -- sem).size.toLong)
+    assert(r.getAs[Long]("n_semantic_only") == (sem -- lex).size.toLong)
+    val den = lex.size.toLong + sem.size - both
+    if (den > 0)
+      assert(r.getAs[Double]("jaccard") == r6Jvm(both.toDouble / den))
+    // the fixture exercises both families
+    assert(lex.nonEmpty && sem.nonEmpty)
+  }
 }

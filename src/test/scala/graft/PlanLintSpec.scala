@@ -25,6 +25,7 @@ class PlanLintSpec extends SparkSpec {
     *    prof_mi, prof_outliers, qf_composite, qf_lm_filter,
     *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
     *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning,
+    *    dd_family_overlap (three 1-row census aggregates),
     *    ev_survival (1-row user-total anchor), ev_lag_corr (1-row
     *    day-bounds anchor for the zero-fill scaffold), ev_growth_accounting
     *    (1-row day-bounds anchor for churn clipping + scaffold), ta_bm25
@@ -39,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
   private val bnljOk: Set[String] = Set(
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed",
-    "dd_lsh_tuning",
+    "dd_family_overlap", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "prof_drift",
     "prof_mi",

@@ -423,4 +423,68 @@ class PropertySpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(sq / v.length), s"mse $id")
     }
   }
+
+  /** Seeded random events fixture on disk — shared by the attribution
+    * and growth-accounting invariants below. */
+  private lazy val randomEventsDir: String = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val rows = (1 to 3000).map { i =>
+      val user = 1L + rnd.nextInt(50)
+      val ms = rnd.nextInt(20) * 86400000L + rnd.nextInt(86400000)
+      (i.toLong, new java.sql.Timestamp(ms), user,
+        types(rnd.nextInt(types.length)),
+        rnd.nextInt(100000) / 100.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("randev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ev_attribution conserves cents on random feeds (books balance)") {
+    import graft.operators.TimeSeries
+    val ev = spark.read.parquet(s"$randomEventsDir/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clicks = ev.filter(_._1 == "click")
+    // a purchase's cents enter the ledger iff it has >= 1 prior click
+    val expected = ev.filter(_._1 == "purchase").collect {
+      case (_, u, us, cents) if clicks.exists(c => c._2 == u &&
+        c._3 >= us + TimeSeries.RangeLoUs &&
+        c._3 < us + TimeSeries.RangeHiUs) => cents
+    }.sum
+    val rows = TimeSeries.evAttribution(spark, randomEventsDir).collect()
+    assert(rows.map(_.getAs[Long]("attributed_cents")).sum == expected)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_credits") >= r.getAs[Long]("n_purchases")))
+  }
+
+  test("ev_growth_accounting partitions activity on random feeds") {
+    import graft.operators.TimeSeries
+    val ud = spark.read.parquet(s"$randomEventsDir/events.parquet")
+      .select(col("user_id"),
+        unix_date(to_date(col("ts").cast("timestamp"))).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val rows = TimeSeries.evGrowthAccounting(spark, randomEventsDir)
+      .collect()
+    // every user is born exactly once; every active day decomposes
+    assert(rows.map(_.getAs[Long]("n_new")).sum ==
+      ud.map(_._1).distinct.length.toLong)
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(0)).toEpochDay.toInt
+      assert(r.getAs[Long]("n_active") == ud.count(_._2 == d).toLong)
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+    // churn is bounded by the population and never counts active users
+    val mx = ud.map(_._2).max
+    val churnTotal = rows.map(_.getAs[Long]("n_churned")).sum
+    val lastByUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    assert(churnTotal == lastByUser.values
+      .count(_ + TimeSeries.GrowthGapDays + 1 <= mx).toLong)
+  }
 }
