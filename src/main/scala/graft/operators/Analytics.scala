@@ -2173,4 +2173,164 @@ SELECT month,
   ${r6Sql("(CAST(SUM(lag_days * cnt) AS DOUBLE) / MIN(n))")}
     AS mean_lag_days
 FROM cw GROUP BY month ORDER BY month"""
+
+  // ------------------------------------------------------------------
+  // wh_regional — local-supply revenue star join (the TPC-H Q5 shape)
+  // ------------------------------------------------------------------
+
+  /** Local-supply revenue by region / nation / order year: lineitem ⋈
+    * orders ⋈ customer ⋈ supplier with the Q5 "local supplier"
+    * constraint (customer and supplier in the SAME nation), rolled up
+    * through the nation → region dimension chain — the engine's
+    * canonical multi-table star join, exercising the full snowflake in
+    * one query where the rest of the wh_ family joins at most two
+    * fact-side tables.
+    *
+    * Exactness: revenue folds as `ext_c · (100 − disc_p)` in
+    * decimal(38,0) e4 units (the `wh_pricing` money discipline); the
+    * ONLY float is one final r6'd division. The distinct-order count
+    * is exact.
+    *
+    * Scale shape: the two fact-side joins (lineitem⋈orders on the
+    * order key; the result ⋈ customer / ⋈ supplier on their keys) are
+    * the standard shuffle equi-joins — bucketed co-location applies to
+    * the first exactly as in sink/Warehouse. nation and region are
+    * CONSTANT-size dimensions (25 / 5 rows) and broadcast; the
+    * nationkey equality is a post-join filter that Catalyst pushes
+    * into the join condition. Everything after the joins is one
+    * partial-agg'd shuffle of (region, nation, year) rows — a
+    * few-hundred-row relation at any SF.
+    */
+  def whRegional(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long").cast(M38) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("year"))
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+      .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+        col("year"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(col("rev_e4")).cast("long").as("rev_e4"))
+      .select(col("region"), col("nation"), col("year"), col("n_orders"),
+        col("n_lines"),
+        r6(col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("region"), col("nation"), col("year"))
+  }
+
+  val whRegionalSql: String = s"""
+WITH f AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS INTEGER)
+      AS year,
+    o.o_orderkey,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE c.c_nationkey = s.s_nationkey
+)
+SELECT region, nation, year,
+  COUNT(DISTINCT o_orderkey) AS n_orders,
+  COUNT(*) AS n_lines,
+  ${r6Sql("(CAST(SUM(rev_e4) AS DOUBLE) / 10000.0)")} AS revenue
+FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ------------------------------------------------------------------
+  // wh_hhi — supplier-concentration census (Herfindahl index)
+  // ------------------------------------------------------------------
+
+  /** Supplier concentration per part type: the Herfindahl–Hirschman
+    * index of supplier revenue shares, the effective supplier count
+    * (1/HHI), and the top supplier's share — the single-source-risk
+    * readout a procurement review starts from.
+    *
+    * Exactness: per-supplier revenue folds in decimal(38,0) e4 cents
+    * (exact under any partitioning); HHI = Σr² / (Σr)² would overflow
+    * decimal(38,0) in the DENOMINATOR square at extreme volume
+    * (Σr ~ 1e19 e4-units at the 100 TB target), so both engines
+    * convert the exact Σr² and Σr once through the correctly-rounded
+    * decimal→double path (DuckDB via the VARCHAR round-trip, the
+    * `prof_corr` idiom) and form the ratio as the SAME fixed-arity
+    * float expression — deterministic, and exact to the 6 rounded
+    * decimals the gate hashes. `eff_suppliers` is (Σr)²/Σr² (NOT
+    * 1/hhi — one agreed float shape per statistic).
+    *
+    * Scale shape: lineitem ⋈ part on the part key is a plain shuffle
+    * equi-join (part scales with SF — no broadcast assumption); then
+    * one partial-agg'd shuffle to (type, supplier) rows and a
+    * types-bounded final reduce. Nothing downstream scales with line
+    * items.
+    */
+  def whHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long").cast(M38) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_type"))
+    val perSupp = li.join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("rev_e4")).as("rev"))
+    val g = perSupp.groupBy(col("p_type")).agg(
+      count(lit(1)).as("n_suppliers"),
+      sum(col("rev")).as("s"),
+      sum(col("rev") * col("rev")).as("ssq"),
+      max(col("rev")).as("mx"))
+    val sD = col("s").cast("double")
+    val ssqD = col("ssq").cast("double")
+    g.select(col("p_type"), col("n_suppliers"),
+        r6(sD / 10000.0).as("revenue"),
+        r6(ssqD / (sD * sD)).as("hhi"),
+        r6((sD * sD) / ssqD).as("eff_suppliers"),
+        r6(col("mx").cast("double") / sD).as("top_share"))
+      .orderBy(col("p_type"))
+  }
+
+  val whHhiSql: String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)
+      AS rev_e4
+  FROM lineitem
+), per_supp AS (
+  SELECT p.p_type, li.l_suppkey, SUM(li.rev_e4) AS rev
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT p_type, COUNT(*) AS n_suppliers,
+    SUM(rev) AS s, SUM(rev * rev) AS ssq, MAX(rev) AS mx
+  FROM per_supp GROUP BY 1
+)
+SELECT p_type, n_suppliers,
+  ${r6Sql(s"(${dbl("s")} / 10000.0)")} AS revenue,
+  ${r6Sql(s"(${dbl("ssq")} / (${dbl("s")} * ${dbl("s")}))")} AS hhi,
+  ${r6Sql(s"((${dbl("s")} * ${dbl("s")}) / ${dbl("ssq")})")}
+    AS eff_suppliers,
+  ${r6Sql(s"(${dbl("mx")} / ${dbl("s")})")} AS top_share
+FROM g ORDER BY p_type"""
+  }
 }

@@ -778,4 +778,93 @@ class AnalyticsSpec extends SparkSpec {
     }.keySet
     assert(rows.map(_.getAs[String]("lang")).toSet == langs)
   }
+
+  test("wh_regional equals a local-supply brute-force rollup") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dir = sf("sf0.001")
+    val li = spark.read.parquet(dir + "/lineitem.parquet").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+        cents(r.getAs[Double]("l_extendedprice")) *
+          (100 - cents(r.getAs[Double]("l_discount")))))
+    val o = spark.read.parquet(dir + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("y")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val cNat = spark.read.parquet(dir + "/customer.parquet").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey"))
+      .toMap
+    val sNat = spark.read.parquet(dir + "/supplier.parquet").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("s_nationkey"))
+      .toMap
+    val nation = spark.read.parquet(dir + "/nation.parquet").collect()
+      .map(r => r.getAs[Int]("n_nationkey") ->
+        (r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey"))).toMap
+    val region = spark.read.parquet(dir + "/region.parquet").collect()
+      .map(r => r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name"))
+      .toMap
+    // brute-force local-supply fact rows: (region, nation, year,
+    // orderkey, rev_e4) where customer and supplier nations match
+    val facts = li.flatMap { case (ok, sk, rev) =>
+      val (ck, y) = o(ok)
+      if (cNat(ck) == sNat(sk)) {
+        val (nName, rk) = nation(sNat(sk))
+        Some(((region(rk), nName, y), (ok, rev)))
+      } else None
+    }
+    val expect = facts.groupBy(_._1).map { case (k, rows) =>
+      k -> (rows.map(_._2._1).distinct.length.toLong,
+        rows.length.toLong, rows.map(_._2._2).sum)
+    }
+    val got = Analytics.whRegional(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet == expect.keySet)
+    got.foreach { r =>
+      val (nOrders, nLines, revE4) =
+        expect((r.getString(0), r.getString(1), r.getInt(2)))
+      assert(r.getAs[Long]("n_orders") == nOrders)
+      assert(r.getAs[Long]("n_lines") == nLines)
+      assert(r.getAs[Double]("revenue") == r6Jvm(revE4.toDouble / 10000.0))
+    }
+  }
+
+  test("wh_hhi equals a brute-force concentration census per type") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dir = sf("sf0.001")
+    val pType = spark.read.parquet(dir + "/part.parquet").collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_type"))
+      .toMap
+    val li = spark.read.parquet(dir + "/lineitem.parquet").collect()
+      .map(r => ((pType(r.getAs[Long]("l_partkey")),
+        r.getAs[Long]("l_suppkey")),
+        BigInt(cents(r.getAs[Double]("l_extendedprice"))) *
+          (100 - cents(r.getAs[Double]("l_discount")))))
+    val perSupp = li.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum }
+    val got = Analytics.whHhi(spark, dir).collect()
+    assert(got.nonEmpty)
+    val byType = perSupp.groupBy(_._1._1)
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val revs = byType(r.getString(0)).values.toSeq
+      val s = revs.sum
+      val ssq = revs.map(v => v * v).sum
+      // the agreed float shape: exact-decimal → correctly-rounded
+      // double ONCE per moment, then fixed-arity arithmetic
+      val sD = s.toDouble; val ssqD = ssq.toDouble
+      assert(r.getAs[Long]("n_suppliers") == revs.length.toLong)
+      assert(r.getAs[Double]("revenue") == r6Jvm(sD / 10000.0))
+      assert(r.getAs[Double]("hhi") == r6Jvm(ssqD / (sD * sD)))
+      assert(r.getAs[Double]("eff_suppliers") == r6Jvm((sD * sD) / ssqD))
+      assert(r.getAs[Double]("top_share") ==
+        r6Jvm(revs.max.toDouble / sD))
+      // HHI bounds: 1/n <= hhi <= 1
+      val h = r.getAs[Double]("hhi")
+      assert(h >= 1.0 / revs.length - 1e-9 && h <= 1.0 + 1e-9)
+    }
+  }
 }
