@@ -2333,4 +2333,92 @@ SELECT p_type, n_suppliers,
   ${r6Sql(s"(${dbl("mx")} / ${dbl("s")})")} AS top_share
 FROM g ORDER BY p_type"""
   }
+
+  // ------------------------------------------------------------------
+  // ev_power — experiment power / minimal-detectable-effect readout
+  // ------------------------------------------------------------------
+
+  /** z_{α/2} for α = 0.05 plus z_β for power 0.8 — the standard
+    * two-sided 5% / 80% design constants, summed once here so both
+    * engines consume ONE literal.
+    */
+  val PowerZSum = 1.959964 + 0.841621
+
+  /** Pre-experiment power readout per event type: from the metric's
+    * own exact moments, the minimal detectable effect an equal-split
+    * A/B test over the CURRENT population could resolve (α=0.05
+    * two-sided, power 0.8), and the per-arm sample size a 1% relative
+    * lift would need — the "is this experiment even worth running"
+    * gate that belongs in front of `ev_abtest`'s post-hoc verdict.
+    *
+    * Exactness: the same decimal(38,0) cent-moment fold as
+    * `ev_abtest`/`prof_moments`; each moment converts ONCE through
+    * the correctly-rounded decimal→double path and the derived
+    * statistics are fixed-arity float expressions shared verbatim
+    * between the engines (sqrt is IEEE correctly-rounded on both).
+    * `mde_abs = z·sd·sqrt(4/n)` is the equal-arm (m = n/2) standard
+    * error shape; `n_per_arm_1pct = 2·z²·var/δ²` with δ = mean/100.
+    *
+    * Scale shape: ONE partial-agg'd shuffle of per-type moment rows;
+    * nothing downstream scales with events.
+    */
+  def evPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").cast(M38).as("v"))
+    val m = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s"),
+      sum(col("v") * col("v")).as("ss"))
+    val nD = col("n").cast("double")
+    val meanC = col("s").cast("double") / nD
+    // sample variance in cents² from exact moments
+    val varC = (col("n").cast(M38) * col("ss") - col("s") * col("s"))
+      .cast("double") / (nD * (col("n") - 1).cast("double"))
+    val sd = sqrt(varC) / 100.0
+    val mdeAbs = lit(PowerZSum) * sd * sqrt(lit(4.0) / nD)
+    val delta = meanC / 100.0
+    val nPerArm = (lit(2.0 * PowerZSum * PowerZSum) * varC) /
+      (delta * delta)
+    m.select(col("event_type"), col("n"),
+        r6(meanC / 100.0).as("mean_value"),
+        when(col("n") > 1, r6(sd)).as("sd_value"),
+        when(col("n") > 1, r6(mdeAbs)).as("mde_abs"),
+        when(col("n") > 1 && col("s") > 0,
+          r6(mdeAbs / (meanC / 100.0))).as("mde_rel"),
+        when(col("n") > 1 && col("s") > 0, r6(nPerArm))
+          .as("n_per_arm_1pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val evPowerSql: String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val meanC = s"(${dbl("s")} / n)"
+    val varC = s"(${dbl(s"(CAST(n AS HUGEINT) * ss - s * s)")} / " +
+      s"(CAST(n AS DOUBLE) * (n - 1)))"
+    val sd = s"(sqrt($varC) / 100.0)"
+    val mdeAbs = s"($PowerZSum * $sd * sqrt(4.0 / CAST(n AS DOUBLE)))"
+    val delta = s"($meanC / 100.0)"
+    val nPerArm = s"((${2.0 * PowerZSum * PowerZSum} * $varC) / " +
+      s"($delta * $delta))"
+    s"""
+WITH e AS (
+  SELECT event_type,
+    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS v
+  FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(v) AS s, SUM(v * v) AS ss
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+  ${r6Sql(s"($meanC / 100.0)")} AS mean_value,
+  CASE WHEN n > 1 THEN ${r6Sql(sd)} END AS sd_value,
+  CASE WHEN n > 1 THEN ${r6Sql(mdeAbs)} END AS mde_abs,
+  CASE WHEN n > 1 AND s > 0 THEN
+    ${r6Sql(s"($mdeAbs / ($meanC / 100.0))")} END AS mde_rel,
+  CASE WHEN n > 1 AND s > 0 THEN ${r6Sql(nPerArm)} END
+    AS n_per_arm_1pct
+FROM m ORDER BY event_type"""
+  }
 }

@@ -1889,4 +1889,117 @@ FROM scaffold s
 LEFT JOIN active a ON a.day = s.day
 LEFT JOIN churn c ON c.day = s.day
 ORDER BY s.day"""
+
+  // ------------------------------------------------------------------
+  // ev_stickiness — DAU/MAU engagement ratio per day
+  // ------------------------------------------------------------------
+
+  /** Trailing MAU window span in days (current day + 27 preceding). */
+  val MauDays = 27
+
+  /** Daily DAU, trailing-28-day MAU, and the DAU/MAU stickiness ratio
+    * on the complete day scaffold — the engagement-frequency readout
+    * beside `ev_growth_accounting`'s flow decomposition ("how many of
+    * the month's users show up on a given day").
+    *
+    * MAU is EXACT without a 28× row fan-out or a rolling distinct:
+    * each user's presence days collapse into coverage intervals
+    * [day, day+27] (consecutive-run merge via the lag-gap rule —
+    * the `ev_sessions` idiom at day grain), and each interval becomes
+    * two diff-array deltas (+1 at start, −1 past end). The trailing
+    * distinct count is then a running sum of deltas over the day
+    * scaffold — the classic interval-stabbing reduction, O(intervals)
+    * rows instead of O(28·user-days).
+    *
+    * Determinism: DAU/MAU are exact integers; the ratio is the single
+    * r6'd float, NULL-guarded for scaffold days whose trailing window
+    * is empty (a >28-day silent gap).
+    *
+    * Scale shape: one distinct (user, day) partial agg — the
+    * ev_growth_accounting relation — then per-user lag windows on
+    * presence days, and everything after lives on days-bounded
+    * relations (deltas, scaffold, one single-partition running sum
+    * over ≤ days rows). Nothing downstream scales with events.
+    */
+  def evStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    // a new coverage interval starts when the previous presence day's
+    // window [prev, prev+27] no longer reaches this day
+    val iv = ud
+      .withColumn("brk",
+        when(col("day") - lag(col("day"), 1).over(wU) <= MauDays, 0)
+          .otherwise(1))
+      .withColumn("iid", sum(col("brk")).over(wU))
+    val intervals = iv.groupBy(col("user_id"), col("iid"))
+      .agg(min(col("day")).as("s"), (max(col("day")) + MauDays).as("e"))
+    val deltas = intervals.select(col("s").as("day"), lit(1L).as("d"))
+      .unionAll(intervals.select((col("e") + 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy(col("day")).agg(sum(col("d")).as("d"))
+    val bounds = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val scaffold = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(deltas, Seq("day"), "left")
+      .join(dau, Seq("day"), "left")
+      .withColumn("mau", sum(coalesce(col("d"), lit(0L))).over(wDay))
+      .select(
+        date_from_unix_date(col("day")).cast("string").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        col("mau"),
+        when(col("mau") > 0,
+          r6(col("dau").cast("double") / col("mau"))).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val evStickinessSql: String = s"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+  FROM events
+), iv AS (
+  SELECT user_id, day,
+    CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+      <= $MauDays THEN 0 ELSE 1 END AS brk
+  FROM ud
+), ivid AS (
+  SELECT user_id, day,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS iid
+  FROM iv
+), intervals AS (
+  SELECT user_id, iid, MIN(day) AS s, MAX(day) + $MauDays AS e
+  FROM ivid GROUP BY 1, 2
+), deltas AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM (
+    SELECT s AS day, 1 AS d FROM intervals
+    UNION ALL
+    SELECT e + 1 AS day, -1 AS d FROM intervals
+  ) GROUP BY day
+), bounds AS (
+  SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud
+), scaffold AS (
+  SELECT UNNEST(generate_series(mn, mx)) AS day FROM bounds
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+), m AS (
+  SELECT sc.day,
+    COALESCE(dau.dau, 0) AS dau,
+    SUM(COALESCE(dl.d, 0)) OVER (ORDER BY sc.day
+      ROWS UNBOUNDED PRECEDING) AS mau
+  FROM scaffold sc
+  LEFT JOIN deltas dl ON dl.day = sc.day
+  LEFT JOIN dau ON dau.day = sc.day
+)
+SELECT CAST(DATE '1970-01-01' + CAST(day AS INTEGER) AS VARCHAR) AS day,
+  CAST(dau AS BIGINT) AS dau,
+  CAST(mau AS BIGINT) AS mau,
+  CASE WHEN mau > 0 THEN
+    ${r6Sql("(CAST(dau AS DOUBLE) / mau)")} END AS stickiness
+FROM m ORDER BY day"""
 }

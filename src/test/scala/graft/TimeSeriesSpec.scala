@@ -701,4 +701,57 @@ class TimeSeriesSpec extends SparkSpec {
       else assert(r.isNullAt(r.fieldIndex("xcorr")))
     }
   }
+
+  test("ev_stickiness equals the naive trailing-window distinct count") {
+    import graft.functions.Determinism.r6Jvm
+    val ud = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val (mn, mx) = (ud.map(_._2).min, ud.map(_._2).max)
+    val got = TimeSeries.evStickiness(spark, sf("sf0.01")).collect()
+    assert(got.length == mx - mn + 1)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val d = mn + i
+      assert(r.getString(0) == java.time.LocalDate.ofEpochDay(d).toString)
+      // the naive definition the interval-diff trick must reproduce
+      val dau = ud.count(_._2 == d).toLong
+      val mau = ud.filter(u => u._2 <= d &&
+        u._2 >= d - TimeSeries.MauDays).map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau, s"dau at $d")
+      assert(r.getAs[Long]("mau") == mau, s"mau at $d")
+      if (mau > 0)
+        assert(r.getAs[Double]("stickiness") ==
+          r6Jvm(dau.toDouble / mau))
+      else assert(r.isNullAt(r.fieldIndex("stickiness")))
+    }
+  }
+
+  test("ev_stickiness: a silent gap beyond the window zeroes MAU") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // u1 active days 0-1 then returns day 60; u2 active day 1 only:
+    // days 29..59 have an empty trailing window → mau = 0, NULL ratio
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(1), 1L, "view", 1.0, "{}"),
+      (3L, ts(1), 2L, "click", 1.0, "{}"),
+      (4L, ts(60), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("stick").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.evStickiness(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def at(day: Int) = got(java.time.LocalDate.ofEpochDay(day).toString)
+    assert(got.size == 61)
+    assert(at(0).getAs[Long]("mau") == 1L)
+    assert(at(1).getAs[Long]("mau") == 2L)
+    assert(at(1).getAs[Long]("dau") == 2L)
+    assert(at(28).getAs[Long]("mau") == 2L) // day 1 + 27 still covers
+    assert(at(29).getAs[Long]("mau") == 0L)
+    assert(at(29).isNullAt(at(29).fieldIndex("stickiness")))
+    assert(at(59).getAs[Long]("mau") == 0L)
+    assert(at(60).getAs[Long]("mau") == 1L)
+    assert(at(60).getAs[Double]("stickiness") == 1.0)
+  }
 }
