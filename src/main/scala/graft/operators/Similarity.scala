@@ -1248,4 +1248,214 @@ SELECT pos, CAST(n_train AS BIGINT) AS n_train,
     AS is_drift
 FROM j ORDER BY pos"""
   }
+
+  // ------------------------------------------------------------------
+  // sim_hybrid_rrf — hybrid lexical+semantic retrieval (RRF fusion)
+  // ------------------------------------------------------------------
+
+  /** Query-terms kept per anchor (Lucene MoreLikeThis's top-tf cut). */
+  val MltTerms = 10
+
+  /** Candidates kept per arm before fusion. */
+  val RrfDepth = 20
+
+  /** Fused results returned per query. */
+  val RrfK = 10
+
+  /** The standard RRF dampening constant. */
+  val RrfC = 60
+
+  /** Hybrid query-by-example retrieval: for each of the [[NQueries]]
+    * anchor documents, a LEXICAL ranking (BM25 over the anchor's top
+    * [[MltTerms]] tf terms — Lucene's MoreLikeThis form of `ta_bm25`)
+    * and a SEMANTIC ranking (exact cosine over the aligned embedding,
+    * the `sim_bruteforce_topk` scorer) are fused by reciprocal-rank
+    * fusion: `score = Σ 1/(60 + rank)` over the arms that retrieved
+    * the document. The full hybrid stack ta_bm25's docstring promises
+    * — copy-edits surface through the lexical arm, paraphrases through
+    * the semantic arm, and RRF needs no score calibration between
+    * them, which is exactly why production retrieval uses it.
+    *
+    * Determinism: both arms rank their r6'd scores with doc_id
+    * tie-break (the ta_bm25 cut rule), so each arm's rank column is
+    * engine-identical; the fused score is a fixed two-term float sum
+    * of exact rank reciprocals, r6'd and ranked with the same
+    * tie-break. BM25 folds per (query, doc) IN TERM ORDER.
+    *
+    * Scale shape: the lexical arm rides the shared (doc, term)
+    * partial-agg relation — everything query-specific (top-tf term
+    * election, the ≤ q·m term table, df/idf) is broadcast-size; the
+    * scored relation is docs-matching-any-query-term × matched terms.
+    * The semantic arm is |queries| × corpus exact cosine — the
+    * correctness baseline; at 100 TB the IVF candidate stream
+    * (`sim_label_knn_ann`'s front) substitutes for it unchanged, the
+    * fusion never sees the difference. Fusion itself joins two
+    * ≤ q·[[RrfDepth]]-row lists.
+    */
+  def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import TextAnalysis.{docs, tokens, Bm25K1, Bm25B}
+    val td = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = td.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    // each anchor's MoreLikeThis query: its top-m terms by tf
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("tf").desc, col("term"))
+    val qterms = td.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= MltTerms)
+      .select(col("query_id"), col("term"))
+    val qvocab = qterms.select(col("term")).distinct()
+    val idf = td.join(broadcast(qvocab), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val norm = lit(1.0 - Bm25B) +
+      lit(Bm25B) * (col("dl").cast("double") / avgdl)
+    val termScore = (col("idf") * (col("tf") * lit(Bm25K1 + 1.0))) /
+      (col("tf") + lit(Bm25K1) * norm)
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = td.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        termScore.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("raw"))
+      .select(col("query_id"), col("doc_id"), r6(col("raw")).as("score"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val e = base(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cosc = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val wSem = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("doc_id"))
+    val sem = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), r6(cosc).as("c"))
+      .withColumn("sem_rank", row_number().over(wSem))
+      .filter(col("sem_rank") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("sem_rank"), r6(rrf).as("score"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= RrfK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHybridRrfSql: String = {
+    import TextAnalysis.{Bm25K1, Bm25B}
+    val fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(s ORDER BY term)), (acc, x) -> acc + x)"""
+    def rrfTerm(r: String) =
+      s"COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + $r), CAST(0.0 AS DOUBLE))"
+    s"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM td GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+), qterms AS (
+  SELECT query_id, term FROM (
+    SELECT doc_id AS query_id, term,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY tf DESC, term) AS r
+    FROM td WHERE doc_id < $NQueries
+  ) WHERE r <= $MltTerms
+), idf AS (
+  SELECT term,
+    ln(CAST(1.0 AS DOUBLE) +
+       (n_docs - df + CAST(0.5 AS DOUBLE)) /
+       (df + CAST(0.5 AS DOUBLE))) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM td
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term)
+  CROSS JOIN stats
+), lex_scored AS (
+  SELECT q.query_id, t.doc_id, t.term,
+    (i.idf * (t.tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))) /
+      (t.tf + CAST($Bm25K1 AS DOUBLE) *
+        (CAST(${1.0 - Bm25B} AS DOUBLE) + CAST($Bm25B AS DOUBLE) *
+         (CAST(dl.dl AS DOUBLE) /
+          (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS s
+  FROM td t
+  JOIN qterms q ON q.term = t.term AND t.doc_id <> q.query_id
+  JOIN idf i ON i.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats st
+), lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS lex_rank
+    FROM (
+      SELECT query_id, doc_id,
+        ${r6Sql(fold)} AS score
+      FROM lex_scored GROUP BY query_id, doc_id
+    )
+  ) WHERE lex_rank <= $RrfDepth
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), en AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM ev
+), eq AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en
+  WHERE vec_id < $NQueries
+), sem AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY c DESC, doc_id) AS sem_rank
+    FROM (
+      SELECT q.query_id, n.vec_id AS doc_id,
+        ${r6Sql(s"""(${dotSql("q.qv", "n.v")} / sqrt(q.qn * n.nrm))""")}
+          AS c
+      FROM eq q JOIN en n ON n.vec_id <> q.query_id
+    )
+  ) WHERE sem_rank <= $RrfDepth
+), fused AS (
+  SELECT query_id, doc_id, lex_rank, sem_rank,
+    ${r6Sql(s"(${rrfTerm("lex_rank")} + ${rrfTerm("sem_rank")})")}
+      AS score
+  FROM lex FULL JOIN sem USING (query_id, doc_id)
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+  CAST(lex_rank AS INTEGER) AS lex_rank,
+  CAST(sem_rank AS INTEGER) AS sem_rank, score
+FROM (
+  SELECT query_id, doc_id, lex_rank, sem_rank, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= $RrfK
+ORDER BY query_id, rank"""
+  }
 }

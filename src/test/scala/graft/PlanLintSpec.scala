@@ -33,7 +33,9 @@ class PlanLintSpec extends SparkSpec {
     *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
-    *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall.
+    *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
+    *    sim_hybrid_rrf (1-row corpus-stats anchor on the lexical arm +
+    *    the NQueries-row semantic query side).
     *  - the constant-size eval side (the one documented BNLJ-is-right
     *    case): cp_decontam_embed.
     */
@@ -46,6 +48,7 @@ class PlanLintSpec extends SparkSpec {
     "prof_mi",
     "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
+    "sim_hybrid_rrf",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",

@@ -301,4 +301,88 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("sim_hybrid_rrf equals a full local recompute of both arms") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S, TextAnalysis => TA}
+    val dir = sf("sf0.001")
+    // ---- lexical arm: BM25 over each anchor's top-tf terms ----
+    val docTerms = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val tf: Map[Long, Map[String, Long]] = docTerms.map { case (d, ts) =>
+      d -> ts.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    }
+    val withTok = tf.filter(_._2.nonEmpty)
+    val nDocs = withTok.size.toLong
+    val totalTokens = withTok.values.map(_.values.sum).sum
+    val avgdl = totalTokens.toDouble / nDocs
+    val anchors = (0L until S.NQueries.toLong)
+      .filter(withTok.contains).toSeq
+    def topTerms(d: Long): Seq[String] = withTok(d).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(S.MltTerms).map(_._1)
+    def df(t: String): Long = withTok.values.count(_.contains(t)).toLong
+    def idf(t: String): Double = {
+      val dfv = df(t)
+      math.log(1.0 + (nDocs - dfv + 0.5) / (dfv + 0.5))
+    }
+    def bm25(q: Long, d: Long): Double = {
+      val dl = withTok(d).values.sum
+      val norm = (1.0 - TA.Bm25B) + TA.Bm25B * (dl.toDouble / avgdl)
+      topTerms(q).filter(withTok(d).contains).sorted
+        .foldLeft(0.0) { (acc, t) =>
+          val f = withTok(d)(t)
+          acc + (idf(t) * (f * (TA.Bm25K1 + 1.0))) /
+            (f + TA.Bm25K1 * norm)
+        }
+    }
+    val lexRank: Map[Long, Seq[Long]] = anchors.map { q =>
+      q -> withTok.keys.filter(d => d != q &&
+          topTerms(q).exists(withTok(d).contains)).toSeq
+        .map(d => (d, r6Jvm(bm25(q, d))))
+        .sortBy { case (d, sc) => (-sc, d) }.take(S.RrfDepth).map(_._1)
+    }.toMap
+    // ---- semantic arm: exact cosine, sequential-fold dot ----
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val semRank: Map[Long, Seq[Long]] = anchors.map { q =>
+      val qv = vecs(q); val qn = dot(qv, qv)
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map { d =>
+          (d, r6Jvm(dot(qv, vecs(d)) / math.sqrt(qn * dot(vecs(d), vecs(d)))))
+        }
+        .sortBy { case (d, c) => (-c, d) }.take(S.RrfDepth).map(_._1)
+    }.toMap
+    // ---- fusion ----
+    def rrfOf(rank: Option[Int]): Double =
+      rank.map(r => 1.0 / (S.RrfC + r)).getOrElse(0.0)
+    val expect = anchors.flatMap { q =>
+      val lr = lexRank(q).zipWithIndex.map { case (d, i) => d -> (i + 1) }
+        .toMap
+      val sr = semRank(q).zipWithIndex.map { case (d, i) => d -> (i + 1) }
+        .toMap
+      (lr.keySet ++ sr.keySet).toSeq
+        .map { d =>
+          (d, lr.get(d), sr.get(d),
+            r6Jvm(rrfOf(lr.get(d)) + rrfOf(sr.get(d))))
+        }
+        .sortBy { case (d, _, _, sc) => (-sc, d) }.take(S.RrfK)
+        .zipWithIndex
+        .map { case ((d, l, s2, sc), i) => (q, i + 1, d, l, s2, sc) }
+    }
+    val got = Similarity.simHybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
 }
