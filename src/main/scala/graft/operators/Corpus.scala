@@ -1656,4 +1656,78 @@ SELECT n_docs, n_sources, n_langs, top_lang,
   ${r6Sql("(CAST(n_keep AS DOUBLE) / n_docs)")} AS keep_rate
 FROM a CROSS JOIN t"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_bpe_pairs — BPE first-merge pair election
+  // ------------------------------------------------------------------
+
+  /** Merge candidates surfaced per census pass. */
+  val BpeTopPairs = 20
+
+  /** The first iteration of BPE tokenizer training, as a census: the
+    * corpus-wide frequencies of adjacent character pairs inside
+    * whitespace words, ranked — the top row IS the first merge a BPE
+    * trainer would perform, and re-running the census after applying
+    * a merge is exactly the training loop (each merge is a fresh
+    * corpus pass at scale, which is why the census is the shipped
+    * primitive and the loop is the driver around it).
+    *
+    * Spark extracts overlapping pairs with a zero-width-lookahead
+    * regex (`(?=(..))`, codegen'd `regexp_extract_all` — no
+    * higher-order function in the per-word hot path); DuckDB's RE2
+    * has no lookahead, so the oracle enumerates positions with
+    * `list_transform(range)` — both walk code points, and the shared
+    * semantics is "substring of length 2 at every position".
+    *
+    * Determinism: counts are exact; rank orders (count desc, pair
+    * asc — binary UTF8 on both engines); the share divides by a
+    * full-frame window total over the pair-bounded relation (no
+    * 1-row broadcast needed). Scale: one explode + one partial-agg'd
+    * shuffle of (pair) rows — the relation is alphabet²-bounded, so
+    * the window and rank are census-sized; the rank-filter plans
+    * through the engine's TopK machinery.
+    */
+  def cpBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val words = docs(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(
+      explode(regexp_extract_all(col("w"), lit("(?=(..))"), lit(1)))
+        .as("pair"))
+    val g = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val w = Window.orderBy(col("n_occurrences").desc, col("pair"))
+    g.withColumn("total", sum(col("n_occurrences")).over(full))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BpeTopPairs)
+      .select(col("rank"), col("pair"), col("n_occurrences"),
+        r6(col("n_occurrences").cast("double") / col("total")).as("share"))
+      .orderBy(col("rank"))
+  }
+
+  val cpBpePairsSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM tok WHERE length(w) >= 2
+), g AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+), t AS (
+  SELECT pair, n_occurrences,
+    SUM(n_occurrences) OVER () AS total,
+    row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+  FROM g
+)
+SELECT CAST(rank AS INTEGER) AS rank, pair,
+  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+  ${r6Sql("(CAST(n_occurrences AS DOUBLE) / total)")} AS share
+FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
+  }
 }

@@ -1482,4 +1482,123 @@ SELECT CAST(n_lexical AS BIGINT) AS n_lexical,
       "(CAST(n_both AS DOUBLE) / (n_lexical + n_semantic - n_both))")}
   END AS jaccard
 FROM counts"""
+
+  // ------------------------------------------------------------------
+  // dd_minhash_error — signature-estimate calibration census
+  // ------------------------------------------------------------------
+
+  /** Exact-Jaccard micro-unit scale (1e6; 1e6/K = 62500 exactly, so
+    * the k/16 estimate needs NO rounding on this lattice).
+    */
+  val MinhashErrScale = 1000000L
+
+  /** MinHash estimator calibration: over the LSH candidate-pair
+    * stream, one row per signature match count k ∈ [0, 16] comparing
+    * the estimate the sketch implies (k/16) against the realized
+    * exact Jaccard — mean/min/max and mean absolute error. The
+    * sketch-quality readout that justifies (or indicts) trusting 16
+    * minhashes before the exact verify, and the empirical answer to
+    * "how many hash functions does this corpus need".
+    *
+    * Determinism: the match count is an exact integer compare of the
+    * two signatures; each pair's exact Jaccard (the SAME
+    * [[graft.functions.SortedJaccardGE]] merge, threshold 0.0 —
+    * provably unthresholded: tn = 0 disables the early exit and
+    * j ≥ 0 always, no NULL path exists for non-empty sets) is
+    * quantized to micro-units by round-half-up on BOTH engines (the
+    * ev_survival micro-nat discipline), so every aggregate is an
+    * integer fold; k·62500 is the estimate on the same lattice with
+    * no rounding at all. One float division per output statistic.
+    *
+    * Scale shape: rides the banded candidate stream (bounded by the
+    * real near-dup rate, never all-pairs); signatures and hash sets
+    * join by doc key; output is ≤ K+1 rows.
+    */
+  def ddMinhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedJaccardGE.register(spark)
+    val sig = signature(spark, sfDir).cache()
+    val bands = bandRows(sig)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val base = hashSets(spark, sfDir)
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    val siga = sig.select(col("doc_id").as("doc_a") +:
+      (0 until K).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sigb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until K).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val matchCount = (0 until K).map(i =>
+      when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0)).reduce(_ + _)
+    val jExact = graft.functions.SortedJaccardGE
+      .jaccardGE(col("ha"), col("hb"), 0.0)
+    val perPair = cands
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .join(siga, "doc_a").join(sigb, "doc_b")
+      .select(matchCount.as("matches"),
+        round(jExact * MinhashErrScale).cast("long").as("j_u"))
+    val estOf = col("matches") * lit(MinhashErrScale / K)
+    perPair
+      .groupBy(col("matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j_u")).cast("long").as("sj"),
+        min(col("j_u")).as("mn"), max(col("j_u")).as("mx"),
+        sum(abs(estOf - col("j_u"))).cast("long").as("serr"))
+      .select(col("matches"),
+        r6(col("matches") / lit(K.toDouble)).as("est_jaccard"),
+        col("n_pairs"),
+        r6(col("sj").cast("double") / col("n_pairs") / 1000000.0)
+          .as("mean_exact"),
+        r6(col("mn").cast("double") / 1000000.0).as("min_exact"),
+        r6(col("mx").cast("double") / 1000000.0).as("max_exact"),
+        r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
+          .as("mean_abs_err"))
+      .orderBy(col("matches"))
+  }
+
+  val ddMinhashErrorSql: String = {
+    val matchSql = (0 until K).map(i =>
+      s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    sigBandsCteSql + s""", cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), hsets AS (
+  SELECT doc_id, list_distinct(hs) AS hd FROM hashed
+), exact AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(round((CAST(len(list_filter(x.hd, g -> list_contains(y.hd, g)))
+        AS DOUBLE) /
+      (len(x.hd) + len(y.hd) -
+       len(list_filter(x.hd, g -> list_contains(y.hd, g))))) *
+      $MinhashErrScale) AS BIGINT) AS j_u
+  FROM cands c
+  JOIN hsets x ON x.doc_id = c.doc_a
+  JOIN hsets y ON y.doc_id = c.doc_b
+), m AS (
+  SELECT c.doc_a, c.doc_b, ($matchSql) AS matches
+  FROM cands c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+), g AS (
+  SELECT m.matches, COUNT(*) AS n_pairs,
+    CAST(SUM(e.j_u) AS BIGINT) AS sj,
+    MIN(e.j_u) AS mn, MAX(e.j_u) AS mx,
+    CAST(SUM(ABS(m.matches * ${MinhashErrScale / K} - e.j_u)) AS BIGINT)
+      AS serr
+  FROM m JOIN exact e ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+  GROUP BY m.matches
+)
+SELECT CAST(matches AS INTEGER) AS matches,
+  ${r6Sql(s"(matches / CAST($K.0 AS DOUBLE))")} AS est_jaccard,
+  n_pairs,
+  ${r6Sql("(CAST(sj AS DOUBLE) / n_pairs / 1000000.0)")} AS mean_exact,
+  ${r6Sql("(CAST(mn AS DOUBLE) / 1000000.0)")} AS min_exact,
+  ${r6Sql("(CAST(mx AS DOUBLE) / 1000000.0)")} AS max_exact,
+  ${r6Sql("(CAST(serr AS DOUBLE) / n_pairs / 1000000.0)")}
+    AS mean_abs_err
+FROM g ORDER BY matches"""
+  }
 }

@@ -622,4 +622,26 @@ class CorpusSpec extends SparkSpec {
     val de = exact.getAs[Double]("dup_rate")
     assert(math.abs(apx.getAs[Double]("dup_rate") - de) <= 0.02 + 1e-9)
   }
+
+  test("cp_bpe_pairs equals a local sliding-pair census") {
+    import graft.functions.Determinism.r6Jvm
+    val dir = sf("sf0.001")
+    val words = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2)
+    val counts = words.flatMap(w =>
+        w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+    val total = counts.values.sum
+    val expect = counts.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(Corpus.BpeTopPairs)
+      .zipWithIndex.map { case ((p, n), i) =>
+        (i + 1, p, n, r6Jvm(n.toDouble / total)) }
+    val got = Corpus.cpBpePairs(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
 }

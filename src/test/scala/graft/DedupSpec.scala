@@ -467,4 +467,67 @@ class DedupSpec extends SparkSpec {
     // the fixture exercises both families
     assert(lex.nonEmpty && sem.nonEmpty)
   }
+
+  test("dd_minhash_error equals a full local calibration recompute") {
+    import graft.functions.{CrossHash, Determinism}
+    import Determinism.r6Jvm
+    def md5Mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16) % CrossHash.P
+    }
+    val dir = sf("sf0.001")
+    val hs: Map[Long, Set[Long]] = spark.read
+      .parquet(dir + "/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else Some(r.getLong(0) -> toks.sliding(3).map(_.mkString(" "))
+          .toSet[String].map(md5Mod))
+      }.toMap
+    val sig: Map[Long, IndexedSeq[Long]] = hs.map { case (d, set) =>
+      d -> (0 until Dedup.K).map(i =>
+        set.map(h => (h * Dedup.As(i) + Dedup.Bs(i)) % CrossHash.P).min)
+    }
+    // banded candidates, a < b
+    val byKey = sig.toSeq.flatMap { case (d, mh) =>
+      (0 until Dedup.Bands).map(b =>
+        (b, (0 until Dedup.R).map(r => mh(b * Dedup.R + r))
+          .mkString("_")) -> d)
+    }.groupBy(_._1).values
+    val cands = byKey.flatMap { g =>
+      val ds = g.map(_._2).sorted
+      for (i <- ds.indices; j <- (i + 1) until ds.length)
+        yield (ds(i), ds(j))
+    }.toSet
+    def half(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val perPair = cands.toSeq.map { case (a, b) =>
+      val matches = (0 until Dedup.K).count(i => sig(a)(i) == sig(b)(i))
+      val inter = (hs(a) & hs(b)).size
+      val j = inter.toDouble / (hs(a).size + hs(b).size - inter)
+      (matches, half(j * Dedup.MinhashErrScale))
+    }
+    val got = Dedup.ddMinhashError(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getInt(0)).toSet == perPair.map(_._1).toSet)
+    got.foreach { r =>
+      val k = r.getInt(0)
+      val g = perPair.filter(_._1 == k).map(_._2)
+      val n = g.length.toLong
+      val est = Dedup.MinhashErrScale / Dedup.K * k
+      assert(r.getAs[Double]("est_jaccard") == r6Jvm(k / Dedup.K.toDouble))
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Double]("mean_exact") ==
+        r6Jvm(g.sum.toDouble / n / 1000000.0))
+      assert(r.getAs[Double]("min_exact") == r6Jvm(g.min / 1000000.0))
+      assert(r.getAs[Double]("max_exact") == r6Jvm(g.max / 1000000.0))
+      assert(r.getAs[Double]("mean_abs_err") ==
+        r6Jvm(g.map(v => math.abs(est - v)).sum.toDouble / n / 1000000.0))
+    }
+  }
 }
