@@ -905,4 +905,113 @@ FROM sess_rows ORDER BY user_id, session_id"""
           out.iterator
       }
   }
+
+  // ------------------------------------------------------------------
+  // streaming growth accounting — ev_growth_accounting's live twin
+  // ------------------------------------------------------------------
+
+  case class GrowthEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Per-user growth state: `pending` = presence days the watermark
+    * has not closed yet (sorted, distinct, all > `last`); `last` =
+    * the most recent CLASSIFIED day (None until the first day
+    * closes); `churned` = the current inactivity streak already
+    * emitted its churn row (reset by the next resurrection).
+    */
+  case class GrowthState(pending: Seq[Int], last: Option[Int],
+      churned: Boolean)
+
+  case class GrowthOut(user_id: Long, day: String, kind: String)
+
+  /** [[graft.operators.TimeSeries.evGrowthAccounting]]'s incremental
+    * twin at USER grain: one `new`/`retained`/`resurrected` row the
+    * moment the watermark closes a presence day, and a `churned` row
+    * the moment it closes `last_active + gap + 1` with no activity in
+    * between — the DAU-decomposition pager signal, driven by
+    * EventTimeTimeout timers (churn is an ABSENCE; only a timer can
+    * observe it).
+    *
+    * Contract vs the batch query: class rows aggregate to exactly the
+    * batch's per-day new/retained/resurrected counts for every closed
+    * day. Churn rows are the SUPERSET the live semantics implies: the
+    * batch (retrospective) query books one churn per user, off their
+    * final activity only; the stream also books each INTERMEDIATE
+    * churn that a later resurrection retracts in hindsight — a live
+    * monitor cannot know the future, and the resurrection row that
+    * follows is the retraction. StreamingSpec pins both halves
+    * exactly (streamed churn set == per-streak boundaries; batch
+    * churn rows == the final-streak subset).
+    *
+    * State is O(1) per user (two ints + the open-day tail) — the
+    * honest floor for ANY growth-accounting system, since "when did
+    * this user last act" is the signal itself. Late data beyond the
+    * watermark (a day ≤ an already-classified day) is dropped:
+    * emitted classifications are immutable.
+    */
+  def growthStream(events: DataFrame): Dataset[GrowthOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TimeSeries.GrowthGapDays
+    val dayMs = 86400000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[GrowthEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GrowthState, GrowthOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[GrowthEvent],
+            state: GroupState[GrowthState]) =>
+          val prev = state.getOption.getOrElse(
+            GrowthState(Nil, None, churned = false))
+          var last = prev.last
+          var churned = prev.churned
+          // merge new presence days; drop late data at or before the
+          // classification frontier (immutable emissions)
+          var pending = prev.pending.toSet ++
+            it.map(e => dayNum(e.ts)).filter(d => last.forall(d > _))
+          val wm = state.getCurrentWatermarkMs()
+          def dstr(d: Int) = java.time.LocalDate.ofEpochDay(d.toLong).toString
+          val out = scala.collection.mutable.ArrayBuffer.empty[GrowthOut]
+          val closed = pending.filter(d => (d + 1L) * dayMs <= wm)
+            .toSeq.sorted
+          closed.foreach { d =>
+            last match {
+              case None => out += GrowthOut(uid, dstr(d), "new")
+              case Some(l) if d - l <= GrowthGapDays =>
+                out += GrowthOut(uid, dstr(d), "retained")
+              case Some(l) =>
+                // the gap is observed: book the churn the timer would
+                // have (unless it already fired), then the return
+                if (!churned)
+                  out += GrowthOut(uid, dstr(l + GrowthGapDays + 1),
+                    "churned")
+                out += GrowthOut(uid, dstr(d), "resurrected")
+            }
+            churned = false
+            last = Some(d)
+          }
+          pending = pending -- closed
+          // inactivity churn: the churn day itself must be closed and
+          // no unclosed presence day may sit inside the gap window
+          last.foreach { l =>
+            val c = l + GrowthGapDays + 1
+            if (!churned && (c + 1L) * dayMs <= wm &&
+                !pending.exists(_ <= l + GrowthGapDays)) {
+              out += GrowthOut(uid, dstr(c), "churned")
+              churned = true
+            }
+          }
+          state.update(GrowthState(pending.toSeq.sorted, last, churned))
+          // next wake-up: the earliest pending close, else the churn
+          // close; dormant churned users wake only on new data
+          val nextTs: Option[Long] =
+            if (pending.nonEmpty) Some((pending.min + 1L) * dayMs)
+            else if (!churned && last.isDefined)
+              Some((last.get.toLong + GrowthGapDays + 2L) * dayMs)
+            else None
+          nextTs.foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1L)))
+          out.iterator
+      }
+  }
 }

@@ -767,4 +767,119 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", "2025-03-01", 1L),
       ("view", "2025-03-03", 1L)), s"got $out")
   }
+
+  test("streaming growth rows reconcile with batch ev_growth_accounting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("user_id"), col("ts")).orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val maxMs = fixture.map(_._2.getTime).max
+    val maxDay = java.time.Instant.ofEpochMilli(maxMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    def flush(days: Int) =
+      Seq((999999L, new Timestamp(maxMs + days * 86400000L)))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamingStats.growthStream(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("growth_rows").start()
+    try {
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable() // cross-batch state
+      mem.addData(flush(40)); q.processAllAvailable()
+      mem.addData(flush(41)); q.processAllAvailable() // timers fire
+      val streamed = spark.table("growth_rows")
+        .filter(col("user_id") =!= 999999L && col("day") <= lit(maxDay))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq
+      // class rows aggregate to the batch per-day decomposition
+      val batch = graft.operators.TimeSeries
+        .evGrowthAccounting(spark, sf()).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val perDay = streamed.filter(_._3 != "churned")
+        .groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+      batch.foreach { case (day, r) =>
+        assert(perDay.getOrElse((day, "new"), 0L) ==
+          r.getAs[Long]("n_new"), s"new at $day")
+        assert(perDay.getOrElse((day, "retained"), 0L) ==
+          r.getAs[Long]("n_retained"), s"retained at $day")
+        assert(perDay.getOrElse((day, "resurrected"), 0L) ==
+          r.getAs[Long]("n_resurrected"), s"resurrected at $day")
+      }
+      assert(streamed.filter(_._3 != "churned").map(_._2)
+        .forall(batch.contains))
+      // churn rows: one per inactivity-streak boundary (the live
+      // superset); the batch books exactly the final-streak subset
+      val gap = graft.operators.TimeSeries.GrowthGapDays
+      val userDays = fixture
+        .map { case (u, ts) =>
+          (u, math.floorDiv(ts.getTime, 86400000L).toInt) }
+        .distinct.groupBy(_._1)
+        .map { case (u, v) => u -> v.map(_._2).distinct.sorted }
+      def cDay(l: Int) =
+        java.time.LocalDate.ofEpochDay(l.toLong + gap + 1).toString
+      val expectChurn = userDays.toSeq.flatMap { case (u, days) =>
+        val ends = days.zip(days.drop(1))
+          .collect { case (l, d) if d - l > gap => l } :+ days.last
+        ends.map(l => (u, cDay(l), "churned")).filter(_._2 <= maxDay)
+      }.toSet
+      assert(streamed.filter(_._3 == "churned").toSet == expectChurn)
+      val finalChurn = userDays.values.toSeq.map(days => cDay(days.last))
+        .filter(_ <= maxDay)
+        .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+      batch.foreach { case (day, r) =>
+        assert(r.getAs[Long]("n_churned") ==
+          finalChurn.getOrElse(day, 0L), s"churn at $day")
+      }
+    } finally q.stop()
+  }
+
+  test("growth stream: timer-driven churn, retraction, and re-churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // noon-of-day events: a row at exactly epoch 0 is at-or-before the
+    // INITIAL watermark and Spark's EventTimeTimeout path drops it as
+    // late before the state function ever sees it
+    def ts(day: Int) = new Timestamp(day * 86400000L + 43200000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamingStats.growthStream(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("growth_synth").start()
+    try {
+      // u1: days 0,1 then returns day 20; u2: days 0..3 only
+      mem.addData(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(1)),
+        (2L, ts(2)), (2L, ts(3))))
+      q.processAllAvailable()
+      // advance the watermark past u1's churn day WITHOUT u1/u2 data:
+      // the churn rows below can only come from EventTimeTimeout timers
+      mem.addData(Seq((9L, ts(15)))); q.processAllAvailable()
+      mem.addData(Seq((9L, ts(16)))); q.processAllAvailable()
+      val afterTimer = spark.table("growth_synth")
+        .filter(col("user_id").isin(1L, 2L) && col("kind") === "churned")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // u1 last = epoch day 1 → churn at day 9 = 1970-01-10;
+      // u2 last = epoch day 3 → churn at day 11 = 1970-01-12
+      assert(afterTimer == Set((1L, "1970-01-10"), (2L, "1970-01-12")),
+        s"timer churns: $afterTimer")
+      // u1 resurrects (the live retraction), then goes silent again
+      mem.addData(Seq((1L, ts(20)))); q.processAllAvailable()
+      mem.addData(Seq((9L, ts(40)))); q.processAllAvailable()
+      mem.addData(Seq((9L, ts(41)))); q.processAllAvailable()
+      val u1 = spark.table("growth_synth").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(u1 == Set(
+        ("1970-01-01", "new"), ("1970-01-02", "retained"),
+        ("1970-01-10", "churned"),          // intermediate, timer-fired
+        ("1970-01-21", "resurrected"),      // the retraction
+        ("1970-01-29", "churned")),         // the streak re-churns
+        s"u1 rows: $u1")
+      val u2 = spark.table("growth_synth").filter(col("user_id") === 2L)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(u2 == Set(
+        ("1970-01-01", "new"), ("1970-01-02", "retained"),
+        ("1970-01-03", "retained"), ("1970-01-04", "retained"),
+        ("1970-01-12", "churned")), s"u2 rows: $u2")
+    } finally q.stop()
+  }
 }
