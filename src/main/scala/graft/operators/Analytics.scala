@@ -2335,6 +2335,174 @@ FROM g ORDER BY p_type"""
   }
 
   // ------------------------------------------------------------------
+  // wh_returns — supplier return-rate scorecard
+  // ------------------------------------------------------------------
+
+  /** Per-supplier quality scorecard: line volume, returned-line share
+    * (`l_returnflag = 'R'`), and how much revenue the returns put at
+    * risk — the supplier-review readout beside `wh_hhi`'s
+    * concentration view (one asks "who do we depend on", this asks
+    * "who burns us").
+    *
+    * Exactness: counts and e4-cent revenue fold exactly
+    * (decimal(38,0)); rates are single r6'd divisions of exact
+    * integers. Scale shape: ONE lineitem shuffle on the supplier key
+    * with full partial aggregation (the per-supplier moments combine
+    * map-side), then a supplier-bounded join to the dimension row and
+    * a broadcast nation lookup. Nothing scales past the supplier
+    * count downstream.
+    */
+  def whReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("int").as("ret"),
+        (round(col("l_extendedprice") * 100).cast("long").cast(M38) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+    val g = li.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(col("ret")).cast("long").as("n_returned"),
+      sum(col("rev_e4")).as("rev"),
+      sum(when(col("ret") === 1, col("rev_e4"))
+        .otherwise(lit(0L).cast(M38))).as("ret_rev"))
+    val s = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    g.join(s, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("supplier"),
+        col("n_name").as("nation"), col("n_lines"), col("n_returned"),
+        r6(col("n_returned").cast("double") / col("n_lines"))
+          .as("return_rate"),
+        r6(col("rev").cast("double") / 10000.0).as("revenue"),
+        r6(col("ret_rev").cast("double") / 10000.0).as("returned_revenue"),
+        r6(col("ret_rev").cast("double") / col("rev").cast("double"))
+          .as("returned_rev_share"))
+      .orderBy(col("suppkey"))
+  }
+
+  val whReturnsSql: String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""
+WITH li AS (
+  SELECT l_suppkey,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)
+      AS rev_e4
+  FROM lineitem
+), g AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+    CAST(SUM(ret) AS BIGINT) AS n_returned,
+    SUM(rev_e4) AS rev,
+    SUM(CASE WHEN ret = 1 THEN rev_e4 ELSE CAST(0 AS HUGEINT) END)
+      AS ret_rev
+  FROM li GROUP BY l_suppkey
+)
+SELECT g.l_suppkey AS suppkey, s.s_name AS supplier, n.n_name AS nation,
+  g.n_lines, g.n_returned,
+  ${r6Sql("(CAST(g.n_returned AS DOUBLE) / g.n_lines)")} AS return_rate,
+  ${r6Sql(s"(${dbl("g.rev")} / 10000.0)")} AS revenue,
+  ${r6Sql(s"(${dbl("g.ret_rev")} / 10000.0)")} AS returned_revenue,
+  ${r6Sql(s"(${dbl("g.ret_rev")} / ${dbl("g.rev")})")}
+    AS returned_rev_share
+FROM g
+JOIN supplier s ON s.s_suppkey = g.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY suppkey"""
+  }
+
+  // ------------------------------------------------------------------
+  // prof_gini — exact inequality (Gini) profile of the money columns
+  // ------------------------------------------------------------------
+
+  /** (table, column) pairs profiled by [[profGini]]. */
+  val GiniCols: Seq[(String, String)] = Seq(
+    ("orders", "o_totalprice"), ("lineitem", "l_extendedprice"),
+    ("events", "value"))
+
+  /** Exact Gini coefficient per money column — the
+    * concentration-inequality profile behind sampling and mixing
+    * decisions (wh_pareto answers "how much do the top 10% hold";
+    * this is the single-number version with a closed integer form).
+    *
+    * Exactness: with values in cents, `G = (2T − (n+1)·S) / (n·S)`
+    * where `T = Σ rank·x` over the ascending sort with consecutive
+    * ranks for ties. The DOUBLED sum folds on the (value, count)
+    * relation as `2T = Σ v·c·(2·cumBefore + c + 1)` — no triangular
+    * division, every fold a plain decimal(38,0) product,
+    * order-independent and tie-stable. Numerator and denominator
+    * convert once through the correctly-rounded path and divide in
+    * one agreed float shape (the wh_hhi posture). Envelope: both
+    * stay within decimal(38,0) through ~10^15 cent-scale rows —
+    * beyond that the engines would widen identically.
+    *
+    * Scale shape: per column, one partial-agg'd shuffle to (value,
+    * count) rows — the relation is bounded by the cent-value domain,
+    * not the row count — then a single-partition cumulative window
+    * over those values and a 1-row reduce. The scan dominates; the
+    * window input never scales with data volume.
+    */
+  def profGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCol = GiniCols.map { case (table, c) =>
+      val src =
+        if (table == "events") StreamingStats.events(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$table.parquet")
+      val vals = src.select(round(col(c) * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // 2T = Σ v·c·(2·cumBefore + c + 1): the doubled rank-weighted
+      // sum needs no triangular division, so every fold is a plain
+      // decimal product
+      vals
+        .withColumn("cum", sum(col("c")).over(w))
+        .select(col("v").cast(M38).as("v"), col("c").cast(M38).as("c"),
+          (col("cum") - col("c")).cast(M38).as("cb"))
+        .select(
+          (col("v") * col("c") *
+            (lit(2).cast(M38) * col("cb") + col("c") + lit(1).cast(M38)))
+            .as("t2"),
+          col("c").as("n"), (col("v") * col("c")).as("s"))
+        .agg(sum(col("t2")).as("t2"), sum(col("n")).as("n"),
+          sum(col("s")).as("s"))
+        .select(lit(s"$table.$c").as("column"),
+          col("n").cast("long").as("n"),
+          r6(col("s").cast("double") / col("n").cast("double") / 100.0)
+            .as("mean"),
+          r6((col("t2") - (col("n") + lit(1).cast(M38)) * col("s"))
+              .cast("double") /
+            (col("n") * col("s")).cast("double")).as("gini"))
+    }
+    perCol.reduce(_ unionAll _)
+  }
+
+  val profGiniSql: String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    GiniCols.map { case (table, c) =>
+      s"""
+SELECT '$table.$c' AS "column", CAST(n AS BIGINT) AS n,
+  ${r6Sql(s"(${dbl("s")} / ${dbl("n")} / 100.0)")} AS mean,
+  ${r6Sql(s"(${dbl("(t2 - (n + 1) * s)")} / ${dbl("(n * s)")})")}
+    AS gini
+FROM (
+  SELECT SUM(v * c * (2 * cb + c + 1)) AS t2,
+    SUM(c) AS n, SUM(v * c) AS s
+  FROM (
+    SELECT v, c, (SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))
+      - c AS cb
+    FROM (
+      SELECT CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT) AS v,
+        CAST(COUNT(*) AS HUGEINT) AS c
+      FROM $table GROUP BY 1
+    )
+  )
+)"""
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // ------------------------------------------------------------------
   // ev_power — experiment power / minimal-detectable-effect readout
   // ------------------------------------------------------------------
 

@@ -901,4 +901,76 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("mde_rel") > 0.0)
     }
   }
+
+  test("wh_returns equals a brute-force supplier rollup") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dir = sf("sf0.001")
+    val li = spark.read.parquet(dir + "/lineitem.parquet").collect()
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        r.getAs[String]("l_returnflag") == "R",
+        BigInt(cents(r.getAs[Double]("l_extendedprice"))) *
+          (100 - cents(r.getAs[Double]("l_discount")))))
+    val rows = Analytics.whReturns(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("suppkey")).toSet == li.map(_._1).toSet)
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getAs[Long]("suppkey"))
+      val n = g.length.toLong
+      val nRet = g.count(_._2).toLong
+      val rev = g.map(_._3).sum
+      val retRev = g.filter(_._2).map(_._3).sum
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(r.getAs[Long]("n_returned") == nRet)
+      assert(r.getAs[Double]("return_rate") == r6Jvm(nRet.toDouble / n))
+      assert(r.getAs[Double]("revenue") == r6Jvm(rev.toDouble / 10000.0))
+      assert(r.getAs[Double]("returned_revenue") ==
+        r6Jvm(retRev.toDouble / 10000.0))
+      assert(r.getAs[Double]("returned_rev_share") ==
+        r6Jvm(retRev.toDouble / rev.toDouble))
+    }
+  }
+
+  test("prof_gini equals the rank form and the pairwise-difference identity") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dir = sf("sf0.001")
+    val rows = Analytics.profGini(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Analytics.GiniCols
+      .map { case (t, c) => s"$t.$c" }.toSet)
+    Analytics.GiniCols.foreach { case (table, c) =>
+      val src =
+        if (table == "events")
+          graft.streaming.StreamingStats.events(spark, dir)
+        else spark.read.parquet(s"$dir/$table.parquet")
+      val xs = src.select(col(c)).collect()
+        .map(r => cents(r.getDouble(0))).sorted
+      val n = xs.length.toLong
+      val s = xs.map(BigInt(_)).sum
+      // T = Σ rank·x over the ascending sort
+      val t = xs.zipWithIndex
+        .map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val num = 2 * t - BigInt(n + 1) * s
+      // independent identity: Σ_{i,j} |xi − xj| == 2·(2T − (n+1)·S)
+      val pairAbs = {
+        var acc = BigInt(0)
+        var cum = BigInt(0)
+        xs.zipWithIndex.foreach { case (x, i) =>
+          acc += BigInt(x) * i - cum; cum += x }
+        acc * 2
+      }
+      assert(pairAbs == 2 * num, s"identity at $table.$c")
+      val r = rows(s"$table.$c")
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("mean") ==
+        r6Jvm(s.toDouble / n.toDouble / 100.0))
+      assert(r.getAs[Double]("gini") ==
+        r6Jvm(num.toDouble / (BigInt(n) * s).toDouble))
+      val gv = r.getAs[Double]("gini")
+      assert(gv >= 0.0 && gv <= 1.0)
+    }
+  }
 }
