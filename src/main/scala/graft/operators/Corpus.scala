@@ -1658,6 +1658,111 @@ FROM a CROSS JOIN t"""
   }
 
   // ------------------------------------------------------------------
+  // cp_dedup_impact — per-family dedup impact census
+  // ------------------------------------------------------------------
+
+  /** What each shipped dedup family would cost the corpus: per family
+    * (exact text, MinHash+LSH, SimHash, embedding cosine), the docs it
+    * marks redundant and the token mass they carry, as counts and
+    * corpus shares — the ONE table a data lead reads before choosing
+    * which dedup passes to run at 100 TB (alongside
+    * `dd_family_overlap`'s agreement view of the same streams).
+    *
+    * Redundancy semantics: a doc is redundant when a verified pair
+    * partner with a SMALLER id exists (the pair streams already emit
+    * `a < b`, so redundant = distinct right column) — the pair-local
+    * election; `dd_clusters` owns the transitive-closure election.
+    * Exact family = min-id survivor per identical text.
+    *
+    * PURE composition: the three pair streams ARE `dd_minhash_lsh`,
+    * `dd_simhash_pairs`, `dd_embed_cosine` (the oracle embeds their
+    * shipped SQL verbatim — the dd_family_overlap move), and the
+    * token count is `cp_stats`' whitespace fold. Scale: each family
+    * inherits its own documented posture; the census adds
+    * redundant-set joins and a 1-row totals anchor.
+    */
+  def cpDedupImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val exact = docs(spark, sfDir)
+      .select(col("doc_id"), min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text")))).as("m"))
+      .filter(col("doc_id") > col("m")).select(col("doc_id"))
+    val mh = Dedup.ddMinhashLsh(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val sh = Dedup.ddSimhashPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val ec = Dedup.ddEmbedCosine(spark, sfDir)
+      .select(col("vec_b").as("doc_id")).distinct()
+    def census(name: String, redundant: DataFrame): DataFrame =
+      redundant.join(d, "doc_id")
+        .agg(count(lit(1)).as("n_redundant"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_removed"))
+        .crossJoin(broadcast(totals))
+        .select(lit(name).as("family"), col("n_redundant"),
+          r6(col("n_redundant").cast("double") / col("n_docs"))
+            .as("doc_share"),
+          col("tokens_removed"),
+          r6(col("tokens_removed").cast("double") / col("total_tokens"))
+            .as("token_share"))
+    census("embed_cosine", ec)
+      .unionAll(census("exact", exact))
+      .unionAll(census("minhash_lsh", mh))
+      .unionAll(census("simhash", sh))
+      .orderBy(col("family"))
+  }
+
+  val cpDedupImpactSql: String = {
+    import graft.functions.Determinism.r6Sql
+    def pad(s: String) = s.replace("\n", "\n  ")
+    def census(name: String, cte: String) = s"""
+SELECT '$name' AS family, n_redundant,
+  ${r6Sql("(CAST(n_redundant AS DOUBLE) / n_docs)")} AS doc_share,
+  tokens_removed,
+  ${r6Sql("(CAST(tokens_removed AS DOUBLE) / total_tokens)")}
+    AS token_share
+FROM (
+  SELECT COUNT(*) AS n_redundant,
+    CAST(COALESCE(SUM(d.n_tokens), 0) AS BIGINT) AS tokens_removed
+  FROM $cte r JOIN d ON d.doc_id = r.doc_id
+) CROSS JOIN tot"""
+    s"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens FROM d
+), ex AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+    FROM documents
+  ) WHERE doc_id > m
+), mh AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+  ${pad(Dedup.ddMinhashLshSql)}
+  )
+), sh AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+  ${pad(Dedup.ddSimhashPairsSql)}
+  )
+), ec AS (
+  SELECT DISTINCT vec_b AS doc_id FROM (
+  ${pad(Dedup.ddEmbedCosineSql)}
+  )
+)
+${census("embed_cosine", "ec")}
+UNION ALL${census("exact", "ex")}
+UNION ALL${census("minhash_lsh", "mh")}
+UNION ALL${census("simhash", "sh")}
+ORDER BY family"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_bpe_pairs — BPE first-merge pair election
   // ------------------------------------------------------------------
 

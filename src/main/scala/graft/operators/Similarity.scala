@@ -1250,6 +1250,148 @@ FROM j ORDER BY pos"""
   }
 
   // ------------------------------------------------------------------
+  // sim_rp — random-projection (Johnson–Lindenstrauss) distortion
+  // ------------------------------------------------------------------
+
+  /** Reduced dimensionality probed by [[simRp]]. */
+  val JlDim = 16
+
+  /** Deterministic JL projection rows: [[JlDim]] × [[Dim]] dyadic
+    * rationals k/1024 from the same MMIX LCG as [[PlaneInts]], seeded
+    * differently — exactly representable, so both engines hold the
+    * identical matrix.
+    */
+  val JlPlaneInts: Seq[Seq[Long]] = {
+    var x = 77L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11) % 1024) - 512
+    }
+    Seq.fill(JlDim)(Seq.fill(Dim)(next()))
+  }
+
+  private def jlPlanes: Seq[Seq[Double]] = JlPlaneInts.map(_.map(_ / 1024.0))
+
+  /** Random-projection distortion census: project every embedding to
+    * [[JlDim]] dimensions with a fixed dyadic JL matrix and measure,
+    * per query vector, what the 4× compression costs — mean/max
+    * |cos₆₄ − cos₁₆| over the corpus and the top-[[TopK]] recall of
+    * the projected ranking against the exact one. THE dial-reading
+    * before shipping reduced-dimension vectors to the ANN tier:
+    * JL says distances survive w.h.p.; this measures it on YOUR
+    * corpus instead of trusting the lemma's constants.
+    *
+    * Determinism: both cosines are the pinned sequential-fold dot
+    * products; the absolute gap quantizes to micro-units
+    * (round-half-up both engines) so the census aggregates are
+    * integer folds; both rankings rank r6'd cosines with vec_id
+    * tie-break (the engine's k-cut rule).
+    *
+    * Scale shape: projection is ONE map-side pass (16 codegen'd dot
+    * products per vector — the scan's cost, no shuffle); the pair
+    * stream is |queries| × corpus like the exact baseline it audits,
+    * and at 100 TB the same IVF candidate substitution applies. The
+    * scored relation is computed once and cached for the census and
+    * the two rank cuts.
+    */
+  def simRp(spark: SparkSession, sfDir: String): DataFrame = {
+    val proj = array(jlPlanes.map(p =>
+      DotProduct.dot(col("v"), typedlit(p))): _*)
+    val ep = base(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("nrm"), proj.as("pv"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("pv"),
+        DotProduct.dot(col("pv"), col("pv")).as("pn"))
+    val q = ep.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("pv").as("qpv"), col("pn").as("qpn"))
+    val c64 = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val c16 = DotProduct.dot(col("qpv"), col("pv")) /
+      sqrt(col("qpn") * col("pn"))
+    val scored = q.join(ep, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), c64.as("c64"), c16.as("c16"),
+        round(abs(c64 - c16) * 1000000.0).cast("long").as("err_u"))
+      .cache()
+    val stats = scored.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("err_u")).cast("long").as("serr"),
+      max(col("err_u")).as("mxe"))
+    def cut(c: String) = scored
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(r6(col(c)).desc, col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = cut("c64").join(cut("c16"), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    stats.join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_pairs"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double") / TopK.toDouble)
+          .as(s"recall_at_$TopK"),
+        r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
+          .as("mean_abs_err"),
+        r6(col("mxe").cast("double") / 1000000.0).as("max_abs_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val simRpSql: String = {
+    val planeSql = JlPlaneInts.map { p =>
+      s"list_transform(CAST(${p.mkString("[", ", ", "]")} AS BIGINT[]), " +
+        "k -> k / CAST(1024.0 AS DOUBLE))"
+    }
+    val pvSql = planeSql.map(pl => dotSql("v", pl)).mkString("[\n    ", ",\n    ", "\n  ]")
+    s"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), en AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm, $pvSql AS pv FROM ev
+), pe AS (
+  SELECT vec_id, v, nrm, pv, ${dotSql("pv", "pv")} AS pn FROM en
+), qv AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, pv AS qpv, pn AS qpn
+  FROM pe WHERE vec_id < $NQueries
+), scored AS (
+  SELECT q.query_id, n.vec_id,
+    ${dotSql("q.qv", "n.v")} / sqrt(q.qn * n.nrm) AS c64,
+    ${dotSql("q.qpv", "n.pv")} / sqrt(q.qpn * n.pn) AS c16
+  FROM qv q JOIN pe n ON n.vec_id <> q.query_id
+), errs AS (
+  SELECT query_id, vec_id, c64, c16,
+    CAST(round(abs(c64 - c16) * 1000000.0) AS BIGINT) AS err_u
+  FROM scored
+), stats AS (
+  SELECT query_id, COUNT(*) AS n_pairs,
+    CAST(SUM(err_u) AS BIGINT) AS serr, MAX(err_u) AS mxe
+  FROM errs GROUP BY query_id
+), cut64 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("c64")} DESC, vec_id) AS rk
+    FROM errs
+  ) WHERE rk <= $TopK
+), cut16 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("c16")} DESC, vec_id) AS rk
+    FROM errs
+  ) WHERE rk <= $TopK
+), overlap AS (
+  SELECT query_id, COUNT(*) AS hits
+  FROM cut64 JOIN cut16 USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT s.query_id, s.n_pairs,
+  ${r6Sql(s"(CAST(COALESCE(o.hits, 0) AS DOUBLE) / " +
+      s"CAST($TopK.0 AS DOUBLE))")}
+    AS recall_at_$TopK,
+  ${r6Sql("(CAST(s.serr AS DOUBLE) / s.n_pairs / 1000000.0)")}
+    AS mean_abs_err,
+  ${r6Sql("(CAST(s.mxe AS DOUBLE) / 1000000.0)")} AS max_abs_err
+FROM stats s LEFT JOIN overlap o ON o.query_id = s.query_id
+ORDER BY s.query_id"""
+  }
+
+  // ------------------------------------------------------------------
   // sim_hybrid_rrf — hybrid lexical+semantic retrieval (RRF fusion)
   // ------------------------------------------------------------------
 

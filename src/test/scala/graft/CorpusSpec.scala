@@ -644,4 +644,46 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == expect)
   }
+
+  test("cp_dedup_impact reconciles with the shipped pair streams") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.Dedup
+    val dir = sf("sf0.01")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // the cp_stats fold: len(split(trim(text))) with NO empty filter
+    val tokensOf = docs.map { case (d, t) =>
+      d -> t.trim.split("\\s+").length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val totalTokens = tokensOf.values.sum
+    // redundant sets straight from the shipped streams
+    val exact = docs.groupBy(_._2).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val mh = Dedup.ddMinhashLsh(spark, dir).select(col("doc_b"))
+      .collect().map(_.getLong(0)).toSet
+    val sh = Dedup.ddSimhashPairs(spark, dir).select(col("doc_b"))
+      .collect().map(_.getLong(0)).toSet
+    val ec = Dedup.ddEmbedCosine(spark, dir).select(col("vec_b"))
+      .collect().map(_.getLong(0)).toSet
+    val families = Map("exact" -> exact, "minhash_lsh" -> mh,
+      "simhash" -> sh, "embed_cosine" -> ec)
+    val got = Corpus.cpDedupImpact(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == families.keySet)
+    families.foreach { case (name, red) =>
+      val r = got(name)
+      val toks = red.toSeq.map(tokensOf).sum
+      assert(r.getAs[Long]("n_redundant") == red.size.toLong, name)
+      assert(r.getAs[Double]("doc_share") ==
+        r6Jvm(red.size.toDouble / nDocs), name)
+      assert(r.getAs[Long]("tokens_removed") == toks, name)
+      assert(r.getAs[Double]("token_share") ==
+        r6Jvm(toks.toDouble / totalTokens), name)
+    }
+    // the fixture exercises at least one nonempty family, and any
+    // empty family exercises the zero-row census path (the per-family
+    // asserts above pin n_redundant = 0, share = 0.0 for those)
+    assert(families.values.exists(_.nonEmpty))
+  }
 }

@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSpec {
     *    day-bounds anchor for the zero-fill scaffold), ev_growth_accounting
     *    (1-row day-bounds anchor for churn clipping + scaffold), ta_bm25
     *    (1-row corpus-stats anchor), wh_pricing (1-row ship-date anchor),
-    *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax).
+    *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax),
+    *    cp_dedup_impact (1-row corpus-totals anchor per family census).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
@@ -41,7 +42,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val bnljOk: Set[String] = Set(
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
-    "cp_decontam_embed",
+    "cp_decontam_embed", "cp_dedup_impact",
     "dd_family_overlap", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "prof_drift",

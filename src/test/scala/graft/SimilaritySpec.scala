@@ -385,4 +385,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == expect)
   }
+
+  test("sim_rp equals a full local JL-projection recompute") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val mat = S.JlPlaneInts.map(_.map(_ / 1024.0).toArray).toArray
+    val pv = vecs.map { case (id, v) => id -> mat.map(row => dot(row, v)) }
+    def half(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val queries = (0L until S.NQueries.toLong).filter(vecs.contains)
+    val rows = Similarity.simRp(spark, dir).collect()
+    assert(rows.length == queries.length)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val others = vecs.keys.filter(_ != q).toSeq.sorted
+      val scored = others.map { d =>
+        val c64 = dot(vecs(q), vecs(d)) /
+          math.sqrt(dot(vecs(q), vecs(q)) * dot(vecs(d), vecs(d)))
+        val c16 = dot(pv(q), pv(d)) /
+          math.sqrt(dot(pv(q), pv(q)) * dot(pv(d), pv(d)))
+        (d, c64, c16, half(math.abs(c64 - c16) * 1000000.0))
+      }
+      val n = scored.length.toLong
+      def top(sel: ((Long, Double, Double, Long)) => Double): Set[Long] =
+        scored.map(t => (t._1, r6Jvm(sel(t))))
+          .sortBy { case (d, c) => (-c, d) }.take(S.TopK).map(_._1).toSet
+      val hits = (top(_._2) & top(_._3)).size
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Double]("recall_at_5") ==
+        r6Jvm(hits.toDouble / S.TopK))
+      assert(r.getAs[Double]("mean_abs_err") ==
+        r6Jvm(scored.map(_._4).sum.toDouble / n / 1000000.0))
+      assert(r.getAs[Double]("max_abs_err") ==
+        r6Jvm(scored.map(_._4).max / 1000000.0))
+      // the census is meaningful: compression loses something, the
+      // ranking keeps most of it
+      assert(r.getAs[Double]("mean_abs_err") > 0.0)
+    }
+  }
 }
