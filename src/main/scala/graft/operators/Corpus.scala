@@ -1658,6 +1658,78 @@ FROM a CROSS JOIN t"""
   }
 
   // ------------------------------------------------------------------
+  // cp_length_sweep — minimum-length filter tuning table
+  // ------------------------------------------------------------------
+
+  /** Minimum-length cutoffs probed (chars). */
+  val LengthCutoffs: Seq[Long] = Seq(64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** The tuning table for the corpus's very first knob: for each
+    * minimum-length cutoff, how many docs and how much token mass a
+    * `n_chars ≥ C` gate keeps — read before fixing the C that every
+    * later stage inherits (the dd_cosine_sweep pattern applied to the
+    * length filter).
+    *
+    * ONE corpus scan: all cutoffs fold as conditional sums in a single
+    * aggregate (map-side combined), and the 6-row table is unpacked
+    * from that one row — no per-cutoff pass, no explode of the corpus.
+    * Counts exact; shares single r6 divisions.
+    */
+  def cpLengthSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val d = docs(spark, sfDir).select(col("n_chars"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val aggCols =
+      count(lit(1)).as("n_docs") +:
+      sum(col("n_tokens")).as("total_tokens") +:
+      LengthCutoffs.flatMap(c => Seq(
+        sum(when(col("n_chars") >= c, 1L).otherwise(0L)).as(s"k_$c"),
+        sum(when(col("n_chars") >= c, col("n_tokens")).otherwise(0L))
+          .as(s"t_$c")))
+    val one = d.agg(aggCols.head, aggCols.tail: _*)
+    one
+      .select(explode(array(LengthCutoffs.map(c => struct(
+        lit(c).as("min_chars"), col(s"k_$c").as("n_keep"),
+        col(s"t_$c").as("tokens_kept"),
+        col("n_docs").as("n_docs"), col("total_tokens").as("tt"))): _*))
+        .as("r"))
+      .select(col("r.min_chars").as("min_chars"),
+        col("r.n_keep").as("n_keep"),
+        r6(col("r.n_keep").cast("double") / col("r.n_docs"))
+          .as("keep_rate"),
+        col("r.tokens_kept").as("tokens_kept"),
+        r6(col("r.tokens_kept").cast("double") / col("r.tt"))
+          .as("token_share"))
+      .orderBy(col("min_chars"))
+  }
+
+  val cpLengthSweepSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val sums = LengthCutoffs.flatMap(c => Seq(
+      s"CAST(SUM(CASE WHEN n_chars >= $c THEN 1 ELSE 0 END) AS BIGINT) AS k_$c",
+      s"CAST(SUM(CASE WHEN n_chars >= $c THEN n_tokens ELSE 0 END) AS BIGINT) AS t_$c"))
+      .mkString(",\n    ")
+    val rows = LengthCutoffs.map(c => s"""
+SELECT CAST($c AS BIGINT) AS min_chars, k_$c AS n_keep,
+  ${r6Sql(s"(CAST(k_$c AS DOUBLE) / n_docs)")} AS keep_rate,
+  t_$c AS tokens_kept,
+  ${r6Sql(s"(CAST(t_$c AS DOUBLE) / total_tokens)")} AS token_share
+FROM one""").mkString("\nUNION ALL")
+    s"""
+WITH d AS (
+  SELECT n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), one AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    $sums
+  FROM d
+)$rows
+ORDER BY min_chars"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_dedup_impact — per-family dedup impact census
   // ------------------------------------------------------------------
 

@@ -1891,6 +1891,108 @@ LEFT JOIN churn c ON c.day = s.day
 ORDER BY s.day"""
 
   // ------------------------------------------------------------------
+  // ev_bot — superhuman-rate user audit
+  // ------------------------------------------------------------------
+
+  /** Suspects surfaced by [[evBot]]. */
+  val BotTopK = 20
+
+  /** Sub-second repeat threshold (µs). */
+  val BotMinGapUs = 1000000L
+
+  /** Volume floor for the bot flag. */
+  val BotMinEvents = 50L
+
+  /** Bot/script audit: the [[BotTopK]] users with the most
+    * machine-like cadence — ranked by minimum inter-arrival gap (µs),
+    * volume-desc, id — with their volume, active days, and median gap;
+    * `is_bot` flags sub-second repeats at volume. The traffic-hygiene
+    * gate a metrics pipeline runs before trusting ANY per-user
+    * statistic upstream of it (a scripted user poisons retention,
+    * stickiness and funnel numbers alike).
+    *
+    * Determinism: gaps are exact integer µs over the total per-user
+    * event order (ts, event_id); the median is the [[ExactRank]]
+    * rank-ceil selection; the ranking keys are all integers, so the
+    * cut at k is engine-identical with no float anywhere but the one
+    * r6'd rate. Single-event users carry no cadence signal and are
+    * excluded by construction (the gap relation is empty for them).
+    *
+    * Scale shape: ONE shuffle partitions events by user for the lag
+    * window (the ev_sessions posture); the quantile machinery then
+    * runs on (user, distinct gap) rows and the final rank plans
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def evBot(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val stats = e.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(expr("us div 86400000000")).as("n_days"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = e.withColumn("prev", lag(col("us"), 1).over(wU))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("gap"))
+    val gc = gaps.groupBy(col("user_id"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val q = gc
+      .withColumn("cum", sum(col("cnt")).over(byUser.orderBy(col("gap"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ng", sum(col("cnt")).over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("user_id"))
+      .agg(min(col("gap")).as("min_gap_us"),
+        ExactRank.valueAt(1, 2, "ng", col("gap")).as("p50_gap_us"))
+    stats.join(q, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_days"),
+        r6(col("n_events").cast("double") / col("n_days"))
+          .as("events_per_day"),
+        col("min_gap_us"), col("p50_gap_us"),
+        (col("min_gap_us") < BotMinGapUs &&
+          col("n_events") >= BotMinEvents).as("is_bot"))
+      .orderBy(col("min_gap_us"), col("n_events").desc, col("user_id"))
+      .limit(BotTopK)
+  }
+
+  val evBotSql: String = s"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), stats AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    COUNT(DISTINCT us // 86400000000) AS n_days
+  FROM e GROUP BY user_id
+), gaps AS (
+  SELECT user_id, us - prev AS gap FROM (
+    SELECT user_id, us,
+      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+    FROM e
+  ) WHERE prev IS NOT NULL
+), gc AS (
+  SELECT user_id, gap, COUNT(*) AS cnt FROM gaps GROUP BY 1, 2
+), cw AS (
+  SELECT user_id, gap, cnt,
+    SUM(cnt) OVER (PARTITION BY user_id ORDER BY gap
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY user_id) AS ng
+  FROM gc
+), q AS (
+  SELECT user_id, MIN(gap) AS min_gap_us,
+    ${ExactRank.valueAtSql(1, 2, "ng", "gap")} AS p50_gap_us
+  FROM cw GROUP BY user_id
+)
+SELECT s.user_id, s.n_events, s.n_days,
+  ${r6Sql("(CAST(s.n_events AS DOUBLE) / s.n_days)")} AS events_per_day,
+  q.min_gap_us, q.p50_gap_us,
+  (q.min_gap_us < $BotMinGapUs AND s.n_events >= $BotMinEvents)
+    AS is_bot
+FROM stats s JOIN q ON q.user_id = s.user_id
+ORDER BY q.min_gap_us, s.n_events DESC, s.user_id
+LIMIT $BotTopK"""
+
+  // ------------------------------------------------------------------
   // ev_stickiness — DAU/MAU engagement ratio per day
   // ------------------------------------------------------------------
 

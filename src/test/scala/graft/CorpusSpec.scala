@@ -645,6 +645,29 @@ class CorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cp_length_sweep equals a local cutoff recompute and is monotone") {
+    import graft.functions.Determinism.r6Jvm
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val nDocs = docs.length.toLong
+    val tt = docs.map(_._2).sum
+    val got = Corpus.cpLengthSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Corpus.LengthCutoffs)
+    got.foreach { case (c, k, kr, tk, ts2) =>
+      val keep = docs.filter(_._1 >= c)
+      assert(k == keep.length.toLong, s"n_keep at $c")
+      assert(kr == r6Jvm(keep.length.toDouble / nDocs))
+      assert(tk == keep.map(_._2).sum)
+      assert(ts2 == r6Jvm(keep.map(_._2).sum.toDouble / tt))
+    }
+    // monotone: a stricter gate never keeps more
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+
   test("cp_dedup_impact reconciles with the shipped pair streams") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.Dedup

@@ -702,6 +702,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_bot equals a brute-force cadence recompute") {
+    import graft.functions.Determinism.r6Jvm
+    val ev = StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val feats = byUser.collect { case (u, rows) if rows.length >= 2 =>
+      val ordered = rows.sortBy(t => (t._3, t._2))
+      val gaps = ordered.map(_._3).zip(ordered.map(_._3).drop(1))
+        .map { case (a, b) => b - a }.sorted
+      val n = rows.length.toLong
+      val nDays = rows.map(t => Math.floorDiv(t._3, 86400000000L))
+        .distinct.length.toLong
+      val p50 = gaps(((gaps.length + 1) / 2 - 1))
+      (u, n, nDays, gaps.min, p50)
+    }.toSeq
+    val expect = feats
+      .sortBy { case (u, n, _, mn, _) => (mn, -n, u) }
+      .take(TimeSeries.BotTopK)
+      .map { case (u, n, d, mn, p50) =>
+        (u, n, d, r6Jvm(n.toDouble / d), mn, p50,
+          mn < TimeSeries.BotMinGapUs && n >= TimeSeries.BotMinEvents) }
+    val got = TimeSeries.evBot(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("ev_stickiness equals the naive trailing-window distinct count") {
     import graft.functions.Determinism.r6Jvm
     val ud = StreamingStats.events(spark, sf("sf0.01"))
