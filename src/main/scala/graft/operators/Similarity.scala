@@ -1435,6 +1435,58 @@ ORDER BY s.query_id"""
     * ≤ q·[[RrfDepth]]-row lists.
     */
   def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cosc = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val edges = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), cosc.as("c"))
+    hybridRrfFuse(spark, sfDir, edges)
+  }
+
+  /** [[simHybridRrf]]'s 100 TB form: IDENTICAL output (same oracle
+    * SQL — the `sim_label_knn_ann` contract), with the semantic arm's
+    * all-pairs enumeration replaced by the IVF candidate stream at
+    * exhaustive probe ([[KnnProbe]] = [[IvfCells]], so the candidate
+    * set is provably total and the fused ranking cannot differ). At
+    * cluster scale the probe dial drops below the cell count and the
+    * semantic arm pays probe/cells of the corpus — RRF consumes
+    * ranks, so the fusion tail is byte-identical either way.
+    */
+  def simHybridRrfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir).cache()
+    val cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = ivfAssign(e, cents)
+    val probes = ivfProbeList(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")), cents, KnnProbe)
+    val cosc = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val edges = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), cosc.as("c"))
+    hybridRrfFuse(spark, sfDir, edges)
+  }
+
+  /** ANN-hybrid == exact-hybrid is the contract; ONE oracle
+    * definition (the cp_decontam_bloom move).
+    */
+  def simHybridRrfAnnSql: String = simHybridRrfSql
+
+  /** The fusion tail shared by [[simHybridRrf]] and
+    * [[simHybridRrfAnn]]: the lexical MoreLikeThis-BM25 arm, the
+    * r6-ranked cut of the given semantic edge stream (query_id,
+    * doc_id, raw cosine `c`), and the RRF fusion — ONE copy, so the
+    * exact and ANN forms can never drift.
+    */
+  private def hybridRrfFuse(spark: SparkSession, sfDir: String,
+      semEdges: DataFrame): DataFrame = {
     import TextAnalysis.{docs, tokens, Bm25K1, Bm25B}
     val td = docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
@@ -1480,16 +1532,10 @@ ORDER BY s.query_id"""
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= RrfDepth)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    val e = base(spark, sfDir)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val cosc = DotProduct.dot(col("qv"), col("v")) /
-      sqrt(col("qn") * col("nrm"))
     val wSem = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("doc_id"))
-    val sem = q.join(e, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("doc_id"), r6(cosc).as("c"))
+    val sem = semEdges
+      .select(col("query_id"), col("doc_id"), r6(col("c")).as("c"))
       .withColumn("sem_rank", row_number().over(wSem))
       .filter(col("sem_rank") <= RrfDepth)
       .select(col("query_id"), col("doc_id"), col("sem_rank"))

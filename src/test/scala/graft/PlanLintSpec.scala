@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
     *    sim_hybrid_rrf (1-row corpus-stats anchor on the lexical arm +
-    *    the NQueries-row semantic query side).
+    *    the NQueries-row semantic query side) and its ANN twin (same
+    *    anchor; the semantic side is the broadcast centroid table).
     *  - the constant-size eval side (the one documented BNLJ-is-right
     *    case): cp_decontam_embed.
     */
@@ -49,7 +50,7 @@ class PlanLintSpec extends SparkSpec {
     "prof_mi",
     "prof_outliers",
     "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
-    "sim_hybrid_rrf",
+    "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",

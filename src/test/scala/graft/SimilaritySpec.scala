@@ -386,6 +386,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sim_hybrid_rrf_ann equals the exact hybrid at two SFs") {
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val exact = Similarity.simHybridRrf(spark, sf(s)).collect()
+        .map(_.toSeq).toSeq
+      val ann = Similarity.simHybridRrfAnn(spark, sf(s)).collect()
+        .map(_.toSeq).toSeq
+      assert(exact.nonEmpty && ann == exact, s"twin diverges at $s")
+    }
+  }
+
   test("sim_rp equals a full local JL-projection recompute") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.{Similarity => S}
