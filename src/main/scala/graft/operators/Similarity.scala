@@ -711,7 +711,12 @@ ${out}_comp AS (
       .orderBy(col("vec_id"))
   }
 
-  val simPqSql: String = {
+  /** The shared PQ oracle chain — `e`, per-block sub-frames, seeds,
+    * Lloyd rounds and final assignments `fin0..fin{PqM-1}` (with the
+    * trained codebooks at `b{b}c{PqIters}`). ONE copy for the code
+    * table ([[simPqSql]]) and the ADC audit ([[simPqAdcSql]]).
+    */
+  private val pqCtesSql: String = {
     val blockCtes = (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
@@ -729,9 +734,13 @@ ${out}_comp AS (
   WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}
 ),$rounds,${kmAssignSql(s"fin$b", s"b${b}c$PqIters", s"sub$b")}"""
     }.mkString(",")
-    s"""WITH e AS (
+    s"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),$blockCtes
+),$blockCtes"""
+  }
+
+  val simPqSql: String = {
+    s"""WITH $pqCtesSql
 SELECT f0.vec_id,
   f0.cell - $NQueries AS code_0, f1.cell - $NQueries AS code_1,
   f2.cell - $NQueries AS code_2, f3.cell - $NQueries AS code_3,
@@ -770,6 +779,156 @@ SELECT a.cent_id, a.n_assigned,
   ${r6Sql(checksum)} AS cent_checksum
 FROM agg a JOIN c$KmIters c ON c.cent_id = a.cent_id
 ORDER BY a.cent_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_pq_adc — PQ asymmetric-distance ranking audit
+  // ------------------------------------------------------------------
+
+  /** PQ serving audit — the asymmetric-distance computation (ADC)
+    * that makes [[simPq]]'s codes servable: per query, every corpus
+    * vector is scored as `Σ_b 〈q_sub_b, centroid_{b,code_b}〉` (a
+    * [[PqM]]×[[PqK]] lookup table per query, never the vectors), and
+    * the audit reports what that costs against the exact inner
+    * product — mean/max |dot − adc| and top-[[TopK]] recall of the
+    * ADC ranking. Completes the ANN-audit quartet: LSH (`sim_recall`),
+    * IVF (`sim_ivf_tuning`), JL (`sim_rp`), PQ (this).
+    *
+    * Determinism: codebooks and codes are the SAME training chain as
+    * `sim_pq` (one copy on each engine); LUT entries and exact dots
+    * are pinned sequential folds; the error quantizes to micro-units
+    * and both rankings rank r6'd scores with vec_id tie-break.
+    *
+    * Scale shape: training/coding is sim_pq's documented posture; the
+    * LUT is queries × [[PqM]]·[[PqK]] rows (broadcast), scoring joins
+    * the code table — 4 bytes a vector, NOT the vectors — against the
+    * broadcast LUTs, which is precisely why PQ serves at 100 TB. The
+    * exact arm (the audit's ground truth) is |queries| × corpus and
+    * takes the usual IVF substitution in deployment.
+    */
+  def simPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    val trained = (0 until PqM).map { b =>
+      val sub = pqSub(vecs, b)
+      var cents = sub
+        .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      for (_ <- 1 to PqIters) cents = kmUpdate(kmAssign(sub, cents))
+      val codes = kmAssign(sub, cents)
+        .select(col("vec_id"), col("cell").as(s"cell_$b"))
+      (b, cents, codes)
+    }
+    val corp = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+      .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val luts = trained.map { case (b, cents, _) =>
+      q.select(col("query_id"),
+          slice(col("qv"), b * PqSubDim + 1, PqSubDim).as("qs"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("cent_id").as(s"cell_$b"),
+          DotProduct.dot(col("qs"), col("cv")).as(s"l_$b"))
+    }
+    val exact = DotProduct.dot(col("qv"), col("v"))
+    val pairs0 = q.join(corp, col("vec_id") =!= col("query_id"))
+      .select(col("query_id") +: col("vec_id") +: exact.as("d") +:
+        (0 until PqM).map(b => col(s"cell_$b")): _*)
+    val pairs = luts.zipWithIndex.foldLeft(pairs0) { case (p, (l, b)) =>
+      p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+    }
+    val adc = ((col("l_0") + col("l_1")) + col("l_2")) + col("l_3")
+    val scored = pairs
+      .select(col("query_id"), col("vec_id"), col("d"), adc.as("adc"),
+        round(abs(col("d") - adc) * 1000000.0).cast("long").as("err_u"))
+      .cache()
+    val stats = scored.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("err_u")).cast("long").as("serr"),
+      max(col("err_u")).as("mxe"))
+    def cut(c: String) = scored
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(r6(col(c)).desc, col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = cut("d").join(cut("adc"), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    stats.join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_pairs"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double") / TopK.toDouble)
+          .as(s"recall_at_$TopK"),
+        r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
+          .as("mean_abs_err"),
+        r6(col("mxe").cast("double") / 1000000.0).as("max_abs_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val simPqAdcSql: String = {
+    val lutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""lut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM q CROSS JOIN b${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    s"""WITH $pqCtesSql,
+codes AS (
+  SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
+    f2.cell AS cell_2, f3.cell AS cell_3
+  FROM fin0 f0
+  JOIN fin1 f1 USING (vec_id)
+  JOIN fin2 f2 USING (vec_id)
+  JOIN fin3 f3 USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), $lutCtes, scored AS (
+  SELECT q.query_id, cd.vec_id,
+    ${dotSql("q.qv", "e2.v")} AS d,
+    ((l0.l_0 + l1.l_1) + l2.l_2) + l3.l_3 AS adc
+  FROM q
+  JOIN codes cd ON cd.vec_id <> q.query_id
+  JOIN e e2 ON e2.vec_id = cd.vec_id
+  JOIN lut0 l0 ON l0.query_id = q.query_id AND l0.cell_0 = cd.cell_0
+  JOIN lut1 l1 ON l1.query_id = q.query_id AND l1.cell_1 = cd.cell_1
+  JOIN lut2 l2 ON l2.query_id = q.query_id AND l2.cell_2 = cd.cell_2
+  JOIN lut3 l3 ON l3.query_id = q.query_id AND l3.cell_3 = cd.cell_3
+), errs AS (
+  SELECT query_id, vec_id, d, adc,
+    CAST(round(abs(d - adc) * 1000000.0) AS BIGINT) AS err_u
+  FROM scored
+), stats AS (
+  SELECT query_id, COUNT(*) AS n_pairs,
+    CAST(SUM(err_u) AS BIGINT) AS serr, MAX(err_u) AS mxe
+  FROM errs GROUP BY query_id
+), cutd AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("d")} DESC, vec_id) AS rk
+    FROM errs
+  ) WHERE rk <= $TopK
+), cuta AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rk
+    FROM errs
+  ) WHERE rk <= $TopK
+), overlap AS (
+  SELECT query_id, COUNT(*) AS hits
+  FROM cutd JOIN cuta USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT s.query_id, s.n_pairs,
+  ${r6Sql(s"(CAST(COALESCE(o.hits, 0) AS DOUBLE) / " +
+      s"CAST($TopK.0 AS DOUBLE))")}
+    AS recall_at_$TopK,
+  ${r6Sql("(CAST(s.serr AS DOUBLE) / s.n_pairs / 1000000.0)")}
+    AS mean_abs_err,
+  ${r6Sql("(CAST(s.mxe AS DOUBLE) / 1000000.0)")} AS max_abs_err
+FROM stats s LEFT JOIN overlap o ON o.query_id = s.query_id
+ORDER BY s.query_id"""
   }
 
   // ------------------------------------------------------------------

@@ -396,6 +396,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_adc equals a full local train-code-score recompute") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def subOf(v: Array[Double], b: Int): Array[Double] =
+      v.slice(b * S.PqSubDim, (b + 1) * S.PqSubDim)
+    // local Lloyd mirror of kmAssign/kmUpdate (dist arity, KmFp means,
+    // smallest-dist-then-smallest-cent tie break)
+    def assign(subs: Map[Long, Array[Double]],
+        cents: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      subs.map { case (id, v) =>
+        val nrm = dot(v, v)
+        val (d, cid) = cents.map { case (c, cv) =>
+          (nrm - 2.0 * dot(v, cv) + dot(cv, cv), c) }.min
+        id -> (cid, d)
+      }
+    def update(subs: Map[Long, Array[Double]],
+        asg: Map[Long, (Long, Double)]): Seq[(Long, Array[Double])] =
+      asg.groupBy(_._2._1).toSeq.sortBy(_._1).map { case (cid, m) =>
+        val members = m.keys.toSeq.map(subs)
+        val n = members.size
+        cid -> (0 until S.PqSubDim).map { p =>
+          val s = members.map(v =>
+            math.floor(v(p) * S.KmFp + 0.5).toLong).sum
+          s.toDouble / (n.toDouble * S.KmFp)
+        }.toArray
+      }
+    // train per block, code the corpus
+    val blocks = (0 until S.PqM).map { b =>
+      val subs = vecs.map { case (id, v) => id -> subOf(v, b) }
+      var cents: Seq[(Long, Array[Double])] =
+        (S.NQueries.toLong until (S.NQueries + S.PqK).toLong)
+          .map(id => id -> subs(id))
+      for (_ <- 1 to S.PqIters) cents = update(subs, assign(subs, cents))
+      val codes = assign(subs, cents).map { case (id, (cid, _)) =>
+        id -> cid }
+      (cents.toMap, codes)
+    }
+    def half(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val queries = (0L until S.NQueries.toLong).filter(vecs.contains)
+    val rows = Similarity.simPqAdc(spark, dir).collect()
+    assert(rows.length == queries.length)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val scored = vecs.keys.filter(_ != q).toSeq.sorted.map { dId =>
+        val d = dot(vecs(q), vecs(dId))
+        val adc = (0 until S.PqM)
+          .map(b => dot(subOf(vecs(q), b), blocks(b)._1(blocks(b)._2(dId))))
+          .reduceLeft(_ + _)
+        (dId, d, adc, half(math.abs(d - adc) * 1000000.0))
+      }
+      val n = scored.length.toLong
+      def top(sel: ((Long, Double, Double, Long)) => Double): Set[Long] =
+        scored.map(t => (t._1, r6Jvm(sel(t))))
+          .sortBy { case (dd, c) => (-c, dd) }.take(S.TopK).map(_._1).toSet
+      val hits = (top(_._2) & top(_._3)).size
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Double]("recall_at_5") ==
+        r6Jvm(hits.toDouble / S.TopK))
+      assert(r.getAs[Double]("mean_abs_err") ==
+        r6Jvm(scored.map(_._4).sum.toDouble / n / 1000000.0))
+      assert(r.getAs[Double]("max_abs_err") ==
+        r6Jvm(scored.map(_._4).max / 1000000.0))
+    }
+  }
+
   test("sim_rp equals a full local JL-projection recompute") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.{Similarity => S}
