@@ -2503,6 +2503,46 @@ FROM (
   }
 
   // ------------------------------------------------------------------
+  // prof_heavy_hitters — Misra–Gries frequent-keys sketch
+  // ------------------------------------------------------------------
+
+  /** Sketch capacity (tracked keys per partial). */
+  val HhCap = 32
+
+  /** Bounded-memory frequent-keys profile of the fact table's part
+    * key: ONE pass with the custom [[graft.functions.MisraGries]]
+    * aggregate (at most [[HhCap]] counters per partial, mergeable),
+    * reporting each surfaced key's lower-bound count beside the
+    * n/(cap+1) guarantee threshold — the skew-profiling primitive for
+    * columns whose exact top-k ([[profTopk]]) would need a full
+    * (key, count) shuffle. At 100 TB: partials are 32 counters per
+    * task regardless of key cardinality; the shuffle carries sketches,
+    * never keys.
+    *
+    * Rows-only for the oracle gate BY NATURE (element selection
+    * depends on partition boundaries, like the HLL twins); the
+    * sketch's two guarantees — no false negatives above threshold,
+    * counters undercount by ≤ n/(cap+1) — are pinned against exact
+    * counts in AnalyticsSpec, including under a repartition.
+    */
+  def profHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MisraGries.sketch(col("l_partkey"), HhCap)
+          .as("sk"))
+      .select(col("n"), posexplode(col("sk")).as(Seq("idx", "e")))
+      .select((col("idx") + 1).as("rank"),
+        col("e.key").as("partkey"),
+        col("e.count").as("est_count"),
+        col("n").as("n_rows"),
+        r6(col("n").cast("double") / (HhCap + 1))
+          .as("guarantee_threshold"))
+      .orderBy(col("rank"))
+  }
+
+  // ------------------------------------------------------------------
   // ev_power — experiment power / minimal-detectable-effect readout
   // ------------------------------------------------------------------
 

@@ -902,6 +902,58 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_heavy_hitters honors the Misra–Gries guarantees") {
+    val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = n.toDouble / (Analytics.HhCap + 1)
+    val rows = Analytics.profHeavyHitters(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty && rows.length <= Analytics.HhCap)
+    val sketch = rows.map(r =>
+      r.getAs[Long]("partkey") -> r.getAs[Long]("est_count")).toMap
+    // counters are lower bounds with bounded undercount
+    sketch.foreach { case (k, c) =>
+      assert(c <= exact(k), s"overcount at $k")
+      assert(c >= exact(k) - eps, s"undercount beyond bound at $k")
+    }
+    // no false negatives above the threshold
+    exact.foreach { case (k, c) =>
+      if (c > eps) assert(sketch.contains(k), s"missed heavy hitter $k")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Double]("guarantee_threshold") ==
+        graft.functions.Determinism.r6Jvm(eps))
+    }
+  }
+
+  test("MisraGries guarantees survive an adversarial repartition") {
+    graft.functions.MisraGries.register(spark)
+    val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .select(col("l_partkey")).repartition(7)
+    val sk = df.agg(graft.functions.MisraGries
+        .sketch(col("l_partkey"), Analytics.HhCap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.count")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eps = exact.values.sum.toDouble / (Analytics.HhCap + 1)
+    sk.foreach { case (k, c) =>
+      assert(c <= exact(k) && c >= exact(k) - eps) }
+    exact.foreach { case (k, c) =>
+      if (c > eps) assert(sk.contains(k)) }
+    // majority-element special case: cap = 1 over a skewed column
+    import spark.implicits._
+    val maj = (Seq.fill(60)(7L) ++ (1L to 40L)).toDF("k").repartition(5)
+      .agg(graft.functions.MisraGries.sketch(col("k"), 1).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.key"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(maj == Seq(7L), s"majority element: $maj")
+  }
+
   test("wh_returns equals a brute-force supplier rollup") {
     import graft.functions.Determinism.r6Jvm
     def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
