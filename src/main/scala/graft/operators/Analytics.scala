@@ -2503,6 +2503,86 @@ FROM (
   }
 
   // ------------------------------------------------------------------
+  // wh_yoy — year-over-year revenue growth per nation
+  // ------------------------------------------------------------------
+
+  /** Year-over-year order revenue per customer nation: totals, the
+    * prior year's totals via a per-nation lag, and the YoY growth
+    * percentage — the board-slide query every warehouse serves
+    * weekly, here with the cents discipline so the growth number is
+    * bit-stable.
+    *
+    * Exactness: revenue folds in integer cents; the lag is over the
+    * (nation, year) relation (years-bounded); growth is one r6'd
+    * fixed-arity float from two exact cent totals, NULL for a
+    * nation's first year (no prior) and for a zero prior. A
+    * consecutive-year guard keeps the comparison honest: a nation
+    * absent for a year compares against NULL, not against its last
+    * active year.
+    *
+    * Scale shape: orders⋈customer is the standard shuffle equi-join,
+    * nation broadcast; ONE partial-agg'd shuffle to (nation, year)
+    * rows; the window runs on the years-bounded relation.
+    */
+  def whYoy(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("year"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val g = o.join(c, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("cents"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("year"))
+    g.withColumn("prev_year", lag(col("year"), 1).over(w))
+      .withColumn("prev_cents",
+        when(col("prev_year") === col("year") - 1,
+          lag(col("cents"), 1).over(w)))
+      .select(col("nation"), col("year"), col("n_orders"),
+        r6(col("cents").cast("double") / 100.0).as("revenue"),
+        r6(col("prev_cents").cast("double") / 100.0).as("prev_revenue"),
+        when(col("prev_cents") > 0,
+          r6((col("cents") - col("prev_cents")).cast("double") * 100.0 /
+            col("prev_cents").cast("double"))).as("yoy_pct"))
+      .orderBy(col("nation"), col("year"))
+  }
+
+  val whYoySql: String = s"""
+WITH o AS (
+  SELECT o_custkey,
+    CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INTEGER) AS year,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT n.n_name AS nation, o.year,
+    COUNT(*) AS n_orders, CAST(SUM(o.cents) AS BIGINT) AS cents
+  FROM o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT nation, year, n_orders, cents,
+    CASE WHEN lag(year) OVER (PARTITION BY nation ORDER BY year)
+      = year - 1 THEN
+      lag(cents) OVER (PARTITION BY nation ORDER BY year) END
+      AS prev_cents
+  FROM g
+)
+SELECT nation, year, n_orders,
+  ${r6Sql("(CAST(cents AS DOUBLE) / 100.0)")} AS revenue,
+  ${r6Sql("(CAST(prev_cents AS DOUBLE) / 100.0)")} AS prev_revenue,
+  CASE WHEN prev_cents > 0 THEN
+    ${r6Sql("(CAST(cents - prev_cents AS DOUBLE) * " +
+      "CAST(100.0 AS DOUBLE) / CAST(prev_cents AS DOUBLE))")}
+  END AS yoy_pct
+FROM lagged ORDER BY nation, year"""
+
+  // ------------------------------------------------------------------
   // prof_heavy_hitters — Misra–Gries frequent-keys sketch
   // ------------------------------------------------------------------
 

@@ -902,6 +902,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wh_yoy equals a brute-force per-nation growth recompute") {
+    import graft.functions.Determinism.r6Jvm
+    def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val dir = sf("sf0.001")
+    val cNat = spark.read.parquet(dir + "/customer.parquet").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey"))
+      .toMap
+    val nName = spark.read.parquet(dir + "/nation.parquet").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name"))
+      .toMap
+    val orders = spark.read.parquet(dir + "/orders.parquet")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))),
+        col("o_totalprice")).collect()
+      .map(r => (nName(cNat(r.getLong(0))), r.getInt(1),
+        cents(r.getDouble(2))))
+    val byNy = orders.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    val got = Analytics.whYoy(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      byNy.keySet)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (n, c) = byNy(key)
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("revenue") == r6Jvm(c / 100.0))
+      byNy.get((key._1, key._2 - 1)) match {
+        case Some((_, pc)) =>
+          assert(r.getAs[Double]("prev_revenue") == r6Jvm(pc / 100.0))
+          assert(r.getAs[Double]("yoy_pct") ==
+            r6Jvm((c - pc).toDouble * 100.0 / pc.toDouble))
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("prev_revenue")))
+          assert(r.isNullAt(r.fieldIndex("yoy_pct")))
+      }
+    }
+  }
+
   test("prof_heavy_hitters honors the Misra–Gries guarantees") {
     val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
