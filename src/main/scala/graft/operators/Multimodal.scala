@@ -614,4 +614,71 @@ SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
   l.doc_id = l.lbl AS is_survivor
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
+
+  // ------------------------------------------------------------------
+  // mm_dedup_impact — bytes-saved census of the media dedup
+  // ------------------------------------------------------------------
+
+  /** What the perceptual-hash dedup is worth in storage: per media
+    * type, the redundant items (`mm_clusters`' non-survivors) and the
+    * bytes they carry, as counts and shares — `cp_dedup_impact`'s
+    * question asked at media grain, where the answer is measured in
+    * object-store dollars rather than training tokens.
+    *
+    * PURE composition: survivorship IS `mm_clusters`' min-id election
+    * (the oracle embeds its recursive-closure SQL verbatim) and sizes
+    * come from the ingest relation. Scale: adds one doc-keyed join
+    * and a 3-row census on top of mm_clusters' documented posture.
+    */
+  def mmDedupImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val sizes = mediaTable(spark, sfDir).select(col("doc_id"),
+      col("media_type"), length(col("content")).cast("long").as("n_bytes"))
+    val cl = mmClusters(spark, sfDir)
+      .select(col("doc_id"), col("is_survivor"))
+    sizes.join(cl, Seq("doc_id"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(!col("is_survivor"), 1L).otherwise(0L)).as("n_redundant"),
+        sum(col("n_bytes")).cast("long").as("bytes_total"),
+        sum(when(!col("is_survivor"), col("n_bytes")).otherwise(0L))
+          .cast("long").as("bytes_saved"))
+      .select(col("media_type"), col("n_media"), col("n_redundant"),
+        r6(col("n_redundant").cast("double") / col("n_media"))
+          .as("redundant_share"),
+        col("bytes_total"), col("bytes_saved"),
+        r6(col("bytes_saved").cast("double") / col("bytes_total"))
+          .as("bytes_share"))
+      .orderBy(col("media_type"))
+  }
+
+  val mmDedupImpactSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), g AS (
+  SELECT m.media_type, COUNT(*) AS n_media,
+    CAST(SUM(CASE WHEN NOT c.is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_redundant,
+    CAST(SUM(m.n_bytes) AS BIGINT) AS bytes_total,
+    CAST(SUM(CASE WHEN NOT c.is_survivor THEN m.n_bytes ELSE 0 END)
+      AS BIGINT) AS bytes_saved
+  FROM m JOIN (
+  ${mmClustersSql.replace("\n", "\n  ")}
+  ) c ON c.doc_id = m.doc_id
+  GROUP BY 1
+)
+SELECT media_type, n_media, n_redundant,
+  ${r6Sql("(CAST(n_redundant AS DOUBLE) / n_media)")}
+    AS redundant_share,
+  bytes_total, bytes_saved,
+  ${r6Sql("(CAST(bytes_saved AS DOUBLE) / bytes_total)")}
+    AS bytes_share
+FROM g ORDER BY media_type"""
+  }
 }
