@@ -487,4 +487,54 @@ class PropertySpec extends SparkSpec {
     assert(churnTotal == lastByUser.values
       .count(_ + TimeSeries.GrowthGapDays + 1 <= mx).toLong)
   }
+
+  test("MisraGries guarantees hold under random streams and merge trees") {
+    import graft.functions.MisraGries
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    // drive the aggregate's buffer contract directly: update on random
+    // Zipf-ish streams, merge along random split trees, eval, and
+    // check both classical guarantees against exact counts
+    for (trial <- 1 to 20) {
+      val cap = 1 + rnd.nextInt(8)
+      val agg = MisraGries(BoundReference(0, LongType, nullable = false),
+        Literal(cap))
+      val n = 200 + rnd.nextInt(800)
+      // skewed keys: small ids are hot
+      val stream = Seq.fill(n)(
+        (math.pow(rnd.nextDouble(), 3) * 50).toLong)
+      // random partitioning into 1..6 chunks, each its own buffer
+      val nChunks = 1 + rnd.nextInt(6)
+      val chunks = stream.groupBy(_ => rnd.nextInt(nChunks)).values.toList
+      val bufs = chunks.map { ch =>
+        val b = agg.createAggregationBuffer()
+        ch.foreach(k => agg.update(b, InternalRow(k)))
+        // round-trip through serialization (the shuffle path)
+        agg.deserialize(agg.serialize(b))
+      }
+      // fold the buffers in a random order (any merge tree is legal)
+      val merged = rnd.shuffle(bufs)
+        .reduceLeft((a, b) => agg.merge(a, b))
+      assert(merged.size <= cap, s"size bound (trial $trial)")
+      val sketch = merged.toMap
+      val exact = stream.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val eps = n.toDouble / (cap + 1)
+      sketch.foreach { case (k, c) =>
+        assert(c <= exact(k), s"overcount (trial $trial, key $k)")
+        assert(c >= exact(k) - eps,
+          s"undercount beyond n/(cap+1) (trial $trial, key $k)")
+      }
+      exact.foreach { case (k, c) =>
+        if (c > eps)
+          assert(sketch.contains(k),
+            s"missed >threshold key $k (trial $trial)")
+      }
+      // degenerate theorem: with distinct keys <= cap the sketch IS
+      // the exact census
+      if (exact.size <= cap)
+        assert(sketch == exact, s"exact regime (trial $trial)")
+    }
+  }
 }
