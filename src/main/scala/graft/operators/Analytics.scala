@@ -2503,6 +2503,76 @@ FROM (
   }
 
   // ------------------------------------------------------------------
+  // ev_srm — sample-ratio-mismatch guard for the hash split
+  // ------------------------------------------------------------------
+
+  /** χ² threshold at α = 0.05, df = 1 — the standard SRM alarm line. */
+  val SrmChi2 = 3.841459
+
+  /** Sample-ratio-mismatch check on `ev_abtest`'s hash split: per
+    * event type, the USER counts each cohort received, the χ²
+    * statistic against the designed 50/50, and the alarm flag — the
+    * validity gate an experiment readout must pass BEFORE its t-test
+    * means anything (an SRM means the assignment itself is broken and
+    * every downstream metric is biased). Completes the experiment
+    * family: `ev_power` (before), `ev_abtest` (after), this (is the
+    * experiment even valid).
+    *
+    * Exactness: cohort assignment is the SAME salted md5 split as
+    * ev_abtest (one [[graft.functions.CrossHash]] definition); for a
+    * 50/50 design `χ² = (n_a − n_b)²/(n_a + n_b)` — an exact integer
+    * numerator over an exact integer denominator, ONE r6'd float,
+    * and the alarm compares the UNROUNDED ratio on both engines via
+    * the same literal. Counts are of distinct users (assignment
+    * grain), not events.
+    *
+    * Scale shape: map-side split, one distinct (type, user) partial
+    * agg, then a types-bounded reduce. Nothing scales past the type
+    * vocabulary downstream.
+    */
+  def evSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"),
+        (graft.functions.CrossHash.md5Long(
+          concat(lit("ab-v1:"), col("user_id").cast("string"))) % 2)
+          .as("cohort"), col("user_id"))
+      .distinct()
+    // diff² in decimal(38,0): at the 100 TB user count a broken
+    // split's squared difference overflows int64
+    val chi2 = ((col("n_a") - col("n_b")).cast(M38) *
+      (col("n_a") - col("n_b")).cast(M38)).cast("double")
+    e.groupBy(col("event_type")).agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(chi2 / (col("n_a") + col("n_b"))).as("srm_chi2"),
+        (chi2 / (col("n_a") + col("n_b")) > SrmChi2).as("is_srm"))
+      .orderBy(col("event_type"))
+  }
+
+  val evSrmSql: String = {
+    val h = graft.functions.CrossHash
+      .md5LongSql("('ab-v1:' || CAST(user_id AS VARCHAR))")
+    s"""
+WITH e AS (
+  SELECT DISTINCT event_type, ($h % 2) AS cohort, user_id FROM events
+), g AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+  ${r6Sql("(CAST(CAST(CAST(n_a - n_b AS HUGEINT) * " +
+      "CAST(n_a - n_b AS HUGEINT) AS VARCHAR) AS DOUBLE) / (n_a + n_b))")}
+    AS srm_chi2,
+  (CAST(CAST(CAST(n_a - n_b AS HUGEINT) *
+     CAST(n_a - n_b AS HUGEINT) AS VARCHAR) AS DOUBLE) / (n_a + n_b))
+    > $SrmChi2 AS is_srm
+FROM g ORDER BY event_type"""
+  }
+
+  // ------------------------------------------------------------------
   // wh_yoy — year-over-year revenue growth per nation
   // ------------------------------------------------------------------
 

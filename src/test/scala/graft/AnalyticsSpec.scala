@@ -902,6 +902,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_srm equals a brute-force split census and matches ev_abtest's") {
+    import graft.functions.Determinism.r6Jvm
+    // local mirror of the salted md5 split (the CrossHash definition)
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = Analytics.evSrm(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val users = ev.filter(_._1 == r.getString(0)).map(_._2).distinct
+      val nA = users.count(u => md5Long(s"ab-v1:$u") % 2 == 0).toLong
+      val nB = users.length - nA
+      assert(r.getAs[Long]("n_a") == nA)
+      assert(r.getAs[Long]("n_b") == nB)
+      val chi2 = (BigInt(nA - nB) * BigInt(nA - nB)).toDouble / (nA + nB)
+      assert(r.getAs[Double]("srm_chi2") == r6Jvm(chi2))
+      assert(r.getAs[Boolean]("is_srm") == (chi2 > Analytics.SrmChi2))
+    }
+    // the split is the one ev_abtest runs on: a healthy deterministic
+    // 50/50 hash split over this fixture must not alarm
+    assert(rows.forall(!_.getAs[Boolean]("is_srm")))
+  }
+
   test("wh_yoy equals a brute-force per-nation growth recompute") {
     import graft.functions.Determinism.r6Jvm
     def cents(x: Double): Long = java.math.BigDecimal.valueOf(x * 100)
