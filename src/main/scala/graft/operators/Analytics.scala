@@ -2503,6 +2503,83 @@ FROM (
   }
 
   // ------------------------------------------------------------------
+  // ev_dq — event-stream ingest quality audit
+  // ------------------------------------------------------------------
+
+  /** One-row ingest-quality audit of the event stream — `wh_dq`'s
+    * question at stream grain: duplicate event ids (at-least-once
+    * delivery leaking through), malformed or missing JSON payloads,
+    * negative values, the day span and silent-day count. The gate a
+    * stream consumer checks before trusting ANY downstream metric;
+    * every violation counter here is a pager threshold in deployment.
+    *
+    * Determinism: all counters are exact integers from one aggregate
+    * (the three COUNT DISTINCTs share one Expand); "malformed" means
+    * `try_parse_json` yields NULL on a non-NULL payload, mirrored by
+    * DuckDB's `NOT json_valid` (PERMISSIVE `from_json` would return a
+    * null-FIELDED row, not NULL, on malformed input — the spec's
+    * dirty-feed case caught exactly that).
+    * Scale: ONE scan, one partial-agg'd reduce; the Expand triples
+    * the aggregate input, which is the documented exact-distinct
+    * cost (`prof_summary_approx` is the sketch path when this runs
+    * in a profiling loop).
+    */
+  def evDq(spark: SparkSession, sfDir: String): DataFrame = {
+    StreamingStats.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("props"),
+        unix_date(to_date(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct_ids"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days_present"),
+        sum(when(col("props").isNull, 1L).otherwise(0L))
+          .as("n_null_props"),
+        sum(when(col("props").isNotNull &&
+          expr("try_parse_json(props)").isNull, 1L).otherwise(0L))
+          .as("n_malformed_props"),
+        sum(when(col("value") < 0, 1L).otherwise(0L))
+          .as("n_negative_values"),
+        min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("n_events"), col("n_distinct_ids"),
+        (col("n_events") - col("n_distinct_ids")).as("n_dup_ids"),
+        col("n_users"), col("n_null_props"), col("n_malformed_props"),
+        col("n_negative_values"),
+        date_from_unix_date(col("mn")).cast("string").as("first_day"),
+        date_from_unix_date(col("mx")).cast("string").as("last_day"),
+        col("n_days_present"),
+        (col("mx") - col("mn") + 1 - col("n_days_present")).cast("long")
+          .as("n_days_missing"))
+  }
+
+  val evDqSql: String = """
+WITH e AS (
+  SELECT event_id, user_id, value, props,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+  FROM events
+), g AS (
+  SELECT COUNT(*) AS n_events,
+    COUNT(DISTINCT event_id) AS n_distinct_ids,
+    COUNT(DISTINCT user_id) AS n_users,
+    COUNT(DISTINCT day) AS n_days_present,
+    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null_props,
+    CAST(SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed_props,
+    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_negative_values,
+    MIN(day) AS mn, MAX(day) AS mx
+  FROM e
+)
+SELECT n_events, n_distinct_ids,
+  CAST(n_events - n_distinct_ids AS BIGINT) AS n_dup_ids,
+  n_users, n_null_props, n_malformed_props, n_negative_values,
+  CAST(DATE '1970-01-01' + mn AS VARCHAR) AS first_day,
+  CAST(DATE '1970-01-01' + mx AS VARCHAR) AS last_day,
+  n_days_present,
+  CAST(mx - mn + 1 - n_days_present AS BIGINT) AS n_days_missing
+FROM g"""
+
+  // ------------------------------------------------------------------
   // ev_srm — sample-ratio-mismatch guard for the hash split
   // ------------------------------------------------------------------
 

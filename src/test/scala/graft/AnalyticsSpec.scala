@@ -902,6 +902,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_dq counts every violation class on a dirty synthetic feed") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (1L, ts(0), 1L, "view", 1.0, "{}"),              // duplicate id
+      (2L, ts(0), 2L, "view", -2.0, null: String),     // negative + null
+      (3L, ts(3), 1L, "view", 1.0, "not json"))        // malformed + gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("evdq").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.evDq(spark, dir).collect().head
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Long]("n_distinct_ids") == 3L)
+    assert(r.getAs[Long]("n_dup_ids") == 1L)
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Long]("n_null_props") == 1L)
+    assert(r.getAs[Long]("n_malformed_props") == 1L)
+    assert(r.getAs[Long]("n_negative_values") == 1L)
+    assert(r.getAs[String]("first_day") == "1970-01-01")
+    assert(r.getAs[String]("last_day") == "1970-01-04")
+    assert(r.getAs[Long]("n_days_present") == 2L)
+    assert(r.getAs[Long]("n_days_missing") == 2L)
+  }
+
+  test("ev_dq reconciles with a brute-force audit of the fixture") {
+    val ev = graft.streaming.StreamingStats.events(spark, sf("sf0.01"))
+      .select(col("event_id"), col("user_id"),
+        unix_date(to_date(col("ts")))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val r = Analytics.evDq(spark, sf("sf0.01")).collect().head
+    assert(r.getAs[Long]("n_events") == ev.length.toLong)
+    assert(r.getAs[Long]("n_distinct_ids") ==
+      ev.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("n_users") == ev.map(_._2).distinct.length.toLong)
+    val days = ev.map(_._3).distinct
+    assert(r.getAs[Long]("n_days_present") == days.length.toLong)
+    assert(r.getAs[Long]("n_days_missing") ==
+      (days.max - days.min + 1 - days.length).toLong)
+    // the driver fixture is clean — the audit must say so
+    assert(r.getAs[Long]("n_dup_ids") == 0L)
+    assert(r.getAs[Long]("n_malformed_props") == 0L)
+    assert(r.getAs[Long]("n_negative_values") == 0L)
+  }
+
   test("ev_srm equals a brute-force split census and matches ev_abtest's") {
     import graft.functions.Determinism.r6Jvm
     // local mirror of the salted md5 split (the CrossHash definition)
