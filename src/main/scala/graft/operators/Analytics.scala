@@ -2607,23 +2607,34 @@ FROM g"""
     * agg, then a types-bounded reduce. Nothing scales past the type
     * vocabulary downstream.
     */
-  def evSrm(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = StreamingStats.events(spark, sfDir)
-      .select(col("event_type"),
-        (graft.functions.CrossHash.md5Long(
-          concat(lit("ab-v1:"), col("user_id").cast("string"))) % 2)
-          .as("cohort"), col("user_id"))
-      .distinct()
-    // diff² in decimal(38,0): at the 100 TB user count a broken
-    // split's squared difference overflows int64
+  /** The χ² tail over a (event_type, n_a, n_b) relation — ONE copy
+    * shared by [[evSrm]] and the live monitor
+    * ([[graft.streaming.StreamingStats.srmStream]]), so the batch
+    * verdict and the pager can never drift.
+    *
+    * diff² in decimal(38,0): at the 100 TB user count a broken
+    * split's squared difference overflows int64.
+    */
+  private[graft] def srmTail(g: DataFrame): DataFrame = {
     val chi2 = ((col("n_a") - col("n_b")).cast(M38) *
       (col("n_a") - col("n_b")).cast(M38)).cast("double")
-    e.groupBy(col("event_type")).agg(
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      r6(chi2 / (col("n_a") + col("n_b"))).as("srm_chi2"),
+      (chi2 / (col("n_a") + col("n_b")) > SrmChi2).as("is_srm"))
+  }
+
+  /** The salted md5 cohort assignment — ONE copy (ev_abtest's). */
+  private[graft] def srmCohort: org.apache.spark.sql.Column =
+    graft.functions.CrossHash.md5Long(
+      concat(lit("ab-v1:"), col("user_id").cast("string"))) % 2
+
+  def evSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = StreamingStats.events(spark, sfDir)
+      .select(col("event_type"), srmCohort.as("cohort"), col("user_id"))
+      .distinct()
+    srmTail(e.groupBy(col("event_type")).agg(
         sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"))
-      .select(col("event_type"), col("n_a"), col("n_b"),
-        r6(chi2 / (col("n_a") + col("n_b"))).as("srm_chi2"),
-        (chi2 / (col("n_a") + col("n_b")) > SrmChi2).as("is_srm"))
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b")))
       .orderBy(col("event_type"))
   }
 

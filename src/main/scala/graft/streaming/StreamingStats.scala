@@ -1014,4 +1014,39 @@ FROM sess_rows ORDER BY user_id, session_id"""
           out.iterator
       }
   }
+
+  // ------------------------------------------------------------------
+  // streaming SRM monitor — ev_srm's live twin
+  // ------------------------------------------------------------------
+
+  /** The LIVE sample-ratio-mismatch monitor — `ev_srm`'s incremental
+    * twin, and the alarm that matters most in real time: an SRM is
+    * almost always an ASSIGNMENT bug (a crash path that drops one
+    * cohort's logging), and every hour it runs is an hour of biased
+    * data. First-seen dedup at (event_type, user) grain feeds a
+    * running cohort-count aggregate; the χ² verdict is the SAME
+    * [[graft.operators.Analytics.srmTail]] the batch query selects
+    * through, and the cohort is the SAME salted md5 split — neither
+    * can drift from the batch verdict.
+    *
+    * State: the dedup holds one row per (type, user) pair — the
+    * ASSIGNMENT grain, which is the signal itself (a user counted
+    * twice would corrupt the test; the growth-stream argument) — and
+    * the aggregate holds one row per (type, cohort). Output mode is
+    * Complete (the monitor IS a running total); the sink sees the
+    * current verdict per type after every batch.
+    */
+  def srmStream(events: DataFrame): DataFrame = {
+    val deduped = events
+      .select(col("event_type").cast("string").as("event_type"),
+        col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_type", "user_id")
+      .select(col("event_type"),
+        graft.operators.Analytics.srmCohort.as("cohort"))
+    graft.operators.Analytics.srmTail(
+      deduped.groupBy(col("event_type")).agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b")))
+  }
 }

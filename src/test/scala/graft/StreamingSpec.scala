@@ -768,6 +768,31 @@ class StreamingSpec extends SparkSpec {
       ("view", "2025-03-03", 1L)), s"got $out")
   }
 
+  test("streaming SRM monitor converges to the batch ev_srm verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val q = StreamingStats.srmStream(
+        mem.toDF().toDF("event_type", "user_id", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("srm_live").start()
+    try {
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq) // dedup state must survive the boundary
+      q.processAllAvailable()
+      val streamed = spark.table("srm_live").collect()
+        .map(_.toSeq.toList).toSet
+      val batch = graft.operators.Analytics.evSrm(spark, sf())
+        .collect().map(_.toSeq.toList).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming growth rows reconcile with batch ev_growth_accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
