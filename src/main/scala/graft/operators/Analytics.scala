@@ -2781,6 +2781,68 @@ FROM lagged ORDER BY nation, year"""
   }
 
   // ------------------------------------------------------------------
+  // prof_heavy_hitters_exact — the sketch in its exact regime
+  // ------------------------------------------------------------------
+
+  /** Capacity for the exact-regime run: with cap ≥ the column's
+    * distinct-key count the Misra–Gries decrement step and the merge
+    * subtraction NEVER fire (a partial's buffer only grows while
+    * `size < cap`), so every counter is the true frequency and the
+    * sketch degenerates to exact counting — the classical property
+    * the spec pins locally, here taken to its limit so no domain
+    * assumption is needed at any SF. Buffer memory is bounded by the
+    * DISTINCT keys actually seen, not by the cap, so the huge literal
+    * costs nothing.
+    */
+  val HhExactCap = Int.MaxValue
+
+  /** [[profHeavyHitters]]'s hash-verifiable twin: the SAME custom
+    * [[graft.functions.MisraGries]] TypedImperativeAggregate run end
+    * to end — update, serialize, merge, eval — at [[HhExactCap]],
+    * where its output is provably the exact (key, count) table sorted
+    * count-desc, key-asc. This gives the custom aggregate a driver
+    * hash row against a plain GROUP BY oracle every round (the
+    * shipped sketch entry is rows-only BY NATURE), completing the
+    * calibration-baseline pattern the banded dedup families use:
+    * ship the bounded-memory form AND the exact form it must agree
+    * with in the regime where they coincide.
+    *
+    * At 100 TB this entry is the exact-counting cost the [[HhCap]]
+    * sketch exists to avoid (state = the full distinct-key map) —
+    * a calibration baseline, not the production path.
+    */
+  def profHeavyHittersExact(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MisraGries.sketch(col("l_partkey"), HhExactCap)
+          .as("sk"))
+      .select(col("n"), posexplode(col("sk")).as(Seq("idx", "e")))
+      .select((col("idx") + 1).cast("long").as("rank"),
+        col("e.key").as("partkey"),
+        col("e.count").as("cnt"),
+        col("n").as("n_rows"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle: plain exact counts with the sketch's eval-time ordering
+    * (count desc, key asc) — agreeing with it end-to-end is the
+    * degenerate-regime contract.
+    */
+  val profHeavyHittersExactSql: String = """
+WITH c AS (
+  SELECT l_partkey AS partkey, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+), t AS (
+  SELECT COUNT(*) AS n_rows FROM lineitem
+)
+SELECT CAST(row_number() OVER (ORDER BY c.cnt DESC, c.partkey) AS BIGINT)
+    AS rank,
+  c.partkey, c.cnt, t.n_rows
+FROM c, t ORDER BY rank"""
+
+  // ------------------------------------------------------------------
   // ev_power — experiment power / minimal-detectable-effect readout
   // ------------------------------------------------------------------
 

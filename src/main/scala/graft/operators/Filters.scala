@@ -434,4 +434,110 @@ SELECT source, n_docs, n_keep,
   ${r6Sql("(CAST(n_keep AS DOUBLE) / n_docs)")} AS keep_rate,
   fail_words, fail_mean_word_len, fail_symbols, fail_repetition
 FROM g ORDER BY source"""
+
+  // ------------------------------------------------------------------
+  // qf_ingest_gate — one-row-per-feed admission verdict
+  // ------------------------------------------------------------------
+
+  /** Feed leg: minimum quality keep-rate before a feed is admitted. */
+  val GateKeepRateMin = 0.5
+
+  /** Stream leg: duplicate-id rate ceiling (at-least-once leakage). */
+  val GateDupRateMax = 0.01
+
+  /** Stream leg: malformed-payload rate ceiling. */
+  val GateMalformedRateMax = 0.01
+
+  /** Traffic leg: scripted users tolerated before the gate closes. */
+  val GateMaxBots = 0L
+
+  /** The per-feed ingest admission gate — [[qfComposite]]'s
+    * compose-the-shipped-queries pattern at FEED grain: one row per
+    * document source, its [[qfSourceCensus]] quality verdict AND'd
+    * with the stream-side health legs every feed shares — the
+    * [[graft.operators.Analytics.evDq]] duplicate/malformed rates and
+    * the [[graft.operators.TimeSeries.evBot]] scripted-traffic count.
+    * This is the one row an ingest scheduler reads per feed before
+    * admitting its next batch: `admit` = the feed's own extraction
+    * quality holds ([[GateKeepRateMin]]) AND the event stream feeding
+    * the shared metrics is trustworthy (dup/malformed rates under
+    * ceiling, zero flagged bots).
+    *
+    * PURE composition: each leg IS the shipped query — Spark reuses
+    * the DataFrames, the oracle embeds the three oracle SQLs verbatim
+    * as subqueries, so the gate can never drift from the audits it
+    * summarizes. Threshold discipline: `keep_rate` is compared in its
+    * r6'd form (both engines round identically, then compare the same
+    * literal); the stream rates are compared UNROUNDED on both
+    * engines (exact-integer ÷ exact-integer is one correctly-rounded
+    * double on each side — the ev_srm alarm pattern) and r6'd only
+    * for display.
+    *
+    * Scale shape: the census leg is qf_source_census's sources-bounded
+    * aggregate; the stream legs each reduce to ONE broadcast row, so
+    * the joins are constant-size broadcasts (no shuffle is added to
+    * any leg).
+    */
+  def qfIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = qfSourceCensus(spark, sfDir)
+      .select(col("source"), col("n_docs"), col("n_keep"), col("keep_rate"))
+    val dq = Analytics.evDq(spark, sfDir)
+      .select(col("n_events"), col("n_dup_ids"), col("n_malformed_props"))
+    val bots = TimeSeries.evBot(spark, sfDir)
+      .agg(coalesce(sum(when(col("is_bot"), 1L).otherwise(0L)), lit(0L))
+        .as("n_bots"))
+    val dupRate = col("n_dup_ids").cast("double") / col("n_events")
+    val malRate = col("n_malformed_props").cast("double") / col("n_events")
+    val streamOk = dupRate <= GateDupRateMax &&
+      malRate <= GateMalformedRateMax && col("n_bots") <= GateMaxBots
+    census.crossJoin(broadcast(dq)).crossJoin(broadcast(bots))
+      .select(col("source"), col("n_docs"), col("n_keep"), col("keep_rate"),
+        (col("keep_rate") >= GateKeepRateMin).as("feed_ok"),
+        r6(dupRate).as("dup_rate"),
+        r6(malRate).as("malformed_rate"),
+        col("n_bots"),
+        streamOk.as("stream_ok"),
+        (col("keep_rate") >= GateKeepRateMin && streamOk).as("admit"))
+      .orderBy(col("source"))
+  }
+
+  /** LAZY: Filters' own init is reachable from Analytics' init chain
+    * (Analytics → Corpus.splitLabelSql → Corpus → Filters.keepSqlExpr),
+    * so an eager val here that reads Analytics/TimeSeries oracle vals
+    * would close an object-initialization cycle and observe them as
+    * null. Deferring to first access (after all objects settle) breaks
+    * the cycle.
+    */
+  lazy val qfIngestGateSql: String = {
+    val dup = "(CAST(d.n_dup_ids AS DOUBLE) / d.n_events)"
+    val mal = "(CAST(d.n_malformed_props AS DOUBLE) / d.n_events)"
+    val streamOk = s"($dup <= CAST($GateDupRateMax AS DOUBLE) AND " +
+      s"$mal <= CAST($GateMalformedRateMax AS DOUBLE) AND " +
+      s"b.n_bots <= $GateMaxBots)"
+    s"""
+WITH bots AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS n_bots
+  FROM ($evBotSqlIndented)
+)
+SELECT c.source, c.n_docs, c.n_keep, c.keep_rate,
+  c.keep_rate >= CAST($GateKeepRateMin AS DOUBLE) AS feed_ok,
+  ${r6Sql(dup)} AS dup_rate,
+  ${r6Sql(mal)} AS malformed_rate,
+  b.n_bots,
+  $streamOk AS stream_ok,
+  (c.keep_rate >= CAST($GateKeepRateMin AS DOUBLE) AND $streamOk)
+    AS admit
+FROM ($qfSourceCensusSqlIndented) c, ($evDqSqlIndented) d, bots b
+ORDER BY c.source"""
+  }
+
+  private def evBotSqlIndented: String =
+    TimeSeries.evBotSql.replace("\n", "\n  ")
+
+  private def evDqSqlIndented: String =
+    Analytics.evDqSql.replace("\n", "\n  ")
+
+  private def qfSourceCensusSqlIndented: String =
+    qfSourceCensusSql.replace("\n", "\n  ")
 }

@@ -1264,6 +1264,18 @@ GROUP BY e.label ORDER BY label"""
     val pairs = graft.operators.Dedup.ddEmbedCosine(spark, sfDir)
       .select(col("vec_a"), col("vec_b"))
       .localCheckpoint(true)
+    semanticClustersTail(spark, sfDir, pairs)
+  }
+
+  /** The cluster/census tail shared by the exact baseline
+    * ([[simSemanticClusters]]) and the ANN-fronted form
+    * ([[simSemanticClustersAnn]]): threshold-surviving edges → the
+    * SAME large-star/small-star CC loop all three cluster families
+    * share → sizes + survivor election. ONE copy, so the two entries
+    * can only differ in how the near-dup pair graph is discovered.
+    */
+  private def semanticClustersTail(spark: SparkSession, sfDir: String,
+      pairs: DataFrame): DataFrame = {
     val (labels, _) = graft.operators.Dedup.connectedComponentsStar(
       embeddings(spark, sfDir).select(col("vec_id")), pairs)
     val sizes = labels.groupBy(col("lbl"))
@@ -1300,6 +1312,70 @@ SELECT l.vec_id, l.lbl AS cluster_rep, s.cluster_size,
   l.vec_id = l.lbl AS is_survivor
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.vec_id"""
+
+  // ------------------------------------------------------------------
+  // sim_semantic_clusters_ann — the IVF-fronted form of the clusters
+  // ------------------------------------------------------------------
+
+  /** The 100 TB form of [[simSemanticClusters]]: IDENTICAL output
+    * (same oracle SQL), but the near-dup pair graph is discovered
+    * through the IVF candidate stream instead of `dd_embed_cosine`'s
+    * block-matrix enumeration — the THIRD application of the
+    * substitute-==-exact pattern ([[simLabelKnnAnn]],
+    * [[simHybridRrfAnn]]), closing the last pair-stream family
+    * without a shipped production twin: this is the discovery route
+    * the CC/census consumers (`sim_semantic_clusters`,
+    * `dd_family_overlap`, `cp_dedup_impact`) ride at scale.
+    *
+    * Candidate generation is [[simLabelKnnAnn]]'s verbatim: every
+    * vector assigned to its one best cell ([[ivfAssign]], broadcast
+    * centroids, map-side argmax), every vector probes [[KnnProbe]]
+    * cells ([[ivfProbeList]]) — EXHAUSTIVE in the shipped entry so
+    * the candidate set is provably total and the driver hash-verifies
+    * banded == exact every round. Each corpus vector lives in exactly
+    * one cell, so `query_id < vec_id` yields each unordered pair at
+    * most once; cosines share [[graft.functions.DotProduct]]'s
+    * left-to-right fold (and IEEE `x*y = y*x` bitwise) with
+    * [[graft.operators.Dedup.ddEmbedCosine]], so the surviving edge
+    * set is bitwise-identical and the SAME [[semanticClustersTail]]
+    * can only produce the same clusters. A zero-norm vector's NULL
+    * cosine fails `>= CosineMin` on both routes (it stays a CC
+    * singleton from the node relation, never an edge).
+    *
+    * Scale shape: centroids broadcast; the candidate join is an
+    * equi-join on cell id, so at a production `probe ≪ cells` dial
+    * (cells ≈ √corpus) pair discovery touches probe/cells of the
+    * corpus per vector instead of the block-matrix's all-pairs; the
+    * CC tail then shuffles edge lists bounded by the near-dup rate,
+    * never vectors. The recall cost of the dial is measured by
+    * [[simIvfTuning]], not guessed.
+    */
+  def simSemanticClustersAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir).cache()
+    val cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = ivfAssign(e, cents)
+    val probes = ivfProbeList(
+      e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), cents, KnnProbe)
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val pairs = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") < col("vec_id"))
+      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+        cos.as("c"))
+      .filter(col("c") >= graft.operators.Dedup.CosineMin)
+      .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(true)
+    semanticClustersTail(spark, sfDir, pairs)
+  }
+
+  /** ANN-clusters == exact-clusters is the contract; ONE oracle
+    * definition (the [[simLabelKnnAnnSql]] move).
+    */
+  val simSemanticClustersAnnSql: String = simSemanticClustersSql
 
   // ------------------------------------------------------------------
   // sim_embed_drift — per-dimension train/val embedding drift

@@ -1041,6 +1041,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prof_heavy_hitters_exact is the exact count table, even repartitioned") {
+    val exact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val rows = Analytics.profHeavyHittersExact(spark, sf("sf0.01")).collect()
+    assert(rows.length == exact.size, "one row per distinct key")
+    // counts are the true frequencies; ranks follow (count desc, key)
+    val expected = exact.toSeq.sortBy { case (k, c) => (-c, k) }
+    rows.zip(expected).zipWithIndex.foreach { case ((r, (k, c)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1)
+      assert(r.getAs[Long]("partkey") == k)
+      assert(r.getAs[Long]("cnt") == c, s"inexact count at key $k")
+      assert(r.getAs[Long]("n_rows") == n)
+    }
+    // the degenerate regime is partition-independent: an adversarial
+    // repartition routes through different update/merge orders and
+    // must still produce the identical table
+    graft.functions.MisraGries.register(spark)
+    val rep = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      .select(col("l_partkey")).repartition(7)
+      .agg(graft.functions.MisraGries
+        .sketch(col("l_partkey"), Analytics.HhExactCap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.count")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rep == expected, "repartitioned exact-regime table diverges")
+  }
+
   test("MisraGries guarantees survive an adversarial repartition") {
     graft.functions.MisraGries.register(spark)
     val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")

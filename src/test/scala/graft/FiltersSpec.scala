@@ -174,4 +174,36 @@ class FiltersSpec extends SparkSpec {
         cnt(_.getAs[Boolean]("keep")).toDouble / rows.length) < 1e-6)
     }
   }
+
+  test("qf_ingest_gate reconciles with its three shipped legs") {
+    val d = sf("sf0.01")
+    val rows = Filters.qfIngestGate(spark, d).collect()
+    val census = Filters.qfSourceCensus(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+          r.getAs[Double]("keep_rate"))).toMap
+    val dq = graft.operators.Analytics.evDq(spark, d).collect().head
+    val nEvents = dq.getAs[Long]("n_events")
+    val dupRate = dq.getAs[Long]("n_dup_ids").toDouble / nEvents
+    val malRate = dq.getAs[Long]("n_malformed_props").toDouble / nEvents
+    val nBots = graft.operators.TimeSeries.evBot(spark, d).collect()
+      .count(_.getAs[Boolean]("is_bot")).toLong
+    assert(rows.length == census.size, "one gate row per feed")
+    rows.foreach { r =>
+      val (nd, nk, kr) = census(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_keep") == nk)
+      assert(r.getAs[Double]("keep_rate") == kr)
+      assert(r.getAs[Boolean]("feed_ok") == (kr >= Filters.GateKeepRateMin))
+      assert(r.getAs[Long]("n_bots") == nBots)
+      val streamOk = dupRate <= Filters.GateDupRateMax &&
+        malRate <= Filters.GateMalformedRateMax &&
+        nBots <= Filters.GateMaxBots
+      assert(r.getAs[Boolean]("stream_ok") == streamOk)
+      assert(r.getAs[Boolean]("admit") ==
+        (kr >= Filters.GateKeepRateMin && streamOk), s"verdict: $r")
+    }
+    // the fixture must exercise both verdicts on the feed leg
+    assert(rows.exists(_.getAs[Boolean]("feed_ok")))
+  }
 }

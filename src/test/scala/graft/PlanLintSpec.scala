@@ -31,7 +31,10 @@ class PlanLintSpec extends SparkSpec {
     *    (1-row day-bounds anchor for churn clipping + scaffold), ta_bm25
     *    (1-row corpus-stats anchor), wh_pricing (1-row ship-date anchor),
     *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax),
-    *    cp_dedup_impact (1-row corpus-totals anchor per family census).
+    *    cp_dedup_impact (1-row corpus-totals anchor per family census),
+    *    qf_ingest_gate (two 1-row stream-health anchors — the ev_dq
+    *    audit row and the bot-count reduce — broadcast onto the
+    *    sources-bounded census).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
@@ -49,7 +52,8 @@ class PlanLintSpec extends SparkSpec {
     "ev_survival", "prof_drift",
     "prof_mi",
     "prof_outliers",
-    "qf_composite", "qf_lm_filter", "sim_bruteforce_topk", "sim_ivf_ann",
+    "qf_composite", "qf_ingest_gate", "qf_lm_filter",
+    "sim_bruteforce_topk", "sim_ivf_ann",
     "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",

@@ -228,6 +228,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_semantic_clusters_ann equals the exact clusters at two SFs") {
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val exact = Similarity.simSemanticClusters(spark, sf(s)).collect()
+        .map(_.toSeq).toSeq
+      val ann = Similarity.simSemanticClustersAnn(spark, sf(s)).collect()
+        .map(_.toSeq).toSeq
+      assert(exact.nonEmpty && ann == exact, s"twin diverges at $s")
+    }
+  }
+
   test("sim_semantic_clusters equals a union-find over the cosine pairs") {
     val pairs = graft.operators.Dedup.ddEmbedCosine(spark, sf("sf0.01"))
       .select(col("vec_a"), col("vec_b")).collect()

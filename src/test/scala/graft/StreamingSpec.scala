@@ -907,4 +907,173 @@ class StreamingSpec extends SparkSpec {
         ("1970-01-12", "churned")), s"u2 rows: $u2")
     } finally q.stop()
   }
+
+  // ---------------------------------------------------------------
+  // checkpoint-restart for the flatMapGroupsWithState twins: the
+  // state-STORE recovery path (vs the foreachBatch sinks' external-
+  // merge path above). Dropping the newest commit re-delivers the
+  // last batch; the restarted query must (a) recompute the
+  // re-delivered batch's emissions identically from the rolled-back
+  // state version, and (b) keep every timer set BEFORE the crash
+  // alive — a lost EventTimeTimeout is a session/churn row that
+  // silently never fires.
+  // ---------------------------------------------------------------
+
+  test("sessionizer state and timers survive checkpoint restart with re-delivery") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_sessrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessrs_ck_").toString
+    def feed(rows: Seq[(Timestamp, Long, Double)]): Unit =
+      rows.toDF("ts", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(name: String) = StreamingStats.sessionizeStream(
+        spark.readStream
+          .schema("ts TIMESTAMP, user_id LONG, value DOUBLE").parquet(in))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    feed(Seq((t("2025-03-01 10:00:00"), 1L, 1.5),
+      (t("2025-03-01 10:05:00"), 1L, 2.25),
+      (t("2025-03-01 10:05:00"), 2L, 1.0)))
+    val q1 = start("sess_rs1")
+    try {
+      q1.processAllAvailable()
+      feed(Seq((t("2025-03-01 10:45:00"), 1L, 4.0))) // gap-closes session 1
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.table("sess_rs1").count() == 1, "run 1 closed one session")
+    // crash before the commit record: the gap-closing batch re-delivers
+    dropNewestCommit(ckpt)
+    val q2 = start("sess_rs2")
+    try {
+      q2.processAllAvailable() // re-runs the dropped batch
+      // advance the watermark past every open session's flush timer,
+      // then one more trigger so the EventTimeTimeout flushes fire —
+      // the timers were set by state written BEFORE the crash
+      feed(Seq((t("2025-03-02 10:00:00"), 9L, 1.0)))
+      q2.processAllAvailable()
+      feed(Seq((t("2025-03-02 14:00:00"), 9L, 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val run1 = spark.table("sess_rs1").collect().map(_.toSeq).toSet
+    val run2 = spark.table("sess_rs2").collect().map(_.toSeq).toSet
+    // (a) the re-delivered batch re-emitted the SAME closed session:
+    // the state store rolled back one version and recomputed it
+    assert(run1.subsetOf(run2), s"re-delivered rows diverge: $run1 / $run2")
+    def us(s: String) = t(s).getTime * 1000L
+    // (b) union over both runs == the single-run session set: the
+    // gap-closed session once, u1's timeout-flushed session 2 with a
+    // CONTINUOUS ordinal, u2's timeout-flushed singleton
+    val want = Set(
+      Seq[Any](1L, 1L, 2L, 300L, us("2025-03-01 10:00:00"), 3.75),
+      Seq[Any](1L, 2L, 1L, 0L, us("2025-03-01 10:45:00"), 4.0),
+      Seq[Any](2L, 1L, 1L, 0L, us("2025-03-01 10:05:00"), 1.0))
+    val got = (run1 ++ run2).filterNot(_.head == 9L)
+    assert(got == want, s"got $got")
+  }
+
+  test("anomaly stream equals the batch rows across a restart with re-delivery") {
+    import spark.implicits._
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_type"), col("ts")).orderBy(col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val types = fixture.map(_._1).distinct.toSeq
+    val maxMs = fixture.map(_._2.getTime).max
+    def flush(days: Int) =
+      types.map(t => (t, new Timestamp(maxMs + days * 86400000L)))
+    val in = java.nio.file.Files.createTempDirectory("graft_anomrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anomrs_ck_").toString
+    def feed(rows: Seq[(String, Timestamp)]): Unit =
+      rows.toDF("event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(name: String) = StreamingStats.anomalyStream(
+        spark.readStream
+          .schema("event_type STRING, ts TIMESTAMP").parquet(in))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    feed(a.toSeq)
+    val q1 = start("anom_rs1")
+    try {
+      q1.processAllAvailable()
+      feed(b.toSeq) // baselines + emission frontier cross the boundary
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash before the commit: the second fixture half re-delivers
+    dropNewestCommit(ckpt)
+    val q2 = start("anom_rs2")
+    try {
+      q2.processAllAvailable() // re-run from the rolled-back baselines
+      feed(flush(30)); q2.processAllAvailable()
+      feed(flush(31)); q2.processAllAvailable()
+    } finally q2.stop()
+    val maxDay = java.time.Instant.ofEpochMilli(maxMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val streamed = (spark.table("anom_rs1").collect() ++
+        spark.table("anom_rs2").collect())
+      .filter(_.getAs[String]("day") <= maxDay) // drop the flush-day rows
+      .map(_.toSeq.toList).toSet
+    val batch = graft.operators.TimeSeries.evAnomaly(spark, sf())
+      .collect().map(_.toSeq.toList).toSet
+    // duplicates from the re-delivered half must be IDENTICAL rows
+    // (set union collapses them) and nothing may be lost or invented
+    assert(batch.nonEmpty && streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("growth stream churn timers fire after a checkpoint restart") {
+    import spark.implicits._
+    def ts(day: Int) = new Timestamp(day * 86400000L + 43200000L)
+    val in = java.nio.file.Files.createTempDirectory("graft_grors_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_grors_ck_").toString
+    def feed(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(name: String) = StreamingStats.growthStream(
+        spark.readStream
+          .schema("user_id LONG, ts TIMESTAMP").parquet(in))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt).start()
+    // u1: days 0,1; u2: days 0..3 — then both go silent forever
+    feed(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(1)),
+      (2L, ts(2)), (2L, ts(3))))
+    val q1 = start("growth_rs1")
+    try {
+      q1.processAllAvailable()
+      // the watermark driver closes the early presence days; u1/u2 are
+      // invoked by their pending-close TIMERS, not by data
+      feed(Seq((9L, ts(4))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.table("growth_rs1")
+      .filter(col("user_id").isin(1L, 2L)).count() > 0,
+      "run 1 classified the early days")
+    // crash before the commit: the frontier batch re-delivers
+    dropNewestCommit(ckpt)
+    val q2 = start("growth_rs2")
+    try {
+      q2.processAllAvailable() // re-run the dropped batch
+      // u1/u2 receive NO further data: their churn rows below can only
+      // come from EventTimeTimeout timers that survived the restart
+      feed(Seq((9L, ts(15)))); q2.processAllAvailable()
+      feed(Seq((9L, ts(16)))); q2.processAllAvailable()
+    } finally q2.stop()
+    val run1 = spark.table("growth_rs1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val run2 = spark.table("growth_rs2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // re-delivered classifications recompute identically
+    assert((run1 -- run2).forall(_._1 == 9L),
+      s"re-delivered rows diverge: ${run1 -- run2}")
+    val got = (run1 ++ run2).filterNot(_._1 == 9L)
+    // the full single-run decomposition INCLUDING the timer-driven
+    // churn rows booked entirely after the restart
+    val want = Set(
+      (1L, "1970-01-01", "new"), (1L, "1970-01-02", "retained"),
+      (1L, "1970-01-10", "churned"),
+      (2L, "1970-01-01", "new"), (2L, "1970-01-02", "retained"),
+      (2L, "1970-01-03", "retained"), (2L, "1970-01-04", "retained"),
+      (2L, "1970-01-12", "churned"))
+    assert(got == want, s"got $got")
+  }
 }
