@@ -919,32 +919,70 @@ class StreamingSpec extends SparkSpec {
   // silently never fires.
   // ---------------------------------------------------------------
 
+  /** Driver-side row buffer behind a `foreachBatch` bridge — the
+    * memory sink does NOT support checkpoint recovery, and the file
+    * sink's own commit log would silently SWALLOW a re-delivered
+    * batch; `foreachBatch` both recovers and re-invokes, so the
+    * re-delivered rows stay observable.
+    */
+  private class RowBuffer {
+    private val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    def add(df: org.apache.spark.sql.DataFrame): Unit =
+      synchronized { rows ++= df.collect().map(_.toSeq) }
+    def set: Set[Seq[Any]] = synchronized { rows.toSet }
+  }
+
+  private def startBuffered(ds: org.apache.spark.sql.Dataset[_],
+      buf: RowBuffer, ckpt: String) =
+    ds.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.add(b) }
+      .start()
+
+  /** Run `body` with no-data microbatches disabled: the wm-advance
+    * extra batch otherwise lands as the NEWEST commit, so dropping it
+    * re-runs an empty batch instead of re-delivering the data batch
+    * under test. Timer firing in these tests is driven by explicit
+    * follow-up feeds, which disabling does not affect.
+    */
+  private def withoutNoDataBatches[A](body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("sessionizer state and timers survive checkpoint restart with re-delivery") {
+    withoutNoDataBatches {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_sessrs_in_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessrs_ck_").toString
     def feed(rows: Seq[(Timestamp, Long, Double)]): Unit =
       rows.toDF("ts", "user_id", "value")
         .coalesce(1).write.mode("append").parquet(in)
-    def start(name: String) = StreamingStats.sessionizeStream(
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.sessionizeStream(
         spark.readStream
-          .schema("ts TIMESTAMP, user_id LONG, value DOUBLE").parquet(in))
-      .writeStream.outputMode("append").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt).start()
+          .schema("ts TIMESTAMP, user_id LONG, value DOUBLE").parquet(in)),
+      buf, ckpt)
     def t(s: String) = Timestamp.valueOf(s)
     feed(Seq((t("2025-03-01 10:00:00"), 1L, 1.5),
       (t("2025-03-01 10:05:00"), 1L, 2.25),
       (t("2025-03-01 10:05:00"), 2L, 1.0)))
-    val q1 = start("sess_rs1")
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
     try {
       q1.processAllAvailable()
       feed(Seq((t("2025-03-01 10:45:00"), 1L, 4.0))) // gap-closes session 1
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(spark.table("sess_rs1").count() == 1, "run 1 closed one session")
+    assert(buf1.set.size == 1, "run 1 closed one session")
     // crash before the commit record: the gap-closing batch re-delivers
     dropNewestCommit(ckpt)
-    val q2 = start("sess_rs2")
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
     try {
       q2.processAllAvailable() // re-runs the dropped batch
       // advance the watermark past every open session's flush timer,
@@ -955,8 +993,8 @@ class StreamingSpec extends SparkSpec {
       feed(Seq((t("2025-03-02 14:00:00"), 9L, 1.0)))
       q2.processAllAvailable()
     } finally q2.stop()
-    val run1 = spark.table("sess_rs1").collect().map(_.toSeq).toSet
-    val run2 = spark.table("sess_rs2").collect().map(_.toSeq).toSet
+    val run1 = buf1.set
+    val run2 = buf2.set
     // (a) the re-delivered batch re-emitted the SAME closed session:
     // the state store rolled back one version and recomputed it
     assert(run1.subsetOf(run2), s"re-delivered rows diverge: $run1 / $run2")
@@ -970,6 +1008,7 @@ class StreamingSpec extends SparkSpec {
       Seq[Any](2L, 1L, 1L, 0L, us("2025-03-01 10:05:00"), 1.0))
     val got = (run1 ++ run2).filterNot(_.head == 9L)
     assert(got == want, s"got $got")
+    }
   }
 
   test("anomaly stream equals the batch rows across a restart with re-delivery") {
@@ -987,13 +1026,14 @@ class StreamingSpec extends SparkSpec {
     def feed(rows: Seq[(String, Timestamp)]): Unit =
       rows.toDF("event_type", "ts")
         .coalesce(1).write.mode("append").parquet(in)
-    def start(name: String) = StreamingStats.anomalyStream(
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.anomalyStream(
         spark.readStream
-          .schema("event_type STRING, ts TIMESTAMP").parquet(in))
-      .writeStream.outputMode("append").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt).start()
+          .schema("event_type STRING, ts TIMESTAMP").parquet(in)),
+      buf, ckpt)
     feed(a.toSeq)
-    val q1 = start("anom_rs1")
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
     try {
       q1.processAllAvailable()
       feed(b.toSeq) // baselines + emission frontier cross the boundary
@@ -1001,7 +1041,8 @@ class StreamingSpec extends SparkSpec {
     } finally q1.stop()
     // crash before the commit: the second fixture half re-delivers
     dropNewestCommit(ckpt)
-    val q2 = start("anom_rs2")
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
     try {
       q2.processAllAvailable() // re-run from the rolled-back baselines
       feed(flush(30)); q2.processAllAvailable()
@@ -1009,10 +1050,9 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
     val maxDay = java.time.Instant.ofEpochMilli(maxMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
-    val streamed = (spark.table("anom_rs1").collect() ++
-        spark.table("anom_rs2").collect())
-      .filter(_.getAs[String]("day") <= maxDay) // drop the flush-day rows
-      .map(_.toSeq.toList).toSet
+    val streamed = (buf1.set ++ buf2.set)
+      .filter(_(1).asInstanceOf[String] <= maxDay) // drop flush-day rows
+      .map(_.toList).toSet
     val batch = graft.operators.TimeSeries.evAnomaly(spark, sf())
       .collect().map(_.toSeq.toList).toSet
     // duplicates from the re-delivered half must be IDENTICAL rows
@@ -1022,6 +1062,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("growth stream churn timers fire after a checkpoint restart") {
+    withoutNoDataBatches {
     import spark.implicits._
     def ts(day: Int) = new Timestamp(day * 86400000L + 43200000L)
     val in = java.nio.file.Files.createTempDirectory("graft_grors_in_").toString
@@ -1029,15 +1070,16 @@ class StreamingSpec extends SparkSpec {
     def feed(rows: Seq[(Long, Timestamp)]): Unit =
       rows.toDF("user_id", "ts")
         .coalesce(1).write.mode("append").parquet(in)
-    def start(name: String) = StreamingStats.growthStream(
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.growthStream(
         spark.readStream
-          .schema("user_id LONG, ts TIMESTAMP").parquet(in))
-      .writeStream.outputMode("append").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt).start()
+          .schema("user_id LONG, ts TIMESTAMP").parquet(in)),
+      buf, ckpt)
     // u1: days 0,1; u2: days 0..3 — then both go silent forever
     feed(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(1)),
       (2L, ts(2)), (2L, ts(3))))
-    val q1 = start("growth_rs1")
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
     try {
       q1.processAllAvailable()
       // the watermark driver closes the early presence days; u1/u2 are
@@ -1045,12 +1087,12 @@ class StreamingSpec extends SparkSpec {
       feed(Seq((9L, ts(4))))
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(spark.table("growth_rs1")
-      .filter(col("user_id").isin(1L, 2L)).count() > 0,
+    assert(buf1.set.exists(r => r.head == 1L || r.head == 2L),
       "run 1 classified the early days")
     // crash before the commit: the frontier batch re-delivers
     dropNewestCommit(ckpt)
-    val q2 = start("growth_rs2")
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
     try {
       q2.processAllAvailable() // re-run the dropped batch
       // u1/u2 receive NO further data: their churn rows below can only
@@ -1058,10 +1100,10 @@ class StreamingSpec extends SparkSpec {
       feed(Seq((9L, ts(15)))); q2.processAllAvailable()
       feed(Seq((9L, ts(16)))); q2.processAllAvailable()
     } finally q2.stop()
-    val run1 = spark.table("growth_rs1").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    val run2 = spark.table("growth_rs2").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def triples(s: Set[Seq[Any]]) = s.map(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[String], r(2).asInstanceOf[String]))
+    val run1 = triples(buf1.set)
+    val run2 = triples(buf2.set)
     // re-delivered classifications recompute identically
     assert((run1 -- run2).forall(_._1 == 9L),
       s"re-delivered rows diverge: ${run1 -- run2}")
@@ -1075,5 +1117,6 @@ class StreamingSpec extends SparkSpec {
       (2L, "1970-01-03", "retained"), (2L, "1970-01-04", "retained"),
       (2L, "1970-01-12", "churned"))
     assert(got == want, s"got $got")
+    }
   }
 }
