@@ -1119,4 +1119,133 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got")
     }
   }
+
+  test("funnel stream quiet-flush timer fires after a checkpoint restart") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_funrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funrs_ck_").toString
+    def feed(rows: Seq[(Long, Long, String, Timestamp)]): Unit =
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.funnelStream(
+        spark.readStream
+          .schema("user_id LONG, event_id LONG, event_type STRING, " +
+            "ts TIMESTAMP").parquet(in),
+        quietMs = 60000L), // 1-minute conversion window for the test
+      buf, ckpt)
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 reaches stage 2 (view -> click), then goes quiet forever
+    feed(Seq((1L, 1L, "view", t("2025-03-01 10:00:00")),
+      (1L, 2L, "click", t("2025-03-01 10:10:00"))))
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
+    try {
+      q1.processAllAvailable()
+      feed(Seq((9L, 9L, "view", t("2025-03-01 13:00:00")))) // wm driver
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.set.isEmpty, "nothing flushes before the quiet window")
+    // crash before the commit record: the wm-advance batch re-delivers
+    dropNewestCommit(ckpt)
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
+    try {
+      q2.processAllAvailable() // re-run the dropped batch
+      // u1 receives NO further data: its stage-2 row below can only
+      // come from the quiet timer set BEFORE the crash
+      feed(Seq((9L, 10L, "view", t("2025-03-01 14:00:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def us(s: String) = t(s).getTime * 1000L
+    val u1 = (buf1.set ++ buf2.set).filter(_.head == 1L)
+    assert(u1 == Set(Seq[Any](1L, us("2025-03-01 10:00:00"),
+      us("2025-03-01 10:10:00"), null, 2)),
+      s"u1 funnel rows after restart: $u1")
+    }
+  }
+
+  test("markov stream re-delivers cross-batch transitions identically on restart") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_mkrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mkrs_ck_").toString
+    def feed(rows: Seq[(Long, Long, String, Timestamp)]): Unit =
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.markovStream(
+        spark.readStream
+          .schema("user_id LONG, event_id LONG, event_type STRING, " +
+            "ts TIMESTAMP").parquet(in)),
+      buf, ckpt)
+    def t(s: String) = Timestamp.valueOf(s)
+    feed(Seq((1L, 1L, "view", t("2025-03-01 10:00:00")),
+      (1L, 2L, "click", t("2025-03-01 10:05:00"))))
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
+    try {
+      q1.processAllAvailable()
+      // the cross-batch link: chains through the stored last event
+      feed(Seq((1L, 3L, "purchase", t("2025-03-01 10:10:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.set == Set(
+      Seq[Any](1L, "view", "click", 2L),
+      Seq[Any](1L, "click", "purchase", 3L)), s"run 1: ${buf1.set}")
+    dropNewestCommit(ckpt)
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
+    try {
+      q2.processAllAvailable() // re-runs the cross-batch link batch
+      // the NEXT link must chain off the recomputed state — neither a
+      // duplicated nor a skipped transition
+      feed(Seq((1L, 4L, "search", t("2025-03-01 10:15:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(buf2.set == Set(
+      Seq[Any](1L, "click", "purchase", 3L), // re-delivered, identical
+      Seq[Any](1L, "purchase", "search", 4L)), s"run 2: ${buf2.set}")
+    }
+  }
+
+  test("coverage stream recomputes re-delivered snapshots identically on restart") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    def ts(day: Int) = new Timestamp(day * 86400000L + 43200000L)
+    val in = java.nio.file.Files.createTempDirectory("graft_covrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_covrs_ck_").toString
+    def feed(rows: Seq[(String, Timestamp)]): Unit =
+      rows.toDF("event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start(buf: RowBuffer) = startBuffered(
+      StreamingStats.coverageStream(
+        spark.readStream
+          .schema("event_type STRING, ts TIMESTAMP").parquet(in)),
+      buf, ckpt)
+    feed(Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(3)), ("b", ts(1))))
+    val buf1 = new RowBuffer
+    val q1 = start(buf1)
+    try {
+      q1.processAllAvailable()
+      feed(Seq(("a", ts(5)), ("b", ts(6))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    dropNewestCommit(ckpt)
+    val buf2 = new RowBuffer
+    val q2 = start(buf2)
+    try q2.processAllAvailable() // re-run the dropped snapshot batch
+    finally q2.stop()
+    // the re-delivered batch's snapshots must be byte-identical to the
+    // originals: the frozen/live split rolled back one state version
+    // and recomputed — nothing double-frozen, nothing lost
+    assert(buf2.set.nonEmpty && buf2.set.subsetOf(buf1.set),
+      s"recomputed snapshots diverge: ${buf2.set -- buf1.set}")
+    // and they are the LAST batch's rows: span through days 5/6
+    assert(buf2.set.map(r => (r.head, r(2))) ==
+      Set(("a", "1970-01-06"), ("b", "1970-01-07")),
+      s"unexpected re-run rows: ${buf2.set}")
+    }
+  }
 }
