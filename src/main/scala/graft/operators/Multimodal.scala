@@ -155,10 +155,13 @@ FROM f ORDER BY doc_id"""
 
   /** Frame sampling as an actual per-frame TABLE, not just the counts
     * [[mmFeatures]] reports: each video explodes into its ~16 sampled
-    * frame indices with a per-frame digest (stubbed as
-    * md5(content ‖ index) — a real decoder emits the frame bytes'
-    * digest from the same seek offsets; the explode/partitioning/
-    * schema plumbing is what carries over unchanged).
+    * frame indices with a per-frame digest (md5(content ‖ index) on
+    * the text-derived fixture, so the DuckDB oracle hash-checks the
+    * sampling arithmetic end-to-end). The REAL decode twin is
+    * [[framesDecodeOf]] (round 11): actual MJPEG-AVI frame payloads
+    * through `javax.imageio`, same sampling discipline, spec-verified
+    * on synthesized containers — this entry remains the oracle-hashed
+    * arithmetic form.
     *
     * Scale shape: filter to videos BEFORE the explode (map-side), the
     * explode multiplies rows by the fixed sample budget (~16), and no
@@ -222,9 +225,10 @@ FROM fx ORDER BY doc_id, frame_idx"""
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch => // batch shape ≙ mapInPandas arrow batch
           batch.iterator.map { r =>
-            // STUB: a real implementation hands r.content to an
-            // image/audio/video codec here (none exist in this env).
-            // Deterministic fake: 8-bin byte histogram.
+            // STUB by contract: this entry pins the batched decode
+            // SHAPE with a deterministic fake (8-bin byte histogram)
+            // the oracle can hash; the real codecs live beside it —
+            // imageSig/wavSig/videoSig — behind the same batching.
             val hist = new Array[Int](8)
             r.content.foreach(b => hist((b & 0xff) % 8) += 1)
             MediaHistogram(r.doc_id, r.media_type, r.content.length,
