@@ -2524,6 +2524,16 @@ FROM (
     * cost (`prof_summary_approx` is the sketch path when this runs
     * in a profiling loop).
     */
+  /** Malformed-payload predicate — ONE copy shared by the batch audit
+    * and the live monitor ([[graft.streaming.StreamingStats.dqStream]]):
+    * a non-NULL payload that `try_parse_json` cannot parse. The column
+    * must be named (an attribute), as the SQL fragment resolves by
+    * name.
+    */
+  private[graft] def dqMalformed(
+      props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    props.isNotNull && expr("try_parse_json(props)").isNull
+
   def evDq(spark: SparkSession, sfDir: String): DataFrame = {
     StreamingStats.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"), col("props"),
@@ -2534,8 +2544,7 @@ FROM (
         countDistinct(col("day")).as("n_days_present"),
         sum(when(col("props").isNull, 1L).otherwise(0L))
           .as("n_null_props"),
-        sum(when(col("props").isNotNull &&
-          expr("try_parse_json(props)").isNull, 1L).otherwise(0L))
+        sum(when(dqMalformed(col("props")), 1L).otherwise(0L))
           .as("n_malformed_props"),
         sum(when(col("value") < 0, 1L).otherwise(0L))
           .as("n_negative_values"),

@@ -1049,4 +1049,89 @@ FROM sess_rows ORDER BY user_id, session_id"""
         sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b")))
   }
+
+  // ------------------------------------------------------------------
+  // streaming DQ monitor — ev_dq's live twin
+  // ------------------------------------------------------------------
+
+  /** The LIVE ingest-quality monitor — [[graft.operators.Analytics
+    * .evDq]]'s incremental twin, closing the monitor family (every
+    * other ev_* audit already has one): the running one-row audit a
+    * stream consumer watches BETWEEN nightly batch audits, because
+    * every counter here is a pager threshold (a dup-id burst is an
+    * at-least-once leak upstream; a malformed-props burst is a
+    * producer deploy gone wrong) and an hour of silence on any of
+    * them is an hour of corrupted downstream metrics.
+    *
+    * Shape: the [[srmStream]] pattern widened — THREE first-seen
+    * dedup branches (event ids, users, presence days) and the raw
+    * stream union into ONE running Complete-mode aggregate, each
+    * branch contributing indicator columns so the single aggregate
+    * reproduces every batch counter: distinct counts come from the
+    * dedup branches (sum of their indicator), totals and violation
+    * counters from the raw branch, day bounds from min/max. Shares
+    * the malformed predicate with the batch twin by CONSTRUCTION
+    * (same try_parse_json expression — one definition, see
+    * [[graft.operators.Analytics.dqMalformed]]).
+    *
+    * State: one row per distinct id / user / day — like srmStream,
+    * the dedup grain IS the signal (an id counted twice is exactly
+    * what the monitor exists to catch), so this is the honest floor;
+    * a deployment that can't hold the id space swaps the id branch to
+    * `dropDuplicatesWithinWatermark` and accepts the documented
+    * horizon (the [[dedupIngestStream]] contract) — the plan is
+    * otherwise identical. Output mode Complete: the monitor IS a
+    * running total, the sink sees the current audit row per batch.
+    *
+    * StreamingSpec pins streamed == batch ev_dq across a batch
+    * boundary on the fixture AND on a dirty synthetic feed (dup ids
+    * across batches, malformed payloads, negative values).
+    */
+  def dqStream(events: DataFrame): DataFrame = {
+    val base = events
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"),
+        col("props").cast("string").as("props"),
+        col("ts"))
+      .withWatermark("ts", "1 hour")
+    // every branch emits the same indicator schema; exactly one
+    // aggregate downstream sums them (one stateful agg, N dedups)
+    def shaped(df: DataFrame, events: Long, ids: Long, users: Long,
+        days: Long): DataFrame = df.select(
+      lit(events).as("e"), lit(ids).as("i"), lit(users).as("u"),
+      lit(days).as("d"),
+      when(lit(events) === 1L && col("props").isNull, 1L)
+        .otherwise(0L).as("np"),
+      when(lit(events) === 1L &&
+        graft.operators.Analytics.dqMalformed(col("props")), 1L)
+        .otherwise(0L).as("mp"),
+      when(lit(events) === 1L && col("value") < 0, 1L)
+        .otherwise(0L).as("nv"),
+      unix_date(to_date(col("ts"))).as("day"))
+    val day = base.withColumn("pday", unix_date(to_date(col("ts"))))
+    val all = shaped(base, 1L, 0L, 0L, 0L)
+      .unionByName(shaped(base.dropDuplicates("event_id"), 0L, 1L, 0L, 0L))
+      .unionByName(shaped(base.dropDuplicates("user_id"), 0L, 0L, 1L, 0L))
+      .unionByName(shaped(day.dropDuplicates("pday"), 0L, 0L, 0L, 1L))
+    all.agg(
+      sum(col("e")).as("n_events"),
+      sum(col("i")).as("n_distinct_ids"),
+      sum(col("u")).as("n_users"),
+      sum(col("d")).as("n_days_present"),
+      sum(col("np")).as("n_null_props"),
+      sum(col("mp")).as("n_malformed_props"),
+      sum(col("nv")).as("n_negative_values"),
+      min(when(col("e") === 1L, col("day"))).as("mn"),
+      max(when(col("e") === 1L, col("day"))).as("mx"))
+      .select(col("n_events"), col("n_distinct_ids"),
+        (col("n_events") - col("n_distinct_ids")).as("n_dup_ids"),
+        col("n_users"), col("n_null_props"), col("n_malformed_props"),
+        col("n_negative_values"),
+        date_from_unix_date(col("mn")).cast("string").as("first_day"),
+        date_from_unix_date(col("mx")).cast("string").as("last_day"),
+        col("n_days_present"),
+        (col("mx") - col("mn") + 1 - col("n_days_present")).cast("long")
+          .as("n_days_missing"))
+  }
 }

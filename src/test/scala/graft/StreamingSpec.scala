@@ -793,6 +793,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DQ monitor converges to the batch ev_dq audit row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("value"), col("props"),
+        col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getTimestamp(4)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(Long, Long, Double, String, Timestamp)]
+    val q = StreamingStats.dqStream(
+        mem.toDF().toDF("event_id", "user_id", "value", "props", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dq_live").start()
+    try {
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq) // all three dedup states cross the boundary
+      q.processAllAvailable()
+      val streamed = spark.table("dq_live").collect().map(_.toSeq).toSet
+      val batch = graft.operators.Analytics.evDq(spark, sf())
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming DQ monitor counts a dirty feed's violations live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, Double, String, Timestamp)]
+    val q = StreamingStats.dqStream(
+        mem.toDF().toDF("event_id", "user_id", "value", "props", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dq_dirty").start()
+    try {
+      mem.addData(
+        (1L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+        (2L, 10L, -2.0, null, t("2025-03-01 11:00:00")),
+        (3L, 11L, 1.0, "{not json", t("2025-03-03 10:00:00")))
+      q.processAllAvailable()
+      // the CROSS-BATCH duplicate id (1) — only the dedup state sees it
+      mem.addData(
+        (1L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+        (4L, 12L, 1.0, """[1,2]""", t("2025-03-04 10:00:00")))
+      q.processAllAvailable()
+      val r = spark.table("dq_dirty").collect().head
+      assert(r.getAs[Long]("n_events") == 5)
+      assert(r.getAs[Long]("n_distinct_ids") == 4)
+      assert(r.getAs[Long]("n_dup_ids") == 1)
+      assert(r.getAs[Long]("n_users") == 3)
+      assert(r.getAs[Long]("n_null_props") == 1)
+      assert(r.getAs[Long]("n_malformed_props") == 1)
+      assert(r.getAs[Long]("n_negative_values") == 1)
+      assert(r.getAs[String]("first_day") == "2025-03-01")
+      assert(r.getAs[String]("last_day") == "2025-03-04")
+      assert(r.getAs[Long]("n_days_present") == 3)
+      assert(r.getAs[Long]("n_days_missing") == 1)
+    } finally q.stop()
+  }
+
   test("streaming growth rows reconcile with batch ev_growth_accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
