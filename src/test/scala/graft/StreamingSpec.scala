@@ -855,6 +855,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DQ monitor counters stay exactly-once across restart with re-delivery") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    // the risk under test: a re-delivered batch flowing through THREE
+    // dedup states into a running aggregate — a rollback bug in any
+    // branch double-counts ids/users/days or loses a violation
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = java.nio.file.Files.createTempDirectory("graft_dqrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dqrs_ck_").toString
+    def feed(rows: Seq[(Long, Long, Double, String, Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "value", "props", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    val lastRow = new java.util.concurrent.atomic.AtomicReference[Seq[Any]]
+    def start() = StreamingStats.dqStream(
+        spark.readStream
+          .schema("event_id LONG, user_id LONG, value DOUBLE, " +
+            "props STRING, ts TIMESTAMP").parquet(in))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().headOption.foreach(r => lastRow.set(r.toSeq)) }
+      .start()
+    feed(Seq((1L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+      (2L, 10L, -2.0, null, t("2025-03-01 11:00:00"))))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // this batch carries a duplicate id AND new users/days — the
+      // batch that will be re-delivered
+      feed(Seq((1L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+        (3L, 11L, 1.0, "{not json", t("2025-03-03 10:00:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    dropNewestCommit(ckpt)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // re-delivery of the dup-carrying batch
+      feed(Seq((4L, 12L, 1.0, """[1,2]""", t("2025-03-04 10:00:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val r = lastRow.get()
+    // exactly the single-run audit: the re-delivered duplicate id is
+    // counted ONCE as a dup, nothing else moved twice
+    // (n_events, n_distinct_ids, n_dup_ids, n_users, n_null_props,
+    //  n_malformed_props, n_negative_values, first, last, present, missing)
+    assert(r == Seq[Any](5L, 4L, 1L, 3L, 1L, 1L, 1L,
+      "2025-03-01", "2025-03-04", 3L, 1L), s"got $r")
+    }
+  }
+
   test("streaming growth rows reconcile with batch ev_growth_accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
