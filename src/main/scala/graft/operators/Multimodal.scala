@@ -461,14 +461,19 @@ FROM documents ORDER BY doc_id"""
     val out = Seq.newBuilder[Array[Byte]]
     var bad = false
     // chunk walk: [id:4][size:4][payload:size], word-aligned; RIFF and
-    // LIST payloads start with a 4-byte form/list type, then sub-chunks
-    def walk(from: Int, to: Int): Unit = {
+    // LIST payloads start with a 4-byte form/list type, then sub-chunks.
+    // Depth-capped: a real AVI nests ~3 deep (RIFF→hdrl→strl / movi→rec);
+    // a crafted 12-bytes-per-level LIST chain must hit the cap and
+    // reject, not overflow the stack (crawl bytes are adversarial).
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 16) { bad = true; return }
       var pos = from
       while (!bad && pos + 8 <= to) {
         val id = new String(content, pos, 4, "US-ASCII")
         val size = bb.getInt(pos + 4)
         if (size < 0 || pos + 8 + size > to) { bad = true; return }
-        if (id == "RIFF" || id == "LIST") walk(pos + 12, pos + 8 + size)
+        if (id == "RIFF" || id == "LIST") walk(pos + 12, pos + 8 + size,
+          depth + 1)
         else if (size > 0 && id.length == 4 &&
             id(0).isDigit && id(1).isDigit &&
             (id.endsWith("db") || id.endsWith("dc")))
@@ -477,7 +482,7 @@ FROM documents ORDER BY doc_id"""
         pos += 8 + size + (size & 1)
       }
     }
-    walk(0, content.length)
+    walk(0, content.length, 0)
     val frames = out.result()
     if (bad || frames.isEmpty) None else Some(frames)
   }
