@@ -1067,6 +1067,22 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("sessionizer state and timers survive checkpoint restart with re-delivery") {
+    sessionizerRestartScenario()
+  }
+
+  test("sessionizer restart recovery also holds on the RocksDB backend") {
+    // the production state store's recovery path (snapshot + changelog
+    // replay) is different code from the default HDFS-backed one — the
+    // same crash/re-delivery exercise must land on the same rows
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try sessionizerRestartScenario()
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private def sessionizerRestartScenario(): Unit = {
     withoutNoDataBatches {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_sessrs_in_").toString
