@@ -1134,4 +1134,77 @@ FROM sess_rows ORDER BY user_id, session_id"""
         (col("mx") - col("mn") + 1 - col("n_days_present")).cast("long")
           .as("n_days_missing"))
   }
+
+  // ------------------------------------------------------------------
+  // streaming bot monitor — ev_bot's live twin
+  // ------------------------------------------------------------------
+
+  case class BotEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** Per-user cadence state: the last event (for the next gap) and
+    * the running min-gap/volume — O(1) per user, the honest floor for
+    * any cadence monitor ("when did this user last act" is the
+    * signal, the growth-stream argument).
+    */
+  case class BotState(lastUs: Long, lastId: Long, minGap: Long, n: Long)
+
+  /** Live cadence row — updated for a user whenever a batch carries
+    * their events; downstream keeps latest-per-user.
+    */
+  case class BotOut(user_id: Long, n_events: Long, min_gap_us: Long,
+      is_bot: Boolean)
+
+  /** [[graft.operators.TimeSeries.evBot]]'s live twin — the
+    * traffic-hygiene pager: a scripted account shows up as a sub-
+    * [[graft.operators.TimeSeries.BotMinGapUs]] minimum inter-arrival
+    * gap at volume WHILE it is flooding, not in tomorrow's batch
+    * audit (by which time it has poisoned every per-user metric
+    * upstream of it — the reason ev_bot sits in front of
+    * qf_ingest_gate). Emits an updated (volume, min-gap, flag) row
+    * per user per batch-with-data; the flag shares the batch audit's
+    * BotMinGapUs/BotMinEvents constants — ONE copy, the twins cannot
+    * drift on what "bot" means.
+    *
+    * Cadence semantics match the batch gap relation exactly under
+    * per-user in-order delivery (the at-ingest contract every fMGWS
+    * twin documents): events fold sorted by (ts, event_id) within a
+    * batch and chain through the stored last event across batches.
+    * The batch twin's ExactRank median-gap column is deliberately NOT
+    * reproduced live — it needs the full per-user gap distribution
+    * (unbounded state); the pager fields are min-gap and volume, and
+    * the nightly batch audit carries the distributional tail.
+    *
+    * NoTimeout: an idle user's cadence is frozen — no future event
+    * can shrink a past gap — so silence needs no timer; state stays
+    * one small record per ever-seen user (the srmStream grain
+    * argument: the monitor's question is per-user by nature).
+    */
+  def botStream(events: DataFrame): Dataset[BotOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TimeSeries.{BotMinEvents, BotMinGapUs}
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[BotEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[BotEvent],
+            state: GroupState[BotState]) =>
+          var s = state.getOption.getOrElse(
+            BotState(Long.MinValue, 0L, Long.MaxValue, 0L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (s.n > 0) s = s.copy(minGap = math.min(s.minGap, us - s.lastUs))
+            s = BotState(us, e.event_id, s.minGap, s.n + 1)
+          }
+          state.update(s)
+          Iterator.single(BotOut(user, s.n,
+            if (s.n > 1) s.minGap else -1L,
+            s.n > 1 && s.minGap < BotMinGapUs && s.n >= BotMinEvents))
+      }
+  }
 }

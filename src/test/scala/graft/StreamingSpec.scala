@@ -905,6 +905,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bot monitor converges to a brute-force cadence recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingStats.botStream(
+        mem.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bot_live").start()
+    try {
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq) // gaps must chain across the batch boundary
+      q.processAllAvailable()
+      // latest row per user = the one carrying the full volume
+      val streamed = spark.table("bot_live").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getBoolean(3))))
+        .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).maxBy(_._1) }
+      // brute force over the total per-user (us, event_id) order —
+      // evBot's gap relation exactly
+      def us(t: Timestamp) =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val want = fixture.groupBy(_._1).map { case (u, evs) =>
+        val ts = evs.map(e => (us(e._3), e._2)).sorted.map(_._1)
+        val n = ts.length.toLong
+        val gaps = ts.zip(ts.drop(1)).map { case (x, y) => y - x }
+        val mg = if (gaps.isEmpty) -1L else gaps.min
+        u -> ((n, mg, gaps.nonEmpty &&
+          mg < graft.operators.TimeSeries.BotMinGapUs &&
+          n >= graft.operators.TimeSeries.BotMinEvents))
+      }
+      assert(streamed.nonEmpty && streamed == want)
+    } finally q.stop()
+  }
+
+  test("streaming bot monitor flags a flooding account mid-burst") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(i: Int) = new Timestamp(1700000000000L + i * 500L) // 0.5 s apart
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingStats.botStream(
+        mem.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bot_burst").start()
+    try {
+      // 30 events: volume still under the floor — cadence visible,
+      // flag held (the volume guard keeps one fast double-click from
+      // paging)
+      mem.addData((0 until 30).map(i => (7L, i.toLong, t(i))))
+      q.processAllAvailable()
+      val early = spark.table("bot_burst")
+        .filter(col("user_id") === 7L).collect()
+        .maxBy(_.getLong(1))
+      assert(early.getLong(1) == 30 && early.getLong(2) == 500000L &&
+        !early.getBoolean(3))
+      // the burst continues across the batch boundary past the floor:
+      // the flag must raise IN THIS BATCH, not in tomorrow's audit
+      mem.addData((30 until 60).map(i => (7L, i.toLong, t(i))))
+      q.processAllAvailable()
+      val late = spark.table("bot_burst")
+        .filter(col("user_id") === 7L).collect()
+        .maxBy(_.getLong(1))
+      assert(late.getLong(1) == 60 && late.getLong(2) == 500000L &&
+        late.getBoolean(3), s"flag not raised: $late")
+    } finally q.stop()
+  }
+
   test("streaming growth rows reconcile with batch ev_growth_accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
