@@ -1350,7 +1350,18 @@ ORDER BY l.vec_id"""
     * never vectors. The recall cost of the dial is measured by
     * [[simIvfTuning]], not guessed.
     */
-  def simSemanticClustersAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def simSemanticClustersAnn(spark: SparkSession, sfDir: String): DataFrame =
+    semanticClustersTail(spark, sfDir,
+      semanticClusterPairsAnn(spark, sfDir, KnnProbe).localCheckpoint(true))
+
+  /** The IVF-discovered threshold-surviving pair graph at a given
+    * probe dial — the shipped entry runs it EXHAUSTIVE ([[KnnProbe]]);
+    * [[graft.ClusterProbeSweep]] measures the edge recall each
+    * smaller dial retains (SCALE.md's table), so the production
+    * probe ≪ cells choice is a measured trade, not a guess.
+    */
+  private[graft] def semanticClusterPairsAnn(spark: SparkSession,
+      sfDir: String, probe: Int): DataFrame = {
     val e = base(spark, sfDir).cache()
     val cents = e.filter(col("vec_id") >= NQueries &&
         col("vec_id") < NQueries + IvfCells)
@@ -1359,17 +1370,15 @@ ORDER BY l.vec_id"""
     val assigned = ivfAssign(e, cents)
     val probes = ivfProbeList(
       e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")), cents, KnnProbe)
+        col("nrm").as("qn")), cents, probe)
     val cos = DotProduct.dot(col("qv"), col("v")) /
       sqrt(col("qn") * col("nrm"))
-    val pairs = probes.join(assigned, Seq("cell"))
+    probes.join(assigned, Seq("cell"))
       .filter(col("query_id") < col("vec_id"))
       .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
         cos.as("c"))
       .filter(col("c") >= graft.operators.Dedup.CosineMin)
       .select(col("vec_a"), col("vec_b"))
-      .localCheckpoint(true)
-    semanticClustersTail(spark, sfDir, pairs)
   }
 
   /** ANN-clusters == exact-clusters is the contract; ONE oracle
