@@ -2790,6 +2790,144 @@ FROM lagged ORDER BY nation, year"""
   }
 
   // ------------------------------------------------------------------
+  // wh_small_orders — small-quantity order revenue (TPC-H Q17 shape)
+  // ------------------------------------------------------------------
+
+  /** Per brand: line count and revenue of small-quantity lineitems —
+    * quantity under 20% of the PART's own average — and the
+    * classical averaged-over-7-years readout. The TPC-H Q17 shape:
+    * a correlated scalar subquery (per-part average) decorrelated
+    * into a grouped moment relation re-joined to the fact table —
+    * the one decision-support shape the warehouse family didn't yet
+    * exercise under the oracle hash.
+    *
+    * Exactness: the threshold compare never leaves int64 —
+    * `q < 0.2·avg(q)` is cross-multiplied to `5·q100·n < Σq100` on
+    * centiquantities (no integrality assumption, no float); headroom
+    * holds to ~10^11 lines per part. Revenue is the usual exact cent
+    * sum; the single float chain is the r6'd `/100/7` readout.
+    *
+    * Scale shape: two passes over lineitem — the per-part moment agg
+    * and the re-join — BOTH partial-agg'd equi-shuffles on the same
+    * key (one exchange reusable under AQE), and the part dim
+    * broadcasts. Nothing correlates per-row; the decorrelation IS
+    * the plan.
+    */
+  def whSmallOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("q100"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val pq = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("q100")).cast("long").as("sum_q"))
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(pq, "l_partkey")
+      .filter(col("q100") * col("n") * 5 < col("sum_q"))
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(col("cents")).cast("long").as("c"))
+      .select(col("p_brand"), col("n_small_lines"),
+        r6(col("c").cast("double") / 100.0).as("small_revenue"),
+        r6(col("c").cast("double") / 100.0 / 7.0).as("avg_yearly_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val whSmallOrdersSql: String = s"""
+WITH li AS (
+  SELECT l_partkey,
+    CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), pq AS (
+  SELECT l_partkey, COUNT(*) AS n, CAST(SUM(q100) AS BIGINT) AS sum_q
+  FROM li GROUP BY l_partkey
+), g AS (
+  SELECT p.p_brand, COUNT(*) AS n_small_lines,
+    CAST(SUM(li.cents) AS BIGINT) AS c
+  FROM li
+  JOIN pq ON pq.l_partkey = li.l_partkey
+  JOIN part p ON p.p_partkey = li.l_partkey
+  WHERE li.q100 * pq.n * 5 < pq.sum_q
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n_small_lines,
+  ${r6Sql("(CAST(c AS DOUBLE) / 100.0)")} AS small_revenue,
+  ${r6Sql("(CAST(c AS DOUBLE) / 100.0 / 7.0)")} AS avg_yearly_revenue
+FROM g ORDER BY p_brand"""
+
+  // ------------------------------------------------------------------
+  // wh_idle_customers — recency anti-join census (TPC-H Q22 shape)
+  // ------------------------------------------------------------------
+
+  /** A customer with no order in this many trailing days is idle. */
+  val IdleDays = 90
+
+  /** Per market segment: positive-balance customers with NO order in
+    * the trailing [[IdleDays]] window of the data span, and the
+    * account balance parked with them — the re-engagement /
+    * churn-risk money readout (TPC-H Q22's question with a recency
+    * window instead of never-ordered, which this fixture's saturated
+    * customer base would render vacuous). The shape this adds to the
+    * oracle-hashed set is the LEFT ANTI join — the semi-join family's
+    * other half (`q02` hashes the IN-subquery semi side; loads use
+    * anti joins but only under spec cover).
+    *
+    * Exactness: date arithmetic is exact (max-date anchor minus an
+    * int literal, date compares both engines); balances are exact
+    * cent sums with the one r6'd float readout.
+    *
+    * Scale shape: the recency anchor is a 1-row broadcast (the
+    * wh_pricing pattern — no driver collect); recent buyers reduce
+    * to a distinct custkey relation BEFORE the anti join (partial-
+    * agg'd, bounded by active customers); the anti join is an
+    * equi-join on custkey that broadcasts when recent-buyers is
+    * small and shuffles by key when it isn't — either way no row
+    * explodes, a non-match just passes through.
+    */
+  def whIdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("mxd"))
+    val recent = o.crossJoin(broadcast(mx))
+      .filter(col("od") > date_sub(col("mxd"), IdleDays))
+      .select(col("o_custkey")).distinct()
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .filter(col("bal_cents") > 0)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_idle"),
+        sum(col("bal_cents")).cast("long").as("c"))
+      .select(col("c_mktsegment"), col("n_idle"),
+        r6(col("c").cast("double") / 100.0).as("idle_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val whIdleCustomersSql: String = s"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
+), mx AS (
+  SELECT max(od) AS mxd FROM o
+), recent AS (
+  SELECT DISTINCT o.o_custkey FROM o, mx
+  WHERE o.od > mx.mxd - $IdleDays
+), g AS (
+  SELECT c.c_mktsegment, COUNT(*) AS n_idle,
+    CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM customer c
+  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > 0
+    AND NOT EXISTS (
+      SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+  GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, n_idle,
+  ${r6Sql("(CAST(c AS DOUBLE) / 100.0)")} AS idle_balance
+FROM g ORDER BY c_mktsegment"""
+
+  // ------------------------------------------------------------------
   // prof_heavy_hitters_exact — the sketch in its exact regime
   // ------------------------------------------------------------------
 

@@ -1167,4 +1167,65 @@ class AnalyticsSpec extends SparkSpec {
       assert(gv >= 0.0 && gv <= 1.0)
     }
   }
+
+  test("wh_small_orders matches a brute-force per-part threshold recompute") {
+    val d = sf("sf0.01")
+    val li = spark.read.parquet(d + "/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100)))
+    val brand = spark.read.parquet(d + "/part.parquet")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byPart = li.groupBy(_._1)
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._2).sum) }
+    val want = li
+      .filter { case (pk, q, _) =>
+        val (n, sumQ) = byPart(pk); q * n * 5 < sumQ }
+      .groupBy(t => brand(t._1))
+      .map { case (b, v) =>
+        b -> (v.length.toLong, v.map(_._3).sum) }
+    val got = graft.operators.Analytics.whSmallOrders(spark, d).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (n, cents) = want(r.getString(0))
+      assert(r.getAs[Long]("n_small_lines") == n)
+      assert(r.getAs[Double]("small_revenue") ==
+        graft.functions.Determinism.r6Jvm(cents.toDouble / 100.0))
+      assert(r.getAs[Double]("avg_yearly_revenue") ==
+        graft.functions.Determinism.r6Jvm(cents.toDouble / 100.0 / 7.0))
+    }
+  }
+
+  test("wh_idle_customers matches a brute-force recency anti-join recompute") {
+    val d = sf("sf0.01")
+    val orders = spark.read.parquet(d + "/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mx = orders.map(_._2).max
+    val cutoff = mx.minusDays(graft.operators.Analytics.IdleDays)
+    val recent = orders.filter(_._2.isAfter(cutoff)).map(_._1).toSet
+    val custs = spark.read.parquet(d + "/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val want = custs
+      .filter(c => c._3 > 0 && !recent.contains(c._1))
+      .groupBy(_._2)
+      .map { case (s, v) => s -> (v.length.toLong, v.map(_._3).sum) }
+    val got = graft.operators.Analytics.whIdleCustomers(spark, d).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (n, cents) = want(r.getString(0))
+      assert(r.getAs[Long]("n_idle") == n, s"idle count at ${r.getString(0)}")
+      assert(r.getAs[Double]("idle_balance") ==
+        graft.functions.Determinism.r6Jvm(cents.toDouble / 100.0))
+    }
+    // the window must actually split the base (vacuity guard)
+    val totalPos = custs.count(_._3 > 0).toLong
+    assert(got.map(_.getAs[Long]("n_idle")).sum > 0 &&
+      got.map(_.getAs[Long]("n_idle")).sum < totalPos)
+  }
 }

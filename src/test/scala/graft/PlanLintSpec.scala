@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     *    cp_dedup_impact (1-row corpus-totals anchor per family census),
     *    qf_ingest_gate (two 1-row stream-health anchors — the ev_dq
     *    audit row and the bot-count reduce — broadcast onto the
-    *    sources-bounded census).
+    *    sources-bounded census), wh_idle_customers (1-row max-date
+    *    recency anchor — no driver collect).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
@@ -59,7 +60,7 @@ class PlanLintSpec extends SparkSpec {
     "sim_pq", "sim_recall",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",
     "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq",
-    "wh_pricing")
+    "wh_idle_customers", "wh_pricing")
 
   /** Built-in CodegenFallback expressions allowed per query, each at a
     * bounded (non-corpus) grain: ev_json's from_json has no codegen in
