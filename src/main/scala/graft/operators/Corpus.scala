@@ -1907,4 +1907,122 @@ SELECT CAST(rank AS INTEGER) AS rank, pair,
   ${r6Sql("(CAST(n_occurrences AS DOUBLE) / total)")} AS share
 FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_waterfill — no-upsampling token-budget allocation (waterfilling)
+  // ------------------------------------------------------------------
+
+  /** Budget for the waterfill plan. Chosen just under the sf0.01
+    * corpus total so the fixture exercises BOTH regimes (small
+    * sources capped at their full size, large ones cut to the fill
+    * level); a budget ≥ the corpus total walks the all-capped branch
+    * (spec-pinned).
+    */
+  val WaterfillBudget = 26000L
+
+  /** [[cpEpochPlan]]'s dual: that planner splits the budget by
+    * MIXTURE WEIGHT and realizes small high-weight sources as
+    * repeats; this one splits it under a NO-UPSAMPLING constraint
+    * (every source at most one epoch — the dedup-ethos pretraining
+    * posture) by classic waterfilling: find the fill level λ such
+    * that Σ min(tokens_s, λ) exhausts the budget — sources below λ
+    * keep everything, sources above are cut to λ.
+    *
+    * Exactness: everything is int64. Sources sort by (tokens,
+    * source); the cap test for ascending rank i is the
+    * cross-multiplied `t_i·(n−i) ≤ B − cum_i`, which is provably
+    * monotone (if it fails at i it fails at i+1), so `k = Σ capped`
+    * is the true cut; λ = (B − Σ_capped t) div (n − k) then satisfies
+    * t_k ≤ λ < t_{k+1} and every allocation is `min(t, λ)` — floor
+    * division leaves `(B − Σ_capped t) mod (n − k)` tokens
+    * unallocated, reported honestly in `budget_leftover` rather than
+    * distributed by an arbitrary tie-break. Headroom: t·n stays in
+    * int64 to ~10^12 tokens per source at 10^6 sources.
+    *
+    * Scale shape: ONE partial-agg'd shuffle of per-source token rows;
+    * the windows (one ordered cumulative, one full-frame) run on the
+    * sources-bounded relation — the cpEpochPlan posture; nothing
+    * downstream scales with corpus size.
+    */
+  def cpWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val asc = Window.partitionBy()
+      .orderBy(col("src_tokens"), col("source"))
+    val staged = docs(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tk")).as("src_tokens"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("cum", sum(col("src_tokens")).over(asc))
+      .withColumn("rk", row_number().over(asc).cast("long"))
+      .withColumn("capped", col("src_tokens") * (col("n") - col("rk")) <=
+        lit(WaterfillBudget) - col("cum"))
+      .withColumn("k",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(whole))
+      .withColumn("pk",
+        sum(when(col("capped"), col("src_tokens")).otherwise(0L))
+          .over(whole))
+      .withColumn("total", sum(col("src_tokens")).over(whole))
+    val lam = expr(s"($WaterfillBudget - pk) div (n - k)")
+    val alloc = when(col("k") < col("n"),
+      least(col("src_tokens"), lam)).otherwise(col("src_tokens"))
+    staged.select(col("source"), col("docs"), col("src_tokens"),
+      col("capped").as("is_capped"),
+      alloc.as("alloc_tokens"),
+      when(col("k") < col("n"), lam).as("fill_level"),
+      when(col("k") < col("n"),
+          expr(s"($WaterfillBudget - pk) % (n - k)"))
+        .otherwise(lit(WaterfillBudget) - col("total"))
+        .as("budget_leftover"),
+      when(col("src_tokens") > 0,
+        r6(alloc.cast("double") / col("src_tokens").cast("double")))
+        .as("keep_share"))
+      .orderBy(col("source"))
+  }
+
+  val cpWaterfillSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val b = WaterfillBudget
+    s"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+      AS src_tokens
+  FROM documents GROUP BY source
+), st AS (
+  SELECT p.*, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(src_tokens) OVER (ORDER BY src_tokens, source
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(ROW_NUMBER() OVER (ORDER BY src_tokens, source) AS BIGINT) AS rk
+  FROM per_src p
+), fl AS (
+  SELECT st.*, (src_tokens * (n - rk) <= $b - cum) AS capped FROM st
+), ag AS (
+  SELECT fl.*,
+    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+    CAST(SUM(CASE WHEN capped THEN src_tokens ELSE 0 END) OVER ()
+      AS BIGINT) AS pk,
+    CAST(SUM(src_tokens) OVER () AS BIGINT) AS total
+  FROM fl
+), out AS (
+  SELECT source, docs, src_tokens, capped AS is_capped,
+    CASE WHEN k < n THEN least(src_tokens, ($b - pk) // (n - k))
+      ELSE src_tokens END AS alloc_tokens,
+    CASE WHEN k < n THEN ($b - pk) // (n - k) END AS fill_level,
+    CASE WHEN k < n THEN ($b - pk) % (n - k)
+      ELSE $b - total END AS budget_leftover
+  FROM ag
+)
+SELECT source, docs, src_tokens, is_capped,
+  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+  CAST(fill_level AS BIGINT) AS fill_level,
+  CAST(budget_leftover AS BIGINT) AS budget_leftover,
+  CASE WHEN src_tokens > 0 THEN ${r6Sql(
+      "(CAST(alloc_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE))")} END
+    AS keep_share
+FROM out ORDER BY source"""
+  }
 }

@@ -709,4 +709,49 @@ class CorpusSpec extends SparkSpec {
     // asserts above pin n_redundant = 0, share = 0.0 for those)
     assert(families.values.exists(_.nonEmpty))
   }
+
+  test("cp_waterfill equals a greedy local waterfill and exhausts the budget") {
+    val d = sf("sf0.01")
+    val rows = Corpus.cpWaterfill(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // independent ground truth: per-source token counts via the SAME
+    // shared tokenizer, then a greedy loop (a different algorithm
+    // than the query's closed-form window arithmetic)
+    val toks = graft.operators.TextAnalysis.docs(spark, d)
+      .select(col("source"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val asc = toks.toSeq.sortBy { case (s, t) => (t, s) }
+    var remaining = Corpus.WaterfillBudget
+    var left = asc.size
+    val alloc = scala.collection.mutable.Map.empty[String, Long]
+    val cappedSet = scala.collection.mutable.Set.empty[String]
+    var lam = -1L
+    asc.foreach { case (s, t) =>
+      // t ≤ floor(x) ⟺ t ≤ x for integer t, so the greedy test is the
+      // closed form's exact rational condition
+      if (lam < 0 && t <= remaining / left) { // still capped
+        alloc(s) = t; remaining -= t; left -= 1; cappedSet += s
+      } else {
+        if (lam < 0) lam = remaining / left // first uncapped fixes λ
+        alloc(s) = math.min(t, lam)
+      }
+    }
+    val leftover = Corpus.WaterfillBudget - alloc.values.sum
+    assert(rows.keySet == toks.keySet)
+    rows.foreach { case (s, r) =>
+      assert(r.getAs[Long]("src_tokens") == toks(s))
+      assert(r.getAs[Long]("alloc_tokens") == alloc(s), s"alloc at $s")
+      assert(r.getAs[Boolean]("is_capped") == cappedSet(s), s"cap at $s")
+      assert(r.getAs[Long]("budget_leftover") == leftover)
+      if (lam >= 0) assert(r.getAs[Long]("fill_level") == lam)
+    }
+    // the budget is exhausted up to the indivisible remainder, and the
+    // fixture exercises BOTH regimes
+    assert(leftover >= 0 && (lam < 0 || leftover < asc.count(t => alloc(t._1) == lam)))
+    assert(rows.values.exists(_.getAs[Boolean]("is_capped")))
+    assert(rows.values.exists(!_.getAs[Boolean]("is_capped")))
+  }
 }
