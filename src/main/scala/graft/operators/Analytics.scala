@@ -2928,6 +2928,79 @@ SELECT c_mktsegment, n_idle,
 FROM g ORDER BY c_mktsegment"""
 
   // ------------------------------------------------------------------
+  // wh_priority_sla — late-fulfillment rate per order priority (Q4 shape)
+  // ------------------------------------------------------------------
+
+  /** An order is SLA-late when any of its line items ships this many
+    * days after the order date.
+    */
+  val SlaDays = 90
+
+  /** Per order priority: orders, SLA-late orders (ANY line item past
+    * [[SlaDays]]), the late rate, and the worst lag — TPC-H Q4's
+    * question (does priority actually buy fulfillment speed?) on the
+    * one orders dimension the warehouse family hadn't consumed.
+    * "Any line item" is the EXISTS semantics, expressed as a
+    * conditional DISTINCT over the join (one aggregate computes both
+    * the order universe and its late subset — no second scan, no
+    * semi-join branch to keep consistent with the universe count).
+    *
+    * Negative lags exist in this synthetic fixture (ship and order
+    * dates are independently generated); the query reports them
+    * through min/max honestly rather than filtering — an SLA readout
+    * that silently dropped impossible rows would hide the very feed
+    * defect `ev_dq`/`wh_dq` exist to surface.
+    *
+    * Scale shape: the standard orders⋈lineitem equi-join (bucketed
+    * co-location in sink/Warehouse when materialized), then ONE
+    * partial-agg'd reduce to the 5-row priority relation. The two
+    * DISTINCTs share one orderkey-grain Expand — bounded by orders,
+    * not line items, after partial aggregation.
+    */
+  def whPrioritySla(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_date(to_date(col("o_orderdate"))).as("oday"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        unix_date(to_date(col("l_shipdate"))).as("sday"))
+    o.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        (col("sday") - col("oday")).cast("long").as("lag"))
+      .groupBy(col("priority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(when(col("lag") > SlaDays, col("o_orderkey")))
+          .as("n_late_orders"),
+        min(col("lag")).as("min_lag_days"),
+        max(col("lag")).as("max_lag_days"))
+      .select(col("priority"), col("n_orders"), col("n_late_orders"),
+        r6(col("n_late_orders").cast("double") / col("n_orders"))
+          .as("late_rate"),
+        col("min_lag_days"), col("max_lag_days"))
+      .orderBy(col("priority"))
+  }
+
+  val whPrioritySlaSql: String = s"""
+WITH j AS (
+  SELECT o.o_orderpriority AS priority, o.o_orderkey,
+    CAST(CAST(li.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+      AS BIGINT) AS lag
+  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT priority,
+    COUNT(DISTINCT o_orderkey) AS n_orders,
+    COUNT(DISTINCT CASE WHEN lag > $SlaDays THEN o_orderkey END)
+      AS n_late_orders,
+    MIN(lag) AS min_lag_days,
+    MAX(lag) AS max_lag_days
+  FROM j GROUP BY priority
+)
+SELECT priority, n_orders, n_late_orders,
+  ${r6Sql("(CAST(n_late_orders AS DOUBLE) / n_orders)")} AS late_rate,
+  min_lag_days, max_lag_days
+FROM g ORDER BY priority"""
+
+  // ------------------------------------------------------------------
   // prof_heavy_hitters_exact — the sketch in its exact regime
   // ------------------------------------------------------------------
 

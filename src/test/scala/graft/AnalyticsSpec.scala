@@ -1198,6 +1198,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wh_priority_sla matches a brute-force any-late-line recompute") {
+    val d = sf("sf0.01")
+    val orders = spark.read.parquet(d + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDate(2).toLocalDate.toEpochDay))
+      .toMap
+    val lags = spark.read.parquet(d + "/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate.toEpochDay - orders(r.getLong(0))._2))
+    val byOrder = lags.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val want = byOrder.toSeq.groupBy(t => orders(t._1)._1)
+      .map { case (p, os) =>
+        p -> (os.size.toLong,
+          os.count(_._2.exists(_ > graft.operators.Analytics.SlaDays)).toLong,
+          os.flatMap(_._2).min, os.flatMap(_._2).max)
+      }
+    val got = graft.operators.Analytics.whPrioritySla(spark, d).collect()
+    assert(got.length == want.size && got.length == 5)
+    got.foreach { r =>
+      val (n, late, mn, mx) = want(r.getString(0))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Long]("n_late_orders") == late,
+        s"late at ${r.getString(0)}")
+      assert(r.getAs[Long]("min_lag_days") == mn)
+      assert(r.getAs[Long]("max_lag_days") == mx)
+      assert(r.getAs[Double]("late_rate") ==
+        graft.functions.Determinism.r6Jvm(late.toDouble / n))
+    }
+    // the SLA must split orders (vacuity guard both ways)
+    val lateTotal = got.map(_.getAs[Long]("n_late_orders")).sum
+    assert(lateTotal > 0 &&
+      lateTotal < got.map(_.getAs[Long]("n_orders")).sum)
+  }
+
   test("wh_idle_customers matches a brute-force recency anti-join recompute") {
     val d = sf("sf0.01")
     val orders = spark.read.parquet(d + "/orders.parquet")
