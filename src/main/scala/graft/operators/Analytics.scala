@@ -2809,9 +2809,12 @@ FROM lagged ORDER BY nation, year"""
     *
     * Scale shape: two passes over lineitem — the per-part moment agg
     * and the re-join — BOTH partial-agg'd equi-shuffles on the same
-    * key (one exchange reusable under AQE), and the part dim
-    * broadcasts. Nothing correlates per-row; the decorrelation IS
-    * the plan.
+    * key (one exchange reusable under AQE). The part dim is NOT
+    * force-broadcast: part grows linearly with SF (~20M rows at
+    * SF100, past any sane broadcast threshold), so the join is left
+    * to AQE — it auto-broadcasts below the threshold and falls back
+    * to a shuffle join above it. Nothing correlates per-row; the
+    * decorrelation IS the plan.
     */
   def whSmallOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -2824,7 +2827,7 @@ FROM lagged ORDER BY nation, year"""
       .select(col("p_partkey"), col("p_brand"))
     li.join(pq, "l_partkey")
       .filter(col("q100") * col("n") * 5 < col("sum_q"))
-      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(p, col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_small_lines"),
         sum(col("cents")).cast("long").as("c"))

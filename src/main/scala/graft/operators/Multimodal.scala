@@ -399,7 +399,9 @@ FROM documents ORDER BY doc_id"""
     while (pos + 8 <= content.length && (!fmtOk || dataOff < 0)) {
       val id = new String(content, pos, 4, "US-ASCII")
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > content.length) return None
+      // Long arithmetic: a crafted size near Int.MaxValue wraps
+      // pos+8+size negative in Int, slipping past the bound check
+      if (size < 0 || pos.toLong + 8 + size > content.length) return None
       if (id == "fmt " && size >= 16) {
         val audioFormat = bb.getShort(pos + 8) & 0xffff
         val bits = bb.getShort(pos + 8 + 14) & 0xffff
@@ -471,7 +473,9 @@ FROM documents ORDER BY doc_id"""
       while (!bad && pos + 8 <= to) {
         val id = new String(content, pos, 4, "US-ASCII")
         val size = bb.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > to) { bad = true; return }
+        // Long arithmetic: a crafted size near Int.MaxValue wraps
+        // pos+8+size negative in Int, slipping past the bound check
+        if (size < 0 || pos.toLong + 8 + size > to) { bad = true; return }
         if (id == "RIFF" || id == "LIST") walk(pos + 12, pos + 8 + size,
           depth + 1)
         else if (size > 0 && id.length == 4 &&

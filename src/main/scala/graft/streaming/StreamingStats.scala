@@ -1110,10 +1110,17 @@ FROM sess_rows ORDER BY user_id, session_id"""
         .otherwise(0L).as("nv"),
       unix_date(to_date(col("ts"))).as("day"))
     val day = base.withColumn("pday", unix_date(to_date(col("ts"))))
+    // dedup branches must drop NULL keys first: dropDuplicates keeps
+    // one NULL-key row, but the batch twin's countDistinct ignores
+    // NULLs — on a dirty feed carrying null ids the counts would
+    // otherwise diverge by one (exactly the regime the monitor targets)
     val all = shaped(base, 1L, 0L, 0L, 0L)
-      .unionByName(shaped(base.dropDuplicates("event_id"), 0L, 1L, 0L, 0L))
-      .unionByName(shaped(base.dropDuplicates("user_id"), 0L, 0L, 1L, 0L))
-      .unionByName(shaped(day.dropDuplicates("pday"), 0L, 0L, 0L, 1L))
+      .unionByName(shaped(base.filter(col("event_id").isNotNull)
+        .dropDuplicates("event_id"), 0L, 1L, 0L, 0L))
+      .unionByName(shaped(base.filter(col("user_id").isNotNull)
+        .dropDuplicates("user_id"), 0L, 0L, 1L, 0L))
+      .unionByName(shaped(day.filter(col("pday").isNotNull)
+        .dropDuplicates("pday"), 0L, 0L, 0L, 1L))
     all.agg(
       sum(col("e")).as("n_events"),
       sum(col("i")).as("n_distinct_ids"),

@@ -855,6 +855,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DQ monitor ignores NULL ids/users in distinct counts (countDistinct parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch evDq uses countDistinct, which ignores NULL keys; the
+    // dedup branches must not count the one NULL-key row that
+    // dropDuplicates keeps — null ids are exactly the dirty-feed
+    // regime the monitor targets
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem =
+      MemoryStream[(Option[Long], Option[Long], Double, String, Timestamp)]
+    val q = StreamingStats.dqStream(
+        mem.toDF().toDF("event_id", "user_id", "value", "props", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dq_nulls").start()
+    try {
+      mem.addData(
+        (Some(1L), Some(10L), 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+        (None, Some(10L), 1.0, """{"k":1}""", t("2025-03-01 11:00:00")),
+        (Some(2L), None, 1.0, """{"k":1}""", t("2025-03-02 10:00:00")),
+        (None, None, 1.0, """{"k":1}""", t("2025-03-02 11:00:00")))
+      q.processAllAvailable()
+      val r = spark.table("dq_nulls").collect().head
+      assert(r.getAs[Long]("n_events") == 4)
+      assert(r.getAs[Long]("n_distinct_ids") == 2)
+      assert(r.getAs[Long]("n_dup_ids") == 2)
+      assert(r.getAs[Long]("n_users") == 1)
+      assert(r.getAs[Long]("n_days_present") == 2)
+    } finally q.stop()
+  }
+
   test("DQ monitor counters stay exactly-once across restart with re-delivery") {
     withoutNoDataBatches {
     import spark.implicits._
