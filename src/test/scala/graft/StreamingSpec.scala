@@ -1226,6 +1226,121 @@ class StreamingSpec extends SparkSpec {
     * batch; `foreachBatch` both recovers and re-invokes, so the
     * re-delivered rows stay observable.
     */
+  test("ingest dedup state survives checkpoint restart with re-delivery") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    // the risk under test: dropDuplicatesWithinWatermark's digest
+    // state across a crash — a restore bug would re-admit an
+    // already-seen digest (the later duplicate's payload leaks
+    // downstream) or lose a first-seen row entirely
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = java.nio.file.Files.createTempDirectory("graft_ddrs_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddrs_ck_").toString
+    def feed(rows: Seq[(Timestamp, String, Long)]): Unit =
+      rows.toDF("ts", "digest", "payload")
+        .coalesce(1).write.mode("append").parquet(in)
+    val buf = new RowBuffer
+    def start() = startBuffered(
+      StreamingStats.dedupIngestStream(
+        spark.readStream
+          .schema("ts TIMESTAMP, digest STRING, payload LONG").parquet(in)),
+      buf, ckpt)
+    feed(Seq((t("2025-03-01 10:00:00"), "a", 1L),
+      (t("2025-03-01 10:01:00"), "b", 2L)))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // the batch that will be re-delivered: an in-horizon duplicate
+      // of "a" (must stay dropped on the re-run) plus a new digest
+      feed(Seq((t("2025-03-01 10:20:00"), "a", 3L),
+        (t("2025-03-01 10:21:00"), "c", 4L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    dropNewestCommit(ckpt)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // re-delivery: "a"-dup must re-drop
+      // post-restart batch: another in-horizon dup + a new digest —
+      // the restored state must still know "a"
+      feed(Seq((t("2025-03-01 10:30:00"), "a", 5L),
+        (t("2025-03-01 10:31:00"), "d", 6L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // at-least-once to the sink: assert as a SET (the re-delivered
+    // batch may deliver "c" twice) — exactly the single-run rows, the
+    // first-seen payloads, and no later duplicate's payload ever
+    val got = buf.set.map(r => (r(1), r(2)))
+    assert(got == Set(("a", 1L), ("b", 2L), ("c", 4L), ("d", 6L)),
+      s"got $got")
+    }
+  }
+
+  test("attribution join state survives checkpoint restart with re-delivery") {
+    withoutNoDataBatches {
+    import spark.implicits._
+    // the risk under test: BOTH sides' buffered join state across a
+    // crash — a restore bug drops a buffered click (a pair vanishes),
+    // forgets a matched purchase (a spurious outer-null row), or
+    // double-matches on the re-delivered batch
+    def t(s: String) = Timestamp.valueOf(s)
+    val pIn = java.nio.file.Files.createTempDirectory("graft_atrs_p_").toString
+    val cIn = java.nio.file.Files.createTempDirectory("graft_atrs_c_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_atrs_ck_").toString
+    def feedP(rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(pIn)
+    def feedC(rows: Seq[(Long, Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(cIn)
+    val buf = new RowBuffer
+    def start() = startBuffered(
+      StreamingStats.attributionStream(
+        spark.readStream
+          .schema("event_id LONG, user_id LONG, ts TIMESTAMP").parquet(pIn),
+        spark.readStream
+          .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(cIn)),
+      buf, ckpt)
+    // purchase 1 has two in-window clicks; purchase 2 has none
+    feedP(Seq((1L, 1L, t("2025-03-01 10:00:00")),
+      (2L, 2L, t("2025-03-01 10:00:00"))))
+    feedC(Seq((1L, t("2025-03-01 09:40:00"), 2.0),
+      (1L, t("2025-03-01 09:59:00"), 3.5)))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // the batch that will be re-delivered: watermark advance on both
+      // sides, flushing purchase 2's outer-null row
+      feedP(Seq((99L, 99L, t("2025-03-01 20:00:00"))))
+      feedC(Seq((98L, t("2025-03-01 20:00:00"), 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    dropNewestCommit(ckpt)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // re-delivery of the wm-advance batch
+      // post-restart: a click for purchase 99, inside its window but
+      // after the restart — the restored purchase state must match it
+      feedC(Seq((99L, t("2025-03-01 19:45:00"), 5.0)))
+      q2.processAllAvailable()
+      // advance both watermarks far past 20:00 to flush any remainder
+      feedP(Seq((999L, 999L, t("2025-03-02 08:00:00"))))
+      feedC(Seq((998L, t("2025-03-02 08:00:00"), 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = buf.set
+    val matched = rows.filter(_(3) != null)
+      .map(r => (r(0), r(4)))
+    assert(matched == Set((1L, 200L), (1L, 350L), (99L, 500L)),
+      s"got $matched")
+    // purchase 2 flushed as unmatched exactly like the single run;
+    // purchase 1/99 never appear as outer-nulls (no forgotten match)
+    val unmatchedIds = rows.filter(_(3) == null).map(_(0))
+    assert(unmatchedIds.contains(2L), s"purchase 2 must flush: $unmatchedIds")
+    assert(!unmatchedIds.contains(1L) && !unmatchedIds.contains(99L),
+      s"matched purchases must not also flush null: $unmatchedIds")
+    }
+  }
+
   private class RowBuffer {
     private val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     def add(df: org.apache.spark.sql.DataFrame): Unit =
