@@ -1909,6 +1909,142 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
   }
 
   // ------------------------------------------------------------------
+  // cp_bpe_train — multi-merge BPE tokenizer training
+  // ------------------------------------------------------------------
+
+  /** Merges trained by [[cpBpeTrain]] — enough rounds that later
+    * elections run over PREVIOUSLY-MERGED symbols (the part of the
+    * loop [[cpBpePairs]]' single census cannot exercise), small
+    * enough that the 2·merges full-census passes stay a bounded
+    * fraction of the bench.
+    */
+  val BpeTrainMerges = 8
+
+  /** The BPE TRAINING LOOP — [[cpBpePairs]] iterated: census adjacent
+    * symbol pairs, elect the most frequent (count desc, pair asc),
+    * merge it corpus-wide, repeat. Emits one row per merge with the
+    * elected pair, the new vocabulary symbol, its frequency at
+    * election time, and the post-merge vocabulary size / corpus
+    * symbol count — the actual merge table a tokenizer ships.
+    *
+    * Representation: the corpus first compresses to its WORD-
+    * FREQUENCY table (the classic BPE-trainer move — elections are
+    * weighted by word frequency, so all per-round work is
+    * vocabulary-bounded, Zipf not corpus-sized; at 100 TB the word
+    * census is the one corpus-sized shuffle and everything after is
+    * small). Each word's segmentation is a single string of symbols
+    * joined by DOUBLE spaces with single-space ends (`" a  b  c "`):
+    * applying a merge is then one literal (non-regex, codegen'd)
+    * `replace(" x  y ", " xy ")` — left-to-right non-overlapping
+    * replacement IS greedy-leftmost BPE, and because the replacement
+    * restores the boundary spaces it borrows, consecutive occurrences
+    * (`a a a a` → `aa aa`) merge correctly.
+    *
+    * Per round: one pair census (lookahead regex extraction, the
+    * [[cpBpePairs]] pattern at symbol grain), a 1-row election kept
+    * distributed via the broadcast-anchor crossJoin pattern (never a
+    * value collect), one `replace` pass, one symbol census for the
+    * vocab readout; `localCheckpoint` pins each round's corpus so
+    * lineage stays linear (the dd_clusters_star iteration
+    * discipline — without it round r's plan re-derives rounds 1..r-1
+    * twice over). The oracle unrolls the identical rounds as chained
+    * CTEs — one SQL fragment per round, generated by the same loop.
+    *
+    * Determinism: every output column is an integer count or a string
+    * — no float anywhere; election ties break on the pair string
+    * (binary UTF8 on both engines). A production 50k-merge trainer
+    * incrementally maintains the pair census across merges instead of
+    * re-scanning (only pairs touching the merged symbol change); the
+    * per-round full census here keeps the oracle twin exact, and the
+    * loop shape is identical.
+    */
+  def cpBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOf(
+      docs(spark, sfDir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2),
+      BpeTrainMerges)
+
+  /** The training loop over any (w: string) word stream — split out
+    * so the spec can pin hand-computed merges on a tiny corpus.
+    */
+  private[graft] def bpeTrainOf(words: DataFrame, merges: Int): DataFrame = {
+    var corpus = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("seg"))
+      .localCheckpoint(true)
+    val rows = (1 to merges).map { r =>
+      val elected = corpus
+        .select(col("freq"),
+          explode(regexp_extract_all(col("seg"),
+            lit("(?= ([^ ]+  [^ ]+) )"), lit(1))).as("raw"))
+        .groupBy(col("raw")).agg(sum(col("freq")).as("n_occurrences"))
+        .select(replace(col("raw"), lit("  "), lit(" ")).as("pair"),
+          replace(col("raw"), lit("  "), lit("")).as("merged"),
+          col("raw"), col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(1)
+        .localCheckpoint(true) // election computed once, used twice
+      corpus = corpus
+        .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
+          col("merged").as("emerged"))))
+        .select(col("freq"),
+          replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
+            concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
+        .localCheckpoint(true)
+      val stats = corpus
+        .select(col("freq"), explode(split(trim(col("seg")), "  ")).as("s"))
+        .agg(countDistinct(col("s")).as("vocab_size"),
+          sum(col("freq")).as("n_symbols"))
+      elected.select(lit(r).as("merge_rank"), col("pair"), col("merged"),
+          col("n_occurrences"))
+        .crossJoin(broadcast(stats))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
+  val cpBpeTrainSql: String = {
+    val rounds = (1 to BpeTrainMerges).map { r =>
+      s"""cens$r AS (
+  SELECT replace(raw, '  ', ' ') AS pair, replace(raw, '  ', '') AS merged,
+    raw, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+  FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      i -> syms[i] || '  ' || syms[i + 1])) AS raw
+    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms
+          FROM corpus${r - 1})
+  ) GROUP BY raw
+), el$r AS (
+  SELECT * FROM cens$r ORDER BY n_occurrences DESC, pair LIMIT 1
+), corpus$r AS (
+  SELECT c.freq,
+    replace(c.seg, ' ' || e.raw || ' ', ' ' || e.merged || ' ') AS seg
+  FROM corpus${r - 1} c, el$r e
+), st$r AS (
+  SELECT COUNT(DISTINCT s) AS vocab_size,
+    CAST(SUM(freq) AS BIGINT) AS n_symbols
+  FROM (SELECT freq, unnest(string_split(trim(seg), '  ')) AS s
+        FROM corpus$r)
+)"""
+    }.mkString(", ")
+    val out = (1 to BpeTrainMerges).map { r =>
+      s"""SELECT $r AS merge_rank, e.pair, e.merged, e.n_occurrences,
+  s.vocab_size, s.n_symbols FROM el$r e, st$r s"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+WITH corpus0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+    regexp_replace(w, '(.)', ' \\1 ', 'g') AS seg
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+), $rounds
+$out
+ORDER BY merge_rank"""
+  }
+
+  // ------------------------------------------------------------------
   // cp_waterfill — no-upsampling token-budget allocation (waterfilling)
   // ------------------------------------------------------------------
 

@@ -645,6 +645,60 @@ class CorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cp_bpe_train: hand-computed merges, greedy-left + cross-round symbols") {
+    import spark.implicits._
+    // aaab×2 + ab×1 exercises every subtle case in three rounds:
+    // overlapping occurrences merge greedy-left (a a a → (aa) a, NOT
+    // a (aa)), round 2's election counts across both words, round 3
+    // elects a pair of two PREVIOUSLY-MERGED symbols
+    val words = Seq("aaab", "aaab", "ab").toDF("w")
+    val got = Corpus.bpeTrainOf(words, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1, "a a", "aa", 4L, 3L, 8L),
+      (2, "a b", "ab", 3L, 2L, 5L),
+      (3, "aa ab", "aaab", 2L, 2L, 3L)))
+  }
+
+  test("cp_bpe_train equals a local BPE trainer on the fixture") {
+    val dir = sf("sf0.001")
+    val words = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2)
+    // reference trainer: word-frequency table, symbol lists, greedy-
+    // left merge — independent of the string-replace representation
+    var corpus: Map[Vector[String], Long] = words
+      .groupBy(identity).map { case (w, o) =>
+        w.map(_.toString).toVector -> o.length.toLong }
+    val expect = (1 to Corpus.BpeTrainMerges).map { r =>
+      val census = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p =>
+          census(p) = census.getOrElse(p, 0L) + f) }
+      val ((x, y), n) = census.minBy { case ((a, b), c) =>
+        (-c, a + " " + b) }
+      corpus = corpus.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      val vocab = corpus.keysIterator.flatten.toSet.size.toLong
+      val nSyms = corpus.iterator.map { case (s, f) => s.length * f }.sum
+      (r, x + " " + y, x + y, n, vocab, nSyms)
+    }
+    val got = Corpus.cpBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
   test("cp_length_sweep equals a local cutoff recompute and is monotone") {
     import graft.functions.Determinism.r6Jvm
     val dir = sf("sf0.001")
