@@ -238,6 +238,50 @@ SELECT id, subreddit, score,
     AS rank_in_subreddit
 FROM posts ORDER BY subreddit, rank_in_subreddit, id"""
 
+  /** Q16 thread-depth oracle: the SAME derived edge set, depths via a
+    * recursive CTE (the engine-native dual of the iterative frontier
+    * climb). `modelCte` is shared verbatim — only the WITH keyword
+    * gains RECURSIVE.
+    */
+  val q16: String =
+    modelCte.replace("WITH posts_raw", "WITH RECURSIVE posts_raw") + """
+, surv AS (
+  SELECT id, post_id, score,
+    CAST(row_number() OVER (PARTITION BY post_id ORDER BY id, score)
+      AS INTEGER) AS pos
+  FROM comments
+), edge AS (
+  SELECT post_id, pos AS child_pos,
+    ((score + 20) % (pos - 1)) + 1 AS parent_pos
+  FROM surv WHERE pos > 1
+), climb(post_id, pos, depth) AS (
+  SELECT post_id, pos, 1 FROM surv WHERE pos = 1
+  UNION ALL
+  SELECT e.post_id, e.child_pos, climb.depth + 1
+  FROM climb JOIN edge e
+    ON e.post_id = climb.post_id AND e.parent_pos = climb.pos
+), wd AS (
+  SELECT s.post_id, s.id, s.pos, c.depth
+  FROM surv s JOIN climb c ON c.post_id = s.post_id AND c.pos = s.pos
+), agg1 AS (
+  SELECT post_id, COUNT(*) AS n_comments, MAX(depth) AS max_depth
+  FROM wd GROUP BY post_id
+), dp AS (
+  SELECT w.post_id, MIN(w.id) AS deepest_id
+  FROM wd w JOIN agg1 a ON a.post_id = w.post_id AND w.depth = a.max_depth
+  GROUP BY w.post_id
+), lv AS (
+  SELECT w.post_id, COUNT(*) AS n_leaves FROM wd w
+  WHERE NOT EXISTS (SELECT 1 FROM edge e
+    WHERE e.post_id = w.post_id AND e.parent_pos = w.pos)
+  GROUP BY w.post_id
+)
+SELECT a.post_id, a.n_comments, a.max_depth, l.n_leaves, d.deepest_id
+FROM agg1 a
+JOIN dp d ON d.post_id = a.post_id
+JOIN lv l ON l.post_id = a.post_id
+ORDER BY a.post_id"""
+
   val statsDaily: String = modelCte + s"""
 SELECT subreddit, CAST(CAST(created_utc AS DATE) AS VARCHAR) AS date,
   COUNT(*) AS total_posts,

@@ -332,6 +332,95 @@ object RefQueries {
     v.orderBy($"subreddit", $"rank_in_subreddit", $"id")
   }
 
+  /** Climb cap — generous over any real thread (Reddit's own UI nests
+    * ~10 levels); a cycle in a corrupted feed terminates here instead
+    * of looping forever.
+    */
+  val ThreadDepthCap = 32
+
+  /** Q16 — comment-THREAD tree analytics: the one reference-schema
+    * capability its own 15 queries never exercise. The reference
+    * stores `comments.parent_id` (script.py's comment projection;
+    * `analysis.sql` never reads it) — the field that makes comments a
+    * TREE (a Reddit parent_id is the post for top-level comments, a
+    * comment id for replies). This query consumes it: per post, the
+    * reply-tree rollup a thread view needs — comment count, deepest
+    * nesting level, leaf count, and the id of the deepest comment.
+    *
+    * The fixture's derived comments model parents every comment
+    * directly to its post, so the tree edge is derived here from
+    * comments columns alone: per post, comments order by (id, score)
+    * into positions 1..n; position 1 is the thread root and position
+    * p > 1 replies to position `((score+20) mod (p−1)) + 1` — a
+    * deterministic, DATA-dependent parent in [1, p−1] (acyclic by
+    * construction, no orphans), giving varied tree shapes whose
+    * depths a closed form cannot predict — the climb is genuinely
+    * exercised. Both engines derive the identical edge set. Nodes are
+    * keyed (post_id, pos), never id: fixture comment ids COLLIDE
+    * (duplicate lineitem (orderkey, linenumber) rows), and an
+    * id-keyed climb would hand nodes several parents and multiply the
+    * frontier per path.
+    *
+    * Depth assignment is the iterative frontier climb (the
+    * dd_clusters_star loop discipline: per-round localCheckpoint,
+    * bounded rounds): roots at depth 1, each round joins the edge set
+    * against the frontier — rounds = max depth, ≤ [[ThreadDepthCap]].
+    * Every join and rollup is an equi-shuffle on post_id/id; at scale
+    * the edge set shuffles once and re-joins per level (a
+    * pointer-doubling variant halves the rounds if depth ever matters
+    * — thread depth is log-ish and small in practice, so the simple
+    * climb IS the production shape). Oracle: recursive CTE over the
+    * same edges. All outputs integer — no float anywhere.
+    */
+  def q16ThreadDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    // NODE KEY IS (post_id, pos), NOT id: the fixture's lineitem has
+    // duplicate (orderkey, linenumber) rows, so comment ids COLLIDE —
+    // an id-keyed climb gives nodes multiple parents and the frontier
+    // multiplies per path (exponential rounds). row_number makes pos
+    // unique by construction; the (id, score) tie-break makes every
+    // column downstream consumes engine-independent (rows still tied
+    // on both are interchangeable in every output).
+    val posW = Window.partitionBy($"post_id").orderBy($"id", $"score")
+    val surv = comments(spark, sfDir)
+      .select($"id", $"post_id", $"score")
+      .withColumn("pos", row_number().over(posW))
+      .localCheckpoint(true)
+    val edges = surv.filter($"pos" > 1)
+      .select($"post_id", $"pos".as("child_pos"),
+        ((($"score" + 20) % ($"pos" - 1)) + 1).as("parent_pos"))
+      .localCheckpoint(true)
+    var frontier = surv.filter($"pos" === 1)
+      .select($"post_id", $"pos", lit(1).as("depth")).localCheckpoint(true)
+    var depths = frontier
+    var round = 0
+    while (round < ThreadDepthCap && !frontier.isEmpty) {
+      frontier = edges.alias("e")
+        .join(frontier.alias("f"),
+          col("e.post_id") === col("f.post_id") &&
+            col("e.parent_pos") === col("f.pos"))
+        .select(col("e.post_id").as("post_id"), col("e.child_pos").as("pos"),
+          (col("f.depth") + 1).as("depth"))
+        .localCheckpoint(true)
+      depths = depths.unionByName(frontier)
+      round += 1
+    }
+    val wd = surv.join(depths, Seq("post_id", "pos"))
+    val agg1 = wd.groupBy($"post_id").agg(
+      count(lit(1)).as("n_comments"), max($"depth").as("max_depth"))
+    val deepest = wd
+      .join(agg1.select($"post_id".as("p2"), $"max_depth".as("md")),
+        $"post_id" === $"p2" && $"depth" === $"md")
+      .groupBy($"post_id").agg(min($"id").as("deepest_id"))
+    val leaves = wd
+      .join(edges.select($"post_id", $"parent_pos".as("pos")).distinct(),
+        Seq("post_id", "pos"), "left_anti")
+      .groupBy($"post_id").agg(count(lit(1)).as("n_leaves"))
+    agg1.join(deepest, "post_id").join(leaves, "post_id")
+      .select($"post_id", $"n_comments", $"max_depth", $"n_leaves",
+        $"deepest_id")
+      .orderBy($"post_id")
+  }
+
   /** Bounds replacing `DATE('now')` in the stats query (script.py:274). */
   val statsFrom = "1995-01-01 00:00:00"
   val statsTo = "1996-01-01 00:00:00"

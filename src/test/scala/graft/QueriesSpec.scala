@@ -64,6 +64,36 @@ class QueriesSpec extends SparkSpec {
         "Saturday", "Sunday"))
   }
 
+  test("q16 thread rollup equals a local recursive recompute") {
+    // independent local implementation: same edge derivation, depth by
+    // actual recursion over the parent map (not a frontier loop)
+    val com = graft.model.RedditModel.comments(spark, sf())
+      .select(col("id"), col("post_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expect = com.groupBy(_._2).toSeq.map { case (post, cs) =>
+      // nodes are 0-based indices in (id, score) order — ids collide
+      // in the fixture, so identity is positional (matching the query)
+      val ordered = cs.sortBy(c => (c._1, c._3))
+      val parentOf: Map[Int, Int] = ordered.zipWithIndex.collect {
+        case ((_, _, score), i) if i > 0 => i -> ((score + 20) % i)
+      }.toMap
+      def depth(i: Int): Int = parentOf.get(i).fold(1)(p => depth(p) + 1)
+      val depths = ordered.indices.map(i => i -> depth(i))
+      val maxD = depths.map(_._2).max
+      val parents = parentOf.values.toSet
+      (post, ordered.length.toLong, maxD,
+        ordered.indices.count(i => !parents.contains(i)).toLong,
+        depths.filter(_._2 == maxD).map { case (i, _) => ordered(i)._1 }.min)
+    }.sortBy(_._1)
+    val got = RefQueries.q16ThreadDepth(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect)
+    // vacuity: the derived trees must not all be chains or all flat
+    assert(got.exists(_._3 >= 3) && got.exists(t => t._3 < t._2),
+      "tree shapes must vary")
+  }
+
   test("entry smoke: flagship daily-stats returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
