@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling exponents for the top-cost query tier — the
+  * SketchCrossover fixture-derivation methodology generalized to every
+  * table: the local[32] bench can time queries at one SF, but cannot by
+  * itself say whether a plan's cost grows like m or like m² when the
+  * data does — this main measures it.
+  *
+  * Fixture derivation (`/tmp/graft_soak/x{m}`): m offset copies of each
+  * base table, keys shifted by i·10⁹ per copy so CARDINALITIES actually
+  * grow (join fan-outs, distinct counts, group counts — not just row
+  * counts), and content DECORRELATED per copy so pair-stream queries
+  * don't see a pathological m-clique of exact twins that no real corpus
+  * growth would produce:
+  *   - documents: Caesar-shift of the letters by (i mod 26) plus an
+  *     i-tagged suffix token (distinguishes the shift-colliding copies
+  *     i and i+26; only those few pairs stay near-dups — O(n) noise,
+  *     not the O(n·m) clique of raw copies); n_chars recomputed.
+  *   - embeddings: cyclic element shift by (i mod dim), negated on odd
+  *     cycles — cosine between a vector and its shifted/flipped copy is
+  *     noise-level, so ANN/cluster structure grows instead of
+  *     degenerating into m-fold repeated points.
+  *   - facts/dims: consistent key offsets (custkey/orderkey/partkey/
+  *     suppkey/user_id/event_id shifted identically across tables so
+  *     every join still matches within a copy), values untouched.
+  *
+  * Per (query, multiplier): min of `iters` wall-clock runs of the full
+  * plan (toRdd.count — no result materialization on the driver). A
+  * query whose last measured time exceeds `cutoffSec` skips larger
+  * multipliers WITH AN EXPLICIT skip line (no silent caps) — the
+  * superlinear finding is already made by then.
+  *
+  * Output: one JSON line per measurement:
+  *   {"metric":"scale_soak","query":q,"mult":m,"sec":t}
+  * plus per-query fitted exponents over consecutive multipliers
+  * (alpha = ln(t_b/t_a)/ln(b/a)) — the SCALE.md table rows.
+  */
+object ScaleSoak {
+
+  /** The soak list: every query the round-11 plan audit called out as
+    * top-cost, plus the per-family production twins so exact-vs-banded
+    * exponents land side by side.
+    */
+  val SoakQueries: Seq[String] = Seq(
+    "dd_ngram_jaccard", "dd_ngram_jaccard_lsh", "dd_clusters_star",
+    "mm_clusters", "mm_dedup_impact",
+    "sim_pq_adc", "sim_semantic_clusters", "sim_semantic_clusters_ann",
+    "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
+    "wh_scd2_apply", "wh_basket", "wh_ltv",
+    "prof_summary_approx", "prof_drift", "ta_kl_source",
+    "cp_bpe_train", "q16_thread_depth")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mults = (if (args.length > 1) args(1) else "1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val iters = if (args.length > 2) args(2).toInt else 2
+    val queries = if (args.length > 3) args(3).split(",").map(_.trim).toSeq
+      else SoakQueries
+    val cutoffSec = 150.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val caesarFrom = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    def rot(s: String, k: Int): String = {
+      val n = s.length
+      (s.drop(k % n) + s.take(k % n))
+    }
+
+    def derive(m: Int): String = {
+      val dir = s"/tmp/graft_soak/x$m"
+      val done = new java.io.File(s"$dir/_SOAK_DONE")
+      if (done.exists()) return dir
+      def copies(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        (0 until m).map(i => f(base, i)).reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
+      val off = 1000000000L
+      copies("documents") { (d, i) =>
+        val shifted =
+          translate(col("text"), caesarFrom,
+            rot(('a' to 'z').mkString, i % 26) +
+              rot(('A' to 'Z').mkString, i % 26))
+        val text = if (i == 0) col("text")
+          else concat(shifted, lit(s" q${i}z"))
+        d.withColumn("doc_id", col("doc_id") + i * off)
+          .withColumn("text", text)
+          .withColumn("n_chars", length(text).cast("long"))
+      }
+      val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(size(col("embedding"))).head().getInt(0)
+      copies("embeddings") { (d, i) =>
+        val s = i % dim
+        val shifted = if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, dim - s),
+            slice(col("embedding"), 1, s))
+        val emb = if (i == 0) col("embedding")
+          else if ((i / dim) % 2 == 1)
+            transform(shifted, x => -x)
+          else shifted
+        d.withColumn("vec_id", col("vec_id") + i * off)
+          .withColumn("embedding", emb)
+      }
+      copies("events") { (d, i) =>
+        d.withColumn("event_id", col("event_id") + i * off)
+          .withColumn("user_id", col("user_id") + i * off)
+      }
+      copies("orders") { (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + i * off)
+          .withColumn("o_custkey", col("o_custkey") + i * off)
+      }
+      copies("lineitem") { (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + i * off)
+          .withColumn("l_partkey", col("l_partkey") + i * off)
+          .withColumn("l_suppkey", col("l_suppkey") + i * off)
+      }
+      copies("customer") { (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + i * off)
+      }
+      copies("part") { (d, i) =>
+        d.withColumn("p_partkey", col("p_partkey") + i * off)
+      }
+      copies("supplier") { (d, i) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + i * off)
+      }
+      Seq("region", "nation").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      done.createNewFile()
+      dir
+    }
+
+    def time(fn: => DataFrame): Double =
+      (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val results = scala.collection.mutable.Map
+      .empty[String, List[(Int, Double)]].withDefaultValue(Nil)
+    // absorb session/codegen warm-up before the first timed run: one
+    // untimed pass of every soaked query at the base SF
+    queries.foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Exception =>
+        println(s"""{"metric":"scale_soak","query":"$q","warmup_err":""" +
+          s""""${e.getClass.getSimpleName}"}""") }
+    }
+    mults.sorted.foreach { m =>
+      val dir = derive(m)
+      queries.foreach { q =>
+        val last = results(q).headOption
+        if (last.exists(_._2 > cutoffSec)) {
+          println(s"""{"metric":"scale_soak","query":"$q","mult":$m,""" +
+            s""""skipped":true,"reason":"t(${last.get._1}x)=""" +
+            f"${last.get._2}%.1f" + "s > cutoff\"}")
+        } else {
+          val t = time(SparkEntry.queries(q)(spark, dir))
+          results(q) = (m, t) :: results(q)
+          println(s"""{"metric":"scale_soak","query":"$q","mult":$m,""" +
+            f""""sec":$t%.3f}""")
+        }
+      }
+    }
+    // fitted exponents over consecutive measured multipliers
+    results.toSeq.sortBy(_._1).foreach { case (q, ts) =>
+      val sorted = ts.sortBy(_._1)
+      val alphas = sorted.sliding(2).collect {
+        case List((ma, ta), (mb, tb)) =>
+          f""""${ma}x->${mb}x":${math.log(tb / ta) / math.log(mb.toDouble / ma)}%.2f"""
+      }.mkString(",")
+      val overall =
+        if (sorted.size >= 2) {
+          val (m0, t0) = sorted.head
+          val (m1, t1) = sorted.last
+          f"${math.log(t1 / t0) / math.log(m1.toDouble / m0)}%.2f"
+        } else "null"
+      println(s"""{"metric":"scale_alpha","query":"$q",""" +
+        s""""alpha":$overall,"pairwise":{$alphas}}""")
+    }
+    spark.stop()
+  }
+}
