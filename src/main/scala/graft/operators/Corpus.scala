@@ -1966,12 +1966,16 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
       BpeTrainMerges)
 
   /** The training loop over any (w: string) word stream — split out
-    * so the spec can pin hand-computed merges on a tiny corpus.
+    * so the spec can pin hand-computed merges on a tiny corpus, and so
+    * [[cpBpeTokenize]] can reuse the FINAL word→segmentation table the
+    * loop converges to. Returns (one 1-row DataFrame per merge, the
+    * final (w, freq, seg) corpus).
     */
-  private[graft] def bpeTrainOf(words: DataFrame, merges: Int): DataFrame = {
+  private[graft] def bpeTrainLoop(
+      words: DataFrame, merges: Int): (Seq[DataFrame], DataFrame) = {
     var corpus = words.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         regexp_replace(col("w"), "(.)", " $1 ").as("seg"))
       .localCheckpoint(true)
     val rows = (1 to merges).map { r =>
@@ -1989,7 +1993,7 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
       corpus = corpus
         .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
           col("merged").as("emerged"))))
-        .select(col("freq"),
+        .select(col("w"), col("freq"),
           replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
             concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
         .localCheckpoint(true)
@@ -2001,11 +2005,28 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
           col("n_occurrences"))
         .crossJoin(broadcast(stats))
     }
-    rows.reduce(_ unionByName _).orderBy(col("merge_rank"))
+    (rows, corpus)
   }
 
-  val cpBpeTrainSql: String = {
-    val rounds = (1 to BpeTrainMerges).map { r =>
+  private[graft] def bpeTrainOf(words: DataFrame, merges: Int): DataFrame =
+    bpeTrainLoop(words, merges)._1
+      .reduce(_ unionByName _).orderBy(col("merge_rank"))
+
+  /** Shared oracle fragments for the BPE loop — ONE copy of the
+    * per-round SQL (census → election → merge → stats), consumed by
+    * both [[cpBpeTrainSql]] and [[cpBpeTokenizeSql]] (the fragment
+    * rule: twins share text, they cannot drift).
+    */
+  private val bpeCorpus0Sql: String = """corpus0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+    regexp_replace(w, '(.)', ' \1 ', 'g') AS seg
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+)"""
+
+  private def bpeRoundsSql(merges: Int): String =
+    (1 to merges).map { r =>
       s"""cens$r AS (
   SELECT replace(raw, '  ', ' ') AS pair, replace(raw, '  ', '') AS merged,
     raw, CAST(SUM(freq) AS BIGINT) AS n_occurrences
@@ -2018,7 +2039,7 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
 ), el$r AS (
   SELECT * FROM cens$r ORDER BY n_occurrences DESC, pair LIMIT 1
 ), corpus$r AS (
-  SELECT c.freq,
+  SELECT c.w, c.freq,
     replace(c.seg, ' ' || e.raw || ' ', ' ' || e.merged || ' ') AS seg
   FROM corpus${r - 1} c, el$r e
 ), st$r AS (
@@ -2028,21 +2049,71 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
         FROM corpus$r)
 )"""
     }.mkString(", ")
+
+  val cpBpeTrainSql: String = {
     val out = (1 to BpeTrainMerges).map { r =>
       s"""SELECT $r AS merge_rank, e.pair, e.merged, e.n_occurrences,
   s.vocab_size, s.n_symbols FROM el$r e, st$r s"""
     }.mkString("\nUNION ALL\n")
     s"""
-WITH corpus0 AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
-    regexp_replace(w, '(.)', ' \\1 ', 'g') AS seg
-  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-        FROM documents)
-  WHERE length(w) >= 2 GROUP BY w
-), $rounds
+WITH $bpeCorpus0Sql, ${bpeRoundsSql(BpeTrainMerges)}
 $out
 ORDER BY merge_rank"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_bpe_tokenize — apply the trained merge table at document grain
+  // ------------------------------------------------------------------
+
+  /** [[cpBpeTrain]]'s consumer half: TOKENIZE every document with the
+    * trained merge table — the readout a data pipeline actually bills
+    * by (tokens-per-doc drives packing, pricing, curriculum budgets;
+    * cp_pack and cp_epoch_plan consume exactly this number upstream
+    * today via whitespace counts — this is the trained-tokenizer
+    * version). Per doc: word count and BPE token count under the
+    * [[BpeTrainMerges]]-merge vocabulary.
+    *
+    * Shape: training reruns the shared [[bpeTrainLoop]] (word-freq
+    * grain, vocab-bounded rounds), then application is ONE join — the
+    * final corpus already holds every trained word's segmentation, so
+    * per-word token counts are `size(split(seg))` on the vocab table
+    * and documents aggregate over their word stream (words under 2
+    * chars tokenize to themselves: 1 token). At 100 TB the apply side
+    * is the cp_token_count shape — one doc-grain pass + a vocab-sized
+    * build-side join — and the training side amortizes across every
+    * consumer of the vocabulary. All-integer outputs.
+    */
+  def cpBpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val docWords = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+    val (_, corpus) = bpeTrainLoop(
+      docWords.filter(length(col("w")) >= 2).select(col("w")),
+      BpeTrainMerges)
+    val tokCnt = corpus.select(col("w"),
+      size(split(trim(col("seg")), "  ")).as("n_tok"))
+    docWords.join(tokCnt, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), lit(1)).cast("long")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cpBpeTokenizeSql: String = s"""
+WITH $bpeCorpus0Sql, ${bpeRoundsSql(BpeTrainMerges)},
+tokc AS (
+  SELECT w, len(string_split(trim(seg), '  ')) AS n_tok
+  FROM corpus$BpeTrainMerges
+), docw AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT d.doc_id, COUNT(*) AS n_words,
+  CAST(SUM(CASE WHEN length(d.w) >= 2 THEN t.n_tok ELSE 1 END) AS BIGINT)
+    AS n_tokens
+FROM docw d LEFT JOIN tokc t ON t.w = d.w
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   // ------------------------------------------------------------------
   // cp_waterfill — no-upsampling token-budget allocation (waterfilling)

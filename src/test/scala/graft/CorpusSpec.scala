@@ -699,6 +699,59 @@ class CorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cp_bpe_tokenize equals a local train-then-apply recompute") {
+    import spark.implicits._
+    // tiny corpus: after 3 merges aaab and ab are single tokens
+    val (_, corpus) = Corpus.bpeTrainLoop(
+      Seq("aaab", "aaab", "ab").toDF("w"), 3)
+    val segs = corpus.collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[String]("seg")).toMap
+    assert(segs == Map("aaab" -> " aaab ", "ab" -> " ab "))
+
+    // fixture: independent local trainer (symbol lists, greedy-left)
+    // then per-doc token counts under the final vocabulary
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val trainWords = docs.flatMap(_._2).filter(_.length >= 2)
+    var segOf: Map[String, Vector[String]] = trainWords.distinct
+      .map(w => w -> w.map(_.toString).toVector).toMap
+    val freq = trainWords.groupBy(identity).map { case (w, o) =>
+      w -> o.length.toLong }
+    for (_ <- 1 to Corpus.BpeTrainMerges) {
+      val census = scala.collection.mutable.Map.empty[(String, String), Long]
+      segOf.foreach { case (w, syms) =>
+        syms.zip(syms.tail).foreach(p =>
+          census(p) = census.getOrElse(p, 0L) + freq(w)) }
+      if (census.nonEmpty) {
+        val ((x, y), _) = census.minBy { case ((a, b), c) =>
+          (-c, a + " " + b) }
+        segOf = segOf.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              out += x + y; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    val expect = docs.map { case (id, ws) =>
+      (id, ws.length.toLong,
+        ws.map(w => if (w.length >= 2) segOf(w).length.toLong else 1L).sum)
+    }.sortBy(_._1).toSeq
+    val got = Corpus.cpBpeTokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // vacuity: the merges must actually compress something
+    assert(got.exists(t => t._3 < docs.find(_._1 == t._1).get._2
+      .map(w => math.max(w.length, 1)).sum))
+  }
+
   test("cp_length_sweep equals a local cutoff recompute and is monotone") {
     import graft.functions.Determinism.r6Jvm
     val dir = sf("sf0.001")

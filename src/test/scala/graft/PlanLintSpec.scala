@@ -35,10 +35,11 @@ class PlanLintSpec extends SparkSpec {
     *    qf_ingest_gate (two 1-row stream-health anchors — the ev_dq
     *    audit row and the bot-count reduce — broadcast onto the
     *    sources-bounded census), wh_idle_customers (1-row max-date
-    *    recency anchor — no driver collect), cp_bpe_train (per round:
-    *    the 1-row elected-merge anchor replayed onto the corpus and
-    *    the 1-row vocab-stats readout — both limit-1/global-agg by
-    *    construction).
+    *    recency anchor — no driver collect), cp_bpe_train and
+    *    cp_bpe_tokenize (per training round: the 1-row elected-merge
+    *    anchor replayed onto the corpus and the 1-row vocab-stats
+    *    readout — both limit-1/global-agg by construction; tokenize
+    *    embeds the same loop).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
@@ -49,7 +50,7 @@ class PlanLintSpec extends SparkSpec {
     *    case): cp_decontam_embed.
     */
   private val bnljOk: Set[String] = Set(
-    "cp_bpe_train",
+    "cp_bpe_train", "cp_bpe_tokenize",
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed", "cp_dedup_impact",
     "dd_family_overlap", "dd_lsh_tuning",
