@@ -101,8 +101,12 @@ object Bench {
     // decomposition: the reference's own query surface (baseline-
     // comparable) vs the extension tier it has no counterpart for.
     // NOT k.startsWith("q"): that would misfile qf_decide/qf_redact.
+    // q16_thread_depth is EXCLUDED despite the q-prefix: it consumes a
+    // reference-schema field (parent_id) the reference itself never
+    // queries, so the baseline has no counterpart number for it.
     val isParity = (k: String) =>
-      k.matches("q\\d\\d_.*") || k == "stats_daily" || k == "transform_posts"
+      (k.matches("q\\d\\d_.*") && k != "q16_thread_depth") ||
+        k == "stats_daily" || k == "transform_posts"
     val parity = results.collect { case (k, v) if isParity(k) => v }.sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"ext_sec":${total - parity},"iters":$Iters,"load_before":"$loadBefore","load_after":"$loadAfter","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
     println(full)

@@ -1965,6 +1965,80 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
         .filter(length(col("w")) >= 2),
       BpeTrainMerges)
 
+  /** Character-grain starting corpus: the word-frequency table with
+    * each word's initial segmentation.
+    */
+  private[graft] def bpeInitialCorpus(words: DataFrame): DataFrame =
+    words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("seg"))
+
+  /** Frequency census of adjacent symbol pairs over a (freq, seg)
+    * corpus — the loop's per-round scan, and the thing
+    * [[bpeCensusDelta]] maintains incrementally in production.
+    */
+  private[graft] def bpePairCensus(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("freq"),
+        explode(regexp_extract_all(col("seg"),
+          lit("(?= ([^ ]+  [^ ]+) )"), lit(1))).as("raw"))
+      .groupBy(col("raw")).agg(sum(col("freq")).as("n_occurrences"))
+
+  /** Merge election over a census: count desc, pair asc, one row. */
+  private[graft] def bpeElect(census: DataFrame): DataFrame =
+    census
+      .select(replace(col("raw"), lit("  "), lit(" ")).as("pair"),
+        replace(col("raw"), lit("  "), lit("")).as("merged"),
+        col("raw"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(1)
+
+  /** Apply an elected merge corpus-wide — the 1-row broadcast-anchor
+    * crossJoin, one literal replace per word.
+    */
+  private[graft] def bpeApplyMerge(
+      corpus: DataFrame, elected: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
+        col("merged").as("emerged"))))
+      .select(col("w"), col("freq"),
+        replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
+          concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
+
+  /** INCREMENTAL census maintenance across one merge — the move that
+    * makes a production 50k-merge trainer feasible: a merge only
+    * changes the pair contributions of words CONTAINING the elected
+    * pair (for real vocabularies a shrinking sliver of the word
+    * table), so the next census is
+    * `prev − census(touched_before) + census(touched_after)` instead
+    * of a full corpus re-scan. Counts that drop to zero (always
+    * including the merged pair itself) leave the census. The shipped
+    * [[cpBpeTrain]] keeps the full per-round scan so its oracle twin
+    * stays exact; CorpusSpec pins delta == full recompute across all
+    * [[BpeTrainMerges]] fixture rounds, chained (each round's delta
+    * feeds the next), plus a touched-fraction vacuity guard.
+    */
+  private[graft] def bpeCensusDelta(prevCensus: DataFrame,
+      corpusBefore: DataFrame, elected: DataFrame): DataFrame = {
+    val touched = corpusBefore
+      .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
+        col("merged").as("emerged"))))
+      .filter(col("seg").contains(
+        concat(lit(" "), col("eraw"), lit(" "))))
+    val before = bpePairCensus(touched.select(col("freq"), col("seg")))
+    val after = bpePairCensus(touched.select(col("freq"),
+      replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
+        concat(lit(" "), col("emerged"), lit(" "))).as("seg")))
+    prevCensus
+      .unionByName(before
+        .withColumn("n_occurrences", -col("n_occurrences")))
+      .unionByName(after)
+      .groupBy(col("raw"))
+      .agg(sum(col("n_occurrences")).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** The training loop over any (w: string) word stream — split out
     * so the spec can pin hand-computed merges on a tiny corpus, and so
     * [[cpBpeTokenize]] can reuse the FINAL word→segmentation table the
@@ -1973,30 +2047,11 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
     */
   private[graft] def bpeTrainLoop(
       words: DataFrame, merges: Int): (Seq[DataFrame], DataFrame) = {
-    var corpus = words.groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"),
-        regexp_replace(col("w"), "(.)", " $1 ").as("seg"))
-      .localCheckpoint(true)
+    var corpus = bpeInitialCorpus(words).localCheckpoint(true)
     val rows = (1 to merges).map { r =>
-      val elected = corpus
-        .select(col("freq"),
-          explode(regexp_extract_all(col("seg"),
-            lit("(?= ([^ ]+  [^ ]+) )"), lit(1))).as("raw"))
-        .groupBy(col("raw")).agg(sum(col("freq")).as("n_occurrences"))
-        .select(replace(col("raw"), lit("  "), lit(" ")).as("pair"),
-          replace(col("raw"), lit("  "), lit("")).as("merged"),
-          col("raw"), col("n_occurrences"))
-        .orderBy(col("n_occurrences").desc, col("pair"))
-        .limit(1)
+      val elected = bpeElect(bpePairCensus(corpus))
         .localCheckpoint(true) // election computed once, used twice
-      corpus = corpus
-        .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
-          col("merged").as("emerged"))))
-        .select(col("w"), col("freq"),
-          replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
-            concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
-        .localCheckpoint(true)
+      corpus = bpeApplyMerge(corpus, elected).localCheckpoint(true)
       val stats = corpus
         .select(col("freq"), explode(split(trim(col("seg")), "  ")).as("s"))
         .agg(countDistinct(col("s")).as("vocab_size"),

@@ -752,6 +752,40 @@ class CorpusSpec extends SparkSpec {
       .map(w => math.max(w.length, 1)).sum))
   }
 
+  test("BPE census delta maintenance equals full recompute, chained 8 rounds") {
+    // the production 50k-merge path: prev − census(touched_before) +
+    // census(touched_after) must equal the full re-scan EVERY round,
+    // with each round's delta feeding the next (chained drift would
+    // compound — equality per round over the chain rules it out)
+    val dir = sf("sf0.001")
+    var corpus = Corpus.bpeInitialCorpus(
+      spark.read.parquet(dir + "/documents.parquet")
+        .select(explode(graft.operators.TextAnalysis.tokens(
+          lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)).localCheckpoint(true)
+    var census = Corpus.bpePairCensus(corpus).localCheckpoint(true)
+    val nWords = corpus.count()
+    for (r <- 1 to Corpus.BpeTrainMerges) {
+      val elected = Corpus.bpeElect(census).localCheckpoint(true)
+      val next = Corpus.bpeApplyMerge(corpus, elected).localCheckpoint(true)
+      val full = Corpus.bpePairCensus(next).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+      val delta = Corpus.bpeCensusDelta(census, corpus, elected)
+        .localCheckpoint(true)
+      val d = delta.collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(d == full, s"round $r: delta != full recompute")
+      // vacuity: the merge touched a strict subset of the word table
+      val touched = corpus
+        .crossJoin(broadcast(elected.select(col("raw").as("eraw"))))
+        .filter(col("seg").contains(
+          concat(lit(" "), col("eraw"), lit(" ")))).count()
+      assert(touched > 0 && touched < nWords,
+        s"round $r: touched $touched of $nWords")
+      corpus = next
+      census = delta
+    }
+  }
+
   test("cp_length_sweep equals a local cutoff recompute and is monotone") {
     import graft.functions.Determinism.r6Jvm
     val dir = sf("sf0.001")
