@@ -303,23 +303,41 @@ ORDER BY query_id, rank"""
 )"""
 
   /** The probe → candidate → rank tail for `probe` cells, emitting
-    * `probes_<tag>`, `cand_<tag>`, `ranked_<tag>` CTEs.
+    * `probes_<tag>`, `cand_<tag>`, `ranked_<tag>` CTEs. `scored` /
+    * `assigned` name the upstream cosine-scoring CTEs so the same tail
+    * serves the sampled-centroid core and the kmeans-trained one.
     */
-  private def ivfServeTailSql(tag: String, probe: Int): String = s"""
+  private def ivfServeTailSql(tag: String, probe: Int,
+      scored: String = "scored", assigned: String = "assigned"): String = s"""
 probes_$tag AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
-      ORDER BY cs DESC, cent_id) AS pr FROM scored WHERE vec_id < $NQueries)
+      ORDER BY cs DESC, cent_id) AS pr FROM $scored WHERE vec_id < $NQueries)
   WHERE pr <= $probe
 ), cand_$tag AS (
   SELECT p.query_id, a.vec_id,
     ${dotSql("p.qv", "a.v")} / sqrt(p.qn * a.nrm) AS c
-  FROM probes_$tag p JOIN assigned a ON a.cell = p.cell
+  FROM probes_$tag p JOIN $assigned a ON a.cell = p.cell
     AND a.vec_id <> p.query_id
 ), ranked_$tag AS (
   SELECT query_id, vec_id, c,
     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
   FROM cand_$tag
+)"""
+
+  /** Cosine scoring + best-cell assignment CTEs against an arbitrary
+    * centroid CTE — the `scored`/`assigned` pair of [[ivfCoreCtesSql]]
+    * parameterized so the trained-centroid audit reuses one copy.
+    */
+  private def ivfScoredAssignedSql(tag: String, cents: String): String =
+    s"""scored_$tag AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+    ${dotSql("n.v", "c.cv")} / sqrt(n.nrm * c.cn) AS cs
+  FROM n CROSS JOIN $cents c
+), assigned_$tag AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS rn FROM scored_$tag) WHERE rn = 1
 )"""
 
   val simIvfAnnSql: String = s"""WITH $ivfCoreCtesSql, ${ivfServeTailSql("p", IvfProbe)}
@@ -388,6 +406,103 @@ ORDER BY query_id, rank"""
   $simBruteforceTopkSql
 ), bfp AS (
   SELECT query_id, neighbor_id FROM bf
+)
+${arms.mkString("\nUNION ALL\n")}
+ORDER BY nprobe"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_ivf_trained — the nprobe sweep on kmeans-TRAINED centroids
+  // ------------------------------------------------------------------
+
+  /** [[simIvfTuning]]'s dial table re-measured with kmeans-TRAINED
+    * centroids — the measurement behind SCALE.md's production-dial
+    * claim that trained cells concentrate neighbors and lift recall at
+    * the same probe fraction (until this query, claimed from the
+    * literature; now a shipped, oracle-hashed number next to the
+    * sampled-centroid table it should beat). Training is
+    * [[simKmeans]]'s exact chain (same seeds, same [[KmIters]]
+    * fixed-point Lloyd rounds — one definition per engine); serving is
+    * the same [[ivfServe]] the sampled index uses; ground truth is the
+    * same [[simBruteforceTopk]]. The only variable is the centroid
+    * table, so the recall delta IS the training effect.
+    *
+    * n_cells is reported because Lloyd's can retire empty cells
+    * (k shrinks); cell_fraction divides by the LIVE count via a 1-row
+    * broadcast anchor, never a driver collect.
+    *
+    * Scale shape: training per round is one ≤k-row broadcast + a
+    * map-side argmin + a k×dim-row component shuffle (corpus-size
+    * independent past the scan); the sweep then reuses one cached
+    * assignment per probe config exactly like [[simIvfTuning]].
+    */
+  def simIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir).cache()
+    var cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    for (_ <- 1 to KmIters) cents = kmUpdate(kmAssign(e, cents))
+    val nCells = cents.agg(count(lit(1)).as("nc"))
+    val bf = simBruteforceTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    IvfTuneProbes.map { p =>
+      val ann = ivfServe(e, cents, p)
+        .select(col("query_id"), col("neighbor_id"))
+      ann.join(bf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nCells))
+        .select(lit(p).as("nprobe"),
+          lit(NQueries).as("n_queries"),
+          col("hits").cast("long").as("total_hits"),
+          graft.functions.Determinism.r6(col("hits").cast("double") /
+            lit((NQueries * TopK).toDouble)).as("recall_at_k"),
+          col("nc").cast("long").as("n_cells"),
+          graft.functions.Determinism.r6(
+            lit(p).cast("double") / col("nc").cast("double"))
+            .as("cell_fraction"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
+  // LAZY: this val sits textually before KmIters' declaration, and an
+  // eager init would read KmIters = 0 and emit zero Lloyd rounds (the
+  // round-11 Filters object-init lesson, intra-object edition).
+  lazy val simIvfTrainedSql: String = {
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "seeds" else s"c${i - 1}"
+      kmAssignSql(s"a$i", prev) + "," + kmUpdateSql(s"c$i", s"a$i")
+    }.mkString(",")
+    val tails = IvfTuneProbes.map(p =>
+      ivfServeTailSql(s"k$p", p, "scored_k", "assigned_k").trim)
+    val arms = IvfTuneProbes.map { p =>
+      val hits = s"""(SELECT COUNT(*) FROM
+    (SELECT query_id, vec_id AS neighbor_id FROM ranked_k$p
+     WHERE rank <= $TopK) a
+    JOIN bfp b ON b.query_id = a.query_id
+      AND b.neighbor_id = a.neighbor_id)"""
+      s"""SELECT $p AS nprobe, $NQueries AS n_queries,
+  $hits AS total_hits,
+  ${r6Sql(s"(CAST($hits AS DOUBLE) / ${(NQueries * TopK).toDouble})")}
+    AS recall_at_k,
+  nc AS n_cells,
+  ${r6Sql(s"(CAST($p AS DOUBLE) / CAST(nc AS DOUBLE))")} AS cell_fraction
+FROM ncells"""
+    }
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), seeds AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+),$rounds,
+${ivfScoredAssignedSql("k", s"c$KmIters")},
+${tails.mkString(", ")}, bf AS (
+  $simBruteforceTopkSql
+), bfp AS (
+  SELECT query_id, neighbor_id FROM bf
+), ncells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM c$KmIters
 )
 ${arms.mkString("\nUNION ALL\n")}
 ORDER BY nprobe"""

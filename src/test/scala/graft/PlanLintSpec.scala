@@ -42,6 +42,8 @@ class PlanLintSpec extends SparkSpec {
     *    embeds the same loop).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
+    *    sim_ivf_trained (≤k-row trained centroids per Lloyd round +
+    *    the 1-row live-cell-count anchor),
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
     *    sim_hybrid_rrf (1-row corpus-stats anchor on the lexical arm +
     *    the NQueries-row semantic query side) and its ANN twin (same
@@ -61,6 +63,7 @@ class PlanLintSpec extends SparkSpec {
     "qf_composite", "qf_ingest_gate", "qf_lm_filter",
     "sim_bruteforce_topk", "sim_ivf_ann",
     "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
+    "sim_ivf_trained",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",

@@ -96,6 +96,32 @@ class SimilaritySpec extends SparkSpec {
     assert(prod.getAs[Long]("total_hits") == recallHits)
   }
 
+  test("sim_ivf_trained: monotone recall, live-cell accounting, training wins at depth") {
+    val trained = Similarity.simIvfTrained(spark, sf("sf0.01")).collect()
+    val sampled = Similarity.simIvfTuning(spark, sf("sf0.01")).collect()
+    assert(trained.map(_.getInt(0)).toSeq == Similarity.IvfTuneProbes)
+    trained.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("total_hits") <= b.getAs[Long]("total_hits"),
+        s"recall must not drop with more probes: $a -> $b")
+    }
+    trained.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall bounds: $r")
+      val nc = r.getAs[Long]("n_cells")
+      assert(nc >= 1 && nc <= Similarity.IvfCells,
+        s"live cells must be in [1, k]: $r")
+    }
+    // the dial-table claim, measured: at the deepest swept probe the
+    // kmeans-trained index must beat (or match) the sampled one —
+    // shallow probes can be noisy at fixture scale, depth is the
+    // regime the production dial operates in
+    val deep = Similarity.IvfTuneProbes.max
+    val tHits = trained.find(_.getInt(0) == deep).get.getAs[Long]("total_hits")
+    val sHits = sampled.find(_.getInt(0) == deep).get.getAs[Long]("total_hits")
+    assert(tHits >= sHits,
+      s"trained centroids must not lose to sampled at probe $deep: $tHits < $sHits")
+  }
+
   test("graft_quantize_stats is bit-identical to the declarative HOF twin") {
     // the six-HOF chain QuantizeStats replaced — kept here as the pin
     graft.functions.QuantizeStats.register(spark)
