@@ -53,6 +53,45 @@ object ScaleSoak {
     "prof_summary_approx", "prof_drift", "ta_kl_source",
     "cp_bpe_train", "q16_thread_depth")
 
+  /** GRANULARITY-ADAPTIVE soak entries — the round-12 fixed-cell soak
+    * measured super-linear exponents for the cluster families AT
+    * PINNED index granularity and argued the production rule (cells ≈
+    * √corpus, longer band keys as the corpus grows) as the
+    * mitigation; these entries RUN that rule so the exponent drop is
+    * measured, not argued. Each takes the multiplier m and picks its
+    * granularity from it; the `_fixed`/shipped twins at the same probe
+    * dial are the comparators. Timing-only: the recall side of each
+    * dial is measured by ClusterProbeSweep / dd_lsh_tuning — the
+    * shipped pinned queries remain the oracle-hashed exactness proof.
+    */
+  val AdaptiveQueries: Map[String, (SparkSession, String, Int) => DataFrame] =
+    Map(
+      // cells = 16·√m (≈ √corpus scaling from the 1× baseline), probe
+      // COUNT fixed at 8 ≪ cells: per-vector candidate work ~ probe·n/cells
+      "sim_clusters_ann_sqrtcells" -> ((s, dir, m) =>
+        graft.operators.Similarity.simSemanticClustersAnnCfg(s, dir,
+          cells = math.max(16, Math.toIntExact(
+            Math.round(16 * math.sqrt(m.toDouble)))), probe = 8)),
+      // the fixed-granularity comparator at the SAME probe dial —
+      // isolates the cells-growth effect from the probe choice
+      "sim_clusters_ann_fixedcells" -> ((s, dir, m) =>
+        graft.operators.Similarity.simSemanticClustersAnnCfg(s, dir,
+          cells = 16, probe = 8)),
+      // band-KEY length grows with the corpus at fixed K=16 minhashes:
+      // 4×4 under 10×, 2×8 at/above — longer keys collide on true
+      // similarity, not corpus density (comparator: the shipped
+      // dd_clusters_star at pinned 4×4)
+      "dd_clusters_star_adaptive" -> ((s, dir, m) =>
+        graft.operators.Dedup.ddClustersStarCfg(s, dir,
+          nBands = if (m >= 10) 2 else 4, nRows = if (m >= 10) 8 else 4)),
+      // BPE trainers at a production-ish merge depth (32): the delta
+      // trainer's census work ∝ touched words must flatten the gap
+      // the full trainer's 2-scans-per-round cost opens
+      "cp_bpe_train_full32" -> ((s, dir, _) =>
+        graft.operators.Corpus.cpBpeTrainAt(s, dir, 32)),
+      "cp_bpe_train_delta32" -> ((s, dir, _) =>
+        graft.operators.Corpus.cpBpeTrainDeltaAt(s, dir, 32)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mults = (if (args.length > 1) args(1) else "1,3,10,30")
@@ -149,12 +188,16 @@ object ScaleSoak {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    def resolve(q: String, dir: String, m: Int): DataFrame =
+      SparkEntry.queries.get(q).map(_(spark, dir))
+        .getOrElse(AdaptiveQueries(q)(spark, dir, m))
+
     val results = scala.collection.mutable.Map
       .empty[String, List[(Int, Double)]].withDefaultValue(Nil)
     // absorb session/codegen warm-up before the first timed run: one
     // untimed pass of every soaked query at the base SF
     queries.foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
+      try resolve(q, sfDir, 1).queryExecution.toRdd.count()
       catch { case e: Exception =>
         println(s"""{"metric":"scale_soak","query":"$q","warmup_err":""" +
           s""""${e.getClass.getSimpleName}"}""") }
@@ -168,7 +211,7 @@ object ScaleSoak {
             s""""skipped":true,"reason":"t(${last.get._1}x)=""" +
             f"${last.get._2}%.1f" + "s > cutoff\"}")
         } else {
-          val t = time(SparkEntry.queries(q)(spark, dir))
+          val t = time(resolve(q, dir, m))
           results(q) = (m, t) :: results(q)
           println(s"""{"metric":"scale_soak","query":"$q","mult":$m,""" +
             f""""sec":$t%.3f}""")

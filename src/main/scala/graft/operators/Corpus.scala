@@ -1959,11 +1959,20 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
     * loop shape is identical.
     */
   def cpBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrainOf(
-      docs(spark, sfDir)
-        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
-        .filter(length(col("w")) >= 2),
-      BpeTrainMerges)
+    cpBpeTrainAt(spark, sfDir, BpeTrainMerges)
+
+  /** ≥2-char lowercased word stream both trainers consume. */
+  private def bpeWords(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+
+  /** [[cpBpeTrain]] at ANY merge count — ScaleSoak's handle for the
+    * deeper-merge cost comparison against the delta trainer.
+    */
+  private[graft] def cpBpeTrainAt(spark: SparkSession, sfDir: String,
+      merges: Int): DataFrame =
+    bpeTrainOf(bpeWords(spark, sfDir), merges)
 
   /** Character-grain starting corpus: the word-frequency table with
     * each word's initial segmentation.
@@ -2020,14 +2029,25 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
     * feeds the next), plus a touched-fraction vacuity guard.
     */
   private[graft] def bpeCensusDelta(prevCensus: DataFrame,
-      corpusBefore: DataFrame, elected: DataFrame): DataFrame = {
+      corpusBefore: DataFrame, elected: DataFrame): DataFrame =
+    bpeCensusDeltaBy(bpePairCensus)(prevCensus, corpusBefore, elected)
+
+  /** [[bpeCensusDelta]] generalized over the census definition — the
+    * identical touched-words algebra maintains BOTH the pair census
+    * (training elections) and the symbol census (the vocab_size /
+    * n_symbols readout), so the delta trainer never re-scans the
+    * corpus for either.
+    */
+  private[graft] def bpeCensusDeltaBy(censusOf: DataFrame => DataFrame)(
+      prevCensus: DataFrame, corpusBefore: DataFrame,
+      elected: DataFrame): DataFrame = {
     val touched = corpusBefore
       .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
         col("merged").as("emerged"))))
       .filter(col("seg").contains(
         concat(lit(" "), col("eraw"), lit(" "))))
-    val before = bpePairCensus(touched.select(col("freq"), col("seg")))
-    val after = bpePairCensus(touched.select(col("freq"),
+    val before = censusOf(touched.select(col("freq"), col("seg")))
+    val after = censusOf(touched.select(col("freq"),
       replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
         concat(lit(" "), col("emerged"), lit(" "))).as("seg")))
     prevCensus
@@ -2038,6 +2058,17 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
       .agg(sum(col("n_occurrences")).as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }
+
+  /** Freq-weighted SYMBOL census of a (freq, seg) corpus — row count =
+    * vocab_size, value sum = n_symbols; the other census the delta
+    * trainer maintains so its per-round stats readout is vocab-sized,
+    * never a corpus re-scan.
+    */
+  private[graft] def bpeSymCensus(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("freq"),
+        explode(split(trim(col("seg")), "  ")).as("raw"))
+      .groupBy(col("raw")).agg(sum(col("freq")).as("n_occurrences"))
 
   /** The training loop over any (w: string) word stream — split out
     * so the spec can pin hand-computed merges on a tiny corpus, and so
@@ -2117,6 +2148,69 @@ ORDER BY merge_rank"""
   }
 
   // ------------------------------------------------------------------
+  // cp_bpe_train_delta — the production 50k-merge training path
+  // ------------------------------------------------------------------
+
+  /** [[cpBpeTrain]] computed by INCREMENTAL census maintenance — the
+    * production 50k-merge trainer's loop body, shipped as its own
+    * query so delta == full is driver-HASH-verified every round (the
+    * dd_ngram_jaccard_lsh / cp_decontam_bloom contract: the oracle SQL
+    * is [[cpBpeTrainSql]] VERBATIM). Per round, instead of two full
+    * word-table re-scans (pair census for the election, symbol census
+    * for the vocab readout — vocab-sized here, but billions of word
+    * types at a 100 TB corpus), both censuses advance by
+    * `prev − census(touched_before) + census(touched_after)` over
+    * only the words CONTAINING the elected pair
+    * ([[bpeCensusDeltaBy]]) — for real vocabularies a sliver that
+    * shrinks as merges specialize, which is what makes 50k merges
+    * feasible where 2·50k corpus scans are not. The merge itself
+    * stays one map-only literal-replace pass (no shuffle); the
+    * election and stats readout run on the maintained vocab-sized
+    * censuses. ScaleSoak measures the sliver claim at a deeper merge
+    * count (SCALE.md).
+    */
+  def cpBpeTrainDelta(spark: SparkSession, sfDir: String): DataFrame =
+    cpBpeTrainDeltaAt(spark, sfDir, BpeTrainMerges)
+
+  /** [[cpBpeTrainDelta]] at ANY merge count (the ScaleSoak dial). */
+  private[graft] def cpBpeTrainDeltaAt(spark: SparkSession, sfDir: String,
+      merges: Int): DataFrame =
+    bpeTrainLoopDelta(bpeWords(spark, sfDir), merges)
+      .reduce(_ unionByName _).orderBy(col("merge_rank"))
+
+  /** The delta-maintenance training loop — same outputs as
+    * [[bpeTrainLoop]], census work ∝ touched words per round.
+    */
+  private[graft] def bpeTrainLoopDelta(
+      words: DataFrame, merges: Int): Seq[DataFrame] = {
+    var corpus = bpeInitialCorpus(words).localCheckpoint(true)
+    // the ONLY full-corpus censuses: round 0; every later round is a
+    // touched-words delta
+    var census = bpePairCensus(corpus).localCheckpoint(true)
+    var syms = bpeSymCensus(corpus).localCheckpoint(true)
+    (1 to merges).map { r =>
+      val elected = bpeElect(census).localCheckpoint(true)
+      val nextCensus = bpeCensusDeltaBy(bpePairCensus)(
+        census, corpus, elected).localCheckpoint(true)
+      val nextSyms = bpeCensusDeltaBy(bpeSymCensus)(
+        syms, corpus, elected).localCheckpoint(true)
+      corpus = bpeApplyMerge(corpus, elected).localCheckpoint(true)
+      census = nextCensus
+      syms = nextSyms
+      // stats from the maintained symbol census: rows = vocab_size,
+      // value sum = n_symbols — vocab-sized, not corpus-sized
+      val stats = syms.agg(count(lit(1)).as("vocab_size"),
+        sum(col("n_occurrences")).as("n_symbols"))
+      elected.select(lit(r).as("merge_rank"), col("pair"), col("merged"),
+          col("n_occurrences"))
+        .crossJoin(broadcast(stats))
+    }
+  }
+
+  /** delta == full is the contract — ONE oracle definition. */
+  val cpBpeTrainDeltaSql: String = cpBpeTrainSql
+
+  // ------------------------------------------------------------------
   // cp_bpe_tokenize — apply the trained merge table at document grain
   // ------------------------------------------------------------------
 
@@ -2165,8 +2259,8 @@ tokc AS (
   FROM documents
 )
 SELECT d.doc_id, COUNT(*) AS n_words,
-  CAST(SUM(CASE WHEN length(d.w) >= 2 THEN t.n_tok ELSE 1 END) AS BIGINT)
-    AS n_tokens
+  CAST(SUM(CASE WHEN length(d.w) >= 2 THEN COALESCE(t.n_tok, 1) ELSE 1 END)
+    AS BIGINT) AS n_tokens
 FROM docw d LEFT JOIN tokc t ON t.w = d.w
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 

@@ -209,13 +209,27 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
         graft.functions.WordShingleHashSet.hs(lower(col("text"))).as("hs"))
   }
 
-  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    ddMinhashLshCfg(spark, sfDir, Bands, R)
+
+  /** [[ddMinhashLsh]] at ANY (bands × rows) division of the K
+    * minhashes — the ScaleSoak entry point for the banding-
+    * granularity rule: at fixed K the selectivity dial is the band-
+    * KEY length (rows per band — longer keys collide less, so
+    * candidate volume tracks true near-dups instead of corpus
+    * density); the full production rule additionally grows K itself
+    * so bands can grow with the corpus at held recall. Timing-only by
+    * design: fewer/longer bands trade recall, and that trade is
+    * measured by dd_lsh_tuning — the soak measures the cost side.
+    */
+  private[graft] def ddMinhashLshCfg(spark: SparkSession, sfDir: String,
+      nBands: Int, nRows: Int): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
     val base = hashSets(spark, sfDir)
     // cached: both candidate self-join branches would rerun the full
     // signature pass; the cached band table is 4 short rows per doc
     // (same profitable shape as ddSimhashPairs' cache)
-    val bands = bandRows(signature(spark, sfDir)).cache()
+    val bands = bandRowsCfg(signature(spark, sfDir), nBands, nRows).cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -606,8 +620,16 @@ ORDER BY new_doc, corpus_doc"""
     * mechanism. Ships as its own query so the fallback is
     * hash-verified end-to-end, not just property-tested.
     */
-  def ddClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ddMinhashLsh(spark, sfDir)
+  def ddClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    ddClustersStarCfg(spark, sfDir, Bands, R)
+
+  /** [[ddClustersStar]] at ANY banding dial — ScaleSoak's handle for
+    * measuring the LSH granularity rule (see [[ddMinhashLshCfg]]);
+    * the shipped query pins (Bands × R) for the oracle proof.
+    */
+  private[graft] def ddClustersStarCfg(spark: SparkSession, sfDir: String,
+      nBands: Int, nRows: Int): DataFrame = {
+    val pairs = ddMinhashLshCfg(spark, sfDir, nBands, nRows)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val (labels, _) = connectedComponentsStar(

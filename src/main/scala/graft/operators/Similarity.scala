@@ -1480,10 +1480,10 @@ ORDER BY l.vec_id"""
     * probe ≪ cells choice is a measured trade, not a guess.
     */
   private[graft] def semanticClusterPairsAnn(spark: SparkSession,
-      sfDir: String, probe: Int): DataFrame = {
+      sfDir: String, probe: Int, cells: Int = IvfCells): DataFrame = {
     val e = base(spark, sfDir).cache()
     val cents = e.filter(col("vec_id") >= NQueries &&
-        col("vec_id") < NQueries + IvfCells)
+        col("vec_id") < NQueries + cells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     val assigned = ivfAssign(e, cents)
@@ -1504,6 +1504,24 @@ ORDER BY l.vec_id"""
     * definition (the [[simLabelKnnAnnSql]] move).
     */
   val simSemanticClustersAnnSql: String = simSemanticClustersSql
+
+  /** [[simSemanticClustersAnn]] at ANY (cells, probe) dial — the
+    * ScaleSoak entry point for MEASURING the index-granularity rule
+    * (cells ≈ √corpus, probe ≪ cells): the shipped query pins
+    * [[IvfCells]]/exhaustive probe for the oracle proof; this variant
+    * lets the soak grow the cell count with the derived corpus and
+    * hold the probe COUNT fixed, which is what turns per-vector
+    * candidate work from n/cells (linear at pinned cells) into
+    * ~probe·√n. Timing-only by design: a non-exhaustive probe trades
+    * edge recall, and that trade is measured separately
+    * ([[graft.ClusterProbeSweep]], sim_ivf_tuning) — the soak
+    * measures the COST side of the same dial.
+    */
+  private[graft] def simSemanticClustersAnnCfg(spark: SparkSession,
+      sfDir: String, cells: Int, probe: Int): DataFrame =
+    semanticClustersTail(spark, sfDir,
+      semanticClusterPairsAnn(spark, sfDir, probe, cells)
+        .localCheckpoint(true))
 
   // ------------------------------------------------------------------
   // sim_embed_drift — per-dimension train/val embedding drift

@@ -252,7 +252,8 @@ FROM posts ORDER BY subreddit, rank_in_subreddit, id"""
   FROM comments
 ), edge AS (
   SELECT post_id, pos AS child_pos,
-    ((score + 20) % (pos - 1)) + 1 AS parent_pos
+    ((((score + 20) % (pos - 1)) + (pos - 1)) % (pos - 1)) + 1
+      AS parent_pos
   FROM surv WHERE pos > 1
 ), climb(post_id, pos, depth) AS (
   SELECT post_id, pos, 1 FROM surv WHERE pos = 1

@@ -351,9 +351,13 @@ object RefQueries {
     * directly to its post, so the tree edge is derived here from
     * comments columns alone: per post, comments order by (id, score)
     * into positions 1..n; position 1 is the thread root and position
-    * p > 1 replies to position `((score+20) mod (p−1)) + 1` — a
+    * p > 1 replies to position `pmod(score+20, p−1) + 1` — a
     * deterministic, DATA-dependent parent in [1, p−1] (acyclic by
-    * construction, no orphans), giving varied tree shapes whose
+    * construction, no orphans: the POSITIVE modulus keeps the parent
+    * in range for ANY score, where a sign-of-dividend `%` would
+    * orphan nodes with score < −20 — both engines spell the pmod
+    * explicitly since DuckDB's `%` follows the dividend's sign),
+    * giving varied tree shapes whose
     * depths a closed form cannot predict — the climb is genuinely
     * exercised. Both engines derive the identical edge set. Nodes are
     * keyed (post_id, pos), never id: fixture comment ids COLLIDE
@@ -361,18 +365,46 @@ object RefQueries {
     * id-keyed climb would hand nodes several parents and multiply the
     * frontier per path.
     *
-    * Depth assignment is the iterative frontier climb (the
-    * dd_clusters_star loop discipline: per-round localCheckpoint,
-    * bounded rounds): roots at depth 1, each round joins the edge set
-    * against the frontier — rounds = max depth, ≤ [[ThreadDepthCap]].
-    * Every join and rollup is an equi-shuffle on (post_id, pos). The
-    * pointer-doubling variant was implemented and measured SLOWER at
-    * this depth/volume mix (see the in-body note) — the frontier
-    * walk is the chosen production shape, with doubling the
-    * documented swap if depth ever dominates. Oracle: recursive CTE
-    * over the same edges. All outputs integer — no float anywhere.
+    * Depth assignment exploits the locality: every parent is a LOWER
+    * position in the SAME post, so the rollup is computed by the
+    * custom [[graft.functions.ThreadRollup]] aggregate in one
+    * aggregation shuffle — no per-level joins, no iteration. Two
+    * distributed-graph formulations were implemented and measured
+    * first (the per-level frontier walk, kept spec-pinned as
+    * [[q16ThreadDepthFrontier]], and pointer doubling — 4.6 s and
+    * 5.4 s at sf0.1 vs ~1 s for the aggregate); they remain the
+    * documented shapes for trees that cross group boundaries. Oracle:
+    * recursive CTE over the same edges. All outputs integer — no
+    * float anywhere.
     */
   def q16ThreadDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    // The thread tree is PER-POST (every parent is a lower position in
+    // the same post), so the whole rollup is ONE aggregation: the
+    // custom ThreadRollup aggregate collects a post's (id, score)
+    // pairs and computes count/depth/leaves/deepest in a single local
+    // pass — one shuffle total, no per-level jobs. The frontier-walk
+    // twin below is spec-pinned equal and remains the shape for
+    // genuinely cross-group graphs.
+    graft.functions.ThreadRollup.register(spark)
+    comments(spark, sfDir)
+      .select($"post_id", $"id", $"score")
+      .groupBy($"post_id")
+      .agg(graft.functions.ThreadRollup.rollup($"id", $"score").as("r"))
+      .select($"post_id", $"r.n_comments".as("n_comments"),
+        $"r.max_depth".as("max_depth"), $"r.n_leaves".as("n_leaves"),
+        $"r.deepest_id".as("deepest_id"))
+      .orderBy($"post_id")
+  }
+
+  /** The iterative frontier-walk formulation [[q16ThreadDepth]]'s
+    * aggregate is pinned against (QueriesSpec) — kept because its
+    * shape is the one that generalizes to graphs that CROSS group
+    * boundaries (the dd_clusters_star discipline); for this per-post
+    * tree it pays depth-many full-edge joins where the aggregate pays
+    * one shuffle (measured 4.6 s vs ~1 s at sf0.1).
+    */
+  private[graft] def q16ThreadDepthFrontier(spark: SparkSession,
+      sfDir: String): DataFrame = {
     // NODE KEY IS (post_id, pos), NOT id: the fixture's lineitem has
     // duplicate (orderkey, linenumber) rows, so comment ids COLLIDE —
     // an id-keyed climb gives nodes multiple parents and the frontier
@@ -387,7 +419,7 @@ object RefQueries {
       .localCheckpoint(true)
     val edges = surv.filter($"pos" > 1)
       .select($"post_id", $"pos".as("child_pos"),
-        ((($"score" + 20) % ($"pos" - 1)) + 1).as("parent_pos"))
+        (pmod($"score" + 20, $"pos" - 1) + 1).as("parent_pos"))
       .localCheckpoint(true)
     // depth by per-level frontier walk. The pointer-doubling
     // alternative (log(depth) self-joins of the FULL n-row state) was
@@ -396,21 +428,42 @@ object RefQueries {
     // level (most of the ≤cap rounds join a near-empty frontier),
     // while doubling pays 5 full-corpus self-joins regardless. The
     // walk is the right shape until depth, not volume, dominates.
+    // ONE Spark job per round: the LAZY localCheckpoint materializes
+    // under the count() that also serves as the emptiness test (the
+    // eager-checkpoint + isEmpty pair was 2 jobs/round of pure
+    // overhead on a near-empty frontier). And because the count IS
+    // the frontier's exact size, the per-round join strategy is
+    // size-adaptive for free: a checkpointed frontier has no stats
+    // (Catalyst defaults to a full sort-merge shuffle of the cached
+    // edge set EVERY round), so small frontiers — every round past
+    // the first couple, since real trees narrow fast — broadcast
+    // explicitly and the round becomes one map-side pass over the
+    // cached edges. Large early-round frontiers (the 100 TB posture)
+    // keep the equi-shuffle. Measured at sf0.1: 4.6 s → ~1.9 s
+    // (bench conditions) for the identical values.
+    val bcastMax = 300000L
     var frontier = surv.filter($"pos" === 1)
-      .select($"post_id", $"pos", lit(1).as("depth")).localCheckpoint(true)
+      .select($"post_id", $"pos", lit(1).as("depth")).localCheckpoint(false)
     var depths = frontier
     var round = 0
-    while (round < ThreadDepthCap && !frontier.isEmpty) {
+    var n = frontier.count()
+    while (round < ThreadDepthCap && n > 0) {
+      val f = frontier.alias("f")
       frontier = edges.alias("e")
-        .join(frontier.alias("f"),
+        .join(if (n <= bcastMax) broadcast(f) else f,
           col("e.post_id") === col("f.post_id") &&
             col("e.parent_pos") === col("f.pos"))
         .select(col("e.post_id").as("post_id"), col("e.child_pos").as("pos"),
           (col("f.depth") + 1).as("depth"))
-        .localCheckpoint(true)
-      depths = depths.unionByName(frontier)
+        .localCheckpoint(false)
+      n = frontier.count()
+      if (n > 0) depths = depths.unionByName(frontier)
       round += 1
     }
+    // the oracle's recursive CTE is unbounded — a cap hit must be a
+    // LOUD error, never a silently truncated (and hash-divergent) tree
+    require(n == 0, s"q16_thread_depth: thread depth exceeds " +
+      s"ThreadDepthCap=$ThreadDepthCap — refusing to truncate")
     // pinned: three rollups below consume wd (counts, deepest, leaves)
     // and an unpinned plan re-runs the surv⋈depths join per consumer
     val wd = surv.join(depths, Seq("post_id", "pos")).localCheckpoint(true)

@@ -1079,15 +1079,37 @@ FROM sess_rows ORDER BY user_id, session_id"""
     * what the monitor exists to catch), so this is the honest floor;
     * a deployment that can't hold the id space swaps the id branch to
     * `dropDuplicatesWithinWatermark` and accepts the documented
-    * horizon (the [[dedupIngestStream]] contract) — the plan is
-    * otherwise identical. Output mode Complete: the monitor IS a
+    * horizon (the [[dedupIngestStream]] contract) — that swap SHIPS
+    * as [[dqStreamBounded]], the identical plan with only the id
+    * branch's state bounded. Output mode Complete: the monitor IS a
     * running total, the sink sees the current audit row per batch.
     *
     * StreamingSpec pins streamed == batch ev_dq across a batch
     * boundary on the fixture AND on a dirty synthetic feed (dup ids
     * across batches, malformed payloads, negative values).
     */
-  def dqStream(events: DataFrame): DataFrame = {
+  def dqStream(events: DataFrame): DataFrame =
+    dqStreamWith(events, boundedIds = false)
+
+  /** [[dqStream]] with the id branch's dedup state BOUNDED by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`): state holds
+    * only ids seen within the 1-hour horizon instead of the full id
+    * space — the swap SCALE.md documents for deployments whose id
+    * space outgrows executor state stores. The accepted trade, by
+    * contract: a duplicate id re-delivered BEYOND the horizon counts
+    * as distinct (dqStream counts it as a dup forever), so the live
+    * monitor is exact in-horizon and the nightly batch `ev_dq` audit
+    * carries the stragglers — the [[dedupIngestStream]] posture.
+    * Users/days branches keep full dedup state: their grain (distinct
+    * users, presence days) is small by nature and IS the signal.
+    * StreamingSpec pins in-horizon equality with batch ev_dq plus the
+    * beyond-horizon divergence being exactly the documented one.
+    */
+  def dqStreamBounded(events: DataFrame): DataFrame =
+    dqStreamWith(events, boundedIds = true)
+
+  private def dqStreamWith(events: DataFrame,
+      boundedIds: Boolean): DataFrame = {
     val base = events
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
@@ -1114,9 +1136,13 @@ FROM sess_rows ORDER BY user_id, session_id"""
     // one NULL-key row, but the batch twin's countDistinct ignores
     // NULLs — on a dirty feed carrying null ids the counts would
     // otherwise diverge by one (exactly the regime the monitor targets)
+    val idsDeduped = {
+      val ids = base.filter(col("event_id").isNotNull)
+      if (boundedIds) ids.dropDuplicatesWithinWatermark("event_id")
+      else ids.dropDuplicates("event_id")
+    }
     val all = shaped(base, 1L, 0L, 0L, 0L)
-      .unionByName(shaped(base.filter(col("event_id").isNotNull)
-        .dropDuplicates("event_id"), 0L, 1L, 0L, 0L))
+      .unionByName(shaped(idsDeduped, 0L, 1L, 0L, 0L))
       .unionByName(shaped(base.filter(col("user_id").isNotNull)
         .dropDuplicates("user_id"), 0L, 0L, 1L, 0L))
       .unionByName(shaped(day.filter(col("pday").isNotNull)

@@ -786,6 +786,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_bpe_train_delta equals the full-census trainer end-to-end") {
+    // the shipped production path (pair AND symbol censuses delta-
+    // maintained) against the full per-round re-scan — the driver
+    // hash-proves the same contract at sf0.01 via the shared oracle
+    val dir = sf("sf0.001")
+    val full = Corpus.cpBpeTrain(spark, dir).collect().map(_.toSeq).toSeq
+    val delta = Corpus.cpBpeTrainDelta(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(full.nonEmpty && delta == full)
+  }
+
   test("cp_length_sweep equals a local cutoff recompute and is monotone") {
     import graft.functions.Determinism.r6Jvm
     val dir = sf("sf0.001")

@@ -39,7 +39,9 @@ class PlanLintSpec extends SparkSpec {
     *    cp_bpe_tokenize (per training round: the 1-row elected-merge
     *    anchor replayed onto the corpus and the 1-row vocab-stats
     *    readout — both limit-1/global-agg by construction; tokenize
-    *    embeds the same loop).
+    *    embeds the same loop), cp_bpe_train_delta (the same two
+    *    anchors; its touched-word filter replays the identical 1-row
+    *    elected merge onto the word table).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
     *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_ivf_trained (≤k-row trained centroids per Lloyd round +
@@ -52,7 +54,7 @@ class PlanLintSpec extends SparkSpec {
     *    case): cp_decontam_embed.
     */
   private val bnljOk: Set[String] = Set(
-    "cp_bpe_train", "cp_bpe_tokenize",
+    "cp_bpe_train", "cp_bpe_train_delta", "cp_bpe_tokenize",
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed", "cp_dedup_impact",
     "dd_family_overlap", "dd_lsh_tuning",

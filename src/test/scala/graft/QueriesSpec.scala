@@ -74,8 +74,11 @@ class QueriesSpec extends SparkSpec {
       // nodes are 0-based indices in (id, score) order — ids collide
       // in the fixture, so identity is positional (matching the query)
       val ordered = cs.sortBy(c => (c._1, c._3))
+      // positive modulus (Scala % follows the dividend's sign): a
+      // score < -20 must still map to a parent in [0, i), matching the
+      // query's pmod — never an orphan
       val parentOf: Map[Int, Int] = ordered.zipWithIndex.collect {
-        case ((_, _, score), i) if i > 0 => i -> ((score + 20) % i)
+        case ((_, _, score), i) if i > 0 => i -> ((((score + 20) % i) + i) % i)
       }.toMap
       def depth(i: Int): Int = parentOf.get(i).fold(1)(p => depth(p) + 1)
       val depths = ordered.indices.map(i => i -> depth(i))
@@ -92,6 +95,14 @@ class QueriesSpec extends SparkSpec {
     // vacuity: the derived trees must not all be chains or all flat
     assert(got.exists(_._3 >= 3) && got.exists(t => t._3 < t._2),
       "tree shapes must vary")
+  }
+
+  test("q16 aggregate equals the frontier-walk twin") {
+    // the shipped ThreadRollup aggregate vs the distributed per-level
+    // frontier walk — two independent mechanisms, one contract
+    val agg = RefQueries.q16ThreadDepth(spark, sf()).collect().toSeq
+    val walk = RefQueries.q16ThreadDepthFrontier(spark, sf()).collect().toSeq
+    assert(agg.nonEmpty && agg.map(_.toSeq) == walk.map(_.toSeq))
   }
 
   test("entry smoke: flagship daily-stats returns rows at sf0.001") {

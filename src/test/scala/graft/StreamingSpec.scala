@@ -855,6 +855,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded-state DQ monitor equals batch ev_dq in-horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the documented bounded-id swap (dropDuplicatesWithinWatermark):
+    // same fixture replay across a batch boundary as the dqStream
+    // test — every fixture duplicate is in-horizon, so the bounded
+    // monitor must reproduce the batch audit row exactly
+    val fixture = StreamingStats.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("value"), col("props"),
+        col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getTimestamp(4)))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val mem = MemoryStream[(Long, Long, Double, String, Timestamp)]
+    val q = StreamingStats.dqStreamBounded(
+        mem.toDF().toDF("event_id", "user_id", "value", "props", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dq_bounded").start()
+    try {
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dq_bounded").collect().map(_.toSeq).toSet
+      val batch = graft.operators.Analytics.evDq(spark, sf())
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("bounded-state DQ monitor's beyond-horizon divergence is exactly the documented one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // an id REUSED with a fresh timestamp after its state aged out of
+    // the 1-hour horizon: the bounded monitor counts it distinct (the
+    // accepted trade — the nightly batch audit carries it); the
+    // unbounded dqStream counts it as a dup forever. Both behaviors
+    // pinned on the same feed so the divergence can never silently
+    // widen beyond the contract.
+    def t(s: String) = Timestamp.valueOf(s)
+    val feed = Seq(
+      Seq((1L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:00:00")),
+        (2L, 10L, 1.0, """{"k":1}""", t("2025-03-01 10:30:00"))),
+      // advances the watermark to 13:00 — id 1's state (10:00) ages out
+      Seq((3L, 11L, 1.0, """{"k":1}""", t("2025-03-01 14:00:00"))),
+      // id 1 reused with a fresh in-horizon timestamp
+      Seq((1L, 12L, 1.0, """{"k":1}""", t("2025-03-01 14:30:00"))))
+    def run(bounded: Boolean, name: String): Seq[Any] = {
+      val mem = MemoryStream[(Long, Long, Double, String, Timestamp)]
+      val df = mem.toDF().toDF("event_id", "user_id", "value", "props", "ts")
+      val q = (if (bounded) StreamingStats.dqStreamBounded(df)
+        else StreamingStats.dqStream(df))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try {
+        feed.foreach { batch =>
+          mem.addData(batch); q.processAllAvailable()
+        }
+        spark.table(name).collect().head.toSeq
+      } finally q.stop()
+    }
+    val bounded = run(bounded = true, "dq_bh_bounded")
+    val unbounded = run(bounded = false, "dq_bh_unbounded")
+    // (n_events, n_distinct_ids, n_dup_ids, n_users, ...)
+    assert(unbounded.take(4) == Seq(4L, 3L, 1L, 3L), s"got $unbounded")
+    assert(bounded.take(4) == Seq(4L, 4L, 0L, 3L), s"got $bounded")
+    // every other counter identical — the id branch is the ONLY delta
+    assert(bounded.drop(4) == unbounded.drop(4))
+  }
+
   test("DQ monitor ignores NULL ids/users in distinct counts (countDistinct parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
