@@ -84,13 +84,25 @@ object ScaleSoak {
       "dd_clusters_star_adaptive" -> ((s, dir, m) =>
         graft.operators.Dedup.ddClustersStarCfg(s, dir,
           nBands = if (m >= 10) 2 else 4, nRows = if (m >= 10) 8 else 4)),
+      // pinned-banding comparator measured in the SAME session so the
+      // adaptive-vs-fixed delta is never a cross-run box artifact
+      "dd_clusters_star_fixedbands" -> ((s, dir, _) =>
+        graft.operators.Dedup.ddClustersStarCfg(s, dir,
+          nBands = 4, nRows = 4)),
       // BPE trainers at a production-ish merge depth (32): the delta
       // trainer's census work ∝ touched words must flatten the gap
       // the full trainer's 2-scans-per-round cost opens
       "cp_bpe_train_full32" -> ((s, dir, _) =>
         graft.operators.Corpus.cpBpeTrainAt(s, dir, 32)),
       "cp_bpe_train_delta32" -> ((s, dir, _) =>
-        graft.operators.Corpus.cpBpeTrainDeltaAt(s, dir, 32)))
+        graft.operators.Corpus.cpBpeTrainDeltaAt(s, dir, 32)),
+      // the same pair on a 300k-type synthetic word table (fixture
+      // docs have ~30 types — there, wall-clock is pure job
+      // overhead); fixture-independent, run at mult 1
+      "cp_bpe_widevocab_full32" -> ((s, _, _) =>
+        graft.operators.Corpus.bpeTrainWideAt(s, 32, delta = false)),
+      "cp_bpe_widevocab_delta32" -> ((s, _, _) =>
+        graft.operators.Corpus.bpeTrainWideAt(s, 32, delta = true)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2041,23 +2041,55 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
   private[graft] def bpeCensusDeltaBy(censusOf: DataFrame => DataFrame)(
       prevCensus: DataFrame, corpusBefore: DataFrame,
       elected: DataFrame): DataFrame = {
-    val touched = corpusBefore
+    val touched = bpeTouched(corpusBefore, elected)
+    censusMinusPlus(prevCensus,
+      censusOf(touched.select(col("freq"), col("seg"))),
+      censusOf(bpeTouchedAfter(touched)))
+  }
+
+  /** The words CONTAINING the elected pair — the per-round sliver all
+    * delta maintenance aggregates over. Carries the elected (eraw,
+    * emerged) columns so consumers never re-reference the election.
+    */
+  private def bpeTouched(corpusBefore: DataFrame,
+      elected: DataFrame): DataFrame =
+    corpusBefore
       .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
         col("merged").as("emerged"))))
       .filter(col("seg").contains(
         concat(lit(" "), col("eraw"), lit(" "))))
-    val before = censusOf(touched.select(col("freq"), col("seg")))
-    val after = censusOf(touched.select(col("freq"),
+
+  /** The touched sliver with the merge applied. */
+  private def bpeTouchedAfter(touched: DataFrame): DataFrame =
+    touched.select(col("freq"),
       replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
-        concat(lit(" "), col("emerged"), lit(" "))).as("seg")))
-    prevCensus
+        concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
+
+  /** ONE census carrying BOTH grains the delta trainer maintains:
+    * pair rows (raw = "x  y", contains spaces) and symbol rows
+    * (space-free) coexist keyed by raw — they can never collide — so
+    * a single explode + groupBy + one delta per round replaces two;
+    * elections filter the pair rows, the vocab_size/n_symbols readout
+    * filters the symbol rows.
+    */
+  private[graft] def bpeCombinedCensus(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("freq"), explode(concat(
+        regexp_extract_all(col("seg"),
+          lit("(?= ([^ ]+  [^ ]+) )"), lit(1)),
+        split(trim(col("seg")), "  "))).as("raw"))
+      .groupBy(col("raw")).agg(sum(col("freq")).as("n_occurrences"))
+
+  /** `prev − before + after`, zero-count rows dropped. */
+  private def censusMinusPlus(prev: DataFrame, before: DataFrame,
+      after: DataFrame): DataFrame =
+    prev
       .unionByName(before
         .withColumn("n_occurrences", -col("n_occurrences")))
       .unionByName(after)
       .groupBy(col("raw"))
       .agg(sum(col("n_occurrences")).as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
-  }
 
   /** Freq-weighted SYMBOL census of a (freq, seg) corpus — row count =
     * vocab_size, value sum = n_symbols; the other census the delta
@@ -2178,28 +2210,78 @@ ORDER BY merge_rank"""
     bpeTrainLoopDelta(bpeWords(spark, sfDir), merges)
       .reduce(_ unionByName _).orderBy(col("merge_rank"))
 
+  /** Synthetic wide-vocabulary word stream (`types` distinct
+    * 8-hex-char words × `occ` occurrences each) — the fixture
+    * documents carry only ~30 word types, so trainer wall-clock there
+    * measures pure per-round job overhead; this stream gives the
+    * censuses a word table big enough that census WORK (the thing the
+    * delta trainer shrinks to the touched sliver) is what the clock
+    * sees. ScaleSoak's widevocab pair runs both trainers on it.
+    */
+  private[graft] def wideVocabWords(spark: SparkSession, types: Int,
+      occ: Int): DataFrame =
+    spark.range(types.toLong * occ)
+      .select(substring(md5((col("id") % types).cast("string")), 1, 8)
+        .as("w"))
+
+  /** The (full, delta) trainer pair over [[wideVocabWords]] — soak
+    * handles; `delta` picks the loop.
+    */
+  private[graft] def bpeTrainWideAt(spark: SparkSession, merges: Int,
+      delta: Boolean): DataFrame = {
+    val words = wideVocabWords(spark, 300000, 4)
+    (if (delta) bpeTrainLoopDelta(words, merges)
+     else bpeTrainLoop(words, merges)._1)
+      .reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
   /** The delta-maintenance training loop — same outputs as
     * [[bpeTrainLoop]], census work ∝ touched words per round.
     */
   private[graft] def bpeTrainLoopDelta(
       words: DataFrame, merges: Int): Seq[DataFrame] = {
     var corpus = bpeInitialCorpus(words).localCheckpoint(true)
-    // the ONLY full-corpus censuses: round 0; every later round is a
-    // touched-words delta
-    var census = bpePairCensus(corpus).localCheckpoint(true)
-    var syms = bpeSymCensus(corpus).localCheckpoint(true)
+    // the ONLY full-word-table census: round 0; every later round is
+    // a touched-words delta over the ONE combined (pair + symbol)
+    // census
+    var cens = bpeCombinedCensus(corpus).localCheckpoint(false)
     (1 to merges).map { r =>
-      val elected = bpeElect(census).localCheckpoint(true)
-      val nextCensus = bpeCensusDeltaBy(bpePairCensus)(
-        census, corpus, elected).localCheckpoint(true)
-      val nextSyms = bpeCensusDeltaBy(bpeSymCensus)(
-        syms, corpus, elected).localCheckpoint(true)
-      corpus = bpeApplyMerge(corpus, elected).localCheckpoint(true)
-      census = nextCensus
-      syms = nextSyms
-      // stats from the maintained symbol census: rows = vocab_size,
-      // value sum = n_symbols — vocab-sized, not corpus-sized
-      val stats = syms.agg(count(lit(1)).as("vocab_size"),
+      // job/scan discipline — where the delta actually saves: the
+      // full loop pays TWO word-table scans per round (the census
+      // explode+agg and the merge rewrite). Here touched-detection is
+      // FUSED into the merge rewrite (the pass keeps the pre-merge
+      // seg; a word is touched iff the rewrite changed it), so each
+      // round scans the word table ONCE, and the census explode —
+      // the expensive half — runs only over the changed sliver. The
+      // delta census is a LAZY checkpoint that materializes under
+      // the NEXT round's election job; per round the only actions
+      // are the election and the rewrite, the full loop's own two.
+      // (Rejected shapes, each measured slower at 32 merges: eager
+      // per-census checkpoints = 2 extra jobs/round; separate lazy
+      // pair/symbol chains = the symbol chain replays all rounds at
+      // the final stats collection; a standalone contains()-filter
+      // touched pass = a second corpus scan per round, the very cost
+      // the delta exists to avoid.)
+      val elected = bpeElect(cens.filter(col("raw").contains(" ")))
+        .localCheckpoint(true)
+      val applied = corpus
+        .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
+          col("merged").as("emerged"))))
+        .select(col("w"), col("freq"), col("seg").as("seg_old"),
+          replace(col("seg"), concat(lit(" "), col("eraw"), lit(" ")),
+            concat(lit(" "), col("emerged"), lit(" "))).as("seg"))
+        .localCheckpoint(true)
+      corpus = applied.select(col("w"), col("freq"), col("seg"))
+      val touched = applied.filter(col("seg_old") =!= col("seg"))
+      cens = censusMinusPlus(cens,
+        bpeCombinedCensus(touched.select(col("freq"),
+          col("seg_old").as("seg"))),
+        bpeCombinedCensus(touched.select(col("freq"), col("seg"))))
+        .localCheckpoint(false)
+      // stats from the maintained symbol rows: count = vocab_size,
+      // value sum = n_symbols — vocab-sized, not a word-table re-scan
+      val symRows = cens.filter(!col("raw").contains(" "))
+      val stats = symRows.agg(count(lit(1)).as("vocab_size"),
         sum(col("n_occurrences")).as("n_symbols"))
       elected.select(lit(r).as("merge_rank"), col("pair"), col("merged"),
           col("n_occurrences"))

@@ -111,10 +111,11 @@ class SimilaritySpec extends SparkSpec {
       assert(nc >= 1 && nc <= Similarity.IvfCells,
         s"live cells must be in [1, k]: $r")
     }
-    // the dial-table claim, measured: at the deepest swept probe the
-    // kmeans-trained index must beat (or match) the sampled one —
-    // shallow probes can be noisy at fixture scale, depth is the
-    // regime the production dial operates in
+    // regression pin of the MEASURED sf0.01 behavior (trained beats
+    // sampled at the deepest probe), not a universal law: the round-13
+    // sf0.1 run measured the opposite by 1 hit (SCALE.md two-point
+    // band) — the lift is corpus-dependent, which is why the dial
+    // table's contract is re-measure-per-corpus, never assume
     val deep = Similarity.IvfTuneProbes.max
     val tHits = trained.find(_.getInt(0) == deep).get.getAs[Long]("total_hits")
     val sHits = sampled.find(_.getInt(0) == deep).get.getAs[Long]("total_hits")
