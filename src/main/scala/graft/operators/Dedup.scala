@@ -576,9 +576,13 @@ ORDER BY new_doc, corpus_doc"""
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // one count materializes the lazy checkpoint AND carries the edge
+    // cardinality the convergence test needs — the eager-checkpoint +
+    // isEmpty pair was two jobs for the same information
+    var nEdges = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0L
     while (!converged && rounds < maxIters) {
       // large-star over the symmetric view: m = min(N(u) ∪ {u});
       // every neighbor v > u re-points at m (m ≤ u < v keeps the
@@ -599,9 +603,16 @@ ORDER BY new_doc, corpus_doc"""
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(withM.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
-      val same = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+        .localCheckpoint(false)
+      // convergence = set equality, tested the cheap sound way: both
+      // relations are DISTINCT sets, so |ss| = |edges| plus ss ⊆ edges
+      // (one anti-join) implies ss = edges — this halves the old
+      // two-sided exceptAll cost, and the count doubles as the lazy
+      // checkpoint's materializing action (3 jobs/round → ≤2)
+      val nSs = ss.count()
+      val same = nSs == nEdges && ss.exceptAll(edges).isEmpty
       edges = ss
+      nEdges = nSs
       converged = same
       rounds += 1
     }

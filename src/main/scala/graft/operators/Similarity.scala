@@ -1406,15 +1406,13 @@ GROUP BY e.label ORDER BY label"""
       .orderBy(col("vec_id"))
   }
 
-  /** Oracle: the shared unthresholded pair CTE + the dd_clusters
-    * recursive-closure pattern at vec grain. */
-  val simSemanticClustersSql: String =
-    "WITH RECURSIVE " +
-      graft.operators.Dedup.cosinePairsCteSql.stripPrefix("WITH ") +
-      s""", sel AS (
-  SELECT vec_a, vec_b FROM pairs
-  WHERE c >= ${graft.operators.Dedup.CosineMin}
-), edges AS (
+  /** The CC-closure + census + survivor tail every cluster oracle
+    * shares, picking up from a `sel(vec_a, vec_b)` edge CTE — ONE
+    * copy (the fragment rule), consumed by the exact, the
+    * exhaustive-ANN (shared verbatim), and the production-dial
+    * cluster oracles.
+    */
+  private val ccClustersTailSql: String = s"""edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM sel
   UNION ALL
   SELECT vec_b AS src, vec_a AS dst FROM sel
@@ -1431,6 +1429,16 @@ SELECT l.vec_id, l.lbl AS cluster_rep, s.cluster_size,
   l.vec_id = l.lbl AS is_survivor
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.vec_id"""
+
+  /** Oracle: the shared unthresholded pair CTE + the dd_clusters
+    * recursive-closure pattern at vec grain. */
+  val simSemanticClustersSql: String =
+    "WITH RECURSIVE " +
+      graft.operators.Dedup.cosinePairsCteSql.stripPrefix("WITH ") +
+      s""", sel AS (
+  SELECT vec_a, vec_b FROM pairs
+  WHERE c >= ${graft.operators.Dedup.CosineMin}
+), $ccClustersTailSql"""
 
   // ------------------------------------------------------------------
   // sim_semantic_clusters_ann — the IVF-fronted form of the clusters
@@ -1522,6 +1530,59 @@ ORDER BY l.vec_id"""
     semanticClustersTail(spark, sfDir,
       semanticClusterPairsAnn(spark, sfDir, probe, cells)
         .localCheckpoint(true))
+
+  // ------------------------------------------------------------------
+  // sim_semantic_clusters_dial — the PRODUCTION probe ≪ cells posture
+  // ------------------------------------------------------------------
+
+  /** The cluster family's production probe dial (cells/2 — the dial
+    * table's floor for the cluster consumer).
+    */
+  val ClusterDialProbe: Int = IvfCells / 2
+
+  /** The clusters the production dial ACTUALLY produces — the third
+    * member of the cluster-discovery trio, and the one a deployment
+    * runs: [[simSemanticClusters]] is the exact baseline,
+    * [[simSemanticClustersAnn]] proves the IVF candidate stream total
+    * at exhaustive probe (oracle shared verbatim), and this entry
+    * hash-verifies the NON-exhaustive path itself — every vector
+    * probes its [[ClusterDialProbe]] best cells, pairs are discovered
+    * as (query, assigned) per probed cell with `query < vec` (a pair
+    * survives iff its LOWER id probes the higher id's cell — the
+    * same one-sided contract on both engines), cosines share the
+    * [[graft.functions.DotProduct]] fold, and the SAME CC tail
+    * labels the result. Its own oracle SQL (IVF probe list + cell
+    * join + threshold + the shared recursive closure) means the
+    * recall TRADE of the dial — which edges the shallow probe keeps —
+    * is now itself driver-hash-pinned every round, not only measured
+    * in aggregate by ClusterProbeSweep.
+    *
+    * Scale shape: identical to the exhaustive twin except the
+    * candidate join touches probe/cells of the corpus per vector —
+    * this is the plan whose granularity rule ScaleSoak measures
+    * (α(10→30) 1.04 → 0.40 fixed vs √-grown cells at this probe).
+    */
+  def simSemanticClustersDial(spark: SparkSession, sfDir: String): DataFrame =
+    semanticClustersTail(spark, sfDir,
+      semanticClusterPairsAnn(spark, sfDir, ClusterDialProbe)
+        .localCheckpoint(true))
+
+  /** Oracle: IVF core + full-corpus probe list at the dial + the
+    * shared CC tail.
+    */
+  val simSemanticClustersDialSql: String =
+    s"""WITH RECURSIVE $ivfCoreCtesSql, probes_d AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS pr FROM scored)
+  WHERE pr <= $ClusterDialProbe
+), sel AS (
+  SELECT p.query_id AS vec_a, a.vec_id AS vec_b
+  FROM probes_d p JOIN assigned a ON a.cell = p.cell
+    AND p.query_id < a.vec_id
+  WHERE ${dotSql("p.qv", "a.v")} / sqrt(p.qn * a.nrm) >=
+    ${graft.operators.Dedup.CosineMin}
+), $ccClustersTailSql"""
 
   // ------------------------------------------------------------------
   // sim_embed_drift — per-dimension train/val embedding drift

@@ -123,6 +123,23 @@ class SimilaritySpec extends SparkSpec {
       s"trained centroids must not lose to sampled at probe $deep: $tHits < $sHits")
   }
 
+  test("sim_semantic_clusters_dial refines the exact clustering") {
+    val dir = sf("sf0.01")
+    val exact = Similarity.simSemanticClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dial = Similarity.simSemanticClustersDial(spark, dir).collect()
+    // vacuity: the dial must still discover real clusters here
+    assert(dial.nonEmpty && dial.exists(_.getAs[Long]("cluster_size") > 1))
+    // a shallow probe can only LOSE edges (dial pairs ⊆ exact pairs by
+    // construction), so the dial partition must REFINE the exact one:
+    // no dial cluster may span two exact clusters — ever, on any data
+    dial.groupBy(_.getLong(1)).foreach { case (lbl, rows) =>
+      val exactLbls = rows.map(r => exact(r.getLong(0))).toSet
+      assert(exactLbls.size == 1,
+        s"dial cluster $lbl spans exact clusters $exactLbls")
+    }
+  }
+
   test("graft_quantize_stats is bit-identical to the declarative HOF twin") {
     // the six-HOF chain QuantizeStats replaced — kept here as the pin
     graft.functions.QuantizeStats.register(spark)
