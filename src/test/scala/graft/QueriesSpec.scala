@@ -97,6 +97,44 @@ class QueriesSpec extends SparkSpec {
       "tree shapes must vary")
   }
 
+  test("ThreadRollup property: random trees incl. scores < -20 and id collisions") {
+    import spark.implicits._
+    // the regime the fixture never produces: sub--20 scores exercise
+    // the positive-modulus parent (a sign-of-dividend % would orphan),
+    // duplicate ids exercise the (id, score) tie contract
+    val rnd = new scala.util.Random(20260815)
+    val rows = (1 to 600).map { _ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(30).toLong,
+        rnd.nextInt(241) - 120)
+    }
+    assert(rows.exists(_._3 < -20), "must exercise the sub--20 branch")
+    graft.functions.ThreadRollup.register(spark)
+    val got = rows.toDF("post_id", "id", "score")
+      .repartition(8) // partial buffers must merge across partitions
+      .groupBy(col("post_id"))
+      .agg(graft.functions.ThreadRollup.rollup(col("id"), col("score"))
+        .as("r"))
+      .select(col("post_id"), col("r.n_comments"), col("r.max_depth"),
+        col("r.n_leaves"), col("r.deepest_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val expect = rows.groupBy(_._1).toSeq.map { case (post, cs) =>
+      val ordered = cs.map(c => (c._2, c._3)).sortBy(identity)
+      val parentOf = ordered.indices.collect { case i if i > 0 =>
+        i -> ((((ordered(i)._2 + 20) % i) + i) % i)
+      }.toMap
+      def depth(i: Int): Int = parentOf.get(i).fold(1)(p => depth(p) + 1)
+      val ds = ordered.indices.map(depth)
+      val maxD = ds.max
+      val parents = parentOf.values.toSet
+      (post, ordered.length.toLong, maxD,
+        ordered.indices.count(i => !parents.contains(i)).toLong,
+        ordered.indices.filter(ds(_) == maxD).map(ordered(_)._1).min)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("q16 aggregate equals the frontier-walk twin") {
     // the shipped ThreadRollup aggregate vs the distributed per-level
     // frontier walk — two independent mechanisms, one contract
