@@ -77,6 +77,12 @@ object ScaleSoak {
       "sim_clusters_ann_fixedcells" -> ((s, dir, m) =>
         graft.operators.Similarity.simSemanticClustersAnnCfg(s, dir,
           cells = 16, probe = 8)),
+      // the linear-regime dial: cells ∝ corpus at fixed probe —
+      // per-vector candidates constant, total work ∝ n (the regime a
+      // deployment past the √-rule's n^1.5 grows into)
+      "sim_clusters_ann_lincells" -> ((s, dir, m) =>
+        graft.operators.Similarity.simSemanticClustersAnnCfg(s, dir,
+          cells = 16 * m, probe = 8)),
       // band-KEY length grows with the corpus at fixed K=16 minhashes:
       // 4×4 under 10×, 2×8 at/above — longer keys collide on true
       // similarity, not corpus density (comparator: the shipped
