@@ -223,13 +223,25 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     * measured by dd_lsh_tuning — the soak measures the cost side.
     */
   private[graft] def ddMinhashLshCfg(spark: SparkSession, sfDir: String,
-      nBands: Int, nRows: Int): DataFrame = {
+      nBands: Int, nRows: Int, maxBucket: Option[Int] = None): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
     val base = hashSets(spark, sfDir)
     // cached: both candidate self-join branches would rerun the full
     // signature pass; the cached band table is 4 short rows per doc
     // (same profitable shape as ddSimhashPairs' cache)
-    val bands = bandRowsCfg(signature(spark, sfDir), nBands, nRows).cache()
+    val bandsAll = bandRowsCfg(signature(spark, sfDir), nBands, nRows)
+    val bands = (maxBucket match {
+      case Some(cap) =>
+        // bucket-size guard: band keys held by more than `cap` docs
+        // are dropped BEFORE the self-join — the B² within-bucket
+        // pair cost is capped at cap·corpus (see ddMinhashLshCapped)
+        val kept = bandsAll.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= cap)
+          .select(col("band"), col("key"))
+        bandsAll.join(kept, Seq("band", "key"))
+      case None => bandsAll
+    }).cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -272,10 +284,13 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     * and [[ddClustersSql]] (which embeds it as a CTE), so the two can
     * never drift.
     */
-  private val ddMinhashLshBodySql: String = {
-    sigBandsCteSql + s""", cands AS (
+  /** Candidate self-join over any (doc_id, band, key) relation + the
+    * exact-Jaccard verify tail — ONE copy (the fragment rule), shared
+    * by the uncapped body and the bucket-capped variant.
+    */
+  private def lshCandsVerifySql(rel: String): String = s"""cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM $rel a JOIN $rel b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ), hsets AS (
   SELECT doc_id, list_distinct(hs) AS hd FROM hashed
@@ -291,10 +306,59 @@ SELECT doc_a, doc_b,
   ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
 FROM verified
 WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
-  }
+
+  private val ddMinhashLshBodySql: String =
+    sigBandsCteSql + ", " + lshCandsVerifySql("bands")
 
   val ddMinhashLshSql: String =
     ddMinhashLshBodySql + "\nORDER BY doc_a, doc_b"
+
+  // ------------------------------------------------------------------
+  // dd_minhash_lsh_capped — the bucket-size guard, its own oracle
+  // ------------------------------------------------------------------
+
+  /** Per-(band, key) bucket cap. Production dial: a bucket of B docs
+    * costs B² candidate pairs, so uncapped mega-buckets (boilerplate,
+    * spam, template families) dominate the verify join — the round-13
+    * 100× soak measured exactly that failure locally (the LSH verify
+    * spill exceeded the box's disk once shift-clique families
+    * multiplied bucket sizes). The cap bounds within-bucket pair cost
+    * at cap·corpus. 64 is far above any organic fixture bucket (≤ 3
+    * docs at sf0.01) and far below the pathological ones the guard
+    * exists for.
+    */
+  val LshMaxBucket = 64
+
+  /** [[ddMinhashLsh]] with the bucket-size guard a production dedup
+    * deploys: band keys held by more than [[LshMaxBucket]] docs are
+    * dropped BEFORE the candidate self-join. Dropping a mega-bucket
+    * is a SEMANTIC choice (its members lose that band's votes — a
+    * template family of 10k identical pages is deliberately not
+    * pair-enumerated; exact-hash dedup upstream owns byte-identical
+    * spam), so the guard ships as its OWN oracle-hashed query rather
+    * than silently inside dd_minhash_lsh: both engines size buckets,
+    * drop the heavy keys, and verify the surviving candidates with
+    * the SAME shared SQL tail. The spec drives the guard on a
+    * synthetic mega-family corpus where the fixture cannot (organic
+    * fixture buckets never exceed 3 docs): the giant family's pairs
+    * vanish, unrelated small families survive untouched.
+    *
+    * Scale shape: the bucket census is one partial-agg'd pass over
+    * the band table (key-bounded output), and the guard join prunes
+    * before the quadratic step — the plan a 100 TB dedup actually
+    * runs, now hash-verified.
+    */
+  def ddMinhashLshCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddMinhashLshCfg(spark, sfDir, Bands, R, Some(LshMaxBucket))
+
+  val ddMinhashLshCappedSql: String =
+    sigBandsCteSql + s""", bkeep AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(*) <= $LshMaxBucket
+), kept AS (
+  SELECT b.doc_id, b.band, b.key FROM bands b
+  JOIN bkeep s ON s.band = b.band AND s.key = b.key
+), """ + lshCandsVerifySql("kept") + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
   // dd_lsh_tuning — band/row sensitivity sweep for the LSH index

@@ -530,4 +530,37 @@ class DedupSpec extends SparkSpec {
         r6Jvm(g.map(v => math.abs(est - v)).sum.toDouble / n / 1000000.0))
     }
   }
+
+  test("dd_minhash_lsh_capped drops mega-bucket pairs, keeps organic families") {
+    import spark.implicits._
+    // the guard's firing regime the fixture cannot produce (organic
+    // buckets there hold ≤ 3 docs): a template family over the cap —
+    // identical docs, so every band bucket holds the whole family —
+    // next to one genuine near-dup pair and unrelated singletons
+    val dir = java.nio.file.Files.createTempDirectory("graft_capped_")
+      .toString
+    val familyN = Dedup.LshMaxBucket + 6
+    val giant = (1 to familyN).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val longText = (1 to 59).map(i => s"w$i").mkString(" ")
+    val pairA = Seq((1001L, longText + " w60"), (1002L, longText + " zz"))
+    val singles = Seq(
+      (2001L, "completely unrelated text about warehouses and orders"),
+      (2002L, "another distinct document mentioning stream watermarks"))
+    (giant ++ pairA ++ singles).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Dedup.ddMinhashLshCapped(spark, dir))
+    val uncapped = pairs(Dedup.ddMinhashLsh(spark, dir))
+    val giantPair = (p: (Long, Long)) =>
+      p._1 <= familyN && p._2 <= familyN
+    // uncapped: the template family IS the quadratic clique
+    assert(uncapped.count(giantPair) == familyN.toLong * (familyN - 1) / 2)
+    // capped: the guard removes every clique pair...
+    assert(!capped.exists(giantPair))
+    // ...while the organic near-dup pair survives untouched
+    assert(capped.contains((1001L, 1002L)))
+    assert(capped.subsetOf(uncapped))
+  }
 }
