@@ -40,6 +40,10 @@ import org.apache.spark.sql.types._
   * Determinism: every output is an integer; the parent formula uses
   * the SAME positive-mod Int arithmetic as the declarative twin
   * (`pmod` on int columns), including Java wrap on score+20 overflow.
+  * Inputs are contractually NON-NULL (update() fails loudly on a null
+  * id or score): the positional oracle gives a null-score row a
+  * row_number position, so dropping it silently would be an invisible
+  * hash divergence — QueriesSpec pins the loud failure.
   */
 case class ThreadRollup(idExpr: Expression, scoreExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -73,8 +77,16 @@ case class ThreadRollup(idExpr: Expression, scoreExpr: Expression,
       input: InternalRow): mutable.ArrayBuffer[(Long, Int)] = {
     val id = idExpr.eval(input)
     val sc = scoreExpr.eval(input)
-    if (id != null && sc != null)
-      buf += ((id.asInstanceOf[Long], sc.asInstanceOf[Int]))
+    // NON-NULL input contract, enforced loudly: the positional oracle
+    // (row_number over every row) assigns a position to a null-score
+    // row — an orphaned child, not a removed one — so silently
+    // dropping nulls here would be a SILENT hash divergence on any
+    // nullable comments source. Fail instead; callers filter or
+    // coalesce upstream if nulls are ever legitimate.
+    require(id != null && sc != null,
+      s"$prettyName requires non-null (id, score) inputs — a null row " +
+        "would silently diverge from the positional oracle semantics")
+    buf += ((id.asInstanceOf[Long], sc.asInstanceOf[Int]))
     buf
   }
 

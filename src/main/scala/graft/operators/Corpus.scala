@@ -1482,10 +1482,20 @@ FROM t ORDER BY source"""
     * at 100 TB every stage is a shuffle on doc_id or a bounded
     * groupBy, the same posture as dd_dup_sources.
     */
-  def cpSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+  def cpSplitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    cpSplitLeakageCfg(spark, sfDir, None)
+
+  /** [[cpSplitLeakage]] with the LSH bucket cap threaded into its pair
+    * source (see [[graft.operators.Dedup.ddClustersCapped]] for the
+    * mega-bucket semantics) — the hook a clique-heavy deployment
+    * flips; the shipped query pins `None` for the oracle.
+    */
+  private[graft] def cpSplitLeakageCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
     import graft.functions.Determinism.r6
     val split = cpSplit(spark, sfDir).select(col("doc_id"), col("split"))
-    val pairs = Dedup.ddMinhashLsh(spark, sfDir)
+    val pairs = Dedup.ddMinhashLshCfg(spark, sfDir,
+        Dedup.Bands, Dedup.R, maxBucket)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
@@ -1753,7 +1763,16 @@ ORDER BY min_chars"""
     * inherits its own documented posture; the census adds
     * redundant-set joins and a 1-row totals anchor.
     */
-  def cpDedupImpact(spark: SparkSession, sfDir: String): DataFrame = {
+  def cpDedupImpact(spark: SparkSession, sfDir: String): DataFrame =
+    cpDedupImpactCfg(spark, sfDir, None)
+
+  /** [[cpDedupImpact]] with the LSH bucket cap threaded into the
+    * minhash family's pair source — same hook discipline as
+    * [[cpSplitLeakageCfg]]; the simhash and cosine families keep
+    * their own documented postures.
+    */
+  private[graft] def cpDedupImpactCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
     import graft.functions.Determinism.r6
     val d = docs(spark, sfDir).select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -1763,7 +1782,8 @@ ORDER BY min_chars"""
       .select(col("doc_id"), min(col("doc_id"))
         .over(Window.partitionBy(md5(col("text")))).as("m"))
       .filter(col("doc_id") > col("m")).select(col("doc_id"))
-    val mh = Dedup.ddMinhashLsh(spark, sfDir)
+    val mh = Dedup.ddMinhashLshCfg(spark, sfDir,
+        Dedup.Bands, Dedup.R, maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     val sh = Dedup.ddSimhashPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -159,9 +159,15 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
   SELECT doc_id, s, list_transform(s, x -> ${md5ModSql("x")}) AS hs FROM sh
 )"""
 
-  private def minhashColsSql: Seq[String] =
+  private def minhashColsSql: Seq[String] = minhashColsSqlOf("hs")
+
+  /** The K min-hash formulas over ANY hash-list column — ONE copy of
+    * the (h·a + b) mod P arithmetic, shared by the word-shingle family
+    * (`hs`) and the char-gram family's capped-LSH oracle (`g`).
+    */
+  private def minhashColsSqlOf(lst: String): Seq[String] =
     (0 until K).map(i =>
-      s"list_min(list_transform(hs, h -> ((h * ${As(i)}) + ${Bs(i)}) % $P))")
+      s"list_min(list_transform($lst, h -> ((h * ${As(i)}) + ${Bs(i)}) % $P))")
 
   val ddMinhashSql: String = shingleCteSql + s"""
 SELECT doc_id,
@@ -234,12 +240,16 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
       case Some(cap) =>
         // bucket-size guard: band keys held by more than `cap` docs
         // are dropped BEFORE the self-join — the B² within-bucket
-        // pair cost is capped at cap·corpus (see ddMinhashLshCapped)
-        val kept = bandsAll.groupBy(col("band"), col("key"))
+        // pair cost is capped at cap·corpus (see ddMinhashLshCapped).
+        // bandsAll is cached HERE because the guard consumes it twice
+        // (bucket census + guard join) — without this the signature
+        // pass runs twice before the outer cache even materializes
+        val bandsAllC = bandsAll.cache()
+        val kept = bandsAllC.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= cap)
           .select(col("band"), col("key"))
-        bandsAll.join(kept, Seq("band", "key"))
+        bandsAllC.join(kept, Seq("band", "key"))
       case None => bandsAll
     }).cache()
     val cands = bands.as("a").join(bands.as("b"),
@@ -351,14 +361,22 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
   def ddMinhashLshCapped(spark: SparkSession, sfDir: String): DataFrame =
     ddMinhashLshCfg(spark, sfDir, Bands, R, Some(LshMaxBucket))
 
-  val ddMinhashLshCappedSql: String =
+  /** Unordered capped-LSH body — shared verbatim by
+    * [[ddMinhashLshCappedSql]] (presentation ORDER BY) and
+    * [[ddClustersCappedSql]] (embedded as the closure's pair CTE), the
+    * same one-copy discipline as [[ddMinhashLshBodySql]].
+    */
+  private val ddMinhashLshCappedBodySql: String =
     sigBandsCteSql + s""", bkeep AS (
   SELECT band, key FROM bands GROUP BY band, key
   HAVING COUNT(*) <= $LshMaxBucket
 ), kept AS (
   SELECT b.doc_id, b.band, b.key FROM bands b
   JOIN bkeep s ON s.band = b.band AND s.key = b.key
-), """ + lshCandsVerifySql("kept") + "\nORDER BY doc_a, doc_b"
+), """ + lshCandsVerifySql("kept")
+
+  val ddMinhashLshCappedSql: String =
+    ddMinhashLshCappedBodySql + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
   // dd_lsh_tuning — band/row sensitivity sweep for the LSH index
@@ -698,13 +716,38 @@ ORDER BY new_doc, corpus_doc"""
   def ddClustersStar(spark: SparkSession, sfDir: String): DataFrame =
     ddClustersStarCfg(spark, sfDir, Bands, R)
 
-  /** [[ddClustersStar]] at ANY banding dial — ScaleSoak's handle for
-    * measuring the LSH granularity rule (see [[ddMinhashLshCfg]]);
-    * the shipped query pins (Bands × R) for the oracle proof.
+  /** [[ddClusters]] on the bucket-capped pair stream — the composition
+    * tier a 100 TB dedup actually deploys. The round-13 100× soak
+    * measured the uncapped pair stream dying (verify-join spill) on
+    * clique-heavy corpora, and [[ddMinhashLshCapped]] hash-proved the
+    * guard standalone; this query threads the SAME guard through the
+    * clustering closure, so "group near-dups and elect survivors"
+    * runs end-to-end on the bounded stream. Semantics (own oracle, not
+    * silently swapped into dd_clusters): a template mega-family whose
+    * band buckets exceed [[LshMaxBucket]] contributes no edges — its
+    * members cluster as singletons here (exact-hash dedup upstream
+    * owns byte-identical spam); organic families are untouched, and
+    * because capped pairs ⊆ uncapped pairs, the capped clustering
+    * always REFINES the uncapped one (DedupSpec pins both properties
+    * on the synthetic mega-family corpus the fixture cannot produce).
+    *
+    * Mechanism: star-CC ([[connectedComponentsStar]]) over the capped
+    * stream — the adversarial-graph-safe closure, since mega-bucket
+    * corpora are exactly where giant components would appear.
+    */
+  def ddClustersCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddClustersStarCfg(spark, sfDir, Bands, R, Some(LshMaxBucket))
+
+  /** [[ddClustersStar]] at ANY banding dial and bucket cap —
+    * ScaleSoak's handle for measuring the LSH granularity rule (see
+    * [[ddMinhashLshCfg]]); the shipped queries pin (Bands × R,
+    * uncapped) and (Bands × R, [[LshMaxBucket]]) for the oracle
+    * proofs.
     */
   private[graft] def ddClustersStarCfg(spark: SparkSession, sfDir: String,
-      nBands: Int, nRows: Int): DataFrame = {
-    val pairs = ddMinhashLshCfg(spark, sfDir, nBands, nRows)
+      nBands: Int, nRows: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = ddMinhashLshCfg(spark, sfDir, nBands, nRows, maxBucket)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val (labels, _) = connectedComponentsStar(
@@ -717,12 +760,15 @@ ORDER BY new_doc, corpus_doc"""
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: transitive closure of "label reachable along an edge" as a
-    * recursive CTE, then MIN per doc — the same fixpoint the Spark loop
-    * converges to.
+  /** Oracle closure over ANY LSH pair body: transitive closure of
+    * "label reachable along an edge" as a recursive CTE, then MIN per
+    * doc — the same fixpoint the Spark loops converge to. ONE copy,
+    * shared by the uncapped and bucket-capped cluster oracles so the
+    * closure semantics can never drift between them.
     */
-  val ddClustersSql: String = s"""WITH RECURSIVE lsh AS (
-$ddMinhashLshBodySql
+  private def ddClustersClosureSql(lshBody: String): String =
+    s"""WITH RECURSIVE lsh AS (
+$lshBody
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lsh
   UNION ALL
@@ -740,6 +786,11 @@ SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
   l.doc_id = l.lbl AS is_survivor
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
+
+  val ddClustersSql: String = ddClustersClosureSql(ddMinhashLshBodySql)
+
+  val ddClustersCappedSql: String =
+    ddClustersClosureSql(ddMinhashLshCappedBodySql)
 
   // ------------------------------------------------------------------
   // dd_simhash — per-doc 60-bit SimHash signature
@@ -979,7 +1030,22 @@ ORDER BY doc_a, doc_b"""
     * construction of the band self-join + distinct, so each surviving
     * pair is emitted once with the bitwise-identical jaccard.
     */
-  def ddNgramJaccardLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddNgramJaccardLsh(spark: SparkSession, sfDir: String): DataFrame =
+    ddNgramJaccardLshCfg(spark, sfDir, None)
+
+  /** [[ddNgramJaccardLsh]] with the [[LshMaxBucket]] bucket-size guard
+    * available on ITS band stream — the stream where the guard matters
+    * most: the char-5-gram vocabulary is tiny (~2k strings at sf0.1),
+    * so band keys collide on corpus density, not true similarity —
+    * measured at sf0.1, buckets run to 1381 docs and the >64 buckets
+    * hold 95.6% of all within-bucket candidate pairs (3.91M of 4.09M);
+    * this is the exact mechanism that spilled the round-13 100× soak.
+    * The capped variant drops those buckets before the self-join; the
+    * 8-band redundancy keeps organic recall (at sf0.01 all 25 true
+    * pairs survive while candidates drop 2533 → 1429, measured).
+    */
+  private[graft] def ddNgramJaccardLshCfg(spark: SparkSession,
+      sfDir: String, maxBucket: Option[Int]): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
     graft.functions.CharGramHashSet.register(spark)
     graft.functions.MinHash16.register(spark)
@@ -1003,8 +1069,21 @@ ORDER BY doc_a, doc_b"""
     val bandKeys = (0 until NgramLshBands).map(b =>
       concat_ws("_", (0 until NgramLshRows).map(r =>
         col(s"mh_${b * NgramLshRows + r}").cast("string")): _*))
-    val bands = sig.select(col("doc_id"), col("n_chars"),
+    val bandsAll = sig.select(col("doc_id"), col("n_chars"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val bands = maxBucket match {
+      case Some(cap) =>
+        // cached: the guard consumes the band table twice (bucket
+        // census + guard join) — without this the signature pass runs
+        // twice (the ddMinhashLshCfg lesson)
+        val bandsAllC = bandsAll.cache()
+        val kept = bandsAllC.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= cap)
+          .select(col("band"), col("key"))
+        bandsAllC.join(kept, Seq("band", "key"))
+      case None => bandsAll
+    }
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1024,6 +1103,82 @@ ORDER BY doc_a, doc_b"""
 
   /** LSH-verified == exact is the contract; ONE oracle definition. */
   val ddNgramJaccardLshSql: String = ddNgramJaccardSql
+
+  // ------------------------------------------------------------------
+  // dd_ngram_jaccard_lsh_capped — the guard on the stream that SPILLED
+  // ------------------------------------------------------------------
+
+  /** The bucket-size guard applied to the char-gram banded stream —
+    * the stream whose verify join the round-13 100× soak actually
+    * killed (74 GB spill at 600 k docs). Unlike the word-shingle
+    * stream (combinatorial vocabulary, organic buckets ≤ 3 docs on
+    * the fixture), the char-5-gram vocabulary is tiny, so band keys
+    * here collide on corpus DENSITY: measured at sf0.1, 99 buckets
+    * exceed 64 docs (max 1381) and hold 95.6% of all candidate pairs.
+    * The cap bounds within-bucket pair cost at cap·corpus while the
+    * 8-band redundancy keeps organic recall (all 25 true pairs at
+    * sf0.01 survive, candidates 2533 → 1429 — measured in DuckDB).
+    * Own oracle (the [[ddMinhashLshCapped]] contract): the full
+    * signature → bands → census → guard → verify pipeline in SQL, so
+    * the guard's candidate semantics are driver-hash-pinned, not just
+    * spec-argued.
+    */
+  def ddNgramJaccardLshCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddNgramJaccardLshCfg(spark, sfDir, Some(LshMaxBucket))
+
+  /** Oracle CTE chain ending in `nbands(doc_id, n_chars, band, key)` —
+    * the char-gram mirror of [[sigBandsCteSql]], built from the same
+    * [[minhashColsSqlOf]] arithmetic and the exact twin's gram
+    * derivation (ONE copy of each fragment).
+    */
+  private val ngramSigBandsCteSql: String = {
+    val mhCols = minhashColsSqlOf("g").zipWithIndex
+      .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
+    val bandSelects = (0 until NgramLshBands).map { b =>
+      val key = (0 until NgramLshRows)
+        .map(r => s"CAST(mh_${b * NgramLshRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, n_chars, $b AS band, $key AS key FROM nsig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH nbase AS (
+  SELECT doc_id, n_chars,
+    list_distinct(list_transform(range(1, length(lower(text)) - 3),
+      i -> ${md5ModSql("substr(lower(text), i, 5)")})) AS g
+  FROM documents
+  WHERE length(text) >= 5
+), nsig AS (
+  SELECT doc_id, n_chars,
+    $mhCols
+  FROM nbase
+), nbands AS (
+  $bandSelects
+)"""
+  }
+
+  val ddNgramJaccardLshCappedSql: String = ngramSigBandsCteSql + s""", nbkeep AS (
+  SELECT band, key FROM nbands GROUP BY band, key
+  HAVING COUNT(*) <= $LshMaxBucket
+), nkept AS (
+  SELECT b.doc_id, b.n_chars, b.band, b.key FROM nbands b
+  JOIN nbkeep s ON s.band = b.band AND s.key = b.key
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM nkept a JOIN nkept b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    AND abs(a.n_chars - b.n_chars) < $BucketW
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_filter(x.g, h -> list_contains(y.g, h))) AS i,
+    len(x.g) AS na, len(y.g) AS nb
+  FROM cands c
+  JOIN nbase x ON x.doc_id = c.doc_a
+  JOIN nbase y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+  ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} AS jaccard
+FROM verified
+WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $NgramJaccardMin
+ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------------------
   // dd_containment — asymmetric gram containment (quote detection)
@@ -1454,8 +1609,20 @@ ORDER BY d.doc_id"""
     * Shape: pairs are LSH-bounded (nothing quadratic), the two
     * source lookups are joins on doc_id, output ≤ sources² rows.
     */
-  def ddDupSources(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ddMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+  def ddDupSources(spark: SparkSession, sfDir: String): DataFrame =
+    ddDupSourcesCfg(spark, sfDir, None)
+
+  /** [[ddDupSources]] with the [[LshMaxBucket]]-style bucket cap
+    * threaded into its pair source — the hook a clique-heavy
+    * deployment flips (see [[ddClustersCapped]] for the semantics of
+    * dropping mega-buckets). The shipped query pins `None` for the
+    * oracle; DedupSpec drives the capped parameterization on the
+    * synthetic mega-family corpus.
+    */
+  private[graft] def ddDupSourcesCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val pairs = ddMinhashLshCfg(spark, sfDir, Bands, R, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
     val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
@@ -1538,8 +1705,17 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
     * posture; the agreement join keys on the pair ids (bounded by the
     * near-dup rate) and the census is three 1-row aggregates.
     */
-  def ddFamilyOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = ddMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+  def ddFamilyOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    ddFamilyOverlapCfg(spark, sfDir, None)
+
+  /** [[ddFamilyOverlap]] with the bucket cap threaded into the lexical
+    * pair source — same hook discipline as [[ddDupSourcesCfg]]; the
+    * semantic (cosine) stream is cap-independent by construction.
+    */
+  private[graft] def ddFamilyOverlapCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val lex = ddMinhashLshCfg(spark, sfDir, Bands, R, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
     val sem = ddEmbedCosine(spark, sfDir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val both = lex.join(sem, Seq("doc_a", "doc_b"))

@@ -531,36 +531,143 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dd_minhash_lsh_capped drops mega-bucket pairs, keeps organic families") {
+  /** The guard's firing regime the fixture cannot produce (organic
+    * buckets there hold ≤ 3 docs): a template family over the cap —
+    * identical docs, so every band bucket holds the whole family —
+    * next to one genuine near-dup pair and unrelated singletons.
+    * Written ONCE (full documents schema + orthogonal embeddings so
+    * the composition consumers run on it too) and shared by every
+    * capped-stream test below.
+    */
+  private lazy val megaFamilyN = Dedup.LshMaxBucket + 6
+  private lazy val megaFamilyDir: String = {
     import spark.implicits._
-    // the guard's firing regime the fixture cannot produce (organic
-    // buckets there hold ≤ 3 docs): a template family over the cap —
-    // identical docs, so every band bucket holds the whole family —
-    // next to one genuine near-dup pair and unrelated singletons
     val dir = java.nio.file.Files.createTempDirectory("graft_capped_")
       .toString
-    val familyN = Dedup.LshMaxBucket + 6
-    val giant = (1 to familyN).map(i =>
-      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val giant = (1 to megaFamilyN).map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again", "tmpl"))
     val longText = (1 to 59).map(i => s"w$i").mkString(" ")
-    val pairA = Seq((1001L, longText + " w60"), (1002L, longText + " zz"))
+    val pairA = Seq((1001L, longText + " w60", "web"),
+      (1002L, longText + " zz", "web"))
     val singles = Seq(
-      (2001L, "completely unrelated text about warehouses and orders"),
-      (2002L, "another distinct document mentioning stream watermarks"))
-    (giant ++ pairA ++ singles).toDF("doc_id", "text")
+      (2001L, "completely unrelated text about warehouses and orders",
+        "misc"),
+      (2002L, "another distinct document mentioning stream watermarks",
+        "misc"))
+    (giant ++ pairA ++ singles).toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val capped = pairs(Dedup.ddMinhashLshCapped(spark, dir))
-    val uncapped = pairs(Dedup.ddMinhashLsh(spark, dir))
+    // three orthogonal unit vectors: no cosine pair clears 0.45, so
+    // the semantic stream is empty and the lexical cap is isolated
+    Seq(1L, 2L, 3L).map { i =>
+      (i, (0 until 64).map(j => if (j == i.toInt) 1.0f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    dir
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dd_minhash_lsh_capped drops mega-bucket pairs, keeps organic families") {
+    val capped = pairSet(Dedup.ddMinhashLshCapped(spark, megaFamilyDir))
+    val uncapped = pairSet(Dedup.ddMinhashLsh(spark, megaFamilyDir))
     val giantPair = (p: (Long, Long)) =>
-      p._1 <= familyN && p._2 <= familyN
+      p._1 <= megaFamilyN && p._2 <= megaFamilyN
     // uncapped: the template family IS the quadratic clique
-    assert(uncapped.count(giantPair) == familyN.toLong * (familyN - 1) / 2)
+    assert(uncapped.count(giantPair) ==
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2)
     // capped: the guard removes every clique pair...
     assert(!capped.exists(giantPair))
     // ...while the organic near-dup pair survives untouched
     assert(capped.contains((1001L, 1002L)))
     assert(capped.subsetOf(uncapped))
+  }
+
+  test("dd_clusters_capped: mega-family → singletons; refines the uncapped clustering") {
+    val capped = Dedup.ddClustersCapped(spark, megaFamilyDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // the template family's members cluster as SINGLETONS (the guard
+    // removed their edges; exact dedup upstream owns them)
+    (1 to megaFamilyN).foreach { i =>
+      assert(capped(i.toLong) == ((i.toLong, 1L, true)), s"doc $i")
+    }
+    // the organic near-dup pair still forms its 2-cluster
+    assert(capped(1001L) == ((1001L, 2L, true)))
+    assert(capped(1002L) == ((1001L, 2L, false)))
+    assert(capped(2001L) == ((2001L, 1L, true)))
+    // refinement invariant: capped pairs ⊆ uncapped pairs, so every
+    // capped cluster must sit inside ONE uncapped cluster
+    val uncapped = Dedup.ddClusters(spark, megaFamilyDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    capped.groupBy(_._2._1).values.foreach { grp =>
+      assert(grp.keys.map(uncapped).toSet.size == 1,
+        s"capped cluster ${grp.keys} spans uncapped clusters")
+    }
+    // and the uncapped clustering is strictly coarser here: the giant
+    // family is ONE uncapped cluster of megaFamilyN docs
+    assert((1 to megaFamilyN).map(i => uncapped(i.toLong)).toSet.size == 1)
+  }
+
+  test("dd_ngram_jaccard_lsh_capped drops the mega-bucket clique on ITS stream") {
+    // the char-gram stream is the one the round-13 100× soak actually
+    // spilled — identical template docs share every char-gram, so all
+    // 8 band buckets hold the whole family and the guard drops them
+    val capped = pairSet(Dedup.ddNgramJaccardLshCapped(spark, megaFamilyDir))
+    val uncapped = pairSet(Dedup.ddNgramJaccardLsh(spark, megaFamilyDir))
+    val giantPair = (p: (Long, Long)) =>
+      p._1 <= megaFamilyN && p._2 <= megaFamilyN
+    assert(uncapped.count(giantPair) ==
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2)
+    assert(!capped.exists(giantPair))
+    // the organic near-dup pair survives (8-band redundancy: its
+    // buckets hold 2 docs, far under the cap)
+    assert(capped.contains((1001L, 1002L)))
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("capped pair source threads through dd_dup_sources and dd_family_overlap") {
+    def srcRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    val unc = srcRows(Dedup.ddDupSourcesCfg(spark, megaFamilyDir, None))
+    val cap = srcRows(Dedup.ddDupSourcesCfg(spark, megaFamilyDir,
+      Some(Dedup.LshMaxBucket)))
+    assert(unc(("tmpl", "tmpl")) ==
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2)
+    assert(!cap.contains(("tmpl", "tmpl")))
+    assert(cap(("web", "web")) == 1L && unc(("web", "web")) == 1L)
+
+    def lex(df: org.apache.spark.sql.DataFrame) =
+      df.collect().head.getLong(0)
+    assert(lex(Dedup.ddFamilyOverlapCfg(spark, megaFamilyDir, None)) ==
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2 + 1)
+    assert(lex(Dedup.ddFamilyOverlapCfg(spark, megaFamilyDir,
+      Some(Dedup.LshMaxBucket))) == 1L)
+  }
+
+  test("capped pair source threads through cp_split_leakage and cp_dedup_impact") {
+    import graft.operators.Corpus
+    def leaked(mb: Option[Int]) =
+      Corpus.cpSplitLeakageCfg(spark, megaFamilyDir, mb).collect()
+        .map(_.getAs[Long]("n_leaked")).sum
+    // uncapped: every giant doc near-dups the whole family, so any doc
+    // not sharing a split with ALL others leaks — with 70 docs hashed
+    // over 3 splits that is every one of them
+    assert(leaked(None) >= megaFamilyN / 2)
+    // capped: only the organic pair can leak (≤ 2 docs)
+    assert(leaked(Some(Dedup.LshMaxBucket)) <= 2L)
+
+    def mhRedundant(mb: Option[Int]) =
+      Corpus.cpDedupImpactCfg(spark, megaFamilyDir, mb).collect()
+        .find(_.getString(0) == "minhash_lsh").get
+        .getAs[Long]("n_redundant")
+    // uncapped: the whole family minus its min id, plus doc 1002
+    assert(mhRedundant(None) == megaFamilyN.toLong)
+    // capped: just doc 1002 from the organic pair
+    assert(mhRedundant(Some(Dedup.LshMaxBucket)) == 1L)
   }
 }

@@ -135,6 +135,27 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("ThreadRollup fails loudly on null inputs (no silent drop)") {
+    import spark.implicits._
+    // the positional oracle gives a null-score row a row_number
+    // position (an orphaned child, not a removed one) — so the
+    // aggregate must refuse nulls rather than silently diverge
+    graft.functions.ThreadRollup.register(spark)
+    val df = Seq((1L, Some(10L), Some(5)), (1L, Some(11L), None))
+      .toDF("post_id", "id", "score")
+    val ex = intercept[Exception] {
+      df.groupBy(col("post_id"))
+        .agg(graft.functions.ThreadRollup.rollup(
+          col("id"), col("score")).as("r"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("non-null (id, score)")))
+  }
+
   test("q16 aggregate equals the frontier-walk twin") {
     // the shipped ThreadRollup aggregate vs the distributed per-level
     // frontier walk — two independent mechanisms, one contract
