@@ -1517,11 +1517,15 @@ FROM t ORDER BY source"""
       .orderBy(col("split"))
   }
 
-  val cpSplitLeakageSql: String = {
+  /** Leakage census over ANY LSH pair body — ONE copy, shared by the
+    * uncapped and bucket-capped variants (the Dedup fragment
+    * discipline).
+    */
+  private def cpSplitLeakageSqlOf(lshSql: String): String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH lsh AS (
-  ${Dedup.ddMinhashLshSql.replace("\n", "\n  ")}
+  ${lshSql.replace("\n", "\n  ")}
 ), splits AS (
   SELECT doc_id, $splitLabelSql AS split FROM documents
 ), edges AS (
@@ -1545,6 +1549,23 @@ SELECT t.split, t.n_docs,
 FROM totals t LEFT JOIN leaked l ON l.split = t.split
 ORDER BY t.split"""
   }
+
+  val cpSplitLeakageSql: String =
+    cpSplitLeakageSqlOf(Dedup.ddMinhashLshSql)
+
+  /** [[cpSplitLeakage]] on the bucket-capped pair stream — the shipped
+    * form of [[cpSplitLeakageCfg]]: the train/eval leakage audit a
+    * mega-bucket corpus can actually afford to run (the uncapped
+    * stream is the PairGuardSoak blowup). Reading discipline: a
+    * dropped mega-family no longer counts as leakage here — exact-hash
+    * decontamination upstream owns byte-identical overlap, so the
+    * capped audit reads strictly as NEAR-dup leakage.
+    */
+  def cpSplitLeakageCapped(spark: SparkSession, sfDir: String): DataFrame =
+    cpSplitLeakageCfg(spark, sfDir, Some(Dedup.LshMaxBucket))
+
+  val cpSplitLeakageCappedSql: String =
+    cpSplitLeakageSqlOf(Dedup.ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
   // cp_dataset_card — the one-row dataset summary (the card a corpus
@@ -1807,7 +1828,11 @@ ORDER BY min_chars"""
       .orderBy(col("family"))
   }
 
-  val cpDedupImpactSql: String = {
+  /** Impact census over ANY minhash pair body (the other three
+    * families are fixed) — ONE copy, shared by the uncapped and
+    * bucket-capped variants.
+    */
+  private def cpDedupImpactSqlOf(mhLshSql: String): String = {
     import graft.functions.Determinism.r6Sql
     def pad(s: String) = s.replace("\n", "\n  ")
     def census(name: String, cte: String) = s"""
@@ -1836,7 +1861,7 @@ WITH d AS (
   ) WHERE doc_id > m
 ), mh AS (
   SELECT DISTINCT doc_b AS doc_id FROM (
-  ${pad(Dedup.ddMinhashLshSql)}
+  ${pad(mhLshSql)}
   )
 ), sh AS (
   SELECT DISTINCT doc_b AS doc_id FROM (
@@ -1853,6 +1878,23 @@ UNION ALL${census("minhash_lsh", "mh")}
 UNION ALL${census("simhash", "sh")}
 ORDER BY family"""
   }
+
+  val cpDedupImpactSql: String =
+    cpDedupImpactSqlOf(Dedup.ddMinhashLshSql)
+
+  /** [[cpDedupImpact]] with the minhash family on the bucket-capped
+    * stream — the shipped form of [[cpDedupImpactCfg]]. The four-way
+    * family comparison gains its production reading: exact owns
+    * byte-identical mega-families, the CAPPED minhash row is what the
+    * near-dup pass would actually remove at scale, and the gap between
+    * the capped and uncapped minhash rows (run both) is the volume the
+    * guard delegates to exact dedup.
+    */
+  def cpDedupImpactCapped(spark: SparkSession, sfDir: String): DataFrame =
+    cpDedupImpactCfg(spark, sfDir, Some(Dedup.LshMaxBucket))
+
+  val cpDedupImpactCappedSql: String =
+    cpDedupImpactSqlOf(Dedup.ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
   // cp_bpe_pairs — BPE first-merge pair election

@@ -1637,9 +1637,13 @@ ORDER BY d.doc_id"""
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  val ddDupSourcesSql: String = s"""
+  /** Source-census tail over ANY LSH pair body — ONE copy, shared by
+    * the uncapped and bucket-capped variants (the
+    * [[ddClustersClosureSql]] discipline).
+    */
+  private def ddDupSourcesSqlOf(lshSql: String): String = s"""
 WITH lsh AS (
-  ${ddMinhashLshSql.replace("\n", "\n  ")}
+  ${lshSql.replace("\n", "\n  ")}
 ), tagged AS (
   SELECT least(da.source, db.source) AS source_a,
     greatest(da.source, db.source) AS source_b
@@ -1651,6 +1655,21 @@ SELECT source_a, source_b, COUNT(*) AS n_pairs,
   (source_a = source_b) AS within_source
 FROM tagged GROUP BY source_a, source_b
 ORDER BY source_a, source_b"""
+
+  val ddDupSourcesSql: String = ddDupSourcesSqlOf(ddMinhashLshSql)
+
+  /** [[ddDupSources]] on the bucket-capped pair stream — the shipped
+    * form of the [[ddDupSourcesCfg]] hook (see [[ddClustersCapped]]
+    * for the mega-bucket semantics): the cross-source duplication
+    * census a 100 TB deployment actually runs, since the uncapped
+    * stream is exactly what mega-bucket corpora blow up
+    * (PairGuardSoak: 62 s uncapped vs 1.2 s capped at a 16 384-doc
+    * template family).
+    */
+  def ddDupSourcesCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddDupSourcesCfg(spark, sfDir, Some(LshMaxBucket))
+
+  val ddDupSourcesCappedSql: String = ddDupSourcesSqlOf(ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
   // dd_sizes — duplicate-cluster size histogram (the savings readout)
@@ -1730,10 +1749,13 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
           r6(col("n_both").cast("double") / den)).as("jaccard"))
   }
 
-  val ddFamilyOverlapSql: String = s"""
+  /** Lexical-vs-semantic agreement census over ANY lexical pair body —
+    * ONE copy, shared by the uncapped and bucket-capped variants.
+    */
+  private def ddFamilyOverlapSqlOf(lshSql: String): String = s"""
 WITH lexp AS (
   SELECT doc_a, doc_b FROM (
-  ${ddMinhashLshSql.replace("\n", "\n  ")}
+  ${lshSql.replace("\n", "\n  ")}
   )
 ), semp AS (
   SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
@@ -1755,6 +1777,20 @@ SELECT CAST(n_lexical AS BIGINT) AS n_lexical,
       "(CAST(n_both AS DOUBLE) / (n_lexical + n_semantic - n_both))")}
   END AS jaccard
 FROM counts"""
+
+  val ddFamilyOverlapSql: String = ddFamilyOverlapSqlOf(ddMinhashLshSql)
+
+  /** [[ddFamilyOverlap]] with the bucket-capped lexical stream — the
+    * shipped form of [[ddFamilyOverlapCfg]]; the semantic (cosine)
+    * stream is cap-independent by construction, so the capped census
+    * reads as "how much of the SEMANTIC family structure the guarded
+    * lexical pass still sees".
+    */
+  def ddFamilyOverlapCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddFamilyOverlapCfg(spark, sfDir, Some(LshMaxBucket))
+
+  val ddFamilyOverlapCappedSql: String =
+    ddFamilyOverlapSqlOf(ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
   // dd_minhash_error — signature-estimate calibration census

@@ -629,13 +629,12 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
-  test("capped pair source threads through dd_dup_sources and dd_family_overlap") {
+  test("shipped capped twins: dd_dup_sources_capped and dd_family_overlap_capped") {
     def srcRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
         r.getLong(2)).toMap
     val unc = srcRows(Dedup.ddDupSourcesCfg(spark, megaFamilyDir, None))
-    val cap = srcRows(Dedup.ddDupSourcesCfg(spark, megaFamilyDir,
-      Some(Dedup.LshMaxBucket)))
+    val cap = srcRows(Dedup.ddDupSourcesCapped(spark, megaFamilyDir))
     assert(unc(("tmpl", "tmpl")) ==
       megaFamilyN.toLong * (megaFamilyN - 1) / 2)
     assert(!cap.contains(("tmpl", "tmpl")))
@@ -645,14 +644,14 @@ class DedupSpec extends SparkSpec {
       df.collect().head.getLong(0)
     assert(lex(Dedup.ddFamilyOverlapCfg(spark, megaFamilyDir, None)) ==
       megaFamilyN.toLong * (megaFamilyN - 1) / 2 + 1)
-    assert(lex(Dedup.ddFamilyOverlapCfg(spark, megaFamilyDir,
-      Some(Dedup.LshMaxBucket))) == 1L)
+    assert(lex(Dedup.ddFamilyOverlapCapped(spark, megaFamilyDir)) == 1L)
   }
 
-  test("capped pair source threads through cp_split_leakage and cp_dedup_impact") {
+  test("shipped capped twins: cp_split_leakage_capped and cp_dedup_impact_capped") {
     import graft.operators.Corpus
     def leaked(mb: Option[Int]) =
-      Corpus.cpSplitLeakageCfg(spark, megaFamilyDir, mb).collect()
+      (if (mb.isDefined) Corpus.cpSplitLeakageCapped(spark, megaFamilyDir)
+       else Corpus.cpSplitLeakageCfg(spark, megaFamilyDir, None)).collect()
         .map(_.getAs[Long]("n_leaked")).sum
     // uncapped: every giant doc near-dups the whole family, so any doc
     // not sharing a split with ALL others leaks — with 70 docs hashed
@@ -662,7 +661,8 @@ class DedupSpec extends SparkSpec {
     assert(leaked(Some(Dedup.LshMaxBucket)) <= 2L)
 
     def mhRedundant(mb: Option[Int]) =
-      Corpus.cpDedupImpactCfg(spark, megaFamilyDir, mb).collect()
+      (if (mb.isDefined) Corpus.cpDedupImpactCapped(spark, megaFamilyDir)
+       else Corpus.cpDedupImpactCfg(spark, megaFamilyDir, None)).collect()
         .find(_.getString(0) == "minhash_lsh").get
         .getAs[Long]("n_redundant")
     // uncapped: the whole family minus its min id, plus doc 1002

@@ -25,13 +25,15 @@ class PlanLintSpec extends SparkSpec {
     *    prof_mi, prof_outliers, qf_composite, qf_lm_filter,
     *    ta_burstiness, ta_colloc, ta_keywords, ta_kl_source,
     *    ta_ngram_lm, wh_aging, wh_basket, wh_dq, dd_lsh_tuning,
-    *    dd_family_overlap (three 1-row census aggregates),
+    *    dd_family_overlap (three 1-row census aggregates) and its
+    *    capped twin (same three anchors; only the pair CTE differs),
     *    ev_survival (1-row user-total anchor), ev_lag_corr (1-row
     *    day-bounds anchor for the zero-fill scaffold), ev_growth_accounting
     *    (1-row day-bounds anchor for churn clipping + scaffold), ta_bm25
     *    (1-row corpus-stats anchor), wh_pricing (1-row ship-date anchor),
     *    cp_dataset_card + its approx twin (1-row global agg × 1-row lang argmax),
-    *    cp_dedup_impact (1-row corpus-totals anchor per family census),
+    *    cp_dedup_impact (1-row corpus-totals anchor per family census)
+    *    and its capped twin (same anchor; only the minhash CTE differs),
     *    qf_ingest_gate (two 1-row stream-health anchors — the ev_dq
     *    audit row and the bot-count reduce — broadcast onto the
     *    sources-bounded census), wh_idle_customers (1-row max-date
@@ -56,8 +58,8 @@ class PlanLintSpec extends SparkSpec {
   private val bnljOk: Set[String] = Set(
     "cp_bpe_train", "cp_bpe_train_delta", "cp_bpe_tokenize",
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
-    "cp_decontam_embed", "cp_dedup_impact",
-    "dd_family_overlap", "dd_lsh_tuning",
+    "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
+    "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "prof_drift",
     "prof_mi",
