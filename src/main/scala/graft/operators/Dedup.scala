@@ -511,15 +511,39 @@ ORDER BY s.bands"""
     * [[MinhashJaccardMin]] threshold — the evidence an ingest gate
     * acts on (drop, link, or version the newcomer).
     */
-  def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    ddIncrementalCfg(spark, sfDir, None)
+
+  /** [[ddIncremental]] with the [[LshMaxBucket]] guard on the
+    * CORPUS-side band index — the serving-system form of the cap: the
+    * index a deployment materializes for ingest-time probing drops its
+    * mega-buckets at build time (a key held by > cap corpus docs would
+    * hand EVERY probing doc that hits it the whole bucket as
+    * candidates — per-probe cost unbounded in corpus skew), so probe
+    * cost is bounded at bands·cap candidates per new doc. The census
+    * counts CORPUS docs only: batch docs never enlarge a bucket they
+    * probe.
+    */
+  private[graft] def ddIncrementalCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
     // `%`, not pmod: DuckDB's % keeps the sign, so pmod would diverge
     // on negative ids (cpDecontam set the precedent)
     val isBatch = (id: Column) => (id % BatchMod) === BatchRem
     val bands = bandRows(signature(spark, sfDir)).cache()
+    val corpusAll = bands.filter(!isBatch(col("doc_id")))
+    val corpus = maxBucket match {
+      case Some(cap) =>
+        corpusAll.join(corpusAll.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= cap)
+            .select(col("band"), col("key")),
+          Seq("band", "key"))
+      case None => corpusAll
+    }
     val cands = bands.filter(isBatch(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("new_doc"))
-      .join(bands.filter(!isBatch(col("doc_id")))
+      .join(corpus
         .select(col("band"), col("key"), col("doc_id").as("corpus_doc")),
         Seq("band", "key"))
       .select(col("new_doc"), col("corpus_doc"))
@@ -538,13 +562,11 @@ ORDER BY s.bands"""
       .orderBy(col("new_doc"), col("corpus_doc"))
   }
 
-  val ddIncrementalSql: String = sigBandsCteSql + s""", cands AS (
-  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id % $BatchMod = $BatchRem
-    AND b.doc_id % $BatchMod <> $BatchRem
-), hsets AS (
+  /** Verify tail over ANY batch-vs-corpus candidate CTE — ONE copy,
+    * shared by the uncapped and index-capped variants.
+    */
+  private def ddIncrementalSqlOf(candsSql: String): String =
+    sigBandsCteSql + s""", $candsSql, hsets AS (
   SELECT doc_id, list_distinct(hs) AS hd FROM hashed
 ), verified AS (
   SELECT c.new_doc, c.corpus_doc,
@@ -559,6 +581,59 @@ SELECT new_doc, corpus_doc,
 FROM verified
 WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin
 ORDER BY new_doc, corpus_doc"""
+
+  val ddIncrementalSql: String = ddIncrementalSqlOf(s"""cands AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % $BatchMod = $BatchRem
+    AND b.doc_id % $BatchMod <> $BatchRem
+)""")
+
+  /** The shipped index-capped ingest probe (see [[ddIncrementalCfg]]
+    * for the serving-index semantics).
+    */
+  def ddIncrementalCapped(spark: SparkSession, sfDir: String): DataFrame =
+    ddIncrementalCfg(spark, sfDir, Some(LshMaxBucket))
+
+  val ddIncrementalCappedSql: String = ddIncrementalSqlOf(s"""ckeep AS (
+  SELECT band, key FROM bands
+  WHERE doc_id % $BatchMod <> $BatchRem
+  GROUP BY band, key HAVING COUNT(*) <= $LshMaxBucket
+), cands AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM bands a
+  JOIN ckeep s ON s.band = a.band AND s.key = a.key
+  JOIN bands b ON b.band = a.band AND b.key = a.key
+  WHERE a.doc_id % $BatchMod = $BatchRem
+    AND b.doc_id % $BatchMod <> $BatchRem
+)""")
+
+  /** The materialized serving index for ingest-time near-dup probing —
+    * (band, key, doc_id) over the dir's documents table, optionally
+    * bucket-capped at BUILD time (the [[ddIncrementalCfg]] semantics:
+    * the census counts the INDEXED corpus only). Consumed by
+    * [[graft.streaming.StreamingStats.nearDupIngestStream]] as its
+    * stream-static join side; the dir IS the corpus there.
+    */
+  private[graft] def servingBandIndex(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val b = bandRows(signature(spark, sfDir))
+    maxBucket match {
+      case Some(cap) =>
+        b.join(b.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= cap)
+            .select(col("band"), col("key")),
+          Seq("band", "key"))
+      case None => b
+    }
+  }
+
+  /** The corpus verify side (doc_id, hs) for the streaming probe. */
+  private[graft] def corpusHashSets(spark: SparkSession,
+      sfDir: String): DataFrame =
+    hashSets(spark, sfDir)
 
   // ------------------------------------------------------------------
   // dd_clusters — duplicate clusters (connected components over pairs)

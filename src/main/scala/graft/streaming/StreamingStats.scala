@@ -410,6 +410,84 @@ ORDER BY day, event_type"""
       .dropDuplicatesWithinWatermark("digest")
 
   // ------------------------------------------------------------------
+  // streaming NEAR-dup ingest probe — dd_incremental_capped's live twin
+  // ------------------------------------------------------------------
+
+  /** Ingest-time NEAR-duplicate detection: each arriving doc
+    * (ts, doc_id, text) probes the corpus's bucket-capped LSH serving
+    * index and emits one first-seen row per verified near-dup pair —
+    * the alert an ingest gate consumes before admitting a doc the
+    * corpus already (nearly) contains. dedupIngestStream is the
+    * byte-identical half of the same gate; this is the fuzzy half.
+    *
+    * Exactly the batch `dd_incremental_capped` semantics, live:
+    *  - the STATIC side is the index that query's corpus side builds —
+    *    [[graft.operators.Dedup.servingBandIndex]] with mega-buckets
+    *    dropped at BUILD time, so per-doc probe cost is bounded at
+    *    bands·cap candidates regardless of corpus skew — plus the
+    *    corpus hash sets for the verify join (both are plain
+    *    stream-static equi-joins: no streaming state at all);
+    *  - the STREAM side computes the same signature map-only (the
+    *    WordShingleHashSet/MinHash16 custom expressions evaluate
+    *    per-row, nothing stateful), explodes the same 4-band keys, and
+    *    verifies candidates with the same SortedJaccardGE boundary —
+    *    every constant shared with the batch twin, never copied;
+    *  - the only stateful operator is the final first-seen dedup on
+    *    (new_doc, corpus_doc) — a doc colliding with the same corpus
+    *    doc on several bands yields ONE row, the batch twin's DISTINCT
+    *    — bounded by the watermark horizon
+    *    (`dropDuplicatesWithinWatermark`, the dedupIngestStream
+    *    posture).
+    *
+    * StreamingSpec pins replay equality: streaming the batch-split
+    * docs over a corpus-only dir emits exactly
+    * `dd_incremental_capped`'s rows (ids AND r6 jaccards), and the
+    * pair state survives a checkpoint restart with re-delivery.
+    *
+    * 100 TB posture: the index build is the batch job (one shuffle,
+    * census + join); the probe path is map-side signature + two
+    * broadcast-or-shuffle equi-joins against static relations — per
+    * micro-batch cost ∝ batch size, never corpus size.
+    */
+  def nearDupIngestStream(docs: DataFrame, spark: SparkSession,
+      corpusDir: String, horizon: String = "1 hour"): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.{MinHash16, SortedJaccardGE, WordShingleHashSet}
+    SortedJaccardGE.register(spark)
+    WordShingleHashSet.register(spark)
+    MinHash16.register(spark)
+    val index = Dedup
+      .servingBandIndex(spark, corpusDir, Some(Dedup.LshMaxBucket))
+      .select(col("band"), col("key"), col("doc_id").as("corpus_doc"))
+    val corpusSets = Dedup.corpusHashSets(spark, corpusDir)
+      .select(col("doc_id").as("corpus_doc"), col("hs").as("hb"))
+    // shingle-less docs drop on the cheap token predicate BEFORE the
+    // hash-set expression (the signature() pushdown discipline)
+    val sigd = docs
+      .withWatermark("ts", horizon)
+      .filter(size(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+        >= WordShingleHashSet.N)
+      .select(col("ts"), col("doc_id").as("new_doc"),
+        WordShingleHashSet.hs(lower(col("text"))).as("ha"))
+      .select(col("ts"), col("new_doc"), col("ha"),
+        MinHash16.mins(col("ha")).as("mh"))
+    val bandKeys = (0 until Dedup.Bands).map(b =>
+      concat_ws("_", (0 until Dedup.R).map(r =>
+        element_at(col("mh"), b * Dedup.R + r + 1).cast("string")): _*))
+    val bands = sigd.select(col("ts"), col("new_doc"), col("ha"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val j = SortedJaccardGE
+      .jaccardGE(col("ha"), col("hb"), Dedup.MinhashJaccardBoundary)
+    bands.join(index, Seq("band", "key"))
+      .join(corpusSets, Seq("corpus_doc"))
+      .select(col("ts"), col("new_doc"), col("corpus_doc"), j.as("j"))
+      .filter(col("j").isNotNull)
+      .select(col("ts"), col("new_doc"), col("corpus_doc"),
+        r6(col("j")).as("jaccard"))
+      .dropDuplicatesWithinWatermark(Seq("new_doc", "corpus_doc"))
+  }
+
+  // ------------------------------------------------------------------
   // stream-stream attribution join — ev_range_join's streaming twin
   // ------------------------------------------------------------------
 

@@ -539,7 +539,7 @@ class DedupSpec extends SparkSpec {
     * the composition consumers run on it too) and shared by every
     * capped-stream test below.
     */
-  private lazy val megaFamilyN = Dedup.LshMaxBucket + 6
+  private lazy val megaFamilyN = Dedup.LshMaxBucket + 16
   private lazy val megaFamilyDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_capped_")
@@ -549,12 +549,18 @@ class DedupSpec extends SparkSpec {
     val longText = (1 to 59).map(i => s"w$i").mkString(" ")
     val pairA = Seq((1001L, longText + " w60", "web"),
       (1002L, longText + " zz", "web"))
+    // a second organic near-dup pair that straddles the incremental
+    // BATCH split (1007 % 10 == BatchRem probes, 1010 is corpus) —
+    // distinct "v"-word vocabulary so it shares nothing with pairA
+    val incText = (1 to 59).map(i => s"v$i").mkString(" ")
+    val pairB = Seq((1007L, incText + " v60", "inc"),
+      (1010L, incText + " qq", "inc"))
     val singles = Seq(
       (2001L, "completely unrelated text about warehouses and orders",
         "misc"),
       (2002L, "another distinct document mentioning stream watermarks",
         "misc"))
-    (giant ++ pairA ++ singles).toDF("doc_id", "text", "source")
+    (giant ++ pairA ++ pairB ++ singles).toDF("doc_id", "text", "source")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         col("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
@@ -629,6 +635,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("dd_incremental_capped: index drops mega-buckets; organic probe survives") {
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unc = pset(Dedup.ddIncremental(spark, megaFamilyDir))
+    val cap = pset(Dedup.ddIncrementalCapped(spark, megaFamilyDir))
+    val batchTmpl = (1 to megaFamilyN)
+      .count(_ % Dedup.BatchMod == Dedup.BatchRem)
+    val tmplPair = (p: (Long, Long)) =>
+      p._1 <= megaFamilyN && p._2 <= megaFamilyN
+    // uncapped: every batch-side template doc probes the whole
+    // corpus-side family — per-probe cost ∝ bucket size
+    assert(unc.count(tmplPair) ==
+      batchTmpl.toLong * (megaFamilyN - batchTmpl))
+    // capped: the corpus-side template bucket (72 docs > cap) is
+    // dropped from the INDEX, so probes into it return nothing
+    assert(megaFamilyN - batchTmpl > Dedup.LshMaxBucket)
+    assert(!cap.exists(tmplPair))
+    // the organic batch-vs-corpus probe pair survives untouched
+    assert(cap.contains((1007L, 1010L)))
+    assert(cap.subsetOf(unc))
+  }
+
   test("shipped capped twins: dd_dup_sources_capped and dd_family_overlap_capped") {
     def srcRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
@@ -643,8 +671,8 @@ class DedupSpec extends SparkSpec {
     def lex(df: org.apache.spark.sql.DataFrame) =
       df.collect().head.getLong(0)
     assert(lex(Dedup.ddFamilyOverlapCfg(spark, megaFamilyDir, None)) ==
-      megaFamilyN.toLong * (megaFamilyN - 1) / 2 + 1)
-    assert(lex(Dedup.ddFamilyOverlapCapped(spark, megaFamilyDir)) == 1L)
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2 + 2)
+    assert(lex(Dedup.ddFamilyOverlapCapped(spark, megaFamilyDir)) == 2L)
   }
 
   test("shipped capped twins: cp_split_leakage_capped and cp_dedup_impact_capped") {
@@ -657,17 +685,17 @@ class DedupSpec extends SparkSpec {
     // not sharing a split with ALL others leaks — with 70 docs hashed
     // over 3 splits that is every one of them
     assert(leaked(None) >= megaFamilyN / 2)
-    // capped: only the organic pair can leak (≤ 2 docs)
-    assert(leaked(Some(Dedup.LshMaxBucket)) <= 2L)
+    // capped: only the two organic pairs can leak (≤ 4 docs)
+    assert(leaked(Some(Dedup.LshMaxBucket)) <= 4L)
 
     def mhRedundant(mb: Option[Int]) =
       (if (mb.isDefined) Corpus.cpDedupImpactCapped(spark, megaFamilyDir)
        else Corpus.cpDedupImpactCfg(spark, megaFamilyDir, None)).collect()
         .find(_.getString(0) == "minhash_lsh").get
         .getAs[Long]("n_redundant")
-    // uncapped: the whole family minus its min id, plus doc 1002
-    assert(mhRedundant(None) == megaFamilyN.toLong)
-    // capped: just doc 1002 from the organic pair
-    assert(mhRedundant(Some(Dedup.LshMaxBucket)) == 1L)
+    // uncapped: the whole family minus its min id, plus docs 1002/1010
+    assert(mhRedundant(None) == megaFamilyN.toLong + 1)
+    // capped: just the redundant halves of the two organic pairs
+    assert(mhRedundant(Some(Dedup.LshMaxBucket)) == 2L)
   }
 }
