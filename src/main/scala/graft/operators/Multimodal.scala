@@ -671,8 +671,20 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
   /** The banded pairing over any signature table (shared by the query
     * path and the real-PNG spec path).
     */
-  private[graft] def nearDupPairsOf(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  private[graft] def nearDupPairsOf(sigs: DataFrame): DataFrame =
+    nearDupPairsOfCfg(sigs, None)
+
+  /** [[nearDupPairsOf]] with the bucket-size guard on the hamming-band
+    * stream — the SAME mega-bucket exposure as the text LSH streams
+    * (identical media ⟹ identical signature ⟹ every 15-bit chunk
+    * bucket holds the whole family, B² join cost), answered with the
+    * SAME dial ([[MmMaxBucket]] = Dedup.LshMaxBucket): chunk keys held
+    * by more than cap docs drop before the self-join; exact-hash dedup
+    * upstream owns byte-identical assets.
+    */
+  private[graft] def nearDupPairsOfCfg(sigs: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
+    val bandsAll = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * PhashChunk)
@@ -680,6 +692,18 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
         .as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = maxBucket match {
+      case Some(cap) =>
+        // cached: the guard consumes the band table twice (census +
+        // guard join) — the ddMinhashLshCfg lesson
+        val bandsC = bandsAll.cache()
+        bandsC.join(bandsC.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= cap)
+            .select(col("band"), col("key")),
+          Seq("band", "key"))
+      case None => bandsAll
+    }
     val a = bands.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("key"),
@@ -694,27 +718,60 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Banding + qualifying-pair CTEs over `sigs` (no WITH prefix, ends
-    * in `nd_pairs`) — ONE copy shared by [[mmNearDupSql]] and the
-    * cluster oracle.
+  /** Per-band bucket cap for the hamming stream — the SAME dial as
+    * the text LSH guard ([[graft.operators.Dedup.LshMaxBucket]]); one
+    * constant, so the two modalities can never drift.
     */
-  private val mmNearDupBodySql: String = {
+  val MmMaxBucket: Int = graft.operators.Dedup.LshMaxBucket
+
+  /** Banding + qualifying-pair CTEs over `sigs` (no WITH prefix, ends
+    * in `nd_pairs`) over ANY band relation — ONE copy of the band
+    * derivation and the pair tail, shared by the uncapped body, the
+    * bucket-capped body, and both cluster oracles.
+    */
+  private def mmNearDupBodySqlOf(rel: String, guard: String): String = {
     val bandSelects = (0 until PhashBands).map(b =>
       s"""SELECT doc_id, sig, $b AS band,
         (sig // ${1L << (b * PhashChunk)}) % ${1L << PhashChunk} AS key
       FROM sigs""").mkString("\n  UNION ALL\n  ")
     s"""bands AS (
   $bandSelects
-), nd_pairs AS (
+)$guard, nd_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-  FROM bands a JOIN bands b
+  FROM $rel a JOIN $rel b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.sig, b.sig)) <= $PhashHammingMax
 )"""
   }
 
+  private val mmNearDupBodySql: String = mmNearDupBodySqlOf("bands", "")
+
+  private val mmNearDupCappedBodySql: String =
+    mmNearDupBodySqlOf("kept", s""", bkeep AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(*) <= $MmMaxBucket
+), kept AS (
+  SELECT b.doc_id, b.sig, b.band, b.key FROM bands b
+  JOIN bkeep s ON s.band = b.band AND s.key = b.key
+)""")
+
   val mmNearDupSql: String = s"""WITH $phashSigSql, $mmNearDupBodySql
+SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
+
+  /** The bucket-capped hamming pair stream as its own oracle-checked
+    * query (the [[graft.operators.Dedup.ddMinhashLshCapped]] contract
+    * at media grain): a template asset family over the cap contributes
+    * no pairs — exact-hash dedup upstream owns byte-identical media —
+    * while organic near-dup assets are untouched and capped pairs ⊆
+    * uncapped pairs always (DedupSpec drives the regime on the shared
+    * mega-family corpus).
+    */
+  def mmNearDupCapped(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsOfCfg(signatures(spark, sfDir), Some(MmMaxBucket))
+
+  val mmNearDupCappedSql: String =
+    s"""WITH $phashSigSql, $mmNearDupCappedBodySql
 SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------------------
@@ -734,8 +791,16 @@ SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
     * duplicate-media graphs are near-clique per asset, exactly the
     * shape the star alternation bounds.
     */
-  def mmClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = mmNearDup(spark, sfDir)
+  def mmClusters(spark: SparkSession, sfDir: String): DataFrame =
+    mmClustersCfg(spark, sfDir, None)
+
+  /** [[mmClusters]] over the pair stream at ANY bucket cap — the
+    * shipped queries pin uncapped and [[MmMaxBucket]] for the oracle
+    * proofs (the ddClustersStarCfg discipline).
+    */
+  private[graft] def mmClustersCfg(spark: SparkSession, sfDir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val pairs = nearDupPairsOfCfg(signatures(spark, sfDir), maxBucket)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val (labels, _) = graft.operators.Dedup.connectedComponentsStar(
@@ -749,8 +814,13 @@ SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
       .orderBy(col("doc_id"))
   }
 
-  val mmClustersSql: String = s"""WITH RECURSIVE $phashSigSql,
-$mmNearDupBodySql, edges AS (
+  /** Recursive-closure oracle over ANY nd_pairs body — ONE copy,
+    * shared by the uncapped and bucket-capped cluster oracles (the
+    * ddClustersClosureSql discipline).
+    */
+  private def mmClustersSqlOf(bodySql: String): String =
+    s"""WITH RECURSIVE $phashSigSql,
+$bodySql, edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
@@ -767,6 +837,20 @@ SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
   l.doc_id = l.lbl AS is_survivor
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
+
+  val mmClustersSql: String = mmClustersSqlOf(mmNearDupBodySql)
+
+  /** Media duplicate clusters on the CAPPED pair stream — the
+    * composition a 100 TB media dedup deploys (the
+    * [[graft.operators.Dedup.ddClustersCapped]] contract at media
+    * grain): a template asset family over the cap clusters as
+    * singletons; capped pairs ⊆ uncapped ⟹ the capped clustering
+    * refines the uncapped one.
+    */
+  def mmClustersCapped(spark: SparkSession, sfDir: String): DataFrame =
+    mmClustersCfg(spark, sfDir, Some(MmMaxBucket))
+
+  val mmClustersCappedSql: String = mmClustersSqlOf(mmNearDupCappedBodySql)
 
   // ------------------------------------------------------------------
   // mm_dedup_impact — bytes-saved census of the media dedup

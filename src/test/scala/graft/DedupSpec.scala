@@ -657,6 +657,29 @@ class DedupSpec extends SparkSpec {
     assert(cap.subsetOf(unc))
   }
 
+  test("the bucket guard generalizes across modality: mm capped twins") {
+    import graft.operators.Multimodal
+    // identical template docs ⟹ identical perceptual signatures ⟹
+    // every 15-bit chunk bucket holds the whole family — the SAME
+    // mega-bucket regime as the text streams, at media grain
+    val unc = pairSet(Multimodal.mmNearDup(spark, megaFamilyDir))
+    val cap = pairSet(Multimodal.mmNearDupCapped(spark, megaFamilyDir))
+    val tmplPair = (p: (Long, Long)) =>
+      p._1 <= megaFamilyN && p._2 <= megaFamilyN
+    assert(unc.count(tmplPair) ==
+      megaFamilyN.toLong * (megaFamilyN - 1) / 2)
+    assert(!cap.exists(tmplPair))
+    assert(cap.subsetOf(unc))
+    // clusters on the capped stream: the template family lands as
+    // singletons (the dd_clusters_capped contract at media grain)
+    val cl = Multimodal.mmClustersCapped(spark, megaFamilyDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    (1 to megaFamilyN).foreach { i =>
+      assert(cl(i.toLong) == ((i.toLong, 1L, true)), s"doc $i")
+    }
+  }
+
   test("shipped capped twins: dd_dup_sources_capped and dd_family_overlap_capped") {
     def srcRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
