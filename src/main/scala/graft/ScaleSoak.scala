@@ -108,7 +108,30 @@ object ScaleSoak {
       "cp_bpe_widevocab_full32" -> ((s, _, _) =>
         graft.operators.Corpus.bpeTrainWideAt(s, 32, delta = false)),
       "cp_bpe_widevocab_delta32" -> ((s, _, _) =>
-        graft.operators.Corpus.bpeTrainWideAt(s, 32, delta = true)))
+        graft.operators.Corpus.bpeTrainWideAt(s, 32, delta = true)),
+      // graph tier: the soak fixture shifts doc_ids by 10⁹ per copy,
+      // which breaks gr_*'s dense-id mod-n target contract — densify
+      // first ((copy · n₀) + offset-within-copy), then run the SAME
+      // shipped shapes via the *From seams. Measures the per-round
+      // edges⋈ranks join (pagerank, K=6) and the wedge join
+      // (triangles) as |V|,|E| grow ∝ m.
+      "gr_pagerank_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grPagerankFrom(soakDenseDocs(s, dir))),
+      "gr_triangles_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grTrianglesFrom(soakDenseDocs(s, dir))))
+
+  /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
+    * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection
+    * onto [0, m·n₀), so the gr_* mod-n edge targets resolve again.
+    */
+  private def soakDenseDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val n0 = d.where(col("doc_id") < 1000000000L).count()
+    d.select(
+      expr(s"(doc_id div 1000000000) * $n0 + doc_id % 1000000000")
+        .as("doc_id"),
+      col("text"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -3152,4 +3152,176 @@ SELECT event_type, n,
     AS n_per_arm_1pct
 FROM m ORDER BY event_type"""
   }
+
+  // ------------------------------------------------------------------
+  // wh_zorder — space-filling-curve layout vs single-dim sorts,
+  // measured by min/max file pruning
+  // ------------------------------------------------------------------
+
+  /** File count per candidate layout. */
+  val ZorderFiles = 64
+
+  /** Bits per dimension in the interleave (256 value buckets). */
+  val ZorderBits = 8
+
+  /** Z-ORDER LAYOUT EVALUATION — the data-layout decision that governs
+    * 100 TB scan cost. Parquet prunes row groups by min/max footers;
+    * which predicates prune depends entirely on how rows were
+    * ORGANIZED into files. This query lays `orders` out three ways —
+    * z-order on (custkey, order day), time-sorted, key-sorted — and
+    * measures, against a deterministic 24-query workload grid (16
+    * two-dim range queries + 4 per single dim), the fraction of files
+    * each layout lets a min/max-pruning scanner skip. The readout a
+    * table owner acts on: single-dim sorts win their own axis and
+    * prune NOTHING on the other; z-order pays a little on each axis to
+    * prune on both.
+    *
+    * Mechanics (all-integer; one definition of the bit interleave
+    * rendered per engine via [[zInterleaveWith]], the ExactRank
+    * div-`//` twin): each dim buckets to [[ZorderBits]] bits by
+    * `((x−mn)·256) div span`; the z-value interleaves custkey bits
+    * into odd, day bits into even positions; files are equal-width
+    * ranges of each layout key (`(key·F) div keyspace`) — MAP-SIDE
+    * assignment, no global sort anywhere (a production writer range-
+    * partitions to balance file sizes; equal-width ranges measure the
+    * same pruning geometry without the shuffle). Per (layout, file):
+    * min/max of both dims — exactly what a parquet footer stores.
+    * The stats×workload check is a constant-size BNLJ (3·64 files ×
+    * 24 queries, PlanLint-allowlisted).
+    */
+  def whZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("c"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+          .as("d"))
+    val anchor = base.agg(
+      min(col("c")).as("mnc"), max(col("c")).as("mxc"),
+      min(col("d")).as("mnd"), max(col("d")).as("mxd"))
+    val spanC = "(mxc - mnc + 1)"
+    val spanD = "(mxd - mnd + 1)"
+    val bc = s"(((c - mnc) * ${1 << ZorderBits}) div $spanC)"
+    val bd = s"(((d - mnd) * ${1 << ZorderBits}) div $spanD)"
+    val z = zInterleave(bc, bd)
+    val files = base.crossJoin(broadcast(anchor)) // 1-row anchor
+      .select(col("c"), col("d"),
+        expr(s"((($z) * $ZorderFiles) div ${1 << (2 * ZorderBits)})")
+          .as("fz"),
+        expr(s"(((d - mnd) * $ZorderFiles) div $spanD)").as("ft"),
+        expr(s"(((c - mnc) * $ZorderFiles) div $spanC)").as("fk"))
+      .select(col("c"), col("d"), expr(
+        "stack(3, 'zorder', fz, 'time_sorted', ft, 'key_sorted', fk)" +
+          " AS (layout, f)"))
+    val stats = files.groupBy(col("layout"), col("f"))
+      .agg(min(col("c")).as("fmnc"), max(col("c")).as("fmxc"),
+        min(col("d")).as("fmnd"), max(col("d")).as("fmxd"))
+    import spark.implicits._
+    val combos =
+      (for (i <- 0 until 4; j <- 0 until 4) yield ("both", i, j)) ++
+        (0 until 4).map(i => ("cust", i, -1)) ++
+        (0 until 4).map(j => ("date", -1, j))
+    val qgrid = combos.toDF("workload", "qi", "qj")
+      .crossJoin(broadcast(anchor))
+      .select(col("workload"), col("qi"), col("qj"),
+        expr(s"mnc + ($spanC * qi) div 4").as("clo"),
+        expr(s"mnc + ($spanC * (qi + 1)) div 4 - 1").as("chi"),
+        expr(s"mnd + ($spanD * qj) div 4").as("dlo"),
+        expr(s"mnd + ($spanD * (qj + 1)) div 4 - 1").as("dhi"))
+    stats.crossJoin(qgrid) // constant-size: 3·64 files × 24 queries
+      .withColumn("scanned",
+        (col("workload") === "date" ||
+          (col("fmxc") >= col("clo") && col("fmnc") <= col("chi"))) &&
+          (col("workload") === "cust" ||
+            (col("fmxd") >= col("dlo") && col("fmnd") <= col("dhi"))))
+      .groupBy(col("layout"), col("workload"))
+      .agg(
+        countDistinct(col("f")).as("n_files"),
+        countDistinct(col("qi"), col("qj")).as("n_queries"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"))
+      .select(col("layout"), col("workload"), col("n_files"),
+        col("n_queries"), col("files_scanned"),
+        r6(col("files_scanned").cast("double") /
+          (col("n_files") * col("n_queries"))).as("scan_fraction"))
+      .orderBy(col("layout"), col("workload"))
+  }
+
+  /** Bit interleave of two [[ZorderBits]]-bit values as pure integer
+    * arithmetic (no dialect bit operators): bit i of `a` lands at
+    * position 2i+1, of `b` at 2i. ONE generator; the two renderings
+    * differ only in the integer-division spelling (Spark `div`,
+    * DuckDB `//` — identical on non-negatives, the ExactRank twin).
+    */
+  private def zInterleaveWith(a: String, b: String,
+      idiv: (String, String) => String): String =
+    (0 until ZorderBits).map { i =>
+      val (pa, pb) = (1L << (2 * i + 1), 1L << (2 * i))
+      s"((${idiv(a, (1L << i).toString)} % 2) * $pa" +
+        s" + (${idiv(b, (1L << i).toString)} % 2) * $pb)"
+    }.mkString("(", " + ", ")")
+
+  private def zInterleave(a: String, b: String): String =
+    zInterleaveWith(a, b, (x, y) => s"(($x) div $y)")
+
+  private def zInterleaveSql(a: String, b: String): String =
+    zInterleaveWith(a, b, (x, y) => s"(($x) // $y)")
+
+  val whZorderSql: String = {
+    val spanC = "(mxc - mnc + 1)"
+    val spanD = "(mxd - mnd + 1)"
+    val bc = s"(((c - mnc) * ${1 << ZorderBits}) // $spanC)"
+    val bd = s"(((d - mnd) * ${1 << ZorderBits}) // $spanD)"
+    val z = zInterleaveSql(bc, bd)
+    s"""
+WITH base AS (
+  SELECT o_custkey AS c,
+    CAST(date_diff('day', DATE '1995-01-01',
+      CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+  FROM orders
+), anchor AS (
+  SELECT MIN(c) AS mnc, MAX(c) AS mxc, MIN(d) AS mnd, MAX(d) AS mxd
+  FROM base
+), keyed AS (
+  SELECT c, d,
+    ((($z) * $ZorderFiles) // ${1 << (2 * ZorderBits)}) AS fz,
+    (((d - mnd) * $ZorderFiles) // $spanD) AS ft,
+    (((c - mnc) * $ZorderFiles) // $spanC) AS fk
+  FROM base CROSS JOIN anchor
+), files AS (
+  SELECT 'zorder' AS layout, fz AS f, c, d FROM keyed
+  UNION ALL SELECT 'time_sorted', ft, c, d FROM keyed
+  UNION ALL SELECT 'key_sorted', fk, c, d FROM keyed
+), stats AS (
+  SELECT layout, f, MIN(c) AS fmnc, MAX(c) AS fmxc,
+    MIN(d) AS fmnd, MAX(d) AS fmxd
+  FROM files GROUP BY layout, f
+), qgrid AS (
+  SELECT 'both' AS workload, i.range AS qi, j.range AS qj
+  FROM range(0, 4) i CROSS JOIN range(0, 4) j
+  UNION ALL SELECT 'cust', i.range, -1 FROM range(0, 4) i
+  UNION ALL SELECT 'date', -1, j.range FROM range(0, 4) j
+), queries AS (
+  SELECT workload, qi, qj,
+    mnc + ($spanC * qi) // 4 AS clo,
+    mnc + ($spanC * (qi + 1)) // 4 - 1 AS chi,
+    mnd + ($spanD * qj) // 4 AS dlo,
+    mnd + ($spanD * (qj + 1)) // 4 - 1 AS dhi
+  FROM qgrid CROSS JOIN anchor
+), checked AS (
+  SELECT s.layout, q.workload, s.f, q.qi, q.qj,
+    CASE WHEN (q.workload = 'date'
+        OR (s.fmxc >= q.clo AND s.fmnc <= q.chi))
+      AND (q.workload = 'cust'
+        OR (s.fmxd >= q.dlo AND s.fmnd <= q.dhi))
+    THEN 1 ELSE 0 END AS scanned
+  FROM stats s CROSS JOIN queries q
+)
+SELECT layout, workload,
+  COUNT(DISTINCT f) AS n_files,
+  COUNT(DISTINCT (qi, qj)) AS n_queries,
+  CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+  ${r6Sql("""(CAST(SUM(scanned) AS DOUBLE)
+    / (COUNT(DISTINCT f) * COUNT(DISTINCT (qi, qj))))""")} AS scan_fraction
+FROM checked
+GROUP BY layout, workload
+ORDER BY layout, workload"""
+  }
 }

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CrossHash
+import graft.functions.CrossHash.{md5ModSql, P}
+import graft.functions.Determinism.{r6, r6Sql}
+import graft.operators.TextAnalysis.docs
+
+/** Link-graph analytics over the document corpus — the curation tier
+  * web-scale pipelines run BEFORE content filters: rank sources/pages
+  * by link structure (Common Crawl-era corpora weight domains by
+  * PageRank/harmonic centrality — RefinedWeb, FineWeb), audit the
+  * degree distribution (bot farms and SEO link rings show up as degree
+  * anomalies), and measure clustering (triangle density separates
+  * organic neighborhoods from spam stars).
+  *
+  * The fixture stores no hyperlinks, so the graph is DERIVED
+  * deterministically from stored columns — the q16_thread_depth
+  * contract (SURVEY §2.15 X192): each document "cites"
+  * [[GraphOutDeg]] target documents computed from its content hash
+  * through the published MinHash affine family, `dst_i =
+  * ((h·a_i + b_i) mod P) mod n` — data-dependent edges no closed form
+  * predicts, identical on both engines. doc_ids are dense 0-based
+  * (GraphSpec pins the fixture contract), so every target resolves by
+  * construction and the derivation needs NO global row-numbering —
+  * at 100 TB the edge pass is one map-side projection.
+  *
+  * Scale shape of the family: |E| ≤ 3·|docs|; every round/census is
+  * equi-join + partial-agg'd groupBy on node keys. Nothing here is
+  * all-pairs and nothing broadcasts the corpus.
+  */
+object Graph {
+
+  /** Citation out-degree before self-loop/duplicate drops. */
+  val GraphOutDeg = 3
+
+  /** PageRank total mass in integer micro-units (10¹²) — ranks are
+    * BIGINT end to end, so partial-aggregation fold order can never
+    * move a value (the decimal(38,0)-moments discipline applied to an
+    * iterative fixpoint). The damping split 85/100 and the teleport
+    * share (15·S/100)/n are integer divisions on both engines
+    * (Spark `div` ≡ DuckDB `//` on non-negatives, the ExactRank twin).
+    */
+  val PrScale = 1000000000000L
+
+  /** PageRank damping numerator (d = 85/100). */
+  val PrDampNum = 85L
+
+  /** Fixed PageRank rounds — the oracle unrolls them as chained CTEs
+    * (the bpeRoundsSql / kmeans-rounds contract), so the iteration
+    * count is a published constant, not a convergence test.
+    */
+  val PrIters = 6
+
+  // ------------------------------------------------------------------
+  // shared edge derivation — ONE definition per engine
+  // ------------------------------------------------------------------
+
+  /** The derived directed edge set `(src, dst)` with per-src out_deg:
+    * distinct targets, self-loops dropped. One md5 per doc; the three
+    * affine transforms reuse [[CrossHash.MinHashAs]]/Bs so the
+    * arithmetic family has a single source of truth.
+    */
+  private[graft] def grEdges(spark: SparkSession, sfDir: String): DataFrame =
+    grEdgesFrom(docs(spark, sfDir))
+
+  /** [[grEdges]] over ANY (doc_id, text) frame with dense 0-based ids —
+    * the seam ScaleSoak uses (its derived fixtures shift doc_ids by
+    * 10⁹ per copy and must re-densify before the mod-n rule applies),
+    * and the seam a production corpus with a REAL link column would
+    * replace wholesale: everything downstream consumes only
+    * (src, dst, out_deg).
+    */
+  private[graft] def grEdgesFrom(d: DataFrame): DataFrame = {
+    val n = d.agg(count(lit(1)).as("n"))
+    val hashes = d
+      .select(col("doc_id").as("src"), CrossHash.md5Mod(col("text")).as("h"))
+      .crossJoin(broadcast(n)) // 1-row anchor (PlanLint allowlisted)
+    val links = (0 until GraphOutDeg).map { i =>
+      val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
+      hashes.select(col("src"),
+        expr(s"((h * $a + $b) % $P) % n").as("dst"))
+    }.reduce(_ unionAll _)
+    val edges = links.filter(col("dst") =!= col("src")).distinct()
+    edges.withColumn("out_deg",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+  }
+
+  /** Oracle twin of [[grEdges]]: CTEs `ganchor` (n), `gedges`
+    * (src, dst, out_deg). Embedded verbatim by every gr_* oracle.
+    */
+  private[graft] val grEdgesSql: String = {
+    // UNION ALL rather than unnest-of-list: DuckDB 1.0.0 hits an
+    // internal binder error pushing the self-loop filter into an
+    // unnest projection; the union form also mirrors the Spark side
+    // shape exactly.
+    val targets = (0 until GraphOutDeg).map { i =>
+      val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
+      s"SELECT src, (((h * $a + $b) % $P) % n) AS dst" +
+        " FROM ghashes CROSS JOIN ganchor"
+    }.mkString("\n  UNION ALL ")
+    s"""ganchor AS (
+  SELECT COUNT(*) AS n FROM documents
+), ghashes AS (
+  SELECT doc_id AS src, ${md5ModSql("text")} AS h
+  FROM documents
+), glinks AS (
+  $targets
+), gdedges AS (
+  SELECT DISTINCT src, dst FROM glinks WHERE dst <> src
+), gedges AS (
+  SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS out_deg
+  FROM gdedges
+)"""
+  }
+
+  // ------------------------------------------------------------------
+  // gr_degree — degree-distribution census
+  // ------------------------------------------------------------------
+
+  /** In/out degree distribution of the citation graph: for each degree
+    * value, how many documents hold it (degree-0 nodes included via
+    * the left join — a census that silently drops isolated nodes
+    * misreads the graph). The spam-audit readout: organic link graphs
+    * are heavy-tailed; a link ring shows as a spike at one in-degree.
+    *
+    * Shape: two corpus-keyed groupBys + one vocabulary-sized census
+    * groupBy per side; output rows bounded by max degree.
+    */
+  def grDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"))
+    val e = grEdges(spark, sfDir)
+    def side(tag: String, key: String): DataFrame = {
+      val deg = e.groupBy(col(key).as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+      d.join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(tag).as("side"), col("deg"), col("n_nodes"))
+    }
+    side("in", "dst").unionAll(side("out", "src"))
+      .orderBy(col("side"), col("deg"))
+  }
+
+  val grDegreeSql: String = {
+    def side(tag: String, key: String): String =
+      s"""SELECT '$tag' AS side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (
+  SELECT COALESCE(g.deg, CAST(0 AS BIGINT)) AS deg
+  FROM documents d
+  LEFT JOIN (SELECT $key AS doc_id, COUNT(*) AS deg
+             FROM gedges GROUP BY $key) g
+    ON g.doc_id = d.doc_id
+)
+GROUP BY deg"""
+    s"""
+WITH $grEdgesSql
+${side("in", "dst")}
+UNION ALL
+${side("out", "src")}
+ORDER BY side, deg"""
+  }
+
+  // ------------------------------------------------------------------
+  // gr_pagerank — integer-mass damped PageRank, fixed rounds
+  // ------------------------------------------------------------------
+
+  /** Damped PageRank over the citation graph, [[PrIters]] rounds, all
+    * arithmetic in BIGINT micro-units of [[PrScale]]:
+    *
+    *   r₀(v)   = S div n
+    *   rₖ(v)   = (15·S div 100) div n
+    *             + (85 · Σ_{(u,v)∈E} (rₖ₋₁(u) div out_deg(u))) div 100
+    *
+    * Integer division makes every value exactly reproducible under any
+    * aggregation fold order — the property float PageRank lacks and
+    * the reason this oracle can hash-match. The division remainders
+    * (dangling mass included — a node whose three targets all
+    * collide to itself has no out-edges) EVAPORATE rather than
+    * redistribute: a documented contract choice that keeps each round
+    * one join + one groupBy; uniform redistribution would add a 1-row
+    * global sum per round for cosmetics the relative ranking doesn't
+    * need.
+    *
+    * Scale shape: per round, one equi-join of edges against ranks on
+    * src (both corpus-keyed, partial-agg'd sum on dst) — O(K·|E|)
+    * total, the textbook distributed PageRank plan. Lineage is pinned
+    * per round with eager localCheckpoint (the dd_clusters_star /
+    * bpeTrainLoop discipline).
+    */
+  def grPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    grPagerankFrom(docs(spark, sfDir))
+
+  /** [[grPagerank]] over any dense-id (doc_id, text) frame — the
+    * ScaleSoak seam (see [[grEdgesFrom]]).
+    */
+  private[graft] def grPagerankFrom(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"))
+    val e = grEdgesFrom(d0).localCheckpoint(true)
+    val n = d.agg(count(lit(1)).as("n"))
+    val nodes = d.crossJoin(broadcast(n)) // 1-row anchor (allowlisted)
+    var ranks = nodes
+      .select(col("doc_id"), col("n"), expr(s"$PrScale div n").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val in = e.join(ranks.select(col("doc_id"), col("r")),
+          e("src") === col("doc_id"))
+        .select(col("dst"), expr("r div out_deg").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("s"))
+      ranks = nodes.join(in, nodes("doc_id") === in("dst"), "left")
+        .select(nodes("doc_id"), col("n"),
+          expr(s"(${PrScale * 15L / 100L} div n) + " +
+            s"($PrDampNum * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    val outDeg = e.groupBy(col("src")).agg(min(col("out_deg")).as("out_deg"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    ranks.select(col("doc_id"), col("r"))
+      .join(outDeg, ranks("doc_id") === outDeg("src"), "left")
+      .join(inDeg, ranks("doc_id") === inDeg("dst"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("r").as("rank_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grPagerankSql: String = {
+    val base = s"(${PrScale * 15L / 100L} // a.n)"
+    val rounds = (1 to PrIters).map { k =>
+      s"""gr$k AS (
+  SELECT d.doc_id, $base
+    + ($PrDampNum * COALESCE(s.m, CAST(0 AS BIGINT))) // 100 AS r
+  FROM documents d CROSS JOIN ganchor a
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.r // e.out_deg) AS BIGINT) AS m
+    FROM gedges e JOIN gr${k - 1} p ON p.doc_id = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)"""
+    }.mkString(", ")
+    s"""
+WITH $grEdgesSql, gr0 AS (
+  SELECT d.doc_id, ($PrScale // a.n) AS r
+  FROM documents d CROSS JOIN ganchor a
+), $rounds
+SELECT d.doc_id,
+  COALESCE(od.out_deg, CAST(0 AS BIGINT)) AS out_deg,
+  COALESCE(id.in_deg, CAST(0 AS BIGINT)) AS in_deg,
+  p.r AS rank_u
+FROM documents d
+JOIN gr$PrIters p ON p.doc_id = d.doc_id
+LEFT JOIN (SELECT src, CAST(MIN(out_deg) AS BIGINT) AS out_deg
+           FROM gedges GROUP BY src) od ON od.src = d.doc_id
+LEFT JOIN (SELECT dst, COUNT(*) AS in_deg
+           FROM gedges GROUP BY dst) id ON id.dst = d.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // gr_triangles — ordered-wedge triangle census
+  // ------------------------------------------------------------------
+
+  /** Global clustering census of the UNDIRECTED citation graph:
+    * triangle count via the ordered-wedge plan (each undirected edge
+    * stored once as a < b; wedges a<b<c from e(a,b)⋈e(b,c); the
+    * closing join checks e(a,c)) — every triangle counted exactly
+    * once, no orientation bookkeeping. Wedge volume is Σ deg² — the
+    * quantity the degree census above audits; at 100 TB the standard
+    * mitigation (degree-ordered orientation already bounds wedge
+    * fan-out by the SMALLER endpoint's degree) is built into the
+    * a<b<c plan shape.
+    *
+    * Output: one row — nodes, undirected edges, wedges (Σ d(d−1)/2),
+    * triangles, and the global clustering coefficient 3·Δ/wedges.
+    */
+  def grTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    grTrianglesFrom(docs(spark, sfDir))
+
+  /** [[grTriangles]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grTrianglesFrom(d0: DataFrame): DataFrame = {
+    val e = grEdgesFrom(d0)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_linked_nodes"),
+      coalesce(sum(expr("(dg * (dg - 1)) div 2")), lit(0L)).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = d0.agg(count(lit(1)).as("n_nodes"))
+    // four 1-row anchors assembled into the census row (allowlisted)
+    broadcast(nNodes).crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_linked_nodes"), col("n_wedges"), col("n_triangles"),
+        r6(when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")))
+          .as("global_cc"))
+  }
+
+  val grTrianglesSql: String =
+    s"""
+WITH $grEdgesSql, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM gedges
+), deg AS (
+  SELECT v, COUNT(*) AS dg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+), wj AS (
+  SELECT COUNT(*) AS n_linked_nodes,
+    COALESCE(CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT),
+      CAST(0 AS BIGINT)) AS n_wedges
+  FROM deg
+), ne AS (
+  SELECT COUNT(*) AS n_edges FROM und
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), nn AS (
+  SELECT COUNT(*) AS n_nodes FROM documents
+)
+SELECT nn.n_nodes, ne.n_edges, wj.n_linked_nodes, wj.n_wedges,
+  tri.n_triangles,
+  ${r6Sql("""(CASE WHEN wj.n_wedges = 0 THEN 0.0
+    ELSE 3.0 * tri.n_triangles / wj.n_wedges END)""")} AS global_cc
+FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
+}

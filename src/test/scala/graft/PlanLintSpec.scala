@@ -54,6 +54,13 @@ class PlanLintSpec extends SparkSpec {
     *    anchor; the semantic side is the broadcast centroid table).
     *  - the constant-size eval side (the one documented BNLJ-is-right
     *    case): cp_decontam_embed.
+    *  - gr_degree / gr_triangles (the 1-row corpus-count anchor that
+    *    makes mod-n citation targets driver-collect-free; triangles
+    *    additionally assembles its census row from four 1-row
+    *    aggregates), wh_zorder (the 1-row min/max bounds anchor plus
+    *    the 3·64-file-stats × 24-query workload check — both sides
+    *    layout constants by construction, the documented
+    *    footer-pruning BNLJ).
     */
   private val bnljOk: Set[String] = Set(
     "cp_bpe_train", "cp_bpe_train_delta", "cp_bpe_tokenize",
@@ -61,7 +68,8 @@ class PlanLintSpec extends SparkSpec {
     "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
-    "ev_survival", "prof_drift",
+    "ev_survival", "gr_degree", "gr_triangles", "wh_zorder",
+    "prof_drift",
     "prof_mi",
     "prof_outliers",
     "qf_composite", "qf_ingest_gate", "qf_lm_filter",
