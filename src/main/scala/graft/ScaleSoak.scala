@@ -118,7 +118,11 @@ object ScaleSoak {
       "gr_pagerank_dense" -> ((s, dir, _) =>
         graft.operators.Graph.grPagerankFrom(soakDenseDocs(s, dir))),
       "gr_triangles_dense" -> ((s, dir, _) =>
-        graft.operators.Graph.grTrianglesFrom(soakDenseDocs(s, dir))))
+        graft.operators.Graph.grTrianglesFrom(soakDenseDocs(s, dir))),
+      // BSP frontier expansion: candidate volume n·deg³ with per-hop
+      // distinct — the α readout says whether the dedup keeps it linear
+      "gr_reach_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grReachFrom(soakDenseDocs(s, dir))))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

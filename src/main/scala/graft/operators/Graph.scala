@@ -202,20 +202,10 @@ ORDER BY side, deg"""
     val e = grEdgesFrom(d0).localCheckpoint(true)
     val n = d.agg(count(lit(1)).as("n"))
     val nodes = d.crossJoin(broadcast(n)) // 1-row anchor (allowlisted)
-    var ranks = nodes
-      .select(col("doc_id"), col("n"), expr(s"$PrScale div n").as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
-      val in = e.join(ranks.select(col("doc_id"), col("r")),
-          e("src") === col("doc_id"))
-        .select(col("dst"), expr("r div out_deg").as("m"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("s"))
-      ranks = nodes.join(in, nodes("doc_id") === in("dst"), "left")
-        .select(nodes("doc_id"), col("n"),
-          expr(s"(${PrScale * 15L / 100L} div n) + " +
-            s"($PrDampNum * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
-        .localCheckpoint(true)
-    }
+      .select(col("doc_id"),
+        expr(s"$PrScale div n").as("r0"),
+        expr(s"${PrScale * 15L / 100L} div n").as("base"))
+    val ranks = prLoop(nodes, e)
     val outDeg = e.groupBy(col("src")).agg(min(col("out_deg")).as("out_deg"))
     val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     ranks.select(col("doc_id"), col("r"))
@@ -228,13 +218,44 @@ ORDER BY side, deg"""
       .orderBy(col("doc_id"))
   }
 
-  val grPagerankSql: String = {
-    val base = s"(${PrScale * 15L / 100L} // a.n)"
+  /** The shared damped-propagation fixpoint: `nodes` carries per-node
+    * BIGINT columns `r0` (initial mass) and `base` (per-round teleport
+    * share); each round is one edges⋈ranks equi-join + one
+    * partial-agg'd groupBy, lineage pinned by eager localCheckpoint.
+    * ONE loop serves both the uniform-teleport [[grPagerank]] and the
+    * seed-teleport [[grTrustrank]] — the teleport vector is the only
+    * difference between the two algorithms, so it is the only
+    * parameter.
+    */
+  private def prLoop(nodes: DataFrame, e: DataFrame): DataFrame = {
+    var ranks = nodes.select(col("doc_id"), col("r0").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val in = e.join(ranks.select(col("doc_id"), col("r")),
+          e("src") === col("doc_id"))
+        .select(col("dst"), expr("r div out_deg").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("s"))
+      ranks = nodes.join(in, nodes("doc_id") === in("dst"), "left")
+        .select(nodes("doc_id"),
+          expr(s"base + ($PrDampNum * coalesce(s, CAST(0 AS BIGINT)))" +
+            " div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Oracle twin of [[prLoop]]: CTEs `panchor` (caller-supplied body),
+    * `gr0` … `gr{PrIters}`; `r0`/`base` are expressions over documents
+    * row `d` and anchor row `a`. ONE builder for both teleport
+    * vectors.
+    */
+  private def prRoundsSql(anchorBody: String, r0: String,
+      base: String): String = {
     val rounds = (1 to PrIters).map { k =>
       s"""gr$k AS (
   SELECT d.doc_id, $base
     + ($PrDampNum * COALESCE(s.m, CAST(0 AS BIGINT))) // 100 AS r
-  FROM documents d CROSS JOIN ganchor a
+  FROM documents d CROSS JOIN panchor a
   LEFT JOIN (
     SELECT e.dst, CAST(SUM(p.r // e.out_deg) AS BIGINT) AS m
     FROM gedges e JOIN gr${k - 1} p ON p.doc_id = e.src
@@ -242,11 +263,19 @@ ORDER BY side, deg"""
   ) s ON s.dst = d.doc_id
 )"""
     }.mkString(", ")
+    s"""panchor AS (
+  $anchorBody
+), gr0 AS (
+  SELECT d.doc_id, $r0 AS r
+  FROM documents d CROSS JOIN panchor a
+), $rounds"""
+  }
+
+  val grPagerankSql: String = {
+    val loop = prRoundsSql("SELECT COUNT(*) AS n FROM documents",
+      s"($PrScale // a.n)", s"(${PrScale * 15L / 100L} // a.n)")
     s"""
-WITH $grEdgesSql, gr0 AS (
-  SELECT d.doc_id, ($PrScale // a.n) AS r
-  FROM documents d CROSS JOIN ganchor a
-), $rounds
+WITH $grEdgesSql, $loop
 SELECT d.doc_id,
   COALESCE(od.out_deg, CAST(0 AS BIGINT)) AS out_deg,
   COALESCE(id.in_deg, CAST(0 AS BIGINT)) AS in_deg,
@@ -257,6 +286,184 @@ LEFT JOIN (SELECT src, CAST(MIN(out_deg) AS BIGINT) AS out_deg
            FROM gedges GROUP BY src) od ON od.src = d.doc_id
 LEFT JOIN (SELECT dst, COUNT(*) AS in_deg
            FROM gedges GROUP BY dst) id ON id.dst = d.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // gr_trustrank — seed-teleport PageRank (trust propagation)
+  // ------------------------------------------------------------------
+
+  /** TrustRank: the seeded variant real curation pipelines run AFTER
+    * uniform PageRank — teleport mass lands ONLY on a trusted seed set
+    * (here: every document of the lexicographically-first source, a
+    * deterministic stand-in for "the editorially vetted feed"), so
+    * rank measures proximity-to-trust through citations rather than
+    * raw popularity; a node no trust reaches scores exactly 0 (the
+    * spam-demotion readout). Identical integer-mass machinery as
+    * [[grPagerank]] — the SAME [[prLoop]] and the SAME oracle round
+    * builder, with the teleport vector as the only difference:
+    *
+    *   r₀(v) = base(v) = seed(v) ? S-share div n_seeds : 0
+    *
+    * (r₀ = base·S/(0.15·S) up to the published split — both divisions
+    * integer, both engines.)
+    */
+  def grTrustrank(spark: SparkSession, sfDir: String): DataFrame =
+    grTrustrankFrom(docs(spark, sfDir))
+
+  /** [[grTrustrank]] over any dense-id (doc_id, text, source) frame. */
+  private[graft] def grTrustrankFrom(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"), col("source"))
+    val e = grEdgesFrom(d0).localCheckpoint(true)
+    val ssrc = d.agg(min(col("source")).as("ssrc"))
+    val withSeed = d.crossJoin(broadcast(ssrc)) // 1-row anchor
+      .select(col("doc_id"), (col("source") === col("ssrc")).as("is_seed"))
+    val ns = withSeed.filter(col("is_seed"))
+      .agg(count(lit(1)).as("ns"))
+    val nodes = withSeed.crossJoin(broadcast(ns)) // 1-row anchor
+      .select(col("doc_id"), col("is_seed"),
+        expr(s"CASE WHEN is_seed THEN $PrScale div ns" +
+          " ELSE CAST(0 AS BIGINT) END").as("r0"),
+        expr(s"CASE WHEN is_seed THEN ${PrScale * 15L / 100L} div ns" +
+          " ELSE CAST(0 AS BIGINT) END").as("base"))
+    val ranks = prLoop(nodes, e)
+    nodes.select(col("doc_id"), col("is_seed"))
+      .join(ranks.select(col("doc_id").as("rid"), col("r")),
+        col("doc_id") === col("rid"))
+      .select(col("doc_id"), col("is_seed"), col("r").as("rank_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grTrustrankSql: String = {
+    val share = s"($PrScale // a.ns)"
+    val baseShare = s"(${PrScale * 15L / 100L} // a.ns)"
+    val seed = "d.source = a.ssrc"
+    val loop = prRoundsSql(
+      """SELECT (SELECT MIN(source) FROM documents) AS ssrc,
+    COUNT(*) FILTER (WHERE source =
+      (SELECT MIN(source) FROM documents)) AS ns
+  FROM documents""",
+      s"(CASE WHEN $seed THEN $share ELSE CAST(0 AS BIGINT) END)",
+      s"(CASE WHEN $seed THEN $baseShare ELSE CAST(0 AS BIGINT) END)")
+    s"""
+WITH $grEdgesSql, $loop
+SELECT d.doc_id, (d.source = a.ssrc) AS is_seed, p.r AS rank_u
+FROM documents d CROSS JOIN panchor a
+JOIN gr$PrIters p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // gr_reach — bounded-radius reachability / truncated harmonic
+  // centrality
+  // ------------------------------------------------------------------
+
+  /** BFS radius for [[grReach]] (3 hops — the truncation real
+    * centrality pipelines use: Common Crawl's harmonic-centrality
+    * ranking is approximated by bounded-radius sweeps because the full
+    * closure is quadratic).
+    */
+  val ReachHops = 3
+
+  /** Micro-unit harmonic weights 1/d at 10⁶ scale, floor-quantized —
+    * integers end to end, so the centrality is hash-exact on both
+    * engines (the micro-nat discipline applied to 1/d).
+    */
+  val ReachMicro: IndexedSeq[Long] =
+    (1 to ReachHops).map(d => 1000000L / d)
+
+  /** Per-document bounded-radius influence: how many documents sit at
+    * shortest out-distance exactly 1, 2, 3, and the truncated harmonic
+    * centrality Σ 1/dist in micro-units — the link-based quality
+    * weight curation pipelines attach to a domain. Distances are
+    * MIN-dist (a node reachable at hop 1 and again at hop 3 counts
+    * once, at distance 1).
+    *
+    * Scale shape: classic BSP frontier expansion — hop k is ONE
+    * equi-join of the hop-(k−1) pair set against edges on the frontier
+    * node + a distinct (pair-keyed shuffle); candidate volume is
+    * bounded by n·out_deg^k with dedup applied per hop, and nothing is
+    * quadratic in the corpus. At a 1000-executor scale each hop is a
+    * co-partitioned join on the expanding key — the standard
+    * Pregel-in-SQL plan.
+    */
+  def grReach(spark: SparkSession, sfDir: String): DataFrame =
+    grReachFrom(docs(spark, sfDir))
+
+  /** [[grReach]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grReachFrom(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"))
+    val e = grEdgesFrom(d0).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    // hop tables: pairs (v, u) with u reachable in ≤k hops, deduped
+    // per hop; self excluded throughout
+    var hops = Vector(e.select(col("src").as("v"), col("dst").as("u"))
+      .distinct().localCheckpoint(true))
+    for (_ <- 2 to ReachHops) {
+      val prev = hops.last
+      val next = prev.join(e, prev("u") === e("src"))
+        .select(prev("v"), e("dst").as("u"))
+        .filter(col("v") =!= col("u"))
+        .distinct().localCheckpoint(true)
+      hops = hops :+ next
+    }
+    val withDist = hops.zipWithIndex.map { case (h, i) =>
+      h.select(col("v"), col("u"), lit(i + 1L).as("d"))
+    }.reduce(_ unionAll _)
+    val minDist = withDist.groupBy(col("v"), col("u"))
+      .agg(min(col("d")).as("d"))
+    val microExpr = (1 to ReachHops)
+      .map(k => s"WHEN d = $k THEN ${ReachMicro(k - 1)}L")
+      .mkString("CASE ", " ", " END")
+    val per = minDist.groupBy(col("v")).agg(
+      sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
+      sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"),
+      sum(when(col("d") === 3, 1L).otherwise(0L)).as("n_d3"),
+      sum(expr(microExpr)).as("harmonic_u"))
+    d.join(per, d("doc_id") === per("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_d1"), lit(0L)).as("n_d1"),
+        coalesce(col("n_d2"), lit(0L)).as("n_d2"),
+        coalesce(col("n_d3"), lit(0L)).as("n_d3"),
+        coalesce(col("harmonic_u"), lit(0L)).as("harmonic_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grReachSql: String = {
+    val micro = (1 to ReachHops)
+      .map(k => s"WHEN d = $k THEN ${ReachMicro(k - 1)}")
+      .mkString("CASE ", " ", " END")
+    s"""
+WITH $grEdgesSql, h1 AS (
+  SELECT DISTINCT src AS v, dst AS u FROM gedges
+), h2 AS (
+  SELECT DISTINCT h.v, e.dst AS u
+  FROM h1 h JOIN gedges e ON e.src = h.u
+  WHERE e.dst <> h.v
+), h3 AS (
+  SELECT DISTINCT h.v, e.dst AS u
+  FROM h2 h JOIN gedges e ON e.src = h.u
+  WHERE e.dst <> h.v
+), mind AS (
+  SELECT v, u, MIN(d) AS d FROM (
+    SELECT v, u, 1 AS d FROM h1
+    UNION ALL SELECT v, u, 2 FROM h2
+    UNION ALL SELECT v, u, 3 FROM h3
+  ) GROUP BY v, u
+), per AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+    CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+    CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+    CAST(SUM($micro) AS BIGINT) AS harmonic_u
+  FROM mind GROUP BY v
+)
+SELECT d.doc_id,
+  COALESCE(p.n_d1, CAST(0 AS BIGINT)) AS n_d1,
+  COALESCE(p.n_d2, CAST(0 AS BIGINT)) AS n_d2,
+  COALESCE(p.n_d3, CAST(0 AS BIGINT)) AS n_d3,
+  COALESCE(p.harmonic_u, CAST(0 AS BIGINT)) AS harmonic_u
+FROM documents d LEFT JOIN per p ON p.v = d.doc_id
 ORDER BY d.doc_id"""
   }
 

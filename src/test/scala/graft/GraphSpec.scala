@@ -17,12 +17,18 @@ class GraphSpec extends SparkSpec {
     * only the published constants are shared.
     */
   private def localGraph(): (Int, Map[Long, Seq[Long]]) = {
+    val (n, adj, _) = localGraphWithSources()
+    (n, adj)
+  }
+
+  private def localGraphWithSources()
+      : (Int, Map[Long, Seq[Long]], Map[Long, String]) = {
     val rows = spark.read.parquet(s"${sf()}/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val n = rows.length
     val md = java.security.MessageDigest.getInstance("MD5")
-    val adj = rows.map { case (id, text) =>
+    val adj = rows.map { case (id, text, _) =>
       val hex = md.digest(text.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       val h = java.lang.Long.parseLong(hex.take(15), 16) % CrossHash.P
@@ -32,7 +38,7 @@ class GraphSpec extends SparkSpec {
       }.distinct.filter(_ != id)
       id -> dsts
     }.toMap
-    (n, adj)
+    (n, adj, rows.map(r => r._1 -> r._3).toMap)
   }
 
   test("fixture contract: doc_ids are dense 0-based (mod-n targets resolve)") {
@@ -95,6 +101,78 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(4) == tris)
     // every counted triangle is really three edges
     assert(und.forall { case (a, b) => a < b && undSet.contains((a, b)) })
+  }
+
+  test("gr_trustrank equals the local seeded fixpoint; trust reaches " +
+    "exactly the seed-reachable set") {
+    val (_, adj, srcs) = localGraphWithSources()
+    val ssrc = srcs.values.min
+    val seeds = srcs.filter(_._2 == ssrc).keySet
+    assert(seeds.nonEmpty && seeds.size < srcs.size)
+    val base: Map[Long, Long] = adj.keys.map { v =>
+      v -> (if (seeds(v)) Graph.PrScale * 15L / 100L / seeds.size else 0L)
+    }.toMap
+    var r: Map[Long, Long] =
+      adj.keys.map(v => v -> (if (seeds(v)) Graph.PrScale / seeds.size
+        else 0L)).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val recv = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (u, dsts) =>
+        if (dsts.nonEmpty && r(u) > 0) {
+          val m = r(u) / dsts.length
+          dsts.foreach(v => recv(v) += m)
+        }
+      }
+      r = adj.keys
+        .map(v => v -> (base(v) + Graph.PrDampNum * recv(v) / 100L)).toMap
+    }
+    // seed-reachable set within PrIters hops (trust horizon)
+    var reach = seeds.map(identity)
+    for (_ <- 1 to Graph.PrIters)
+      reach = reach ++ reach.flatMap(adj(_))
+    val got = Graph.grTrustrank(spark, sf()).collect()
+    got.foreach { row =>
+      val (id, isSeed, rank) =
+        (row.getLong(0), row.getBoolean(1), row.getLong(2))
+      assert(rank == r(id), s"trustrank mismatch at doc $id")
+      assert(isSeed == seeds(id))
+      // the demotion contract: positive trust ⟺ seed-reachable
+      // (up to integer-division mass starvation, which only zeroes)
+      if (rank > 0) assert(reach(id), s"trust at unreachable doc $id")
+      if (isSeed) assert(rank > 0, s"seed $id lost all mass")
+    }
+    // vacuity: some non-seed nodes hold trust, some hold none
+    assert(got.exists(x => !x.getBoolean(1) && x.getLong(2) > 0))
+    assert(got.exists(x => x.getLong(2) == 0))
+  }
+
+  test("gr_reach equals a local BFS: min-dist counts and harmonic micro-sum") {
+    val (n, adj) = localGraph()
+    val got = Graph.grReach(spark, sf()).collect()
+    assert(got.length == n)
+    got.foreach { row =>
+      val v = row.getLong(0)
+      // local BFS to radius 3
+      var dist = Map(v -> 0)
+      var frontier = Seq(v)
+      for (d <- 1 to Graph.ReachHops) {
+        val next = frontier.flatMap(adj(_)).distinct
+          .filterNot(dist.contains)
+        next.foreach(u => dist += u.toLong -> d)
+        frontier = next.map(_.toLong)
+      }
+      val byD = (1 to Graph.ReachHops)
+        .map(d => dist.count { case (u, dd) => dd == d && u != v }.toLong)
+      assert(row.getLong(1) == byD(0), s"n_d1 at $v")
+      assert(row.getLong(2) == byD(1), s"n_d2 at $v")
+      assert(row.getLong(3) == byD(2), s"n_d3 at $v")
+      val harm = (1 to Graph.ReachHops)
+        .map(d => byD(d - 1) * Graph.ReachMicro(d - 1)).sum
+      assert(row.getLong(4) == harm, s"harmonic at $v")
+    }
+    // vacuity: radius-2/3 frontiers actually fire somewhere
+    assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(3) > 0))
   }
 
   test("gr_degree accounting: both sides sum to |E| and cover every node") {

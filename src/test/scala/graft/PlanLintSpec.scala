@@ -57,7 +57,9 @@ class PlanLintSpec extends SparkSpec {
     *  - gr_degree / gr_triangles (the 1-row corpus-count anchor that
     *    makes mod-n citation targets driver-collect-free; triangles
     *    additionally assembles its census row from four 1-row
-    *    aggregates), wh_zorder (the 1-row min/max bounds anchor plus
+    *    aggregates), gr_trustrank (the 1-row trusted-source anchor +
+    *    the 1-row seed-count anchor feeding the teleport vector),
+    *    wh_zorder (the 1-row min/max bounds anchor plus
     *    the 3·64-file-stats × 24-query workload check — both sides
     *    layout constants by construction, the documented
     *    footer-pruning BNLJ).
@@ -68,7 +70,8 @@ class PlanLintSpec extends SparkSpec {
     "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
-    "ev_survival", "gr_degree", "gr_triangles", "wh_zorder",
+    "ev_survival", "gr_degree", "gr_triangles", "gr_trustrank",
+    "wh_zorder",
     "prof_drift",
     "prof_mi",
     "prof_outliers",
