@@ -488,6 +488,58 @@ ORDER BY day, event_type"""
   }
 
   // ------------------------------------------------------------------
+  // streaming citation monitor — the graph tier's live twin
+  // ------------------------------------------------------------------
+
+  /** In-degree at which the live monitor flags a link-ring suspect —
+    * calibrated against the fixture's organic in-degree tail (max 9
+    * at 500 docs; gr_degree is the census that re-calibrates this per
+    * corpus).
+    */
+  val LinkRingInDeg = 8L
+
+  /** The LIVE citation-graph monitor — [[graft.operators.Graph
+    * .grDegree]]'s in-side twin at node grain: as documents arrive,
+    * their citation targets derive MAP-SIDE (the identical
+    * md5Mod→affine→mod-n rule, one arithmetic family — `n` is the
+    * serving graph's corpus size, a build-time constant exactly like
+    * [[nearDupIngestStream]]'s band index), per-doc duplicate targets
+    * and self-loops drop before the aggregate (`array_distinct` per
+    * row ≡ the batch edge set's global DISTINCT, because src is part
+    * of the grain and ingest is append-once by contract), and ONE
+    * running groupBy keeps the live in-degree per cited document with
+    * the link-ring flag a feed operator pages on — a burst of new
+    * docs all citing one target is the SEO-ring shape the degree
+    * census audits nightly; this is the between-audits pager.
+    *
+    * State: one row per CITED doc (≤ corpus) — the dqStream argument:
+    * the per-node count IS the signal, so node grain is the honest
+    * floor. Output mode Complete (running census).
+    *
+    * StreamingSpec pins replay equality: streaming the batch-split
+    * corpus yields exactly the batch edge set's per-node in-degrees,
+    * flags included, and the census grows monotonically across the
+    * batch boundary.
+    */
+  def citationStream(docs: DataFrame, n: Long): DataFrame = {
+    import graft.functions.CrossHash
+    import graft.operators.Graph
+    val targets = (0 until Graph.GraphOutDeg).map { i =>
+      val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
+      expr(s"((h * $a + $b) % ${CrossHash.P}) % $n")
+    }
+    docs
+      .select(col("doc_id").as("src"), CrossHash.md5Mod(col("text")).as("h"))
+      .select(col("src"),
+        explode(array_distinct(array(targets: _*))).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_deg"))
+      .select(col("dst"), col("in_deg"),
+        (col("in_deg") >= LinkRingInDeg).as("is_hot"))
+  }
+
+  // ------------------------------------------------------------------
   // stream-stream attribution join — ev_range_join's streaming twin
   // ------------------------------------------------------------------
 

@@ -1838,4 +1838,45 @@ class StreamingSpec extends SparkSpec {
       s"unexpected re-run rows: ${buf2.set}")
     }
   }
+
+  test("citation monitor replays the batch in-degree census across a " +
+    "batch boundary, link-ring flags included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = d.length.toLong
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingStats
+      .citationStream(mem.toDF().toDF("doc_id", "text"), n)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cite_mon").start()
+    try {
+      val (b1, b2) = d.splitAt(d.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("cite_mon").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cite_mon").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // batch twin: the shipped edge derivation's per-node in-degree
+      val want = graft.operators.Graph.grEdges(spark, sf())
+        .groupBy(col("dst")).agg(count(lit(1)).as("in_deg")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(1) >= StreamingStats.LinkRingInDeg)).toSet
+      assert(got == want)
+      // the pager actually fires on this corpus (max in-degree 12)
+      assert(got.exists(_._3) && got.exists(!_._3))
+      // complete-mode census only GROWS across the batch boundary
+      assert(mid.nonEmpty && mid.values.sum < got.toSeq.map(_._2).sum)
+      mid.foreach { case (dst, c) =>
+        assert(got.exists(g => g._1 == dst && g._2 >= c),
+          s"in-degree shrank at $dst")
+      }
+    } finally q.stop()
+  }
 }
