@@ -122,7 +122,9 @@ object ScaleSoak {
       // BSP frontier expansion: candidate volume n·deg³ with per-hop
       // distinct — the α readout says whether the dedup keeps it linear
       "gr_reach_dense" -> ((s, dir, _) =>
-        graft.operators.Graph.grReachFrom(soakDenseDocs(s, dir))))
+        graft.operators.Graph.grReachFrom(soakDenseDocs(s, dir))),
+      "gr_components_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grComponentsFrom(soakDenseDocs(s, dir))))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

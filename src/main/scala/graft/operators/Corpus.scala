@@ -2525,4 +2525,85 @@ SELECT source, docs, src_tokens, is_capped,
     AS keep_share
 FROM out ORDER BY source"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_corpus_diff — snapshot-to-snapshot corpus diff census
+  // ------------------------------------------------------------------
+
+  /** SNAPSHOT DIFF — the census a recurring-crawl pipeline runs
+    * between corpus versions before deciding what to re-process: per
+    * source, how many documents were ADDED, REMOVED, content-CHANGED,
+    * and UNCHANGED from version A to version B. Incremental
+    * re-tokenization, re-embedding and index refresh all bill by
+    * exactly these four numbers — re-processing an unchanged doc is
+    * the waste this census exists to prevent.
+    *
+    * The two versions derive deterministically from the one fixture
+    * table (the engine's derived-fixture contract): A drops
+    * `doc_id % 13 = 0`, B drops `doc_id % 13 = 1` (13 is coprime to the
+    * fixture's source cycle, so every source shows a MIX of classes) and rewrites the
+    * text of `doc_id % 7 = 0` (an appended edit marker) — giving all
+    * four diff classes non-trivially. Identity is doc_id; change
+    * detection is content-hash inequality ([[graft.functions
+    * .CrossHash.md5Long]] — the full 60-bit hash, the dd_spans
+    * collision argument).
+    *
+    * Scale shape: two filtered scans, ONE full-outer equi-join on the
+    * id, one source-grain census groupBy. At 100 TB this is the
+    * textbook co-partitionable diff — both sides hash-partition on
+    * doc_id and nothing is quadratic; the hash comparison makes the
+    * join payload one long per side instead of the document text.
+    */
+  def cpCorpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextAnalysis.docs(spark, sfDir)
+    val a = d.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id").as("aid"), col("source").as("asrc"),
+        CrossHash.md5Long(col("text")).as("ha"))
+    val bText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" v2"))).otherwise(col("text"))
+    val b = d.filter(col("doc_id") % 13 =!= 1)
+      .select(col("doc_id").as("bid"), col("source").as("bsrc"),
+        CrossHash.md5Long(bText).as("hb"))
+    a.join(b, col("aid") === col("bid"), "full_outer")
+      .select(coalesce(col("asrc"), col("bsrc")).as("source"),
+        col("aid"), col("bid"), col("ha"), col("hb"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("aid").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("bid").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("aid").isNotNull && col("bid").isNotNull &&
+          col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("aid").isNotNull && col("bid").isNotNull &&
+          col("ha") === col("hb"), 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
+  val cpCorpusDiffSql: String = {
+    import graft.functions.CrossHash.md5LongSql
+    s"""
+WITH a AS (
+  SELECT doc_id AS aid, source AS asrc, ${md5LongSql("text")} AS ha
+  FROM documents WHERE doc_id % 13 <> 0
+), b AS (
+  SELECT doc_id AS bid, source AS bsrc,
+    ${md5LongSql(
+        "(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)")} AS hb
+  FROM documents WHERE doc_id % 13 <> 1
+), j AS (
+  SELECT COALESCE(asrc, bsrc) AS source, aid, bid, ha, hb
+  FROM a FULL OUTER JOIN b ON b.bid = a.aid
+)
+SELECT source,
+  CAST(SUM(CASE WHEN aid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(SUM(CASE WHEN bid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(SUM(CASE WHEN aid IS NOT NULL AND bid IS NOT NULL
+    AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN aid IS NOT NULL AND bid IS NOT NULL
+    AND ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j
+GROUP BY source
+ORDER BY source"""
+  }
 }

@@ -841,8 +841,15 @@ ORDER BY new_doc, corpus_doc"""
     * shared by the uncapped and bucket-capped cluster oracles so the
     * closure semantics can never drift between them.
     */
-  private def ddClustersClosureSql(lshBody: String): String =
-    s"""WITH RECURSIVE lsh AS (
+  /** The ONE recursive-CTE min-label closure every CC oracle embeds —
+    * dd_clusters (capped/uncapped), and via `prefixCtes` any consumer
+    * whose pair stream needs leading CTEs (the citation graph's
+    * gr_components). One copy: the fixpoint semantics cannot drift
+    * between pair sources.
+    */
+  private[graft] def ddClustersClosureSql(lshBody: String,
+      prefixCtes: String = ""): String =
+    s"""WITH RECURSIVE ${prefixCtes}lsh AS (
 $lshBody
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lsh

@@ -290,6 +290,48 @@ ORDER BY d.doc_id"""
   }
 
   // ------------------------------------------------------------------
+  // gr_components — weakly-connected components of the citation graph
+  // ------------------------------------------------------------------
+
+  /** Weakly-connected components — the graph-tier form of the engine's
+    * CC capability (dedup and media clustering already run it over
+    * similarity pair streams; this runs it over citation edges, where
+    * a component is a topic/mirror neighborhood): star-CC
+    * ([[Dedup.connectedComponentsStar]] — ONE implementation across
+    * all three pair sources) over the symmetrized edge set, with the
+    * same output contract as dd_clusters (rep = min id, size,
+    * is_survivor). Oracle composes the SAME recursive-CTE closure
+    * fragment ([[Dedup.ddClustersClosureSql]]) over the shared
+    * gedges CTEs — the fixpoint semantics literally cannot drift from
+    * the dedup family's.
+    */
+  def grComponents(spark: SparkSession, sfDir: String): DataFrame =
+    grComponentsFrom(docs(spark, sfDir))
+
+  /** [[grComponents]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grComponentsFrom(d0: DataFrame): DataFrame = {
+    val pairs = grEdgesFrom(d0)
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val (labels, _) = Dedup.connectedComponentsStar(
+      d0.select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grComponentsSql: String = Dedup.ddClustersClosureSql(
+    "  SELECT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b\n" +
+      "  FROM gedges GROUP BY 1, 2",
+    prefixCtes = grEdgesSql + ", ")
+
+  // ------------------------------------------------------------------
   // gr_trustrank — seed-teleport PageRank (trust propagation)
   // ------------------------------------------------------------------
 

@@ -2088,4 +2088,186 @@ FROM (
 ) WHERE rank <= $RrfK
 ORDER BY query_id, rank"""
   }
+
+  // ------------------------------------------------------------------
+  // sim_hard_negatives — contrastive-training pair mining
+  // ------------------------------------------------------------------
+
+  /** Hard negatives kept per anchor. */
+  val HnK = 5
+
+  /** HARD-NEGATIVE MINING — the data-prep step contrastive embedding
+    * training runs over the whole corpus: per anchor (the NQueries
+    * labeled query vectors), the [[HnK]] highest-cosine vectors with a
+    * DIFFERENT label (the negatives that actually move the loss — easy
+    * negatives teach nothing), the single nearest SAME-label vector
+    * (the positive the batch pairs), and the margin pos−neg the mining
+    * curriculum thresholds on (a negative above the positive = margin
+    * < 0 = the pair a hard-mining batch wants most).
+    *
+    * Scale shape: one scored pass (anchors × corpus — anchors are the
+    * fixed NQueries broadcast side), two windows over the same
+    * per-anchor partition. At 100 TB anchors are a training batch, not
+    * 8 — the plan is the same broadcast-join + per-anchor top-k
+    * (TakeOrderedAndProject semantics per key); the corpus is never
+    * self-joined.
+    */
+  def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    DotProduct.register(spark)
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", DotProduct.dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val scored = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"),
+        col("label"), cos.as("c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val negs = scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HnK)
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .withColumn("prk", row_number().over(w))
+      .filter(col("prk") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("c").as("pc"))
+    negs.join(pos, Seq("query_id"))
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        r6(col("c")).as("neg_cosine"),
+        col("pos_id"), r6(col("pc")).as("pos_cosine"),
+        r6(col("pc") - col("c")).as("margin"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHardNegativesSql: String = s"""WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < $NQueries
+), scored AS (
+  SELECT q.query_id, q.qlabel, n.vec_id, n.label,
+    ${dotSql("q.qv", "n.v")} / sqrt(q.qn * n.nrm) AS c
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), negs AS (
+  SELECT query_id, vec_id, label, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+      AS rank
+  FROM scored WHERE label <> qlabel
+), pos AS (
+  SELECT query_id, vec_id AS pos_id, c AS pc,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+      AS prk
+  FROM scored WHERE label = qlabel
+)
+SELECT g.query_id, CAST(g.rank AS INTEGER) AS rank, g.vec_id AS neg_id,
+  g.label AS neg_label, ${r6Sql("g.c")} AS neg_cosine,
+  p.pos_id, ${r6Sql("p.pc")} AS pos_cosine,
+  ${r6Sql("(p.pc - g.c)")} AS margin
+FROM negs g JOIN pos p ON p.query_id = g.query_id AND p.prk = 1
+WHERE g.rank <= $HnK
+ORDER BY g.query_id, g.rank"""
+
+  // ------------------------------------------------------------------
+  // sim_mrl — matryoshka prefix-truncation recall sweep
+  // ------------------------------------------------------------------
+
+  /** Embedding prefix lengths swept (full dim first = the recall-1.0
+    * sanity row).
+    */
+  val MrlDims = Seq(64, 32, 16, 8)
+
+  /** MATRYOSHKA TRUNCATION SWEEP — the serving-cost dial
+    * matryoshka-trained embeddings expose: score with only the first d
+    * dimensions and measure recall@[[TopK]] against the full-dim
+    * ground truth, per prefix length and anchor. The readout a serving
+    * owner acts on: the d where recall collapses is the cheapest index
+    * the corpus supports (dot-product cost and index bytes both scale
+    * ∝ d). Ground truth is the full-dim exact top-k (the
+    * sim_bruteforce_topk contract); the d=64 row is recall 1.0 by
+    * construction — the sweep's built-in vacuity guard.
+    *
+    * Scale: one scored pass per prefix (anchors broadcast), window
+    * top-k per (d, anchor); nothing corpus-quadratic.
+    */
+  def simMrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = base(spark, sfDir)
+    def topkAt(d: Int): DataFrame = {
+      val pv = slice(col("v"), 1, d)
+      val ed = e.select(col("vec_id"), pv.as("pv"))
+        .withColumn("pn", graft.functions.DotProduct.dot(col("pv"), col("pv")))
+      val qd = ed.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+          col("pn").as("qn"))
+      val cos = graft.functions.DotProduct.dot(col("qv"), col("pv")) /
+        sqrt(col("qn") * col("pn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("vec_id"))
+      qd.join(ed, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos.as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(lit(d).as("prefix_dim"), col("query_id"), col("vec_id"))
+    }
+    val truth = topkAt(64)
+      .select(col("query_id").as("tq"), col("vec_id").as("tv"))
+    val cands = MrlDims.map(topkAt).reduce(_ unionAll _)
+    // LEFT join + flag count, not a semi-join: a (prefix, anchor) whose
+    // candidates ALL miss must still report recall 0, not vanish
+    cands.join(truth,
+        cands("query_id") === col("tq") && cands("vec_id") === col("tv"),
+        "left")
+      .groupBy(col("prefix_dim"), col("query_id"))
+      .agg(sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("prefix_dim"), col("query_id"), col("n_hits"),
+        r6(col("n_hits").cast("double") / TopK).as("recall"))
+      .orderBy(col("prefix_dim"), col("query_id"))
+  }
+
+  val simMrlSql: String = {
+    def topkAt(d: Int, tag: String): String = s"""e$tag AS (
+  SELECT vec_id, v[1:$d] AS pv FROM ebase
+), n$tag AS (
+  SELECT vec_id, pv, ${dotSql("pv", "pv")} AS pn FROM e$tag
+), q$tag AS (
+  SELECT vec_id AS query_id, pv AS qv, pn AS qn FROM n$tag
+  WHERE vec_id < $NQueries
+), r$tag AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+      AS rank
+  FROM (
+    SELECT q.query_id, n.vec_id,
+      ${dotSql("q.qv", "n.pv")} / sqrt(q.qn * n.pn) AS c
+    FROM q$tag q JOIN n$tag n ON n.vec_id <> q.query_id
+  )
+), c$tag AS (
+  SELECT $d AS prefix_dim, query_id, vec_id FROM r$tag WHERE rank <= $TopK
+)"""
+    val per = MrlDims.map(d => topkAt(d, s"d$d")).mkString(", ")
+    val union = MrlDims.map(d => s"SELECT * FROM cd$d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ebase AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), $per, cands AS (
+  $union
+), truth AS (
+  SELECT query_id AS tq, vec_id AS tv FROM cd64
+)
+SELECT c.prefix_dim, c.query_id,
+  CAST(SUM(CASE WHEN t.tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hits,
+  ${r6Sql(s"""(CAST(SUM(CASE WHEN t.tv IS NOT NULL THEN 1 ELSE 0 END)
+    AS DOUBLE) / $TopK)""")} AS recall
+FROM cands c LEFT JOIN truth t ON t.tq = c.query_id AND t.tv = c.vec_id
+GROUP BY c.prefix_dim, c.query_id
+ORDER BY c.prefix_dim, c.query_id"""
+  }
 }

@@ -906,4 +906,40 @@ class CorpusSpec extends SparkSpec {
     assert(rows.values.exists(_.getAs[Boolean]("is_capped")))
     assert(rows.values.exists(!_.getAs[Boolean]("is_capped")))
   }
+
+  test("cp_corpus_diff equals a local diff of the two derived versions") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = docs.filter(_._1 % 13 != 0).map(d => d._1 -> d).toMap
+    val b = docs.filter(_._1 % 13 != 1).map { d =>
+      val text = if (d._1 % 7 == 0) d._3 + " v2" else d._3
+      d._1 -> (d._1, d._2, text)
+    }.toMap
+    case class Diff(var add: Long = 0, var rm: Long = 0,
+      var chg: Long = 0, var same: Long = 0)
+    val want = scala.collection.mutable.Map.empty[String, Diff]
+    def at(s: String) = want.getOrElseUpdate(s, Diff())
+    (a.keySet ++ b.keySet).foreach { id =>
+      (a.get(id), b.get(id)) match {
+        case (None, Some(bd)) => at(bd._2).add += 1
+        case (Some(ad), None) => at(ad._2).rm += 1
+        case (Some(ad), Some(bd)) =>
+          if (ad._3 == bd._3) at(ad._2).same += 1 else at(ad._2).chg += 1
+        case _ => ()
+      }
+    }
+    val got = graft.operators.Corpus.cpCorpusDiff(spark, sf()).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val w = want(r.getString(0))
+      assert(r.getLong(1) == w.add && r.getLong(2) == w.rm &&
+        r.getLong(3) == w.chg && r.getLong(4) == w.same,
+        s"diff mismatch at ${r.getString(0)}")
+    }
+    // every class fires somewhere, and the edit marker never collides
+    // with an unchanged hash (the 60-bit-hash argument made concrete)
+    assert(got.exists(_.getLong(1) > 0) && got.exists(_.getLong(2) > 0) &&
+      got.exists(_.getLong(3) > 0) && got.exists(_.getLong(4) > 0))
+  }
 }

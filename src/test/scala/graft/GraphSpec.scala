@@ -175,6 +175,32 @@ class GraphSpec extends SparkSpec {
     assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(3) > 0))
   }
 
+  test("gr_components equals a local union-find over the derived edges") {
+    val (n, adj) = localGraph()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    adj.foreach { case (u, dsts) => dsts.foreach(v => union(u, v)) }
+    val lbl = adj.keys.map(v => v -> find(v)).toMap
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) =>
+      l -> xs.size.toLong
+    }
+    val got = Graph.grComponents(spark, sf()).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == lbl(id), s"component rep at $id")
+      assert(r.getLong(2) == sizes(lbl(id)), s"component size at $id")
+      assert(r.getBoolean(3) == (id == lbl(id)))
+    }
+  }
+
   test("gr_degree accounting: both sides sum to |E| and cover every node") {
     val (n, adj) = localGraph()
     val nEdges = adj.valuesIterator.map(_.length.toLong).sum

@@ -45,7 +45,9 @@ class PlanLintSpec extends SparkSpec {
     *    anchors; its touched-word filter replays the identical 1-row
     *    elected merge onto the word table).
     *  - fixed NQueries-row query sets / ≤k-row centroid-or-threshold
-    *    tables: sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
+    *    tables: sim_hard_negatives and sim_mrl (the NQueries-row
+    *    anchor side against the corpus — the scored-pass shape of
+    *    sim_bruteforce_topk), sim_bruteforce_topk, sim_ivf_ann, sim_ivf_tuning,
     *    sim_ivf_trained (≤k-row trained centroids per Lloyd round +
     *    the 1-row live-cell-count anchor),
     *    sim_kmeans, sim_label_knn_ann, sim_mips, sim_pq, sim_recall,
@@ -81,6 +83,7 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_trained",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
+    "sim_hard_negatives", "sim_mrl",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",
     "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq",
     "wh_idle_customers", "wh_pricing")

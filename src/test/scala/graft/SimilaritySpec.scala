@@ -569,4 +569,71 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("mean_abs_err") > 0.0)
     }
   }
+
+  test("sim_hard_negatives: the mined set is the local top cross-label " +
+    "cosines, the positive the best same-label, the margin their gap") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val got = Similarity.simHardNegatives(spark, sf()).collect()
+    assert(got.length == Similarity.NQueries * Similarity.HnK)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val (_, qlb, qv) = byId(qid)
+      val scored = vecs.filter(_._1 != qid)
+        .map { case (id, lb, v) => (id, lb, cos(qv, v)) }
+      val negs = scored.filter(_._2 != qlb)
+        .sortBy(t => (-t._3, t._1)).take(Similarity.HnK)
+      val pos = scored.filter(_._2 == qlb).minBy(t => (-t._3, t._1))
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.zip(negs).foreach { case (r, (nid, nlb, nc)) =>
+        assert(r.getLong(2) == nid && r.getInt(3) == nlb)
+        assert(r.getDouble(4) == graft.functions.Determinism.r6Jvm(nc))
+        assert(r.getLong(5) == pos._1)
+        assert(r.getDouble(6) == graft.functions.Determinism.r6Jvm(pos._3))
+        assert(r.getDouble(7) ==
+          graft.functions.Determinism.r6Jvm(pos._3 - nc))
+      }
+      // negatives are mined hardest-first
+      val cosines = sorted.map(_.getDouble(4))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // the hard-mining regime is present: some negative outranks its
+    // anchor's positive (margin < 0) — the pair the curriculum wants
+    assert(got.exists(_.getDouble(7) < 0))
+  }
+
+  test("sim_mrl: full-dim recall is exactly 1 and average recall never " +
+    "rises as the prefix shrinks") {
+    import graft.operators.Similarity
+    val rows = Similarity.simMrl(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == Similarity.MrlDims.size * Similarity.NQueries)
+    // d = 64 IS the ground truth — recall 1.0 on every anchor
+    rows.filter(_._1 == 64).foreach { r =>
+      assert(r._3 == Similarity.TopK && r._4 == 1.0)
+    }
+    // hits are bounded and recall = hits/k exactly
+    rows.foreach { r =>
+      assert(r._3 >= 0 && r._3 <= Similarity.TopK)
+      assert(r._4 == graft.functions.Determinism.r6Jvm(
+        r._3.toDouble / Similarity.TopK))
+    }
+    val avg = Similarity.MrlDims.map { d =>
+      d -> rows.filter(_._1 == d).map(_._4).sum / Similarity.NQueries
+    }.toMap
+    val sorted = Similarity.MrlDims.sorted
+    sorted.zip(sorted.tail).foreach { case (lo, hi) =>
+      assert(avg(lo) <= avg(hi),
+        s"recall rose as the prefix shrank: d=$lo ${avg(lo)} > d=$hi ${avg(hi)}")
+    }
+    // the sweep is informative on this corpus: truncation actually hurts
+    assert(avg(sorted.head) < 1.0)
+  }
 }
