@@ -376,7 +376,11 @@ ORDER BY d.doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val grTrustrankSql: String = {
+  /** The seeded-fixpoint WITH-chain shared verbatim by the doc-grain
+    * [[grTrustrankSql]] and the source-grain [[grSourceTrustSql]] —
+    * one teleport definition, two readout grains.
+    */
+  private val grTrustChainSql: String = {
     val share = s"($PrScale // a.ns)"
     val baseShare = s"(${PrScale * 15L / 100L} // a.ns)"
     val seed = "d.source = a.ssrc"
@@ -388,12 +392,58 @@ ORDER BY d.doc_id"""
       s"(CASE WHEN $seed THEN $share ELSE CAST(0 AS BIGINT) END)",
       s"(CASE WHEN $seed THEN $baseShare ELSE CAST(0 AS BIGINT) END)")
     s"""
-WITH $grEdgesSql, $loop
+WITH $grEdgesSql, $loop"""
+  }
+
+  val grTrustrankSql: String =
+    s"""$grTrustChainSql
 SELECT d.doc_id, (d.source = a.ssrc) AS is_seed, p.r AS rank_u
 FROM documents d CROSS JOIN panchor a
 JOIN gr$PrIters p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------------
+  // gr_source_trust — the per-feed trust rollup
+  // ------------------------------------------------------------------
+
+  /** [[grTrustrank]] aggregated to the grain the decision is made at:
+    * per SOURCE, docs, seeds, total trust mass (BIGINT micro-units —
+    * integer-exact under any fold order) and mean trust per doc — the
+    * feed-scoring table a curation pipeline turns into sampling
+    * weights (a feed whose docs hold near-zero trust mass is the one
+    * the mixer downweights first). Pure composition: the rank loop is
+    * [[prLoop]] with the trustrank teleport (ONE fixpoint definition;
+    * the oracle embeds the same [[prRoundsSql]] rounds), plus one
+    * source-grain census groupBy.
+    */
+  def grSourceTrust(spark: SparkSession, sfDir: String): DataFrame =
+    grSourceTrustFrom(docs(spark, sfDir))
+
+  private[graft] def grSourceTrustFrom(d0: DataFrame): DataFrame = {
+    val ranked = grTrustrankFrom(d0)
+    ranked.join(d0.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seed"),
+        sum(col("rank_u")).as("trust_u"),
+        r6(sum(col("rank_u")).cast("double") / count(lit(1)))
+          .as("mean_trust_u"))
+      .orderBy(col("source"))
   }
+
+  val grSourceTrustSql: String =
+    s"""$grTrustChainSql
+SELECT d.source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN d.source = a.ssrc THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_seed,
+  CAST(SUM(p.r) AS BIGINT) AS trust_u,
+  ${r6Sql("(CAST(SUM(p.r) AS DOUBLE) / COUNT(*))")} AS mean_trust_u
+FROM documents d CROSS JOIN panchor a
+JOIN gr$PrIters p ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source"""
 
   // ------------------------------------------------------------------
   // gr_reach — bounded-radius reachability / truncated harmonic

@@ -147,6 +147,33 @@ class GraphSpec extends SparkSpec {
     assert(got.exists(x => x.getLong(2) == 0))
   }
 
+  test("gr_source_trust is exactly gr_trustrank rolled up to source grain") {
+    val srcs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Graph.grTrustrank(spark, sf()).collect()
+      .map(r => (srcs(r.getLong(0)), r.getBoolean(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.count(_._2).toLong,
+        rows.map(_._3).sum)
+    }
+    val got = Graph.grSourceTrust(spark, sf()).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, seeds, trust) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == seeds &&
+        r.getLong(3) == trust, s"rollup mismatch at ${r.getString(0)}")
+      assert(r.getDouble(4) ==
+        graft.functions.Determinism.r6Jvm(trust.toDouble / n))
+    }
+    // the decision signal is present: the seed feed holds the most
+    // trust mass, and sources differ
+    val bySrc = got.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val seedSrc = got.filter(_.getLong(2) > 0).map(_.getString(0))
+    assert(seedSrc.length == 1 && bySrc(seedSrc.head) == bySrc.values.max)
+    assert(bySrc.values.toSet.size > 1)
+  }
+
   test("gr_reach equals a local BFS: min-dist counts and harmonic micro-sum") {
     val (n, adj) = localGraph()
     val got = Graph.grReach(spark, sf()).collect()

@@ -59,8 +59,9 @@ class PlanLintSpec extends SparkSpec {
     *  - gr_degree / gr_triangles (the 1-row corpus-count anchor that
     *    makes mod-n citation targets driver-collect-free; triangles
     *    additionally assembles its census row from four 1-row
-    *    aggregates), gr_trustrank (the 1-row trusted-source anchor +
-    *    the 1-row seed-count anchor feeding the teleport vector),
+    *    aggregates), gr_trustrank and its source-grain rollup
+    *    gr_source_trust (the 1-row trusted-source anchor + the 1-row
+    *    seed-count anchor feeding the teleport vector),
     *    wh_zorder (the 1-row min/max bounds anchor plus
     *    the 3·64-file-stats × 24-query workload check — both sides
     *    layout constants by construction, the documented
@@ -73,7 +74,7 @@ class PlanLintSpec extends SparkSpec {
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "gr_degree", "gr_triangles", "gr_trustrank",
-    "wh_zorder",
+    "gr_source_trust", "wh_zorder",
     "prof_drift",
     "prof_mi",
     "prof_outliers",
