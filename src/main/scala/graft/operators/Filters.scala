@@ -540,4 +540,80 @@ ORDER BY c.source"""
 
   private def qfSourceCensusSqlIndented: String =
     qfSourceCensusSql.replace("\n", "\n  ")
+
+  // ------------------------------------------------------------------
+  // qf_dp_census — differentially-private release counts
+  // ------------------------------------------------------------------
+
+  /** Privacy budgets swept: label → ε (Laplace scale b = 1/ε for a
+    * count's sensitivity of 1).
+    */
+  val DpEps: Seq[(String, Double)] = Seq("eps_1.0" -> 1.0, "eps_0.1" -> 0.1)
+
+  /** DP RELEASE CENSUS — the privacy tier of the dataset-card story
+    * (cp_dataset_card publishes per-source statistics; when the
+    * sources are sensitive, the published counts need differential
+    * privacy): per source and privacy budget ε, the true doc count,
+    * the Laplace-noised count, and the signed error — the
+    * accuracy-vs-ε table a release owner reads before choosing the
+    * budget. Laplace noise by inverse CDF,
+    * `X = −b·sgn(u−½)·ln(1−2|u−½|)`, with u derived DETERMINISTICALLY
+    * from the release key ([[graft.functions.CrossHash.md5Mod]] of
+    * source + budget label, mapped into (0,1)) — the engine's
+    * determinism contract applied to noise: the driver hash gate can pin
+    * the sampled values, a production deployment swaps the seed for a
+    * secret drawn once per release. Noise is quantized to integer
+    * micro-units (the micro-nat discipline applied to 1/ε-scale
+    * noise), so outputs are BIGINT end to end.
+    *
+    * Scale shape: one source-grain census groupBy; the noise is a
+    * per-row projection over the (sources × budgets) result — nothing
+    * corpus-sized after the count.
+    */
+  def qfDpCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val P1 = graft.functions.CrossHash.P + 1
+    DpEps.map { case (label, eps) =>
+      val b = 1.0 / eps
+      val u = (graft.functions.CrossHash
+        .md5Mod(concat(col("source"), lit("#dp#" + label))) + lit(1L))
+        .cast("double") / lit(P1.toDouble)
+      val noise = (when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+        lit(-b) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
+      per.select(col("source"), lit(label).as("eps"), col("n_docs"),
+        (col("n_docs") * 1000000L +
+          round(noise * 1000000L).cast("long")).as("n_dp_u"))
+    }.reduce(_ unionAll _)
+      .withColumn("err_u", col("n_dp_u") - col("n_docs") * 1000000L)
+      .orderBy(col("source"), col("eps"))
+  }
+
+  val qfDpCensusSql: String = {
+    import graft.functions.CrossHash.{md5ModSql, P}
+    val P1 = P + 1
+    def branch(label: String, eps: Double): String = {
+      val b = 1.0 / eps
+      val u = s"((${md5ModSql(s"(source || '#dp#' || '$label')")} + 1)" +
+        s" / CAST($P1 AS DOUBLE))"
+      val noise = s"((CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END)" +
+        s" * (-$b) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+      s"""SELECT source, '$label' AS eps, n_docs,
+    (n_docs * 1000000 +
+      CAST(round($noise * 1000000) AS BIGINT)) AS n_dp_u
+  FROM per"""
+    }
+    val branches = DpEps.map { case (l, e) => branch(l, e) }
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), noised AS (
+  $branches
+)
+SELECT source, eps, n_docs, n_dp_u,
+  CAST(n_dp_u - n_docs * 1000000 AS BIGINT) AS err_u
+FROM noised
+ORDER BY source, eps"""
+  }
 }

@@ -206,4 +206,47 @@ class FiltersSpec extends SparkSpec {
     // the fixture must exercise both verdicts on the feed leg
     assert(rows.exists(_.getAs[Boolean]("feed_ok")))
   }
+
+  test("qf_dp_census: noise equals the local inverse-CDF recompute and " +
+    "scales with 1/epsilon") {
+    import graft.operators.Filters
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source").collect().map(_.getString(0))
+    val trueN = docs.groupBy(identity).map { case (s, xs) =>
+      s -> xs.length.toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noiseU(source: String, label: String, eps: Double): Long = {
+      val hex = md.digest(s"$source#dp#$label".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P
+      val u = (h + 1).toDouble / (graft.functions.CrossHash.P + 1).toDouble
+      val sgn = if (u >= 0.5) 1.0 else -1.0
+      val x = sgn * (-1.0 / eps) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      math.round(x * 1000000.0)
+    }
+    val got = Filters.qfDpCensus(spark, sf()).collect()
+    assert(got.length == trueN.size * Filters.DpEps.size)
+    got.foreach { r =>
+      val (src, label) = (r.getString(0), r.getString(1))
+      val eps = Filters.DpEps.toMap.apply(label)
+      assert(r.getLong(2) == trueN(src))
+      assert(r.getLong(4) == noiseU(src, label, eps),
+        s"noise mismatch at ($src, $label)")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L + r.getLong(4))
+    }
+    // the accuracy-vs-budget story holds: the tighter budget is noisier
+    def meanAbsErr(label: String): Double = {
+      val e = got.filter(_.getString(1) == label).map(r =>
+        math.abs(r.getLong(4)).toDouble)
+      e.sum / e.length
+    }
+    assert(meanAbsErr("eps_0.1") > meanAbsErr("eps_1.0"))
+    // and the noise is noise: both signs occur at each budget
+    Filters.DpEps.foreach { case (label, _) =>
+      val errs = got.filter(_.getString(1) == label).map(_.getLong(4))
+      assert(errs.exists(_ > 0) && errs.exists(_ < 0), s"one-sided $label")
+    }
+  }
 }
