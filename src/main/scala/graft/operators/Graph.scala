@@ -197,9 +197,23 @@ ORDER BY side, deg"""
   /** [[grPagerank]] over any dense-id (doc_id, text) frame — the
     * ScaleSoak seam (see [[grEdgesFrom]]).
     */
-  private[graft] def grPagerankFrom(d0: DataFrame): DataFrame = {
-    val d = d0.select(col("doc_id"))
-    val e = grEdgesFrom(d0).localCheckpoint(true)
+  private[graft] def grPagerankFrom(d0: DataFrame): DataFrame =
+    grPagerankFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grPagerank]] over an EXPLICIT edge set — the production seam
+    * the derivation claim rests on: a real corpus with a stored link
+    * column enters here with `(src, dst, out_deg)` and the fixpoint
+    * never knows the edges weren't derived. `nodes0` supplies the node
+    * universe (`doc_id`) — rank mass is injected per NODE, so isolated
+    * documents still hold teleport mass. GraphSpec runs this over a
+    * hand-built edge fixture; GraphSkewSoak feeds it Zipf-degree
+    * graphs the text derivation cannot produce.
+    */
+  private[graft] def grPagerankFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val d = nodes0.select(col("doc_id"))
+    val e = e0.select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
     val n = d.agg(count(lit(1)).as("n"))
     val nodes = d.crossJoin(broadcast(n)) // 1-row anchor (allowlisted)
       .select(col("doc_id"),
@@ -309,14 +323,21 @@ ORDER BY d.doc_id"""
     grComponentsFrom(docs(spark, sfDir))
 
   /** [[grComponents]] over any dense-id frame (ScaleSoak seam). */
-  private[graft] def grComponentsFrom(d0: DataFrame): DataFrame = {
-    val pairs = grEdgesFrom(d0)
+  private[graft] def grComponentsFrom(d0: DataFrame): DataFrame =
+    grComponentsFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grComponents]] over an explicit `(src, dst)` edge set — the
+    * real-link seam (see [[grPagerankFromEdges]]).
+    */
+  private[graft] def grComponentsFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val pairs = e0
       .select(least(col("src"), col("dst")).as("doc_a"),
         greatest(col("src"), col("dst")).as("doc_b"))
       .distinct()
       .localCheckpoint(true)
     val (labels, _) = Dedup.connectedComponentsStar(
-      d0.select(col("doc_id")), pairs)
+      nodes0.select(col("doc_id")), pairs)
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
@@ -354,9 +375,17 @@ ORDER BY d.doc_id"""
     grTrustrankFrom(docs(spark, sfDir))
 
   /** [[grTrustrank]] over any dense-id (doc_id, text, source) frame. */
-  private[graft] def grTrustrankFrom(d0: DataFrame): DataFrame = {
-    val d = d0.select(col("doc_id"), col("source"))
-    val e = grEdgesFrom(d0).localCheckpoint(true)
+  private[graft] def grTrustrankFrom(d0: DataFrame): DataFrame =
+    grTrustrankFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grTrustrank]] over an explicit edge set; `nodes0` carries
+    * `(doc_id, source)` — the real-link seam.
+    */
+  private[graft] def grTrustrankFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val d = nodes0.select(col("doc_id"), col("source"))
+    val e = e0.select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
     val ssrc = d.agg(min(col("source")).as("ssrc"))
     val withSeed = d.crossJoin(broadcast(ssrc)) // 1-row anchor
       .select(col("doc_id"), (col("source") === col("ssrc")).as("is_seed"))
@@ -483,9 +512,14 @@ ORDER BY d.source"""
     grReachFrom(docs(spark, sfDir))
 
   /** [[grReach]] over any dense-id frame (ScaleSoak seam). */
-  private[graft] def grReachFrom(d0: DataFrame): DataFrame = {
-    val d = d0.select(col("doc_id"))
-    val e = grEdgesFrom(d0).select(col("src"), col("dst"))
+  private[graft] def grReachFrom(d0: DataFrame): DataFrame =
+    grReachFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grReach]] over an explicit edge set — the real-link seam. */
+  private[graft] def grReachFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val d = nodes0.select(col("doc_id"))
+    val e = e0.select(col("src"), col("dst"))
       .localCheckpoint(true)
     // hop tables: pairs (v, u) with u reachable in ≤k hops, deduped
     // per hop; self excluded throughout
@@ -580,24 +614,44 @@ ORDER BY d.doc_id"""
     grTrianglesFrom(docs(spark, sfDir))
 
   /** [[grTriangles]] over any dense-id frame (ScaleSoak seam). */
-  private[graft] def grTrianglesFrom(d0: DataFrame): DataFrame = {
-    val e = grEdgesFrom(d0)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+  private[graft] def grTrianglesFrom(d0: DataFrame): DataFrame =
+    grTrianglesFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grTriangles]] over an explicit edge set — the real-link seam
+    * and GraphSkewSoak's entry for graphs whose degree distribution
+    * the text derivation cannot produce.
+    */
+  private[graft] def grTrianglesFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val e = undEdges(e0)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    triCensusRow(nodes0, e, tri)
+  }
+
+  /** The undirected a<b edge set shared by both triangle plans. */
+  private def undEdges(e0: DataFrame): DataFrame = e0
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** Assembles the one-row census from the undirected edge set and a
+    * 1-row triangle count — shared by the id-ordered and the
+    * degree-oriented plan so the READOUT literally cannot differ.
+    */
+  private def triCensusRow(nodes0: DataFrame, e: DataFrame,
+      tri: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val wedges = deg.agg(
       count(lit(1)).as("n_linked_nodes"),
       coalesce(sum(expr("(dg * (dg - 1)) div 2")), lit(0L)).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nNodes = d0.agg(count(lit(1)).as("n_nodes"))
+    val nNodes = nodes0.agg(count(lit(1)).as("n_nodes"))
     // four 1-row anchors assembled into the census row (allowlisted)
     broadcast(nNodes).crossJoin(broadcast(nEdges))
       .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
@@ -637,4 +691,61 @@ SELECT nn.n_nodes, ne.n_edges, wj.n_linked_nodes, wj.n_wedges,
   ${r6Sql("""(CASE WHEN wj.n_wedges = 0 THEN 0.0
     ELSE 3.0 * tri.n_triangles / wj.n_wedges END)""")} AS global_cc
 FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
+
+  // ------------------------------------------------------------------
+  // gr_triangles_deg — the census under DEGREE-ORIENTED wedges, the
+  // skew-robust plan for power-law link graphs
+  // ------------------------------------------------------------------
+
+  /** [[grTriangles]] with the wedge join DEGREE-ORIENTED: each
+    * undirected edge is directed from its lower-(degree, id) endpoint
+    * to the higher, and wedges form only at a node's OUT-edges — so a
+    * hub of degree D centers ZERO wedges (every hub edge points INTO
+    * it) instead of ~D²/2. The id-ordered a<b<c plan's wedge fan-out
+    * at a node is governed by where its ID happens to fall relative to
+    * its neighbors'; on a power-law graph with hubs at high ids that
+    * is Σ deg² at a single join key — GraphSkewSoak measures the
+    * id-ordered plan riding the hub's D² while this plan stays flat
+    * (the classic Σ out-deg² ≤ O(m^{3/2}) bound of degree-ordered
+    * triangle counting). Identical one-row output BY THEOREM — a total
+    * order on nodes gives every triangle exactly one node with two
+    * out-edges — so the oracle is [[grTrianglesSql]] verbatim (the
+    * dd_ngram_jaccard_lsh contract: one oracle, two plans) and
+    * GraphSpec pins plan-equality on both the fixture and a hand-built
+    * hub graph where the orientations genuinely differ.
+    */
+  def grTrianglesDeg(spark: SparkSession, sfDir: String): DataFrame =
+    grTrianglesDegFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grTrianglesDeg]] over an explicit edge set (real-link seam;
+    * GraphSkewSoak's measured side).
+    */
+  private[graft] def grTrianglesDegFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val e = undEdges(e0)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // orient: u = the (deg, id)-smaller endpoint (a < b breaks ties)
+    val ori = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(true)
+    // wedge at u over its OUT-neighbors (w1 < w2 by id dedups the
+    // unordered pair); the closing edge is checked UNDIRECTED — the
+    // third side's orientation is irrelevant once the wedge center is
+    // the triangle's unique two-out-edge node
+    val tri = ori.as("o1")
+      .join(ori.as("o2"),
+        col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
+      .join(e.as("e3"),
+        col("e3.a") === col("o1.w") && col("e3.b") === col("o2.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    triCensusRow(nodes0, e, tri)
+  }
+
+  /** Degree-oriented == id-ordered is a theorem; ONE oracle. */
+  val grTrianglesDegSql: String = grTrianglesSql
 }

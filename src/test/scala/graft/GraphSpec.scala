@@ -228,6 +228,84 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("gr_triangles_deg equals gr_triangles on the fixture — one census, " +
+    "two plans") {
+    val a = Graph.grTriangles(spark, sf()).collect()
+    val b = Graph.grTrianglesDeg(spark, sf()).collect()
+    assert(a.length == 1 && a.sameElements(b))
+  }
+
+  /** Explicit (src, dst, out_deg) frame from an adjacency map — the
+    * real-link entry shape every FromEdges seam consumes.
+    */
+  private def edgeFrame(adj: Map[Long, Seq[Long]])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = adj.toSeq.flatMap { case (u, dsts) =>
+      dsts.map(v => (u, v, dsts.length.toLong))
+    }
+    rows.toDF("src", "dst", "out_deg")
+  }
+
+  test("degree-oriented triangles equal id-ordered on a hub graph where " +
+    "the two orientations genuinely differ") {
+    import spark.implicits._
+    // hub = HIGHEST id and HIGHEST degree — adversarial for the
+    // id-ordered plan (the hub is the middle of every spoke wedge),
+    // neutral for the degree-oriented one (all hub edges point in).
+    // Spokes 0..19 each cite the hub; ring edges close 20 triangles.
+    val hub = 100L
+    val spokes = (0L until 20L)
+    val adj: Map[Long, Seq[Long]] =
+      spokes.map(i => i -> Seq(hub, (i + 1) % 20)).toMap + (hub -> Seq())
+    val nodes = (spokes :+ hub).toDF("doc_id")
+    val e = edgeFrame(adj.filter(_._2.nonEmpty))
+    val byDeg = Graph.grTrianglesDegFromEdges(nodes, e).collect().head
+    val byId = Graph.grTrianglesFromEdges(nodes, e).collect().head
+    assert(byDeg == byId)
+    // brute force: every triangle is (i, i+1, hub)
+    assert(byDeg.getLong(4) == 20L, "triangles")
+    assert(byDeg.getLong(0) == 21L && byDeg.getLong(1) == 40L)
+    // wedge census: hub deg 20; each spoke deg 3 (hub + two ring sides)
+    assert(byDeg.getLong(3) == 20L * 19 / 2 + 20L * (3L * 2 / 2))
+  }
+
+  test("the real-link seam: pagerank and components over an explicit " +
+    "edge fixture match a local recompute") {
+    import spark.implicits._
+    // 0→1→2→0 cycle, 3→0, 4 isolated; ids deliberately NOT dense-mod
+    // material — the seam must not assume the text derivation
+    val adj = Map(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(0L),
+      3L -> Seq(0L))
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val nodes = ids.toDF("doc_id")
+    val e = edgeFrame(adj)
+    // local integer fixpoint (the gr_pagerank rule)
+    val n = ids.length
+    val base = Graph.PrScale * 15L / 100L / n
+    var r: Map[Long, Long] = ids.map(_ -> Graph.PrScale / n).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val recv = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (u, dsts) =>
+        val m = r(u) / dsts.length
+        dsts.foreach(v => recv(v) += m)
+      }
+      r = ids.map(v => v -> (base + Graph.PrDampNum * recv(v) / 100L)).toMap
+    }
+    val got = Graph.grPagerankFromEdges(nodes, e).collect()
+    assert(got.length == n)
+    got.foreach { row =>
+      assert(row.getLong(3) == r(row.getLong(0)),
+        s"rank at doc ${row.getLong(0)}")
+      assert(row.getLong(1) == adj.getOrElse(row.getLong(0), Seq()).length)
+    }
+    val cc = Graph.grComponentsFromEdges(nodes, e).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(cc(_) == 0L))
+    assert(cc(4L) == 4L)
+  }
+
   test("gr_degree accounting: both sides sum to |E| and cover every node") {
     val (n, adj) = localGraph()
     val nEdges = adj.valuesIterator.map(_.length.toLong).sum

@@ -56,9 +56,10 @@ class PlanLintSpec extends SparkSpec {
     *    anchor; the semantic side is the broadcast centroid table).
     *  - the constant-size eval side (the one documented BNLJ-is-right
     *    case): cp_decontam_embed.
-    *  - gr_degree / gr_triangles (the 1-row corpus-count anchor that
-    *    makes mod-n citation targets driver-collect-free; triangles
-    *    additionally assembles its census row from four 1-row
+    *  - gr_degree / gr_triangles / gr_triangles_deg (the 1-row
+    *    corpus-count anchor that
+    *    makes mod-n citation targets driver-collect-free; both triangle
+    *    plans additionally assemble their census row from four 1-row
     *    aggregates), gr_trustrank and its source-grain rollup
     *    gr_source_trust (the 1-row trusted-source anchor + the 1-row
     *    seed-count anchor feeding the teleport vector),
@@ -73,7 +74,8 @@ class PlanLintSpec extends SparkSpec {
     "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
-    "ev_survival", "gr_degree", "gr_triangles", "gr_trustrank",
+    "ev_survival", "gr_degree", "gr_triangles", "gr_triangles_deg",
+    "gr_trustrank",
     "gr_source_trust", "wh_zorder",
     "prof_drift",
     "prof_mi",
