@@ -95,6 +95,19 @@ object ScaleSoak {
       "dd_clusters_star_fixedbands" -> ((s, dir, _) =>
         graft.operators.Dedup.ddClustersStarCfg(s, dir,
           nBands = 4, nRows = 4)),
+      // the char-gram banding dial on the CAPPED stream (the round-14
+      // watch item: dd_ngram_jaccard_lsh_capped's 30→100× tail rode
+      // candidate growth among sub-cap buckets): longer band keys over
+      // the same K=16 signature collide on true similarity instead of
+      // char-gram corpus density — 4×4 and 2×8 measured against the
+      // shipped 8×2 (run dd_ngram_jaccard_lsh_capped in the same
+      // session as the comparator)
+      "dd_ngram_lsh_capped_b4" -> ((s, dir, _) =>
+        graft.operators.Dedup.ddNgramJaccardLshCfg(s, dir,
+          Some(graft.operators.Dedup.LshMaxBucket), nBands = 4, nRows = 4)),
+      "dd_ngram_lsh_capped_b2w" -> ((s, dir, _) =>
+        graft.operators.Dedup.ddNgramJaccardLshCfg(s, dir,
+          Some(graft.operators.Dedup.LshMaxBucket), nBands = 2, nRows = 8)),
       // BPE trainers at a production-ish merge depth (32): the delta
       // trainer's census work ∝ touched words must flatten the gap
       // the full trainer's 2-scans-per-round cost opens

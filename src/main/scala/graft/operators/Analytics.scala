@@ -3258,7 +3258,9 @@ FROM m ORDER BY event_type"""
         s" + (${idiv(b, (1L << i).toString)} % 2) * $pb)"
     }.mkString("(", " + ", ")")
 
-  private def zInterleave(a: String, b: String): String =
+  // private[graft]: Warehouse.writeZordered promotes the same
+  // interleave into the production write path (one definition)
+  private[graft] def zInterleave(a: String, b: String): String =
     zInterleaveWith(a, b, (x, y) => s"(($x) div $y)")
 
   private def zInterleaveSql(a: String, b: String): String =

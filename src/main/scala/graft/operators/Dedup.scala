@@ -1125,9 +1125,27 @@ ORDER BY doc_a, doc_b"""
     * The capped variant drops those buckets before the self-join; the
     * 8-band redundancy keeps organic recall (at sf0.01 all 25 true
     * pairs survive while candidates drop 2533 → 1429, measured).
+    *
+    * `nBands`×`nRows` is the BANDING DIAL over the fixed K=16
+    * signature — the density lever for growing corpora: longer band
+    * keys (8×2 → 4×4 → 2×8) collide on true similarity instead of
+    * char-gram corpus density (P(candidate|j) = 1−(1−j^rows)^bands:
+    * at j=0.6 the pass rate falls 0.97 → 0.43 → 0.03 across the dial;
+    * at the fixture's true-pair regime j = 0.83 it is 1.00 → 0.92 →
+    * 0.40 — the 2×8 stop buys density immunity with a REAL recall
+    * cost, which is why the dial is a measured per-corpus choice, not
+    * a default).
+    * Longer keys REFINE shorter ones at the same row order (a 4-row
+    * match is two adjacent 2-row matches), so uncapped candidates are
+    * nested along the dial — DedupSpec pins the chain. ScaleSoak's
+    * dd_ngram_lsh_capped_b4/b2w soak points measure the dial at
+    * 10–100× against the shipped 8×2.
     */
   private[graft] def ddNgramJaccardLshCfg(spark: SparkSession,
-      sfDir: String, maxBucket: Option[Int]): DataFrame = {
+      sfDir: String, maxBucket: Option[Int],
+      nBands: Int = NgramLshBands, nRows: Int = NgramLshRows): DataFrame = {
+    require(nBands * nRows <= K,
+      s"banding $nBands x $nRows exceeds the K=$K signature")
     graft.functions.SortedJaccardGE.register(spark)
     graft.functions.CharGramHashSet.register(spark)
     graft.functions.MinHash16.register(spark)
@@ -1148,9 +1166,9 @@ ORDER BY doc_a, doc_b"""
     // INSIDE the equi-join — band equality finds the collision, the
     // integer guard kills the background-similarity bulk before the
     // distinct and the gram-array joins ever see it
-    val bandKeys = (0 until NgramLshBands).map(b =>
-      concat_ws("_", (0 until NgramLshRows).map(r =>
-        col(s"mh_${b * NgramLshRows + r}").cast("string")): _*))
+    val bandKeys = (0 until nBands).map(b =>
+      concat_ws("_", (0 until nRows).map(r =>
+        col(s"mh_${b * nRows + r}").cast("string")): _*))
     val bandsAll = sig.select(col("doc_id"), col("n_chars"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val bands = maxBucket match {

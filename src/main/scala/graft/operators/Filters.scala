@@ -550,6 +550,29 @@ ORDER BY c.source"""
     */
   val DpEps: Seq[(String, Double)] = Seq("eps_1.0" -> 1.0, "eps_0.1" -> 0.1)
 
+  /** Grid size for the u quantization: u = (g + ½)/G with
+    * g = md5Mod(key) mod G, so u takes exactly G values, every ln
+    * argument is an exactly-representable odd/G, and the FULL set of
+    * possible noise values {±b·ln(G/odd)} is finite and auditable —
+    * FiltersSpec sweeps ALL of them for both budgets and proves each
+    * rounded micro-unit noise sits ≥ 3×10⁻⁴ (≈ 5 million ULPs of the
+    * product) away from a .5 boundary, so a 1-ULP ln() difference
+    * between JVM Math.log and DuckDB's libm can NEVER flip a value —
+    * for any source string, not just the fixture's (round-14 advice).
+    * G = 2048 keeps the noise distribution a faithful discretized
+    * Laplace (the max |noise| band b·ln G ≈ 7.6·b is far past any
+    * useful tail; adjacent grid noises differ by ≤ b/1024 near the
+    * center).
+    */
+  val DpUGrid = 2048L
+
+  /** The shipped release-key salt — the deterministic default whose
+    * sampled noise the driver hash gate pins. A REAL release passes a
+    * per-release secret here instead ([[qfDpCensusCfg]]); with a
+    * public seed the ε guarantee is void (the noise is recomputable).
+    */
+  val DpSeedDefault = "#dp#"
+
   /** DP RELEASE CENSUS — the privacy tier of the dataset-card story
     * (cp_dataset_card publishes per-source statistics; when the
     * sources are sensitive, the published counts need differential
@@ -559,26 +582,44 @@ ORDER BY c.source"""
     * budget. Laplace noise by inverse CDF,
     * `X = −b·sgn(u−½)·ln(1−2|u−½|)`, with u derived DETERMINISTICALLY
     * from the release key ([[graft.functions.CrossHash.md5Mod]] of
-    * source + budget label, mapped into (0,1)) — the engine's
-    * determinism contract applied to noise: the driver hash gate can pin
-    * the sampled values, a production deployment swaps the seed for a
-    * secret drawn once per release. Noise is quantized to integer
-    * micro-units (the micro-nat discipline applied to 1/ε-scale
-    * noise), so outputs are BIGINT end to end.
+    * source + seed + budget label) and QUANTIZED to the
+    * [[DpUGrid]]-point grid u = (g+½)/G — the engine's determinism
+    * contract applied to noise: the driver hash gate can pin the
+    * sampled values, the grid makes the pin libm-proof (every possible
+    * noise is one of 2·G·|budgets| audited values, see [[DpUGrid]]),
+    * and a production deployment swaps the seed for a secret drawn
+    * once per release through [[qfDpCensusCfg]]. Noise is quantized to
+    * integer micro-units (the micro-nat discipline applied to
+    * 1/ε-scale noise), so outputs are BIGINT end to end; the released
+    * mechanism is thus a discretized Laplace (grid u + micro-unit
+    * rounding), whose ε accounting matches the continuous mechanism up
+    * to the two published quantizations.
     *
     * Scale shape: one source-grain census groupBy; the noise is a
     * per-row projection over the (sources × budgets) result — nothing
     * corpus-sized after the count.
     */
-  def qfDpCensus(spark: SparkSession, sfDir: String): DataFrame = {
+  def qfDpCensus(spark: SparkSession, sfDir: String): DataFrame =
+    qfDpCensusCfg(spark, sfDir, DpSeedDefault)
+
+  /** [[qfDpCensus]] with the release seed as a parameter — the seam a
+    * deployment swaps its per-release secret into (the ddMinhashLshCfg
+    * pattern: the shipped query pins the deterministic default for the
+    * oracle; production constructs with a secret drawn once per
+    * release and the ε guarantee becomes real). FiltersSpec proves the
+    * seam bites: two seeds give different noise at identical true
+    * counts.
+    */
+  private[graft] def qfDpCensusCfg(spark: SparkSession, sfDir: String,
+      seed: String): DataFrame = {
     val per = docs(spark, sfDir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val P1 = graft.functions.CrossHash.P + 1
     DpEps.map { case (label, eps) =>
       val b = 1.0 / eps
-      val u = (graft.functions.CrossHash
-        .md5Mod(concat(col("source"), lit("#dp#" + label))) + lit(1L))
-        .cast("double") / lit(P1.toDouble)
+      val g = (graft.functions.CrossHash
+        .md5Mod(concat(col("source"), lit(seed + label))) % DpUGrid)
+        .cast("double")
+      val u = (g + lit(0.5)) / lit(DpUGrid.toDouble)
       val noise = (when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
         lit(-b) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
       per.select(col("source"), lit(label).as("eps"), col("n_docs"),
@@ -590,12 +631,12 @@ ORDER BY c.source"""
   }
 
   val qfDpCensusSql: String = {
-    import graft.functions.CrossHash.{md5ModSql, P}
-    val P1 = P + 1
+    import graft.functions.CrossHash.md5ModSql
     def branch(label: String, eps: Double): String = {
       val b = 1.0 / eps
-      val u = s"((${md5ModSql(s"(source || '#dp#' || '$label')")} + 1)" +
-        s" / CAST($P1 AS DOUBLE))"
+      val key = s"(source || '$DpSeedDefault' || '$label')"
+      val u = s"((CAST(${md5ModSql(key)} % $DpUGrid AS DOUBLE) + 0.5)" +
+        s" / CAST($DpUGrid AS DOUBLE))"
       val noise = s"((CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END)" +
         s" * (-$b) * ln(1.0 - 2.0 * abs($u - 0.5)))"
       s"""SELECT source, '$label' AS eps, n_docs,

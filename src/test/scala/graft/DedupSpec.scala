@@ -437,6 +437,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("char-gram banding dial: longer band keys refine shorter ones, " +
+    "and the dial's recall cost is the pinned fixture readout") {
+    // the density lever for growing corpora (round-14 watch item): at
+    // the SAME K=16 row order a 4-row band match is two adjacent 2-row
+    // matches, so uncapped verified pairs NEST along the dial
+    val d = sf("sf0.01")
+    val exact = pairSet(Dedup.ddNgramJaccard(spark, d))
+    val b8 = pairSet(Dedup.ddNgramJaccardLshCfg(spark, d, None))
+    val b4 = pairSet(Dedup.ddNgramJaccardLshCfg(spark, d, None,
+      nBands = 4, nRows = 4))
+    val b2 = pairSet(Dedup.ddNgramJaccardLshCfg(spark, d, None,
+      nBands = 2, nRows = 8))
+    assert(b4.subsetOf(b8), "4x4 pairs must nest inside 8x2")
+    assert(b2.subsetOf(b4), "2x8 pairs must nest inside 4x4")
+    // the shipped 8x2 == exact contract, restated as the dial's anchor
+    assert(b8 == exact)
+    // measured fixture readout, pinned (deterministic — the minhash
+    // family has no randomness): the fixture's true pairs sit deep in
+    // the j ≥ 0.83 regime, so even the 2×8 stop keeps all 25; the
+    // dial's recall cost (P(keep|j=0.83) = 0.40 at 2×8) is a
+    // THRESHOLD-REGION property a borderline corpus would pay —
+    // which is why the dial is a per-corpus measured choice
+    assert(b4 == exact && b2 == exact,
+      s"fixture dial recall moved: 4x4=${b4.size}, 2x8=${b2.size}, " +
+        s"exact=${exact.size}")
+  }
+
   test("allCosinePairs plans no threshold filter at all") {
     // -Inf must elide the predicate, not evaluate it: `c >= -Inf`
     // silently drops a NULL cosine (zero-norm vector) that the

@@ -221,7 +221,8 @@ class FiltersSpec extends SparkSpec {
         .map(b => f"$b%02x").mkString
       val h = java.lang.Long.parseLong(hex.take(15), 16) %
         graft.functions.CrossHash.P
-      val u = (h + 1).toDouble / (graft.functions.CrossHash.P + 1).toDouble
+      val g = (h % Filters.DpUGrid).toDouble
+      val u = (g + 0.5) / Filters.DpUGrid.toDouble
       val sgn = if (u >= 0.5) 1.0 else -1.0
       val x = sgn * (-1.0 / eps) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
       math.round(x * 1000000.0)
@@ -248,5 +249,54 @@ class FiltersSpec extends SparkSpec {
       val errs = got.filter(_.getString(1) == label).map(_.getLong(4))
       assert(errs.exists(_ > 0) && errs.exists(_ < 0), s"one-sided $label")
     }
+  }
+
+  test("qf_dp_census: EVERY possible grid noise sits far from a rounding " +
+    "boundary (the libm-proof guarantee, swept exhaustively)") {
+    import graft.operators.Filters
+    // u takes exactly DpUGrid values, so the full universe of noise
+    // magnitudes is {b·ln(G/odd)}: sweep all of them for every shipped
+    // budget and prove round(noise·10⁶) has a guard band ≥ 3e-4 —
+    // millions of ULPs of the product — so a 1-ULP difference between
+    // JVM Math.log and DuckDB's libm can never flip a released value,
+    // for ANY source string (not just the fixture's). A new budget
+    // re-runs this sweep automatically via DpEps.
+    val G = Filters.DpUGrid
+    var minMargin = Double.MaxValue
+    Filters.DpEps.foreach { case (_, eps) =>
+      val b = 1.0 / eps
+      (0L until G).foreach { g =>
+        val u = (g + 0.5) / G.toDouble
+        val sgn = if (u >= 0.5) 1.0 else -1.0
+        val x = sgn * (-b) * math.log(1.0 - 2.0 * math.abs(u - 0.5)) *
+          1000000.0
+        val frac = x - math.floor(x)
+        val margin = math.abs(frac - 0.5)
+        if (margin < minMargin) minMargin = margin
+      }
+    }
+    assert(minMargin > 3e-4,
+      f"grid noise within $minMargin%.2e of a .5 boundary — shrink " +
+        "DpUGrid or adjust a budget")
+  }
+
+  test("qf_dp_census: the seed seam bites — a different release secret " +
+    "moves the noise, never the true counts") {
+    import graft.operators.Filters
+    val a = Filters.qfDpCensusCfg(spark, sf(), Filters.DpSeedDefault)
+      .collect()
+    val b = Filters.qfDpCensusCfg(spark, sf(), "#release-secret-42#")
+      .collect()
+    assert(a.length == b.length)
+    val ka = a.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(4))).toMap
+    val kb = b.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(4))).toMap
+    assert(ka.keySet == kb.keySet)
+    // identical true counts everywhere
+    ka.foreach { case (k, (n, _)) => assert(kb(k)._1 == n) }
+    // different noise somewhere (md5 of a different key)
+    assert(ka.exists { case (k, (_, e)) => kb(k)._2 != e },
+      "secret seed produced identical noise — the seam is dead")
   }
 }
