@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Determinism.{r6, r6Sql}
 import graft.operators.TextAnalysis.{docs, tokens}
@@ -615,33 +615,45 @@ ORDER BY c.source"""
     val per = docs(spark, sfDir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
     DpEps.map { case (label, eps) =>
-      val b = 1.0 / eps
-      val g = (graft.functions.CrossHash
-        .md5Mod(concat(col("source"), lit(seed + label))) % DpUGrid)
-        .cast("double")
-      val u = (g + lit(0.5)) / lit(DpUGrid.toDouble)
-      val noise = (when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
-        lit(-b) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
       per.select(col("source"), lit(label).as("eps"), col("n_docs"),
         (col("n_docs") * 1000000L +
-          round(noise * 1000000L).cast("long")).as("n_dp_u"))
+          dpNoiseU(concat(col("source"), lit(seed + label)), eps))
+          .as("n_dp_u"))
     }.reduce(_ unionAll _)
       .withColumn("err_u", col("n_dp_u") - col("n_docs") * 1000000L)
       .orderBy(col("source"), col("eps"))
   }
 
-  val qfDpCensusSql: String = {
+  /** Rounded micro-unit grid-Laplace noise for a release key — ONE
+    * builder shared by the census and the composition ledger; its
+    * oracle twin is [[dpNoiseUSqlOf]] (identical arithmetic order,
+    * the CrossHash twin discipline).
+    */
+  private def dpNoiseU(key: Column, eps: Double): Column = {
+    val b = 1.0 / eps
+    val g = (graft.functions.CrossHash.md5Mod(key) % DpUGrid)
+      .cast("double")
+    val u = (g + lit(0.5)) / lit(DpUGrid.toDouble)
+    val noise = (when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      lit(-b) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
+    round(noise * 1000000L).cast("long")
+  }
+
+  private def dpNoiseUSqlOf(keySql: String, eps: Double): String = {
     import graft.functions.CrossHash.md5ModSql
+    val b = 1.0 / eps
+    val u = s"((CAST(${md5ModSql(keySql)} % $DpUGrid AS DOUBLE) + 0.5)" +
+      s" / CAST($DpUGrid AS DOUBLE))"
+    val noise = s"((CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END)" +
+      s" * (-$b) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    s"CAST(round($noise * 1000000) AS BIGINT)"
+  }
+
+  val qfDpCensusSql: String = {
     def branch(label: String, eps: Double): String = {
-      val b = 1.0 / eps
       val key = s"(source || '$DpSeedDefault' || '$label')"
-      val u = s"((CAST(${md5ModSql(key)} % $DpUGrid AS DOUBLE) + 0.5)" +
-        s" / CAST($DpUGrid AS DOUBLE))"
-      val noise = s"((CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END)" +
-        s" * (-$b) * ln(1.0 - 2.0 * abs($u - 0.5)))"
       s"""SELECT source, '$label' AS eps, n_docs,
-    (n_docs * 1000000 +
-      CAST(round($noise * 1000000) AS BIGINT)) AS n_dp_u
+    (n_docs * 1000000 + ${dpNoiseUSqlOf(key, eps)}) AS n_dp_u
   FROM per"""
     }
     val branches = DpEps.map { case (l, e) => branch(l, e) }
@@ -655,6 +667,105 @@ WITH per AS (
 SELECT source, eps, n_docs, n_dp_u,
   CAST(n_dp_u - n_docs * 1000000 AS BIGINT) AS err_u
 FROM noised
+ORDER BY source, eps"""
+  }
+
+  // ------------------------------------------------------------------
+  // qf_dp_composition — the sequential-composition budget ledger
+  // ------------------------------------------------------------------
+
+  /** Release rounds per budget in the composition ledger. */
+  val DpReleases = 3
+
+  /** Published per-source total privacy budget, micro-ε units: a
+    * source's cumulative spend past 2.0 ε flips `within_cap` — the
+    * ledger's action signal (stop releasing against this source).
+    * 2.0 sits between the swept ledgers' spends (3 × 1.0 = 3.0 over,
+    * 3 × 0.1 = 0.3 under), so the fixture exercises both verdicts.
+    */
+  val DpEpsCapU = 2000000L
+
+  /** DP COMPOSITION LEDGER — the table a release owner actually reads
+    * over time (the round-14 verdict's suggested next privacy row):
+    * qf_dp_census is ONE release; real programs release repeatedly,
+    * and under sequential composition the budgets ADD. Per source ×
+    * budget: [[DpReleases]] releases with FRESH noise each (the key
+    * carries the release index — re-publishing the same noise would
+    * spend nothing but also reveal nothing new; fresh noise is what ε
+    * accounting charges for), the cumulative spend k·ε against the
+    * published [[DpEpsCapU]] cap, and the accuracy side of the
+    * composition trade: the mean released error and mean |error| —
+    * averaging k releases tightens the estimate (~1/√k) at k× the
+    * privacy cost, the exact trade the owner weighs against one
+    * release at a k×-larger ε.
+    *
+    * Same machinery as the census — grid-u noise ([[dpNoiseU]], so the
+    * libm-proof sweep covers every ledger value too), micro-unit
+    * integers, one source-grain groupBy then a (sources × budgets ×
+    * k)-row projection + re-aggregation; nothing corpus-sized after
+    * the count.
+    */
+  def qfDpComposition(spark: SparkSession, sfDir: String): DataFrame =
+    qfDpCompositionCfg(spark, sfDir, DpSeedDefault)
+
+  /** [[qfDpComposition]] with the release-seed seam (see
+    * [[qfDpCensusCfg]]).
+    */
+  private[graft] def qfDpCompositionCfg(spark: SparkSession,
+      sfDir: String, seed: String): DataFrame = {
+    val per = docs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val released = DpEps.flatMap { case (label, eps) =>
+      (0 until DpReleases).map { i =>
+        per.select(col("source"), lit(label).as("eps"), col("n_docs"),
+          lit(math.round(eps * 1000000.0)).as("eps_u"),
+          dpNoiseU(concat(col("source"),
+            lit(seed + label + "#r" + i)), eps).as("err_u"))
+      }
+    }.reduce(_ unionAll _)
+    released.groupBy(col("source"), col("eps"))
+      .agg(
+        min(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_releases"),
+        sum(col("eps_u")).as("eps_spent_u"),
+        sum(col("err_u")).as("sum_err_u"),
+        sum(abs(col("err_u"))).as("sum_abs_err_u"))
+      .select(col("source"), col("eps"), col("n_docs"),
+        col("n_releases"), col("eps_spent_u"),
+        (col("eps_spent_u") <= DpEpsCapU).as("within_cap"),
+        r6(col("sum_err_u").cast("double") / col("n_releases"))
+          .as("mean_err_u"),
+        r6(col("sum_abs_err_u").cast("double") / col("n_releases"))
+          .as("mean_abs_err_u"))
+      .orderBy(col("source"), col("eps"))
+  }
+
+  val qfDpCompositionSql: String = {
+    def branch(label: String, eps: Double, i: Int): String = {
+      val key = s"(source || '$DpSeedDefault' || '$label' || '#r$i')"
+      s"""SELECT source, '$label' AS eps, n_docs,
+    ${math.round(eps * 1000000.0)} AS eps_u,
+    ${dpNoiseUSqlOf(key, eps)} AS err_u
+  FROM per"""
+    }
+    val branches = DpEps.flatMap { case (l, e) =>
+      (0 until DpReleases).map(i => branch(l, e, i))
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), released AS (
+  $branches
+)
+SELECT source, eps, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_releases,
+  CAST(SUM(eps_u) AS BIGINT) AS eps_spent_u,
+  CAST(SUM(eps_u) AS BIGINT) <= $DpEpsCapU AS within_cap,
+  ${r6Sql("(CAST(SUM(err_u) AS DOUBLE) / COUNT(*))")} AS mean_err_u,
+  ${r6Sql("(CAST(SUM(abs(err_u)) AS DOUBLE) / COUNT(*))")}
+    AS mean_abs_err_u
+FROM released
+GROUP BY source, eps
 ORDER BY source, eps"""
   }
 }

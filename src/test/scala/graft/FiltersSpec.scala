@@ -280,6 +280,46 @@ class FiltersSpec extends SparkSpec {
         "DpUGrid or adjust a budget")
   }
 
+  test("qf_dp_composition: the ledger equals a local recompute and the " +
+    "epsilon accounting exercises both cap verdicts") {
+    import graft.operators.Filters
+    val trueN = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source").collect().map(_.getString(0))
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noiseU(key: String, eps: Double): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P
+      val u = ((h % Filters.DpUGrid) + 0.5) / Filters.DpUGrid.toDouble
+      val sgn = if (u >= 0.5) 1.0 else -1.0
+      math.round(sgn * (-1.0 / eps) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1000000.0)
+    }
+    val got = Filters.qfDpComposition(spark, sf()).collect()
+    assert(got.length == trueN.size * Filters.DpEps.size)
+    got.foreach { r =>
+      val (src, label) = (r.getString(0), r.getString(1))
+      val eps = Filters.DpEps.toMap.apply(label)
+      val errs = (0 until Filters.DpReleases)
+        .map(i => noiseU(s"$src#dp#$label#r$i", eps))
+      assert(r.getLong(2) == trueN(src))
+      assert(r.getLong(3) == Filters.DpReleases.toLong)
+      assert(r.getLong(4) ==
+        Filters.DpReleases * math.round(eps * 1000000.0))
+      assert(r.getBoolean(5) == (r.getLong(4) <= Filters.DpEpsCapU))
+      assert(r.getDouble(6) == graft.functions.Determinism
+        .r6Jvm(errs.sum.toDouble / Filters.DpReleases))
+      assert(r.getDouble(7) == graft.functions.Determinism
+        .r6Jvm(errs.map(math.abs).sum.toDouble / Filters.DpReleases))
+      // fresh noise per release: the k draws are not all identical
+      assert(errs.distinct.length > 1, s"stale noise at ($src, $label)")
+    }
+    // the fixture exercises both cap verdicts (3×1.0 over, 3×0.1 under)
+    assert(got.exists(_.getBoolean(5)) && got.exists(!_.getBoolean(5)))
+  }
+
   test("qf_dp_census: the seed seam bites — a different release secret " +
     "moves the noise, never the true counts") {
     import graft.operators.Filters
