@@ -748,4 +748,107 @@ FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
 
   /** Degree-oriented == id-ordered is a theorem; ONE oracle. */
   val grTrianglesDegSql: String = grTrianglesSql
+
+  // ------------------------------------------------------------------
+  // gr_clustering — per-NODE triangle participation and local
+  // clustering coefficient (the node-grain spam-star detector)
+  // ------------------------------------------------------------------
+
+  /** Local clustering census: per document, its undirected degree, the
+    * number of triangles it participates in, and the local clustering
+    * coefficient 2Δ(v)/(d(d−1)) — the NODE-grain form of
+    * [[grTriangles]]' global readout, and the grain the curation
+    * decision actually uses: a spam star is a high-degree node whose
+    * neighbors never interlink (cc ≈ 0), an organic community member
+    * has cc bounded away from 0; the global coefficient averages the
+    * two apart. Degree-0/1 nodes report cc = 0 (no wedge exists).
+    *
+    * Plan: the DEGREE-ORIENTED wedge join (the [[grTrianglesDeg]]
+    * plan — mandatory here, not optional: a per-node census must
+    * survive exactly the hub-heavy graphs it exists to flag, and
+    * GraphSkewSoak measured the id-ordered plan riding the hub's F²
+    * while this one stays flat), each found triangle (u, v, w)
+    * exploded to its three members, one corpus-keyed groupBy. The
+    * oracle mirrors the orientation verbatim — same (deg, id) order,
+    * same three-way explode — so the per-node counts are
+    * driver-hash-pinned.
+    */
+  def grClustering(spark: SparkSession, sfDir: String): DataFrame =
+    grClusteringFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grClustering]] over an explicit edge set (real-link seam). */
+  private[graft] def grClusteringFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val e = undEdges(e0)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val ori = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(true)
+    val tris = ori.as("o1")
+      .join(ori.as("o2"),
+        col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
+      .join(e.as("e3"),
+        col("e3.a") === col("o1.w") && col("e3.b") === col("o2.w"))
+      .select(col("o1.u").as("x"), col("o1.w").as("y"), col("o2.w").as("z"))
+    val perNode = tris.select(col("x").as("v"))
+      .unionAll(tris.select(col("y").as("v")))
+      .unionAll(tris.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    nodes0.select(col("doc_id"))
+      .join(deg, nodes0("doc_id") === deg("v"), "left")
+      .join(perNode, nodes0("doc_id") === perNode("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        r6(when(coalesce(col("dg"), lit(0L)) < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("dg") * (col("dg") - 1))))
+          .as("local_cc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grClusteringSql: String =
+    s"""
+WITH $grEdgesSql, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM gedges
+), deg AS (
+  SELECT v, COUNT(*) AS dg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+), ori AS (
+  SELECT
+    CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u,
+    CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS w
+  FROM und e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+), tris AS (
+  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+  FROM ori o1
+  JOIN ori o2 ON o2.u = o1.u AND o1.w < o2.w
+  JOIN und e3 ON e3.a = o1.w AND e3.b = o2.w
+), pernode AS (
+  SELECT v, COUNT(*) AS n_tri
+  FROM (SELECT x AS v FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+  GROUP BY v
+)
+SELECT d.doc_id,
+  COALESCE(g.dg, CAST(0 AS BIGINT)) AS deg,
+  COALESCE(p.n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+  ${r6Sql("""(CASE WHEN COALESCE(g.dg, CAST(0 AS BIGINT)) < 2 THEN 0.0
+    ELSE 2.0 * COALESCE(p.n_tri, CAST(0 AS BIGINT))
+      / (g.dg * (g.dg - 1)) END)""")} AS local_cc
+FROM documents d
+LEFT JOIN deg g ON g.v = d.doc_id
+LEFT JOIN pernode p ON p.v = d.doc_id
+ORDER BY d.doc_id"""
 }

@@ -270,6 +270,64 @@ class GraphSpec extends SparkSpec {
     assert(byDeg.getLong(3) == 20L * 19 / 2 + 20L * (3L * 2 / 2))
   }
 
+  test("gr_clustering equals a brute-force per-node recompute and " +
+    "reconciles with the global census") {
+    val (n, adj) = localGraph()
+    val und = adj.toSeq.flatMap { case (u, dsts) =>
+      dsts.map(v => (math.min(u, v), math.max(u, v)))
+    }.distinct
+    val nbrs = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val triAt = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    und.foreach { case (a, b) =>
+      (nbrs(a) & nbrs(b)).filter(_ > b).foreach { c =>
+        Seq(a, b, c).foreach(v => triAt(v) += 1)
+      }
+    }
+    val got = Graph.grClustering(spark, sf()).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val v = r.getLong(0)
+      val d = nbrs(v).size.toLong
+      assert(r.getLong(1) == d, s"deg at $v")
+      assert(r.getLong(2) == triAt(v), s"triangles at $v")
+      val cc = if (d < 2) 0.0 else 2.0 * triAt(v) / (d * (d - 1))
+      assert(r.getDouble(3) == graft.functions.Determinism.r6Jvm(cc),
+        s"local_cc at $v")
+    }
+    // accounting identity: per-node participation sums to 3·Δ(global)
+    val globalTri = Graph.grTriangles(spark, sf()).collect().head.getLong(4)
+    assert(got.map(_.getLong(2)).sum == 3 * globalTri)
+    // vacuity: the census separates — some node holds a triangle,
+    // some linked node holds none
+    assert(got.exists(_.getLong(2) > 0))
+    assert(got.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
+  }
+
+  test("gr_clustering on the hub graph: the star hub reads cc~0, ring " +
+    "members read cc=2/3 — the spam-star separation") {
+    import spark.implicits._
+    val hub = 100L
+    val spokes = (0L until 20L)
+    val adj: Map[Long, Seq[Long]] =
+      spokes.map(i => i -> Seq(hub, (i + 1) % 20)).toMap
+    val nodes = (spokes :+ hub).toDF("doc_id")
+    val e = edgeFrame(adj)
+    val got = Graph.grClusteringFromEdges(nodes, e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // hub: deg 20, in 20 triangles, cc = 2·20/(20·19) ≈ 0.105
+    assert(got(hub) == ((20L, 20L,
+      graft.functions.Determinism.r6Jvm(2.0 * 20 / (20 * 19)))))
+    // each spoke: deg 3, 2 triangles (with each ring side), cc = 2/3
+    spokes.foreach { s =>
+      assert(got(s) == ((3L, 2L,
+        graft.functions.Determinism.r6Jvm(2.0 * 2 / (3 * 2)))), s"spoke $s")
+    }
+  }
+
   test("the real-link seam: pagerank and components over an explicit " +
     "edge fixture match a local recompute") {
     import spark.implicits._
