@@ -33,9 +33,25 @@ import graft.operators.Graph
   * a query whose last time exceeds `cutoffSec` skips larger F with an
   * explicit line (no silent caps).
   *
-  * Usage: sbt "runMain graft.GraphSkewSoak [n] [fams] [iters] [cutoff]"
+  * A second mode measures the WHOLE-distribution realism behind the
+  * hub isolation: `zipf` draws every node's out-degree from a Pareto
+  * tail (index s = family/100, capped), so the id-ordered plan faces
+  * the aggregate Σ deg² of a power-law graph rather than one clean
+  * hub, and the family axis sweeps tail heaviness mild→heavy (the
+  * cutoff iterates in that order — cost grows as s shrinks).
+  *
+  * Caveat (single-JVM measurement): a query that dies of executor OOM
+  * can poison the shared local[k] JVM for the queries AFTER it in the
+  * same family round — a "failed" line following another failure is
+  * suspect until re-measured alone. That is what the [only,queries]
+  * filter exists for: re-run each suspect in its own JVM (the
+  * round-15 zipf s=1.5 row was cleaned exactly this way; only
+  * gr_triangles_id's failure was real).
+  *
+  * Usage: sbt "runMain graft.GraphSkewSoak
+  *   [n] [fams] [iters] [cutoff] [hub|zipf] [only,queries]"
   * Output: one JSON line per (query, F):
-  *   {"metric":"graph_skew_soak","query":q,"family":F,"sec":t}
+  *   {"metric":"graph_skew_soak","mode":m,"query":q,"family":F,"sec":t}
   */
 object GraphSkewSoak {
 
@@ -45,6 +61,13 @@ object GraphSkewSoak {
       .split(",").map(_.trim.toInt).toSeq
     val iters = if (args.length > 2) args(2).toInt else 2
     val cutoffSec = if (args.length > 3) args(3).toDouble else 90.0
+    // "hub" (default): inject ONE degree-F hub (F = the family axis).
+    // "zipf": EVERY node draws Pareto out-degree with tail index
+    // s = family/100 (family 300 → s=3.0 mild, 150 → s=1.5 heavy) —
+    // the whole-distribution realism check behind the hub isolation.
+    val mode = if (args.length > 4) args(4) else "hub"
+    val only = if (args.length > 5)
+      args(5).split(",").map(_.trim).toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +75,14 @@ object GraphSkewSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
+      // measure the AT-SCALE plan: corpus-sized join sides are never
+      // broadcast on a real cluster (static estimates put them far
+      // over threshold), but the soak's mid-size heavy-tail fixtures
+      // sit in AQE's mis-broadcast window — at zipf s=1.5 the wedge
+      // side's runtime stats looked broadcastable and the build OOM'd
+      // the shared JVM (measured round 15). Explicit 1-row
+      // broadcast() anchors are hints and remain broadcast.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -70,19 +101,45 @@ object GraphSkewSoak {
       * order.
       */
     def edges(f: Int): DataFrame = {
-      val base = (0 until Graph.GraphOutDeg).map { i =>
-        val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
-        nodes.select(col("doc_id").as("src"),
-          expr(s"((doc_id * $a + $b) % ${CrossHash.P}) % $n").as("dst"))
-      }.reduce(_ unionAll _)
-      val withFam = if (f == 0) base else {
-        val step = math.max(1L, n / f)
-        val spokes = spark.range(f)
-          .select((col("id") * step).as("src"), lit(hub).as("dst"))
-          .filter(col("src") =!= hub)
-        base.unionAll(spokes)
+      val raw = mode match {
+        case "zipf" =>
+          // Pareto out-degree by inverse CDF: u ∈ (0,1] from the
+          // affine hash, deg = min(cap, ceil(u^(-1/s))) so
+          // P(deg ≥ d) = d^(-s); targets from a per-(node, j) second
+          // affine pass. s = f/100; cap keeps |E| tractable while
+          // leaving hubs 3 orders past the median.
+          val s = f / 100.0
+          val cap = math.min(n / 4, 100000L)
+          val (a0, b0) = (CrossHash.MinHashAs(0), CrossHash.MinHashBs(0))
+          val (a1, b1) = (CrossHash.MinHashAs(1), CrossHash.MinHashBs(1))
+          nodes
+            .select(col("doc_id").as("src"),
+              expr(s"((doc_id * $a0 + $b0) % ${CrossHash.P} + 1)" +
+                s" / (${CrossHash.P} + 1e0)").as("u"))
+            .select(col("src"),
+              expr(s"least(CAST($cap AS BIGINT)," +
+                s" CAST(ceil(pow(1.0/u, ${1.0 / s})) AS BIGINT))")
+                .as("dg"))
+            .select(col("src"),
+              explode(expr("sequence(CAST(0 AS BIGINT), dg - 1)")).as("j"))
+            .select(col("src"),
+              expr(s"(((src + j * 2654435761) % ${CrossHash.P})" +
+                s" * $a1 + $b1) % ${CrossHash.P} % $n").as("dst"))
+        case _ =>
+          val base = (0 until Graph.GraphOutDeg).map { i =>
+            val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
+            nodes.select(col("doc_id").as("src"),
+              expr(s"((doc_id * $a + $b) % ${CrossHash.P}) % $n").as("dst"))
+          }.reduce(_ unionAll _)
+          if (f == 0) base else {
+            val step = math.max(1L, n / f)
+            val spokes = spark.range(f)
+              .select((col("id") * step).as("src"), lit(hub).as("dst"))
+              .filter(col("src") =!= hub)
+            base.unionAll(spokes)
+          }
       }
-      withFam.filter(col("dst") =!= col("src")).distinct()
+      raw.filter(col("dst") =!= col("src")).distinct()
         .withColumn("out_deg",
           count(lit(1)).over(Window.partitionBy(col("src"))))
         .localCheckpoint(true)
@@ -93,10 +150,13 @@ object GraphSkewSoak {
         Graph.grTrianglesFromEdges(nodes, e)),
       "gr_triangles_deg" -> ((e: DataFrame) =>
         Graph.grTrianglesDegFromEdges(nodes, e)),
+      "gr_clustering" -> ((e: DataFrame) =>
+        Graph.grClusteringFromEdges(nodes, e)),
       "gr_pagerank" -> ((e: DataFrame) =>
         Graph.grPagerankFromEdges(nodes, e)),
       "gr_components" -> ((e: DataFrame) =>
         Graph.grComponentsFromEdges(nodes, e)))
+      .filter { case (name, _) => only.isEmpty || only(name) }
 
     def time(fn: => DataFrame): Double =
       (1 to iters).map { _ =>
@@ -105,9 +165,10 @@ object GraphSkewSoak {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    // warm-up on the base graph: absorb codegen/session cost
+    // warm-up: absorb codegen/session cost (zipf mode has no f=0 —
+    // warm on the mildest tail instead)
     {
-      val e0 = edges(0)
+      val e0 = edges(if (mode == "zipf") 300 else 0)
       queries.foreach { case (_, q) =>
         q(e0).queryExecution.toRdd.count()
       }
@@ -116,12 +177,15 @@ object GraphSkewSoak {
 
     val results = scala.collection.mutable.Map
       .empty[String, List[(Int, Double)]].withDefaultValue(Nil)
-    fams.sorted.foreach { f =>
+    // cost grows with F in hub mode but with SHRINKING s (=f/100) in
+    // zipf mode — iterate cheap→expensive so the cutoff skip is sound
+    val ordered = if (mode == "zipf") fams.sorted.reverse else fams.sorted
+    ordered.foreach { f =>
       val e = edges(f)
       queries.foreach { case (name, q) =>
         val last = results(name).headOption
         if (last.exists(_._2 > cutoffSec)) {
-          println(s"""{"metric":"graph_skew_soak","query":"$name","family":$f,""" +
+          println(s"""{"metric":"graph_skew_soak","mode":"$mode","query":"$name","family":$f,""" +
             s""""skipped":true,"reason":"t(f=${last.get._1})=""" +
             f"${last.get._2}%.1f" + "s > cutoff\"}")
         } else {
@@ -130,12 +194,14 @@ object GraphSkewSoak {
           try {
             val t = time(q(e))
             results(name) = (f, t) :: results(name)
-            println(s"""{"metric":"graph_skew_soak","query":"$name","family":$f,""" +
+            println(s"""{"metric":"graph_skew_soak","mode":"$mode","query":"$name","family":$f,""" +
               f""""sec":$t%.3f}""")
           } catch { case e2: Exception =>
             results(name) = (f, cutoffSec + 1) :: results(name)
-            println(s"""{"metric":"graph_skew_soak","query":"$name","family":$f,""" +
-              s""""failed":"${e2.getClass.getSimpleName}"}""")
+            val why = Option(e2.getMessage).getOrElse("")
+              .replaceAll("[\"\\\\\n\t]", " ").take(160)
+            println(s"""{"metric":"graph_skew_soak","mode":"$mode","query":"$name","family":$f,""" +
+              s""""failed":"${e2.getClass.getSimpleName}","why":"$why"}""")
           }
         }
         spark.catalog.clearCache()

@@ -796,9 +796,13 @@ FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
       .join(e.as("e3"),
         col("e3.a") === col("o1.w") && col("e3.b") === col("o2.w"))
       .select(col("o1.u").as("x"), col("o1.w").as("y"), col("o2.w").as("z"))
-    val perNode = tris.select(col("x").as("v"))
-      .unionAll(tris.select(col("y").as("v")))
-      .unionAll(tris.select(col("z").as("v")))
+    // ONE consumption of the wedge join: each found triangle explodes
+    // to its three members in the same pass (a 3-way unionAll would
+    // replay the join per branch — measured shutting down the JVM on
+    // the zipf s=1.5 soak graph; the oracle's UNION ALL over a CTE is
+    // the same single-evaluation semantics)
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
     nodes0.select(col("doc_id"))
       .join(deg, nodes0("doc_id") === deg("v"), "left")
