@@ -2606,4 +2606,166 @@ FROM j
 GROUP BY source
 ORDER BY source"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_dsir — hashed importance weights for data selection
+  // ------------------------------------------------------------------
+
+  /** Hash-bucket count for the DSIR n-gram feature space. Bounded by
+    * construction — at 100 TB the weight table is STILL 512 rows, the
+    * whole point of hashed importance weighting (the published method
+    * hashes n-grams into ~10⁴ buckets for the same reason).
+    */
+  val DsirBuckets = 512L
+
+  /** DSIR-STYLE IMPORTANCE CENSUS — the data-selection pass mixture
+    * tuning runs (Data Selection with Importance Resampling: score raw
+    * docs by how target-like their hashed n-gram distribution is, then
+    * resample toward the target domain): with the TARGET = the
+    * lexicographically-first source (the gr_trustrank seed convention),
+    * every token hashes into [[DsirBuckets]] buckets; per bucket an
+    * add-1-smoothed log-likelihood ratio
+    * `ln((ct+1)/(Tt+B)) − ln((cr+1)/(Tr+B))` is computed ONCE,
+    * quantized to integer micro-nats (the [[TextAnalysis.lmCore]]
+    * discipline — the float ln never rides the token stream, per-doc
+    * importance is an exact BIGINT sum); docs are then cut at the
+    * corpus-wide importance quartiles (ExactRank's rank-ceil rule) and
+    * the census reports, per source × quartile, the doc count, the
+    * share of the source, and the mean importance — the table a
+    * mixture owner turns into per-source resampling rates.
+    *
+    * Scale shape: one explode + (doc, bucket) partial agg (the shuffle
+    * carries tf rows); bucket counts for BOTH corpora come from that
+    * same relation in one pass (target counts are a conditional sum —
+    * no second scan); the 512-row weight table broadcasts back; the
+    * quartile thresholds reduce a (distinct-importance, count) census
+    * — never the doc stream — and broadcast as one row.
+    */
+  def cpDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val scale = TextAnalysis.LmScale
+    val d = docs(spark, sfDir)
+    val td = d
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("source"),
+        (CrossHash.md5Mod(col("term")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val tsrc = d.agg(min(col("source")).as("tsrc")) // 1-row anchor
+    val cnt = td.crossJoin(broadcast(tsrc))
+      .groupBy(col("b"))
+      .agg(sum(col("tf")).as("cr"),
+        sum(when(col("source") === col("tsrc"), col("tf"))
+          .otherwise(lit(0L))).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val wt = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      round((log((col("ct") + 1).cast("double") /
+          (col("tt") + DsirBuckets)) -
+        log((col("cr") + 1).cast("double") /
+          (col("tr") + DsirBuckets))) * scale)
+        .cast("long").as("wt"))
+    val perDoc = d.select(col("doc_id"), col("source"))
+      .join(td.join(broadcast(wt), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("wt")).as("imp")),
+        Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("imp"), lit(0L)).as("imp_u"))
+    // corpus-wide quartile cuts: the ev_gaps ExactRank shape over the
+    // (distinct importance, count) census
+    val g = perDoc.groupBy(col("imp_u")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("imp_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("imp_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cw = g.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
+    val thr = cw.agg(
+      ExactRank.valueAt(1, 4, "n", col("imp_u")).as("q1"),
+      ExactRank.valueAt(2, 4, "n", col("imp_u")).as("q2"),
+      ExactRank.valueAt(3, 4, "n", col("imp_u")).as("q3"))
+    perDoc.crossJoin(broadcast(thr))
+      .select(col("source"), col("imp_u"),
+        (lit(1) + (col("imp_u") > col("q1")).cast("int") +
+          (col("imp_u") > col("q2")).cast("int") +
+          (col("imp_u") > col("q3")).cast("int")).as("quartile"))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("imp_u")).as("sum_imp_u"))
+      .withColumn("src_docs",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("quartile"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("src_docs")).as("share"),
+        r6(col("sum_imp_u").cast("double") / col("n_docs") /
+          lit(scale.toDouble)).as("mean_imp"))
+      .orderBy(col("source"), col("quartile"))
+  }
+
+  val cpDsirSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val scale = TextAnalysis.LmScale
+    val b = DsirBuckets
+    s"""
+WITH tok AS (
+  SELECT doc_id, source,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), td AS (
+  SELECT doc_id, source, (${md5ModSql("term")} % $b) AS b,
+    COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, source, b
+), tsrc AS (
+  SELECT MIN(source) AS tsrc FROM documents
+), cnt AS (
+  SELECT b, CAST(SUM(tf) AS BIGINT) AS cr,
+    CAST(SUM(CASE WHEN source = tsrc THEN tf ELSE 0 END) AS BIGINT)
+      AS ct
+  FROM td CROSS JOIN tsrc GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM cnt
+), wt AS (
+  SELECT b,
+    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (tt + $b))
+      - ln(CAST(cr + 1 AS DOUBLE) / (tr + $b))) * $scale) AS BIGINT)
+      AS wt
+  FROM cnt CROSS JOIN tot
+), per_doc AS (
+  SELECT d.source,
+    COALESCE(i.imp, 0) AS imp_u
+  FROM documents d LEFT JOIN (
+    SELECT td.doc_id, CAST(SUM(td.tf * wt.wt) AS BIGINT) AS imp
+    FROM td JOIN wt USING (b) GROUP BY td.doc_id
+  ) i ON i.doc_id = d.doc_id
+), g AS (
+  SELECT imp_u, COUNT(*) AS cnt FROM per_doc GROUP BY imp_u
+), cw AS (
+  SELECT imp_u, cnt,
+    SUM(cnt) OVER (ORDER BY imp_u ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g
+), thr AS (
+  SELECT ${ExactRank.valueAtSql(1, 4, "n", "imp_u")} AS q1,
+    ${ExactRank.valueAtSql(2, 4, "n", "imp_u")} AS q2,
+    ${ExactRank.valueAtSql(3, 4, "n", "imp_u")} AS q3
+  FROM cw, t
+), quart AS (
+  SELECT source, imp_u,
+    (1 + CAST(imp_u > q1 AS INTEGER) + CAST(imp_u > q2 AS INTEGER)
+       + CAST(imp_u > q3 AS INTEGER)) AS quartile
+  FROM per_doc CROSS JOIN thr
+), census AS (
+  SELECT source, quartile, COUNT(*) AS n_docs,
+    CAST(SUM(imp_u) AS BIGINT) AS sum_imp_u
+  FROM quart GROUP BY source, quartile
+)
+SELECT source, quartile, n_docs,
+  ${r6Sql("(CAST(n_docs AS DOUBLE) / (SUM(n_docs) OVER (PARTITION BY source)))")}
+    AS share,
+  ${r6Sql(s"(CAST(sum_imp_u AS DOUBLE) / n_docs / $scale.0)")}
+    AS mean_imp
+FROM census
+ORDER BY source, quartile"""
+  }
 }

@@ -768,4 +768,124 @@ FROM released
 GROUP BY source, eps
 ORDER BY source, eps"""
   }
+
+  // ------------------------------------------------------------------
+  // qf_k_anon — k-anonymity / l-diversity release audit
+  // ------------------------------------------------------------------
+
+  /** k thresholds swept by the anonymity audit. */
+  val KAnonKs: Seq[Int] = Seq(2, 5, 10)
+
+  /** The generalization ladder: label → length-bucket width for the
+    * quasi-identifier `(source, n_chars div width)`; width 0 means the
+    * length dimension is SUPPRESSED (QI = source alone). Walking the
+    * ladder is the k-anonymization decision itself — each step trades
+    * analytic resolution for larger equivalence classes.
+    */
+  val KAnonLevels: Seq[(String, Long)] =
+    Seq("b16" -> 16L, "b128" -> 128L, "src" -> 0L)
+
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the OTHER half of the privacy
+    * tier (qf_dp_census protects published AGGREGATES; this audits a
+    * proposed ROW-LEVEL release): with quasi-identifier
+    * `(source, length-bucket)` and sensitive attribute `lang`, a row
+    * is re-identifiable when its QI equivalence class is smaller than
+    * k, and attribute-disclosable when its class is sensitive-
+    * homogeneous (all one lang — the l-diversity l=2 failure: an
+    * attacker who links ANY member learns the sensitive value without
+    * identifying one). Per generalization level × k: class count,
+    * min class size (the dataset's k-anonymity), k-violating classes
+    * and the rows at risk in them, plus the level's homogeneous-class
+    * exposure — the table a release owner reads to pick the coarsest
+    * level that clears policy. The fixture exercises both verdicts on
+    * both axes: `b16` violates every k with 259 one-lang classes;
+    * `src` is 25-anonymous and fully diverse.
+    *
+    * Scale shape: per level ONE corpus-keyed groupBy (partial-agg
+    * count + distinct-lang) then a class-grain (≤ classes-sized)
+    * census; the per-k sweep is conditional sums inside that census —
+    * nothing corpus-sized is touched more than once per level.
+    */
+  def qfKAnon(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    // the 3-row k sweep, cross-joined below the census so each level
+    // is ONE pass over its class relation (no re-scan per threshold)
+    val ks = KAnonKs.map(k => s"SELECT $k AS k")
+      .mkString(" UNION ALL ")
+    val kFrame = d.sparkSession.sql(ks)
+    val levels = KAnonLevels.map { case (label, width) =>
+      val qiLen =
+        if (width == 0L) lit(0L) else expr(s"n_chars div $width")
+      val classes = d
+        .groupBy(col("source"), qiLen.as("len_b"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("lang")).as("n_lang"))
+      // classes × 3 thresholds: constant-size broadcast side
+      // (PlanLint allowlisted), then one census groupBy per k
+      classes.crossJoin(broadcast(kFrame))
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("min_class"),
+          sum(when(col("sz") < col("k"), lit(1L)).otherwise(lit(0L)))
+            .as("n_viol_classes"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+            .as("n_risk_rows"),
+          sum(when(col("n_lang") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_homog_classes"),
+          sum(when(col("n_lang") === 1, col("sz")).otherwise(lit(0L)))
+            .as("n_homog_rows"))
+        .select(lit(label).as("gen"), col("k"),
+          col("n_classes"), col("min_class"),
+          (col("min_class") >= col("k")).as("k_ok"),
+          col("n_viol_classes"), col("n_risk_rows"),
+          r6(col("n_risk_rows").cast("double") / col("n_rows"))
+            .as("risk_share"),
+          col("n_homog_classes"), col("n_homog_rows"),
+          r6(col("n_homog_rows").cast("double") / col("n_rows"))
+            .as("homog_share"))
+    }
+    levels.reduce(_ unionAll _).orderBy(col("gen"), col("k"))
+  }
+
+  val qfKAnonSql: String = {
+    val kRows = KAnonKs.map(k => s"SELECT $k AS k")
+      .mkString(" UNION ALL ")
+    val levels = KAnonLevels.map { case (label, width) =>
+      val qiLen =
+        if (width == 0L) "CAST(0 AS BIGINT)" else s"(n_chars // $width)"
+      s"""classes_$label AS (
+  SELECT source, $qiLen AS len_b, COUNT(*) AS sz,
+    COUNT(DISTINCT lang) AS n_lang
+  FROM documents GROUP BY source, $qiLen
+), level_$label AS (
+  SELECT '$label' AS gen, ks.k AS k,
+    COUNT(*) AS n_classes,
+    CAST(MIN(sz) AS BIGINT) AS min_class,
+    CAST(MIN(sz) AS BIGINT) >= ks.k AS k_ok,
+    CAST(COALESCE(SUM(CASE WHEN sz < ks.k THEN 1 END), 0) AS BIGINT)
+      AS n_viol_classes,
+    CAST(COALESCE(SUM(CASE WHEN sz < ks.k THEN sz END), 0) AS BIGINT)
+      AS n_risk_rows,
+    ${r6Sql("(CAST(COALESCE(SUM(CASE WHEN sz < ks.k THEN sz END), 0) AS DOUBLE) / SUM(sz))")}
+      AS risk_share,
+    CAST(COALESCE(SUM(CASE WHEN n_lang = 1 THEN 1 END), 0) AS BIGINT)
+      AS n_homog_classes,
+    CAST(COALESCE(SUM(CASE WHEN n_lang = 1 THEN sz END), 0) AS BIGINT)
+      AS n_homog_rows,
+    ${r6Sql("(CAST(COALESCE(SUM(CASE WHEN n_lang = 1 THEN sz END), 0) AS DOUBLE) / SUM(sz))")}
+      AS homog_share
+  FROM classes_$label CROSS JOIN ($kRows) ks
+  GROUP BY ks.k
+)"""
+    }.mkString(", ")
+    val union = KAnonLevels.map { case (label, _) =>
+      s"SELECT * FROM level_$label"
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH $levels
+$union
+ORDER BY gen, k"""
+  }
 }

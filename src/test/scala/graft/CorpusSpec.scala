@@ -942,4 +942,76 @@ class CorpusSpec extends SparkSpec {
     assert(got.exists(_.getLong(1) > 0) && got.exists(_.getLong(2) > 0) &&
       got.exists(_.getLong(3) > 0) && got.exists(_.getLong(4) > 0))
   }
+
+  test("cp_dsir equals a local hashed-importance recompute and the " +
+    "target source scores above the corpus mean") {
+    import graft.operators.Corpus
+    val B = Corpus.DsirBuckets
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P) % B
+    }
+    val tsrc = docs.map(_._2).min
+    val docB = docs.map { case (id, src, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, src, toks.map(bucket).groupBy(identity)
+        .map { case (b, xs) => b -> xs.length.toLong })
+    }
+    val cr = scala.collection.mutable.Map.empty[Long, Long]
+    val ct = scala.collection.mutable.Map.empty[Long, Long]
+    docB.foreach { case (_, src, c) =>
+      c.foreach { case (b, tf) =>
+        cr(b) = cr.getOrElse(b, 0L) + tf
+        if (src == tsrc) ct(b) = ct.getOrElse(b, 0L) + tf
+      }
+    }
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val wt = cr.keys.map { b =>
+      b -> math.round(
+        (math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+          math.log((cr(b) + 1).toDouble / (tr + B))) * 1000000.0)
+    }.toMap
+    val imp = docB.map { case (id, src, c) =>
+      (id, src, c.map { case (b, tf) => tf * wt(b) }.sum)
+    }
+    // rank-ceil quartile cuts (the ExactRank rule)
+    val vals = imp.map(_._3).sorted
+    val n = vals.length
+    def cut(num: Int): Long = vals((num * n + 3) / 4 - 1)
+    val (q1, q2, q3) = (cut(1), cut(2), cut(3))
+    val census = imp.groupBy { case (_, src, w) =>
+      (src, 1 + (if (w > q1) 1 else 0) + (if (w > q2) 1 else 0) +
+        (if (w > q3) 1 else 0))
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val srcDocs = imp.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.length.toLong
+    }
+    val got = Corpus.cpDsir(spark, sf()).collect()
+    assert(got.length == census.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getInt(1))
+      val (nd, sum) = census(k)
+      assert(r.getLong(2) == nd, s"n_docs $k")
+      assert(r.getDouble(3) == graft.functions.Determinism
+        .r6Jvm(nd.toDouble / srcDocs(k._1)), s"share $k")
+      assert(r.getDouble(4) == graft.functions.Determinism
+        .r6Jvm(sum.toDouble / nd / 1000000.0), s"mean_imp $k")
+    }
+    // the selection signal the census exists for: the target source's
+    // own docs score above the corpus mean (the Gibbs-inequality
+    // direction — its empirical distribution is closest to itself)
+    val tgt = imp.filter(_._2 == tsrc).map(_._3)
+    assert(tgt.sum.toDouble / tgt.length >
+      vals.sum.toDouble / n, "target source does not self-select")
+    // the quartile cuts partition the corpus into four non-empty bins
+    (1 to 4).foreach { qt =>
+      assert(census.keys.exists(_._2 == qt), s"empty quartile $qt")
+    }
+  }
 }

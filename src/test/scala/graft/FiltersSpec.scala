@@ -339,4 +339,55 @@ class FiltersSpec extends SparkSpec {
     assert(ka.exists { case (k, (_, e)) => kb(k)._2 != e },
       "secret seed produced identical noise — the seam is dead")
   }
+
+  test("qf_k_anon: the audit equals a local class-census recompute and " +
+    "the ladder exercises both verdicts on both axes") {
+    import graft.operators.Filters
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def census(width: Long): Map[(String, Long), (Long, Int)] =
+      docs.groupBy { case (s, _, c) =>
+        (s, if (width == 0L) 0L else c / width)
+      }.map { case (k, xs) =>
+        k -> (xs.length.toLong, xs.map(_._2).distinct.length)
+      }
+    val got = Filters.qfKAnon(spark, sf()).collect()
+    assert(got.length == Filters.KAnonLevels.size * Filters.KAnonKs.size)
+    val widths = Filters.KAnonLevels.toMap
+    got.foreach { r =>
+      val (gen, k) = (r.getString(0), r.getInt(1))
+      val classes = census(widths(gen))
+      val sizes = classes.values.map(_._1)
+      val nRows = sizes.sum
+      assert(r.getLong(2) == classes.size.toLong, s"n_classes $gen")
+      assert(r.getLong(3) == sizes.min, s"min_class $gen")
+      assert(r.getBoolean(4) == (sizes.min >= k), s"k_ok $gen k=$k")
+      val viol = classes.values.filter(_._1 < k).map(_._1)
+      assert(r.getLong(5) == viol.size.toLong, s"n_viol $gen k=$k")
+      assert(r.getLong(6) == viol.sum, s"n_risk $gen k=$k")
+      assert(r.getDouble(7) == graft.functions.Determinism
+        .r6Jvm(viol.sum.toDouble / nRows), s"risk_share $gen k=$k")
+      val homog = classes.values.filter(_._2 == 1).map(_._1)
+      assert(r.getLong(8) == homog.size.toLong, s"n_homog $gen")
+      assert(r.getLong(9) == homog.sum, s"homog_rows $gen")
+      assert(r.getDouble(10) == graft.functions.Determinism
+        .r6Jvm(homog.sum.toDouble / nRows), s"homog_share $gen")
+    }
+    // the generalization ladder must exercise both verdicts on the
+    // fixture: the fine level violates every k with homogeneous
+    // classes; the suppressed level is k-anonymous and fully diverse
+    assert(got.filter(_.getString(0) == "b16")
+      .forall(r => !r.getBoolean(4) && r.getLong(8) > 0))
+    assert(got.filter(_.getString(0) == "src")
+      .forall(r => r.getBoolean(4) && r.getLong(8) == 0L))
+    // walking the ladder monotonically shrinks the rows at risk,
+    // at every k — the property that makes it a decision table
+    Filters.KAnonKs.foreach { k =>
+      def risk(gen: String): Long = got.find(r =>
+        r.getString(0) == gen && r.getInt(1) == k).get.getLong(6)
+      assert(risk("b16") >= risk("b128") && risk("b128") >= risk("src"),
+        s"risk not monotone along the ladder at k=$k")
+    }
+  }
 }

@@ -72,6 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "cp_bpe_train", "cp_bpe_train_delta", "cp_bpe_tokenize",
     "cp_curriculum", "cp_dataset_card", "cp_dataset_card_approx",
     "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
+    // cp_dsir: 1-row target-source / corpus-total / quartile anchors
+    "cp_dsir",
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "gr_degree", "gr_triangles", "gr_triangles_deg",
@@ -80,6 +82,9 @@ class PlanLintSpec extends SparkSpec {
     "prof_drift",
     "prof_mi",
     "prof_outliers",
+    // qf_k_anon: class census × the 3-row k-threshold frame — the
+    // broadcast side is a compile-time constant
+    "qf_k_anon",
     "qf_composite", "qf_ingest_gate", "qf_lm_filter",
     "sim_bruteforce_topk", "sim_ivf_ann",
     "sim_hybrid_rrf", "sim_hybrid_rrf_ann",
