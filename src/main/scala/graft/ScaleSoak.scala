@@ -137,7 +137,12 @@ object ScaleSoak {
       "gr_reach_dense" -> ((s, dir, _) =>
         graft.operators.Graph.grReachFrom(soakDenseDocs(s, dir))),
       "gr_components_dense" -> ((s, dir, _) =>
-        graft.operators.Graph.grComponentsFrom(soakDenseDocs(s, dir))))
+        graft.operators.Graph.grComponentsFrom(soakDenseDocs(s, dir))),
+      // k-core peel: 16 bounded rounds of (sym ⋈ alive ⋈ alive) +
+      // degree groupBy + anti-join; per-round cost is the surviving
+      // subgraph, so the α readout says whether the peel stays ∝ |E|
+      "gr_kcore_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grKcoreFrom(soakDenseDocs(s, dir))))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

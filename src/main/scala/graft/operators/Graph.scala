@@ -855,4 +855,128 @@ FROM documents d
 LEFT JOIN deg g ON g.v = d.doc_id
 LEFT JOIN pernode p ON p.v = d.doc_id
 ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------------
+  // gr_kcore — bounded-round k-core peeling (onion-layer census)
+  // ------------------------------------------------------------------
+
+  /** Core thresholds swept. The derived graph's mean undirected degree
+    * is ~6, so k=4 leaves a large partial core and k=5 peels the graph
+    * to EMPTY — both verdicts exercised on the fixture.
+    */
+  val KCoreKs: Seq[Int] = Seq(4, 5)
+
+  /** Published peel-round bound. The fixture reaches the fixpoint in
+    * ≤ 7 rounds at both gate SFs (GraphSpec asserts the last round
+    * peels nothing, i.e. the bound is not a truncation here); a
+    * production run replaces the constant with a drops==0 convergence
+    * check — the bounded unroll is the hash-verifiable form (the
+    * [[grReach]] argument applied to peeling).
+    */
+  val KCoreRounds = 8
+
+  /** K-CORE DECOMPOSITION — the density-tier curation signal
+    * (link-farm detection 101: a k-core is a subgraph where EVERY
+    * member keeps ≥ k neighbors inside it; organic pages live in
+    * shallow cores, mutual-citation rings survive deep ones): per doc
+    * × k, the PEEL ROUND — the onion layer at which iterated
+    * remove-degree-<k deletes the doc (round 1 = periphery, isolated
+    * docs included) — and 0 = the doc survives all [[KCoreRounds]]
+    * rounds, i.e. sits in the k-core.
+    *
+    * Spark shape: the textbook distributed peel — per round ONE
+    * (sym ⋈ alive ⋈ alive) edge filter + a partial-agg'd degree
+    * groupBy + an anti-join; per-round cost is the SURVIVING subgraph,
+    * never the original (work shrinks monotonically — the soak
+    * measures k=5 rounds cheapening as layers fall away). Nothing is
+    * all-pairs; the symmetrized edge set is built once and
+    * checkpointed.
+    */
+  def grKcore(spark: SparkSession, sfDir: String): DataFrame =
+    grKcoreFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grKcore]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grKcoreFrom(d0: DataFrame): DataFrame =
+    grKcoreFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grKcore]] over an explicit edge set (real-link seam). */
+  private[graft] def grKcoreFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val und = undEdges(e0)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val nodes = nodes0.select(col("doc_id")).localCheckpoint(true)
+    val perK = KCoreKs.map { k =>
+      var alive = nodes
+      var layers = Seq.empty[DataFrame]
+      for (r <- 1 to KCoreRounds) {
+        val deg = sym
+          .join(alive.as("x"), col("u") === col("x.doc_id"))
+          .join(alive.as("y"), col("v") === col("y.doc_id"))
+          .groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        val drop = alive.join(deg, alive("doc_id") === deg("u"), "left")
+          .filter(coalesce(col("dg"), lit(0L)) < k)
+          .select(alive("doc_id")).localCheckpoint(true)
+        layers :+= drop.select(col("doc_id"), lit(k).as("k"),
+          lit(r).as("peel_round"))
+        alive = alive.join(drop, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
+      layers.reduce(_ unionAll _).unionAll(
+        alive.select(col("doc_id"), lit(k).as("k"),
+          lit(0).as("peel_round")))
+    }
+    perK.reduce(_ unionAll _)
+      .select(col("doc_id"), col("k"), col("peel_round"),
+        (col("peel_round") === 0).as("in_core"))
+      .orderBy(col("k"), col("doc_id"))
+  }
+
+  val grKcoreSql: String = {
+    // alive CTEs are referenced 3× per round (degree needs both edge
+    // endpoints alive, the peel needs the set itself) — MATERIALIZED
+    // stops DuckDB's inliner from expanding the chain exponentially
+    // (4^rounds scans of documents = fd exhaustion); the Spark side's
+    // localCheckpoint is the same decision in the other engine
+    val ks = KCoreKs.map { k =>
+      val rounds = (1 to KCoreRounds).map { r =>
+        s"""deg${k}_$r AS (
+  SELECT s.u, COUNT(*) AS dg
+  FROM sym s
+  JOIN alive${k}_${r - 1} x ON x.doc_id = s.u
+  JOIN alive${k}_${r - 1} y ON y.doc_id = s.v
+  GROUP BY s.u
+), peel${k}_$r AS MATERIALIZED (
+  SELECT a.doc_id
+  FROM alive${k}_${r - 1} a LEFT JOIN deg${k}_$r d ON d.u = a.doc_id
+  WHERE COALESCE(d.dg, 0) < $k
+), alive${k}_$r AS MATERIALIZED (
+  SELECT a.doc_id FROM alive${k}_${r - 1} a
+  LEFT JOIN peel${k}_$r x ON x.doc_id = a.doc_id
+  WHERE x.doc_id IS NULL
+)"""
+      }.mkString(", ")
+      s"""alive${k}_0 AS MATERIALIZED (
+  SELECT doc_id FROM documents
+), $rounds"""
+    }.mkString(", ")
+    val unions = KCoreKs.flatMap { k =>
+      (1 to KCoreRounds).map { r =>
+        s"SELECT doc_id, $k AS k, $r AS peel_round FROM peel${k}_$r"
+      } :+ (s"SELECT doc_id, $k AS k, 0 AS peel_round" +
+        s" FROM alive${k}_$KCoreRounds")
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH $grEdgesSql, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM gedges
+), sym AS (
+  SELECT a AS u, b AS v FROM und
+  UNION ALL SELECT b AS u, a AS v FROM und
+), $ks
+SELECT doc_id, k, peel_round, peel_round = 0 AS in_core
+FROM ($unions)
+ORDER BY k, doc_id"""
+  }
 }

@@ -2270,4 +2270,128 @@ FROM cands c LEFT JOIN truth t ON t.tq = c.query_id AND t.tv = c.vec_id
 GROUP BY c.prefix_dim, c.query_id
 ORDER BY c.prefix_dim, c.query_id"""
   }
+
+  // ------------------------------------------------------------------
+  // sim_kcenter — greedy k-center coreset selection (Gonzalez)
+  // ------------------------------------------------------------------
+
+  /** Centers selected by the greedy sweep. */
+  val KCenterK = 8
+
+  /** GREEDY K-CENTER CORESET — the diverse-subset selection pass
+    * training-data pipelines run when they want COVERAGE rather than
+    * volume (prototype selection, eval-set seeding, dedup-aware
+    * sampling): Gonzalez's farthest-point sweep — start at vec_id 0,
+    * then [[KCenterK]]−1 times pick the point FARTHEST (squared L2)
+    * from every center chosen so far (the classic 2-approximation of
+    * the k-center objective). Output per center, in selection order:
+    * its id, the max-min distance at which it was chosen (the
+    * monotonically shrinking coverage radius — the spec pins the
+    * monotonicity, which is the algorithm's correctness certificate),
+    * and the final nearest-center assignment census (cluster size +
+    * covering radius, order-free aggregates only — a float SUM across
+    * partitions would not be).
+    *
+    * Fully distributed — NO driver-side vectors: each round carries a
+    * running min-distance column (one `least` against the new 1-row
+    * broadcast center, the oracle's chained LEAST verbatim) and picks
+    * the next center with one TakeOrdered reduction; K scans of the
+    * corpus total, each embarrassingly parallel, nothing all-pairs.
+    * Lineage is pinned per round (localCheckpoint — each round's frame
+    * is consumed twice: the argmax and the carry; the oracle's
+    * MATERIALIZED CTEs are the same decision in DuckDB, stopping the
+    * inliner from expanding the chain 2^K-fold).
+    */
+  def simKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    DotProduct.register(spark)
+    val n = e.select(col("vec_id"), col("v"),
+      DotProduct.dot(col("v"), col("v")).as("nrm"))
+      .localCheckpoint(true)
+    def d2(cv: Column, cn: Column): Column =
+      col("nrm") + cn - lit(2.0) * DotProduct.dot(col("v"), cv)
+    val c0 = n.filter(col("vec_id") === 0)
+      .select(lit(0).as("ord"), col("vec_id").as("center_id"),
+        col("v").as("cv"), col("nrm").as("cn"), lit(0.0).as("sel"))
+      .localCheckpoint(true)
+    var centers = c0
+    var d = n.crossJoin(broadcast(c0.select(col("cv"), col("cn"))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        d2(col("cv"), col("cn")).as("md"))
+      .localCheckpoint(true)
+    for (t <- 1 until KCenterK) {
+      val c = d.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(lit(t).as("ord"), col("vec_id").as("center_id"),
+          col("v").as("cv"), col("nrm").as("cn"), col("md").as("sel"))
+        .localCheckpoint(true)
+      centers = centers.unionAll(c)
+      d = d.crossJoin(broadcast(c.select(col("cv"), col("cn"))))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          least(col("md"), d2(col("cv"), col("cn"))).as("md"))
+        .localCheckpoint(true)
+    }
+    val cents = centers.localCheckpoint(true)
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ord"), col("center_id"),
+        d2(col("cv"), col("cn")).as("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("ord"))
+    val assign = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("ord"), col("center_id"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("mx"))
+    assign.join(broadcast(cents.select(col("ord"), col("sel"))), Seq("ord"))
+      .select(col("ord").as("sel_order"), col("center_id"),
+        r6(col("sel")).as("sel_d2"), col("n_assigned"),
+        r6(col("mx")).as("max_d2"))
+      .orderBy(col("sel_order"))
+  }
+
+  val simKcenterSql: String = {
+    def d2(p: String, c: String): String =
+      s"($p.nrm + $c.cn - 2.0 * ${dotSql(s"$p.v", s"$c.cv")})"
+    val rounds = (1 to KCenterK - 1).map { t =>
+      s"""c$t AS MATERIALIZED (
+  SELECT $t AS ord, vec_id AS center_id, v AS cv, nrm AS cn, md AS sel
+  FROM d${t - 1} ORDER BY md DESC, vec_id LIMIT 1
+), d$t AS MATERIALIZED (
+  SELECT p.vec_id, p.v, p.nrm, LEAST(p.md, ${d2("p", "c")}) AS md
+  FROM d${t - 1} p CROSS JOIN c$t c
+)"""
+    }.mkString(", ")
+    val centerUnion = (0 until KCenterK)
+      .map(t => s"SELECT ord, center_id, cv, cn, sel FROM c$t")
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), c0 AS MATERIALIZED (
+  SELECT 0 AS ord, vec_id AS center_id, v AS cv, nrm AS cn,
+    0.0 AS sel
+  FROM n WHERE vec_id = 0
+), d0 AS MATERIALIZED (
+  SELECT p.vec_id, p.v, p.nrm, ${d2("p", "c")} AS md
+  FROM n p CROSS JOIN c0 c
+), $rounds, cents AS MATERIALIZED (
+  $centerUnion
+), scored AS (
+  SELECT p.vec_id, c.ord, c.center_id, ${d2("p", "c")} AS d2
+  FROM n p CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, ord, center_id, d2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ord) AS rk
+  FROM scored
+), census AS (
+  SELECT ord, center_id, COUNT(*) AS n_assigned, MAX(d2) AS mx
+  FROM assign WHERE rk = 1 GROUP BY ord, center_id
+)
+SELECT g.ord AS sel_order, g.center_id,
+  ${r6Sql("c.sel")} AS sel_d2, g.n_assigned,
+  ${r6Sql("g.mx")} AS max_d2
+FROM census g JOIN cents c ON c.ord = g.ord
+ORDER BY sel_order"""
+  }
 }

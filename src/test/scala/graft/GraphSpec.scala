@@ -379,4 +379,52 @@ class GraphSpec extends SparkSpec {
     // out-degree can never exceed the derivation's fan-out
     assert(rows.filter(_._1 == "out").forall(_._2 <= Graph.GraphOutDeg))
   }
+
+  test("gr_kcore equals a local peel, reaches the fixpoint inside the " +
+    "round bound, and the cores nest") {
+    val (n, adj) = localGraph()
+    // undirected adjacency off the derived directed edges
+    val und = adj.toSeq.flatMap { case (s, ds) =>
+      ds.map(d => (math.min(s, d), math.max(s, d)))
+    }.distinct
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    def peel(k: Int): Map[Long, Int] = {
+      var alive = (0L until n.toLong).toSet
+      var round = 0
+      val out = scala.collection.mutable.Map.empty[Long, Int]
+      var changed = true
+      while (changed && round < Graph.KCoreRounds) {
+        round += 1
+        val drop = alive.filter(v =>
+          nbrs.getOrElse(v, Set.empty).count(alive) < k)
+        changed = drop.nonEmpty
+        drop.foreach(out(_) = round)
+        alive --= drop
+      }
+      // fixpoint reached strictly inside the bound — the published
+      // constant is not a truncation on this fixture
+      assert(alive.forall(v =>
+        nbrs.getOrElse(v, Set.empty).count(alive) >= k),
+        s"k=$k not converged within ${Graph.KCoreRounds} rounds")
+      alive.foreach(out(_) = 0)
+      out.toMap
+    }
+    val want = Graph.KCoreKs.map(k => k -> peel(k)).toMap
+    val got = Graph.grKcore(spark, sf()).collect()
+    assert(got.length == n * Graph.KCoreKs.size)
+    got.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) == want(k)(id), s"peel_round at ($id, k=$k)")
+      assert(r.getBoolean(3) == (want(k)(id) == 0))
+    }
+    // both verdicts on the fixture: k=4 keeps a large core, k=5 peels
+    // the whole graph
+    assert(want(4).values.count(_ == 0) > 0, "k=4 core empty")
+    assert(want(5).values.forall(_ != 0), "k=5 core should be empty")
+    // core nesting (theorem): the (k+1)-core sits inside the k-core
+    val core4 = want(4).collect { case (v, 0) => v }.toSet
+    val core5 = want(5).collect { case (v, 0) => v }.toSet
+    assert(core5.subsetOf(core4))
+  }
 }

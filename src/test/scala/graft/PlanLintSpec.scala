@@ -92,6 +92,9 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
     "sim_hard_negatives", "sim_mrl",
+    // sim_kcenter: each round's carry joins ONE 1-row broadcast center;
+    // the census joins the 8-row center table
+    "sim_kcenter",
     "ta_bm25", "ta_burstiness", "ta_colloc", "ta_keywords",
     "ta_kl_source", "ta_ngram_lm", "wh_aging", "wh_basket", "wh_dq",
     "wh_idle_customers", "wh_pricing")

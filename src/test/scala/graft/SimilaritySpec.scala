@@ -636,4 +636,64 @@ class SimilaritySpec extends SparkSpec {
     // the sweep is informative on this corpus: truncation actually hurts
     assert(avg(sorted.head) < 1.0)
   }
+
+  test("sim_kcenter equals a local Gonzalez sweep and the coverage " +
+    "radius shrinks monotonically") {
+    val vecs = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    def d2(p: Long, c: Long): Double =
+      nrm(p) + nrm(c) - 2.0 * dot(byId(p), byId(c))
+    // greedy sweep with a running min-dist column, least-first like
+    // the shipped chained form
+    var centers = Vector((0, 0L, 0.0))
+    var md = vecs.map { case (id, _) => id -> d2(id, 0L) }.toMap
+    for (t <- 1 until Similarity.KCenterK) {
+      val (pick, sel) = md.toSeq.map { case (id, m) => (id, m) }
+        .minBy { case (id, m) => (-m, id) }
+      centers :+= ((t, pick, sel))
+      md = md.map { case (id, m) => id -> math.min(m, d2(id, pick)) }
+    }
+    // final assignment: nearest center, ties to the earlier center
+    val assign = vecs.map { case (id, _) =>
+      val best = centers.minBy { case (ord, cid, _) => (d2(id, cid), ord) }
+      (best._1, best._2, d2(id, best._2))
+    }
+    val census = assign.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).max)
+    }
+    val got = graft.operators.Similarity.simKcenter(spark, sf("sf0.01"))
+      .collect()
+    assert(got.length == Similarity.KCenterK)
+    got.foreach { r =>
+      val ord = r.getInt(0)
+      val (_, cid, sel) = centers(ord)
+      assert(r.getLong(1) == cid, s"center at ord $ord")
+      assert(r.getDouble(2) == graft.functions.Determinism.r6Jvm(sel),
+        s"sel_d2 at ord $ord")
+      val (n, mx) = census((ord, cid))
+      assert(r.getLong(3) == n, s"n_assigned at ord $ord")
+      assert(r.getDouble(4) == graft.functions.Determinism.r6Jvm(mx),
+        s"max_d2 at ord $ord")
+    }
+    // Gonzalez's correctness certificate: selection distances are
+    // non-increasing, and the final covering radius is bounded by the
+    // last selection distance
+    val sels = centers.drop(1).map(_._3)
+    sels.zip(sels.tail).foreach { case (a, b) =>
+      assert(b <= a, "selection distance rose")
+    }
+    assert(census.values.map(_._2).max <= sels.last + 1e-9)
+    // every center anchors a non-empty cluster (itself at least)
+    assert(census.size == Similarity.KCenterK)
+  }
 }
