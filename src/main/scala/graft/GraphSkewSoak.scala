@@ -155,7 +155,11 @@ object GraphSkewSoak {
       "gr_pagerank" -> ((e: DataFrame) =>
         Graph.grPagerankFromEdges(nodes, e)),
       "gr_components" -> ((e: DataFrame) =>
-        Graph.grComponentsFromEdges(nodes, e)))
+        Graph.grComponentsFromEdges(nodes, e)),
+      // the peel has no wedge join — a hub's F edges feed ONE
+      // partial-agg'd degree key per round, so it must stay flat
+      "gr_kcore" -> ((e: DataFrame) =>
+        Graph.grKcoreFromEdges(nodes, e)))
       .filter { case (name, _) => only.isEmpty || only(name) }
 
     def time(fn: => DataFrame): Double =

@@ -540,6 +540,57 @@ ORDER BY day, event_type"""
   }
 
   // ------------------------------------------------------------------
+  // streaming k-anonymity monitor — the privacy tier's live twin
+  // ------------------------------------------------------------------
+
+  /** Generalization level the live monitor runs at — the middle rung
+    * of qf_k_anon's ladder (the batch audit is where the level gets
+    * CHOSEN; the monitor then watches that choice hold as data
+    * arrives).
+    */
+  val KAnonStreamWidth = 128L
+
+  /** Class-size threshold the live monitor pages on (qf_k_anon's
+    * middle k).
+    */
+  val KAnonStreamK = 5L
+
+  /** The LIVE k-anonymity monitor — [[graft.operators.Filters
+    * .qfKAnon]]'s between-audits twin: the batch audit picks a
+    * generalization level; this watches the chosen level HOLD as
+    * documents arrive. Each arriving doc lands in its quasi-identifier
+    * class MAP-SIDE (the identical `(source, n_chars div width)` rule)
+    * and ONE running groupBy keeps the live class census: size,
+    * distinct sensitive values (a bounded `collect_set` — the lang
+    * universe is a handful; its SIZE is the l-diversity readout, so
+    * set order never matters), and the two pager flags — `at_risk`
+    * (class still below k: releasing now would expose its members) and
+    * `homogeneous` (one lang: linking ANY member discloses the
+    * attribute). A burst of rare-length docs from one feed opening a
+    * thin class is exactly the shape the nightly audit would catch a
+    * day late.
+    *
+    * State: one row per QI class (bounded by |sources| × length
+    * buckets, NOT by rows — the census grain) plus a ≤|langs| set per
+    * class. Output mode Complete (running census).
+    *
+    * StreamingSpec pins replay equality with the batch class census
+    * across a batch boundary, flags included, and that class sizes
+    * only grow.
+    */
+  def kAnonStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        expr(s"n_chars div $KAnonStreamWidth").as("len_b"),
+        col("lang"))
+      .groupBy(col("source"), col("len_b"))
+      .agg(count(lit(1)).as("sz"),
+        size(collect_set(col("lang"))).cast("long").as("n_lang"))
+      .select(col("source"), col("len_b"), col("sz"), col("n_lang"),
+        (col("sz") < KAnonStreamK).as("at_risk"),
+        (col("n_lang") === 1).as("homogeneous"))
+
+  // ------------------------------------------------------------------
   // stream-stream attribution join — ev_range_join's streaming twin
   // ------------------------------------------------------------------
 

@@ -1879,4 +1879,49 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("k-anonymity monitor replays the batch class census across a " +
+    "batch boundary, both pager flags included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingStats
+      .kAnonStream(mem.toDF().toDF("source", "n_chars", "lang"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kanon_mon").start()
+    try {
+      val (b1, b2) = d.splitAt(d.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("kanon_mon").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("kanon_mon").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSet
+      // batch twin: the audit's class census at the monitor's level
+      val want = d.groupBy { case (s, c, _) =>
+        (s, c / StreamingStats.KAnonStreamWidth)
+      }.map { case ((s, lb), xs) =>
+        val sz = xs.length.toLong
+        val nl = xs.map(_._3).distinct.length.toLong
+        (s, lb, sz, nl, sz < StreamingStats.KAnonStreamK, nl == 1L)
+      }.toSet
+      assert(got == want)
+      // both pagers fire on this corpus, and both verdicts occur
+      assert(got.exists(_._5) && got.exists(!_._5))
+      assert(got.exists(_._6) && got.exists(!_._6))
+      // complete-mode census: class sizes only grow across the boundary
+      assert(mid.nonEmpty)
+      mid.foreach { case (k, c) =>
+        assert(got.exists(g => (g._1, g._2) == k && g._3 >= c),
+          s"class shrank at $k")
+      }
+    } finally q.stop()
+  }
 }
