@@ -857,6 +857,133 @@ LEFT JOIN pernode p ON p.v = d.doc_id
 ORDER BY d.doc_id"""
 
   // ------------------------------------------------------------------
+  // gr_hits — hubs & authorities with exact integer renormalization
+  // ------------------------------------------------------------------
+
+  /** HITS total mass per side, micro-units (PrScale's discipline). */
+  val HitsScale = PrScale
+
+  /** Fixed HITS rounds, unrolled in the oracle (the prLoop contract). */
+  val HitsIters = 6
+
+  /** HITS (hubs & authorities) — the OTHER link-analysis readout
+    * curation needs besides PageRank: an AUTHORITY is a page good
+    * sources cite (keep, upweight); a HUB is a page that exists to
+    * cite (directories, link lists — the shape a mixer downweights
+    * even when its PageRank is respectable, since hubs aggregate rank
+    * without carrying content). Mutual recursion a = Aᵀh, h = A·a
+    * with per-half-round renormalization.
+    *
+    * The float algorithm L2-normalizes — unverifiable across engines.
+    * Here each half-round FLOOR-renormalizes in exact integer
+    * arithmetic: x ↦ (x·[[HitsScale]]) div Σx, the multiply widened
+    * through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — verified
+    * bit-identical `div`/`//` semantics — so the fixpoint is BIGINT
+    * end to end and partition-order-free (the [[PrScale]] discipline
+    * extended to a TWO-sided fixpoint). The published semantic is
+    * thus "floor-renormalized HITS": deterministic, scale-invariant
+    * per round, spec-pinned against a local recompute.
+    *
+    * Per round: TWO equi-joins (src-side, then dst-side) + two
+    * partial-agg'd groupBys + two 1-row total anchors — the same
+    * co-partitionable shape as [[prLoop]], twice. Sinks/isolated
+    * nodes decay to exact 0 on the side they lack edges for.
+    */
+  def grHits(spark: SparkSession, sfDir: String): DataFrame =
+    grHitsFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grHits]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grHitsFrom(d0: DataFrame): DataFrame =
+    grHitsFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grHits]] over an explicit edge set (real-link seam). */
+  private[graft] def grHitsFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val d = nodes0.select(col("doc_id"))
+    val e = e0.select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    val n = d.agg(count(lit(1)).as("n"))
+    val nodes = d.localCheckpoint(true)
+    // one side's propagate + floor-renormalize step
+    def halfRound(prev: DataFrame, joinKey: String,
+        outKey: String): DataFrame = {
+      val raw = e.join(prev.select(col("doc_id"), col("r")),
+          e(joinKey) === col("doc_id"))
+        .groupBy(e(outKey).as("g")).agg(sum(col("r")).as("s"))
+      val tot = raw.agg(sum(col("s")).as("t"))
+      nodes.join(raw, nodes("doc_id") === raw("g"), "left")
+        .crossJoin(broadcast(tot))
+        .select(nodes("doc_id"),
+          coalesce(
+            expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $HitsScale)" +
+              " div t AS BIGINT)"), lit(0L)).as("r"))
+        .localCheckpoint(true)
+    }
+    var h = d.crossJoin(broadcast(n))
+      .select(col("doc_id"), expr(s"$HitsScale div n").as("r"))
+      .localCheckpoint(true)
+    var a = h // replaced in round 1
+    for (_ <- 1 to HitsIters) {
+      a = halfRound(h, "src", "dst") // authorities pull from hubs
+      h = halfRound(a, "dst", "src") // hubs pull from authorities
+    }
+    val outDeg = e.groupBy(col("src")).agg(min(col("out_deg")).as("od"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("id_"))
+    d.join(h.select(col("doc_id"), col("r").as("hub_u")), Seq("doc_id"))
+      .join(a.select(col("doc_id"), col("r").as("auth_u")), Seq("doc_id"))
+      .join(outDeg, d("doc_id") === outDeg("src"), "left")
+      .join(inDeg, d("doc_id") === inDeg("dst"), "left")
+      .select(d("doc_id"),
+        coalesce(col("od"), lit(0L)).as("out_deg"),
+        coalesce(col("id_"), lit(0L)).as("in_deg"),
+        col("hub_u"), col("auth_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  val grHitsSql: String = {
+    def half(prev: String, out: String, joinKey: String,
+        outKey: String): String = {
+      s"""${out}_raw AS (
+  SELECT e.$outKey AS g, CAST(SUM(p.r) AS BIGINT) AS s
+  FROM gedges e JOIN $prev p ON p.doc_id = e.$joinKey
+  GROUP BY e.$outKey
+), ${out}_tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS t FROM ${out}_raw
+), $out AS MATERIALIZED (
+  SELECT d.doc_id,
+    COALESCE(CAST((CAST(r.s AS HUGEINT) * $HitsScale) // a.t AS BIGINT),
+      CAST(0 AS BIGINT)) AS r
+  FROM documents d
+  LEFT JOIN ${out}_raw r ON r.g = d.doc_id
+  CROSS JOIN ${out}_tot a
+)"""
+    }
+    val rounds = (1 to HitsIters).map { t =>
+      half(s"hh${t - 1}", s"aa$t", "src", "dst") + ", " +
+        half(s"aa$t", s"hh$t", "dst", "src")
+    }.mkString(", ")
+    s"""
+WITH $grEdgesSql, hanchor AS (
+  SELECT COUNT(*) AS n FROM documents
+), hh0 AS MATERIALIZED (
+  SELECT d.doc_id, ($HitsScale // a.n) AS r
+  FROM documents d CROSS JOIN hanchor a
+), $rounds
+SELECT d.doc_id,
+  COALESCE(od.od, CAST(0 AS BIGINT)) AS out_deg,
+  COALESCE(id_.id_, CAST(0 AS BIGINT)) AS in_deg,
+  h.r AS hub_u, a.r AS auth_u
+FROM documents d
+JOIN hh$HitsIters h ON h.doc_id = d.doc_id
+JOIN aa$HitsIters a ON a.doc_id = d.doc_id
+LEFT JOIN (SELECT src, CAST(MIN(out_deg) AS BIGINT) AS od
+           FROM gedges GROUP BY src) od ON od.src = d.doc_id
+LEFT JOIN (SELECT dst, COUNT(*) AS id_
+           FROM gedges GROUP BY dst) id_ ON id_.dst = d.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  // ------------------------------------------------------------------
   // gr_kcore — bounded-round k-core peeling (onion-layer census)
   // ------------------------------------------------------------------
 

@@ -380,6 +380,56 @@ class GraphSpec extends SparkSpec {
     assert(rows.filter(_._1 == "out").forall(_._2 <= Graph.GraphOutDeg))
   }
 
+  test("gr_hits equals a local floor-renormalized recompute and the " +
+    "two sides read different structure") {
+    val (n, adj) = localGraph()
+    val scale = Graph.HitsScale
+    val inAdj = adj.toSeq.flatMap { case (s, ds) => ds.map(_ -> s) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    def renorm(x: Map[Long, Long]): Map[Long, Long] = {
+      val t = x.values.sum
+      (0L until n.toLong).map { v =>
+        val s = x.getOrElse(v, 0L)
+        // widened multiply then floor-div — BigInt mirrors the
+        // DECIMAL(38,0)/HUGEINT path exactly
+        v -> (if (s == 0L) 0L
+          else ((BigInt(s) * scale) / t).toLong)
+      }.toMap
+    }
+    var h = (0L until n.toLong).map(v => v -> scale / n).toMap
+    var a = h
+    for (_ <- 1 to Graph.HitsIters) {
+      a = renorm((0L until n.toLong).map { v =>
+        v -> inAdj.getOrElse(v, Seq()).map(h).sum
+      }.toMap)
+      h = renorm((0L until n.toLong).map { v =>
+        v -> adj.getOrElse(v, Seq()).map(a).sum
+      }.toMap)
+    }
+    val got = Graph.grHits(spark, sf()).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == adj.getOrElse(id, Seq()).length.toLong)
+      assert(r.getLong(2) == inAdj.getOrElse(id, Seq()).length.toLong)
+      assert(r.getLong(3) == h(id), s"hub at $id")
+      assert(r.getLong(4) == a(id), s"auth at $id")
+    }
+    // structure: no out-edges ⟹ hub exactly 0; no in-edges ⟹ auth
+    // exactly 0 (the integer algebra makes the zeros assertable)
+    got.foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.getLong(3) == 0L)
+      if (r.getLong(2) == 0L) assert(r.getLong(4) == 0L)
+    }
+    // floor-renormalization: each side's mass is ≤ scale and > 0
+    val (hs, as_) = (got.map(_.getLong(3)).sum, got.map(_.getLong(4)).sum)
+    assert(hs > 0 && hs <= scale && as_ > 0 && as_ <= scale)
+    // the two sides genuinely rank differently on this graph
+    def top(i: Int) = got.sortBy(r => (-r.getLong(i), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSeq
+    assert(top(3) != top(4), "hub and authority rankings collapsed")
+  }
+
   test("gr_kcore equals a local peel, reaches the fixpoint inside the " +
     "round bound, and the cores nest") {
     val (n, adj) = localGraph()
