@@ -2768,4 +2768,57 @@ SELECT source, quartile, n_docs,
 FROM census
 ORDER BY source, quartile"""
   }
+
+  // ------------------------------------------------------------------
+  // cp_fertility — tokenizer fertility census per language
+  // ------------------------------------------------------------------
+
+  /** TOKENIZER FERTILITY CENSUS — the multilingual-coverage table a
+    * tokenizer owner reads (fertility = BPE tokens per word; a
+    * language the merge table under-serves pays more tokens per word,
+    * which is more compute per document at train AND serve time —
+    * the metric multilingual tokenizer papers publish per language):
+    * per lang, docs / words / BPE tokens / chars, fertility, and
+    * chars-per-token (the compression readout). Pure composition:
+    * the per-doc frame is [[cpBpeTokenize]] VERBATIM (one copy of the
+    * trained-merge application), joined to doc-grain (lang, n_chars)
+    * and rolled up — a lang-grain census groupBy, nothing new touches
+    * the token stream.
+    */
+  def cpFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val perDoc = cpBpeTokenize(spark, sfDir)
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    d.join(perDoc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        r6(col("n_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        r6(col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  val cpFertilitySql: String = {
+    import graft.functions.Determinism.r6Sql
+    val perDoc = cpBpeTokenizeSql.replace("\n", "\n  ")
+    s"""
+SELECT d.lang, COUNT(*) AS n_docs,
+  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+  ${r6Sql("(CAST(SUM(p.n_tokens) AS DOUBLE) / SUM(p.n_words))")}
+    AS fertility,
+  ${r6Sql("(CAST(SUM(d.n_chars) AS DOUBLE) / SUM(p.n_tokens))")}
+    AS chars_per_tok
+FROM documents d JOIN ($perDoc) p ON p.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang"""
+  }
 }

@@ -1014,4 +1014,37 @@ class CorpusSpec extends SparkSpec {
       assert(census.keys.exists(_._2 == qt), s"empty quartile $qt")
     }
   }
+
+  test("cp_fertility is exactly cp_bpe_tokenize rolled up to lang grain") {
+    import graft.operators.Corpus
+    val perDoc = Corpus.cpBpeTokenize(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = d.groupBy(_._2).map { case (lang, xs) =>
+      val w = xs.map(x => perDoc(x._1)._1).sum
+      val t = xs.map(x => perDoc(x._1)._2).sum
+      val c = xs.map(_._3).sum
+      lang -> (xs.length.toLong, w, t, c)
+    }
+    val got = Corpus.cpFertility(spark, sf()).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, w, t, c) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == w &&
+        r.getLong(3) == t && r.getLong(4) == c, s"census ${r.getString(0)}")
+      assert(r.getDouble(5) == graft.functions.Determinism
+        .r6Jvm(t.toDouble / w))
+      assert(r.getDouble(6) == graft.functions.Determinism
+        .r6Jvm(c.toDouble / t))
+    }
+    // BPE segments words into >= 1 token each, and the merge table is
+    // trained (some multi-char merges fire), so fertility sits in
+    // (1, max-word-len]: > 1 because single-char words stay whole but
+    // most words split, and it differs across langs on this fixture
+    assert(got.forall(_.getDouble(5) >= 1.0))
+    assert(got.map(_.getDouble(5)).distinct.length > 1,
+      "fertility identical across langs — the census carries no signal")
+  }
 }
