@@ -857,6 +857,98 @@ LEFT JOIN pernode p ON p.v = d.doc_id
 ORDER BY d.doc_id"""
 
   // ------------------------------------------------------------------
+  // gr_assortativity — degree correlation of the citation graph
+  // ------------------------------------------------------------------
+
+  /** DEGREE ASSORTATIVITY — the one-number graph-shape readout
+    * (Newman's r: Pearson correlation of endpoint degrees over the
+    * edge stubs): social/organic graphs are assortative (hubs link
+    * hubs, r > 0), the web and engineered link structures are
+    * DISassortative (hubs link leaves, r < 0) — so a feed whose
+    * citation graph flips sign between crawls changed its linking
+    * regime, worth a look before the mixer trusts its PageRank.
+    *
+    * Exact-moment discipline ([[Analytics.profCorr]]'s shape applied
+    * to a graph): each undirected edge contributes BOTH ordered stubs
+    * in one pass (a 2-row stack over ONE und⋈deg⋈deg join — by stub
+    * symmetry Σx=Σy and Σx²=Σy², so one moment set suffices); moments
+    * fold in DECIMAL(38,0) (HUGEINT in the oracle, VARCHAR-round-trip
+    * to double — the measured correctly-rounded path), floats only in
+    * the final 1-row projection.
+    */
+  def grAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    grAssortativityFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grAssortativity]] over an explicit edge set (real-link seam). */
+  private[graft] def grAssortativityFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val m38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = undEdges(e0)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val stubs = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(expr("stack(2, da, db, db, da) AS (x, y)"))
+      .select(col("x").cast(m38).as("x"), col("y").cast(m38).as("y"))
+    val m = stubs.agg(
+      count(lit(1)).cast(m38).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    broadcast(nEdges).crossJoin(broadcast(m))
+      .select(col("n_edges"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sx")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("n_edges"), col("n").cast("long").as("n_stubs"),
+        when(col("den") > 0, r6(col("num").cast("double") /
+          col("den").cast("double"))).as("assortativity"))
+  }
+
+  val grAssortativitySql: String = {
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    // HUGEINT→DOUBLE via VARCHAR: the correctly-rounded path
+    // (profCorrSql's measured finding; these moments pass 2^53 at
+    // soak scale)
+    def dbl(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""
+WITH $grEdgesSql, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM gedges
+), deg AS (
+  SELECT v, COUNT(*) AS dg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+), jj AS (
+  SELECT da.dg AS da, db.dg AS db
+  FROM und e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+), stubs AS (
+  SELECT ${h("da")} AS x, ${h("db")} AS y FROM jj
+  UNION ALL SELECT ${h("db")} AS x, ${h("da")} AS y FROM jj
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM stubs
+), ne AS (
+  SELECT COUNT(*) AS n_edges FROM und
+), f AS (
+  SELECT ne.n_edges, m.n,
+    (m.n * m.sxy - m.sx * m.sx) AS num,
+    (m.n * m.sxx - m.sx * m.sx) AS den
+  FROM ne CROSS JOIN m
+)
+SELECT n_edges, CAST(n AS BIGINT) AS n_stubs,
+  CASE WHEN den > 0 THEN
+    ${r6Sql(s"(${dbl("num")} / ${dbl("den")})")}
+  END AS assortativity
+FROM f"""
+  }
+
+  // ------------------------------------------------------------------
   // gr_hits — hubs & authorities with exact integer renormalization
   // ------------------------------------------------------------------
 

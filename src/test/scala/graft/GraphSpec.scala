@@ -380,6 +380,34 @@ class GraphSpec extends SparkSpec {
     assert(rows.filter(_._1 == "out").forall(_._2 <= Graph.GraphOutDeg))
   }
 
+  test("gr_assortativity equals a local Newman-r recompute") {
+    val (_, adj) = localGraph()
+    val und = adj.toSeq.flatMap { case (s, ds) =>
+      ds.map(d => (math.min(s, d), math.max(s, d)))
+    }.distinct
+    val dg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val stubs = und.flatMap { case (a, b) =>
+      Seq((dg(a), dg(b)), (dg(b), dg(a)))
+    }
+    val n = BigInt(stubs.length)
+    val sx = stubs.map(s => BigInt(s._1)).sum
+    val sxx = stubs.map(s => BigInt(s._1) * s._1).sum
+    val sxy = stubs.map(s => BigInt(s._1) * s._2).sum
+    val (num, den) = (n * sxy - sx * sx, n * sxx - sx * sx)
+    val got = Graph.grAssortativity(spark, sf()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == und.length.toLong)
+    assert(r.getLong(1) == stubs.length.toLong)
+    assert(den > 0, "fixture degenerate: constant degree")
+    assert(r.getDouble(2) == graft.functions.Determinism
+      .r6Jvm(num.toDouble / den.toDouble))
+    // the derived near-uniform-degree graph must sit near 0 — a
+    // strongly signed r here would mean the moments are wrong
+    assert(math.abs(r.getDouble(2)) < 0.5)
+  }
+
   test("gr_hits equals a local floor-renormalized recompute and the " +
     "two sides read different structure") {
     val (n, adj) = localGraph()

@@ -77,6 +77,8 @@ class PlanLintSpec extends SparkSpec {
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "gr_degree", "gr_triangles", "gr_triangles_deg",
+    // gr_assortativity: two 1-row census anchors assembled crosswise
+    "gr_assortativity",
     "gr_clustering", "gr_trustrank",
     "gr_source_trust", "wh_zorder",
     "prof_drift",
