@@ -2641,31 +2641,57 @@ ORDER BY source"""
     * quartile thresholds reduce a (distinct-importance, count) census
     * — never the doc stream — and broadcast as one row.
     */
-  def cpDsir(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.Determinism.r6
+  /** The (doc, source, bucket, tf) relation — ONE copy of the
+    * tokenize→hash→bucket semantics for [[cpDsir]] and
+    * [[dsirWeights]].
+    */
+  private[graft] def dsirTd(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("source"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    .filter(col("term") =!= "")
+    .select(col("doc_id"), col("source"),
+      (CrossHash.md5Mod(col("term")) % DsirBuckets).as("b"))
+    .groupBy(col("doc_id"), col("source"), col("b"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** The 512-row (b, wt) importance-weight table off a td relation —
+    * shared by [[cpDsir]] and the serving stream
+    * ([[graft.streaming.StreamingStats.dsirStream]]), which deploys
+    * exactly this table against live traffic.
+    */
+  private[graft] def dsirWeightsOf(td: DataFrame,
+      tsrc: DataFrame): DataFrame = {
     val scale = TextAnalysis.LmScale
-    val d = docs(spark, sfDir)
-    val td = d
-      .select(col("doc_id"), col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-      .filter(col("term") =!= "")
-      .select(col("doc_id"), col("source"),
-        (CrossHash.md5Mod(col("term")) % DsirBuckets).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("tf"))
-    val tsrc = d.agg(min(col("source")).as("tsrc")) // 1-row anchor
     val cnt = td.crossJoin(broadcast(tsrc))
       .groupBy(col("b"))
       .agg(sum(col("tf")).as("cr"),
         sum(when(col("source") === col("tsrc"), col("tf"))
           .otherwise(lit(0L))).as("ct"))
     val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val wt = cnt.crossJoin(broadcast(tot)).select(col("b"),
+    cnt.crossJoin(broadcast(tot)).select(col("b"),
       round((log((col("ct") + 1).cast("double") /
           (col("tt") + DsirBuckets)) -
         log((col("cr") + 1).cast("double") /
           (col("tr") + DsirBuckets))) * scale)
         .cast("long").as("wt"))
+  }
+
+  /** The trained weight table off the batch fixture (the stream's
+    * build-time input).
+    */
+  private[graft] def dsirWeights(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    dsirWeightsOf(dsirTd(d), d.agg(min(col("source")).as("tsrc")))
+  }
+
+  def cpDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val scale = TextAnalysis.LmScale
+    val d = docs(spark, sfDir)
+    val td = dsirTd(d)
+    val tsrc = d.agg(min(col("source")).as("tsrc")) // 1-row anchor
+    val wt = dsirWeightsOf(td, tsrc)
     val perDoc = d.select(col("doc_id"), col("source"))
       .join(td.join(broadcast(wt), Seq("b"))
         .groupBy(col("doc_id"))

@@ -770,6 +770,86 @@ ORDER BY source, eps"""
   }
 
   // ------------------------------------------------------------------
+  // qf_dp_sum — DP release of a clipped SUM (sensitivity calibration)
+  // ------------------------------------------------------------------
+
+  /** Per-record contribution clip for the DP sum release. Sensitivity
+    * of Σ min(n_chars, C) is exactly C — the clip is what MAKES the
+    * release calibratable (unclipped, one outlier doc sets the
+    * sensitivity and the noise must drown the whole statistic). 512
+    * sits inside the fixture's length range (48–577), so both regimes
+    * — clipped rows paying bias, unclipped rows paying none — occur.
+    */
+  val DpClipChars = 512L
+
+  /** DP CLIPPED-SUM RELEASE — the census releases COUNTS (sensitivity
+    * 1); real dataset cards also publish per-source VOLUME (total
+    * chars/tokens), where sensitivity is the largest single record —
+    * so the release must CLIP first (the standard clip-then-noise
+    * mechanism): per source × ε, the clipped true sum
+    * Σ min(n_chars, [[DpClipChars]]), how many rows the clip bit
+    * (the bias diagnostic a release owner reads against the noise
+    * scale), and the released value with Laplace noise of scale
+    * C/ε — implemented as C × the SAME grid-quantized unit-scale
+    * noise as [[qfDpCensus]] ([[dpNoiseU]], key salted with "sum#"
+    * so the two releases never share a draw): the integer multiply
+    * happens AFTER the micro-unit rounding, so the exhaustive
+    * libm-proof sweep covers every released value here too, and the
+    * published mechanism is a discretized Laplace(C/ε) at C-micro-unit
+    * granularity. Same scale shape as the census: one source-grain
+    * groupBy, noise as a per-row projection.
+    */
+  def qfDpSum(spark: SparkSession, sfDir: String): DataFrame =
+    qfDpSumCfg(spark, sfDir, DpSeedDefault)
+
+  /** [[qfDpSum]] with the release-seed seam (see [[qfDpCensusCfg]]). */
+  private[graft] def qfDpSumCfg(spark: SparkSession, sfDir: String,
+      seed: String): DataFrame = {
+    val c = DpClipChars
+    val per = docs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") > c, lit(1L)).otherwise(lit(0L)))
+          .as("n_clipped"),
+        sum(least(col("n_chars"), lit(c))).as("true_sum"))
+    DpEps.map { case (label, eps) =>
+      per.select(col("source"), lit(label).as("eps"), col("n_docs"),
+        col("n_clipped"), col("true_sum"),
+        (col("true_sum") * 1000000L + lit(c) *
+          dpNoiseU(concat(col("source"), lit(seed + "sum#" + label)),
+            eps)).as("sum_dp_u"))
+    }.reduce(_ unionAll _)
+      .withColumn("err_u", col("sum_dp_u") - col("true_sum") * 1000000L)
+      .orderBy(col("source"), col("eps"))
+  }
+
+  val qfDpSumSql: String = {
+    val c = DpClipChars
+    def branch(label: String, eps: Double): String = {
+      val key = s"(source || '$DpSeedDefault' || 'sum#' || '$label')"
+      s"""SELECT source, '$label' AS eps, n_docs, n_clipped, true_sum,
+    (true_sum * 1000000 + $c * ${dpNoiseUSqlOf(key, eps)}) AS sum_dp_u
+  FROM per"""
+    }
+    val branches = DpEps.map { case (l, e) => branch(l, e) }
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(COALESCE(SUM(CASE WHEN n_chars > $c THEN 1 END), 0) AS BIGINT)
+      AS n_clipped,
+    CAST(SUM(LEAST(n_chars, $c)) AS BIGINT) AS true_sum
+  FROM documents GROUP BY source
+), noised AS (
+  $branches
+)
+SELECT source, eps, n_docs, n_clipped, true_sum,
+  CAST(sum_dp_u AS BIGINT) AS sum_dp_u,
+  CAST(sum_dp_u - true_sum * 1000000 AS BIGINT) AS err_u
+FROM noised
+ORDER BY source, eps"""
+  }
+
+  // ------------------------------------------------------------------
   // qf_k_anon — k-anonymity / l-diversity release audit
   // ------------------------------------------------------------------
 

@@ -591,6 +591,53 @@ ORDER BY day, event_type"""
         (col("n_lang") === 1).as("homogeneous"))
 
   // ------------------------------------------------------------------
+  // streaming DSIR scorer — the data-selection tier's serving twin
+  // ------------------------------------------------------------------
+
+  /** The LIVE importance scorer — [[graft.operators.Corpus.cpDsir]]'s
+    * serving form: the weight table is TRAINED batch-side
+    * ([[graft.operators.Corpus.dsirWeights]] — the same 512-row
+    * relation, one copy of the semantics) and deployed against
+    * arriving traffic; per source the monitor keeps a running doc
+    * count, total importance, and mean importance — the live mixture
+    * drift pager (a feed whose mean importance sinks is drifting away
+    * from the target domain; the batch quartile census is where the
+    * resampling rates get RE-fit).
+    *
+    * Shape: tokens explode map-side, the static weight table joins on
+    * bucket (stream-static equi-join against 512 rows — broadcast-
+    * sized forever, the hashed feature space's whole point), and ONE
+    * running groupBy holds the per-source census; doc counts ride the
+    * pos=0 token of each doc, so a single aggregation suffices (a
+    * per-doc pre-aggregation would be a second, unsupported, agg).
+    * Empty-token rows score exactly 0 — the batch twin's semantics
+    * for empty text. State: one row per source.
+    *
+    * StreamingSpec pins replay equality with a local recompute of the
+    * batch importance sums across a batch boundary.
+    */
+  def dsirStream(docs: DataFrame, wt: DataFrame): DataFrame = {
+    import graft.functions.CrossHash
+    import graft.operators.Corpus
+    docs
+      .select(col("source"),
+        posexplode(graft.operators.TextAnalysis.tokens(
+          lower(col("text")))).as(Seq("pos", "term")))
+      .select(col("source"), col("pos"), col("term"),
+        (CrossHash.md5Mod(col("term")) % Corpus.DsirBuckets).as("b"))
+      .join(wt, Seq("b"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("pos") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_docs"),
+        sum(when(col("term") =!= "", coalesce(col("wt"), lit(0L)))
+          .otherwise(lit(0L))).as("imp_u"))
+      .select(col("source"), col("n_docs"), col("imp_u"),
+        graft.functions.Determinism.r6(col("imp_u").cast("double") /
+          col("n_docs") / lit(1000000.0)).as("mean_imp"))
+  }
+
+  // ------------------------------------------------------------------
   // stream-stream attribution join — ev_range_join's streaming twin
   // ------------------------------------------------------------------
 

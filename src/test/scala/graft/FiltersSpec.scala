@@ -340,6 +340,59 @@ class FiltersSpec extends SparkSpec {
       "secret seed produced identical noise — the seam is dead")
   }
 
+  test("qf_dp_sum: the clipped-sum release equals a local recompute and " +
+    "the clip bites on the fixture") {
+    import graft.operators.Filters
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val c = Filters.DpClipChars
+    val per = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.count(_._2 > c).toLong,
+        xs.map(x => math.min(x._2, c)).sum)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noiseU(key: String, eps: Double): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P
+      val u = ((h % Filters.DpUGrid) + 0.5) / Filters.DpUGrid.toDouble
+      val sgn = if (u >= 0.5) 1.0 else -1.0
+      math.round(sgn * (-1.0 / eps) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1000000.0)
+    }
+    val got = Filters.qfDpSum(spark, sf()).collect()
+    assert(got.length == per.size * Filters.DpEps.size)
+    got.foreach { r =>
+      val (src, label) = (r.getString(0), r.getString(1))
+      val eps = Filters.DpEps.toMap.apply(label)
+      val (n, nClip, ts) = per(src)
+      assert(r.getLong(2) == n && r.getLong(3) == nClip &&
+        r.getLong(4) == ts, s"census at ($src, $label)")
+      val err = c * noiseU(s"$src#dp#sum#$label", eps)
+      assert(r.getLong(5) == ts * 1000000L + err, s"release $src $label")
+      assert(r.getLong(6) == err)
+    }
+    // the clip actually bites somewhere AND spares somewhere — the
+    // bias-vs-noise trade the release owner weighs needs both
+    assert(got.exists(_.getLong(3) > 0) && got.exists(_.getLong(3) == 0))
+    // sum noise scales with the clip: C times the unit-scale census
+    // noise, so the tighter budget is still the noisier one
+    def mae(l: String) = {
+      val e = got.filter(_.getString(1) == l).map(r =>
+        math.abs(r.getLong(6)).toDouble)
+      e.sum / e.length
+    }
+    assert(mae("eps_0.1") > mae("eps_1.0"))
+    // and the sum release never shares a draw with the count release
+    val census = Filters.qfDpCensus(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got.exists { r =>
+      census((r.getString(0), r.getString(1))) * c != r.getLong(6)
+    }, "sum and count releases reused a noise draw")
+  }
+
   test("qf_k_anon: the audit equals a local class-census recompute and " +
     "the ladder exercises both verdicts on both axes") {
     import graft.operators.Filters

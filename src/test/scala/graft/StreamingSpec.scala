@@ -1924,4 +1924,59 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("DSIR scorer replays the batch importance census against the " +
+    "batch-trained weight table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // the deployed weight table, trained batch-side — collected once
+    // (512 rows) for the local recompute below
+    val wtDf = graft.operators.Corpus.dsirWeights(spark, sf())
+      .localCheckpoint(true)
+    val wt = wtDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P) % graft.operators.Corpus.DsirBuckets
+    }
+    val want = d.groupBy(_._1).map { case (src, xs) =>
+      val imp = xs.map { case (_, text) =>
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(t => wt.getOrElse(bucket(t), 0L)).sum
+      }.sum
+      src -> (xs.length.toLong, imp)
+    }
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingStats
+      .dsirStream(mem.toDF().toDF("source", "text"), wtDf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_mon").start()
+    try {
+      val (b1, b2) = d.splitAt(d.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("dsir_mon").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_mon").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want.map { case (s, (n, imp)) =>
+        (s, n, imp, graft.functions.Determinism
+          .r6Jvm(imp.toDouble / n / 1000000.0))
+      }.toSet)
+      // doc counts only grow across the boundary
+      assert(mid.nonEmpty)
+      mid.foreach { case (s, n) =>
+        assert(got.exists(g => g._1 == s && g._2 >= n))
+      }
+    } finally q.stop()
+  }
 }
