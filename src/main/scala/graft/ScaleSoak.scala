@@ -142,7 +142,16 @@ object ScaleSoak {
       // degree groupBy + anti-join; per-round cost is the surviving
       // subgraph, so the α readout says whether the peel stays ∝ |E|
       "gr_kcore_dense" -> ((s, dir, _) =>
-        graft.operators.Graph.grKcoreFrom(soakDenseDocs(s, dir))))
+        graft.operators.Graph.grKcoreFrom(soakDenseDocs(s, dir))),
+      // 12 renormalized half-rounds (2 joins + 2 groupBys + 2 1-row
+      // anchors each) — must track gr_pagerank's α, it is the same
+      // co-partitionable shape twice per round
+      "gr_hits_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grHitsFrom(soakDenseDocs(s, dir))),
+      // K corpus scans, each a projection + TakeOrdered top-1 — the
+      // α readout says the sweep stays ∝ K·|corpus|
+      "sim_kcenter_dense" -> ((s, dir, _) =>
+        graft.operators.Similarity.simKcenter(s, dir)))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

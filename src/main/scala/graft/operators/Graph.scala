@@ -857,6 +857,72 @@ LEFT JOIN pernode p ON p.v = d.doc_id
 ORDER BY d.doc_id"""
 
   // ------------------------------------------------------------------
+  // gr_reciprocity — mutual-citation share of the directed graph
+  // ------------------------------------------------------------------
+
+  /** RECIPROCITY — the directed-graph shape number assortativity's
+    * undirected view cannot see: the share of directed edges whose
+    * reverse edge also exists. Organic citation is mostly one-way
+    * (old pages don't cite new ones back); a reciprocity spike is the
+    * citation-SWAP ring (A cites B, B cites A — the bilateral form of
+    * the link ring the in-degree census catches only when it's
+    * many-to-one). Per source: directed edges out, mutual edges, and
+    * the reciprocity share — source grain because the ACTION is
+    * per-feed (the swap ring lives inside one or two feeds; a global
+    * number averages it away — the qf_source_census argument).
+    *
+    * Shape: ONE self-equi-join of the edge list on the reversed key
+    * (co-partitionable: both sides shuffle on (src,dst) vs (dst,src)
+    * node pairs), then a source-grain census off the doc→source map.
+    */
+  def grReciprocity(spark: SparkSession, sfDir: String): DataFrame =
+    grReciprocityFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grReciprocity]] over an explicit edge set (real-link seam). */
+  private[graft] def grReciprocityFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val e = e0.select(col("src"), col("dst")).localCheckpoint(true)
+    val mutual = e.as("f")
+      .join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .select(col("f.src").as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_mutual"))
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+    nodes0.select(col("doc_id"), col("source"))
+      .join(out, nodes0("doc_id") === out("src"), "left")
+      .join(mutual, nodes0("doc_id") === mutual("src"), "left")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("n_out"), lit(0L))).as("n_edges"),
+        sum(coalesce(col("n_mutual"), lit(0L))).as("n_mutual"))
+      .select(col("source"), col("n_edges"), col("n_mutual"),
+        r6(when(col("n_edges") === 0, lit(0.0))
+          .otherwise(col("n_mutual").cast("double") / col("n_edges")))
+          .as("reciprocity"))
+      .orderBy(col("source"))
+  }
+
+  val grReciprocitySql: String =
+    s"""
+WITH $grEdgesSql, mut AS (
+  SELECT f.src, COUNT(*) AS n_mutual
+  FROM gedges f JOIN gedges r ON r.dst = f.src AND r.src = f.dst
+  GROUP BY f.src
+), outd AS (
+  SELECT src, COUNT(*) AS n_out FROM gedges GROUP BY src
+)
+SELECT d.source,
+  CAST(COALESCE(SUM(o.n_out), 0) AS BIGINT) AS n_edges,
+  CAST(COALESCE(SUM(m.n_mutual), 0) AS BIGINT) AS n_mutual,
+  ${r6Sql("""(CASE WHEN COALESCE(SUM(o.n_out), 0) = 0 THEN 0.0
+    ELSE CAST(COALESCE(SUM(m.n_mutual), 0) AS DOUBLE)
+      / COALESCE(SUM(o.n_out), 0) END)""")} AS reciprocity
+FROM documents d
+LEFT JOIN outd o ON o.src = d.doc_id
+LEFT JOIN mut m ON m.src = d.doc_id
+GROUP BY d.source
+ORDER BY d.source"""
+
+  // ------------------------------------------------------------------
   // gr_assortativity — degree correlation of the citation graph
   // ------------------------------------------------------------------
 

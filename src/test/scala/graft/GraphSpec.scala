@@ -380,6 +380,41 @@ class GraphSpec extends SparkSpec {
     assert(rows.filter(_._1 == "out").forall(_._2 <= Graph.GraphOutDeg))
   }
 
+  test("gr_reciprocity equals a local mutual-edge recompute, and a " +
+    "hand-built swap ring reads 1.0 where a chain reads 0") {
+    val (_, adj) = localGraph()
+    val srcOf = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = adj.toSeq.flatMap { case (s, ds) => ds.map(s -> _) }.toSet
+    val want = edges.groupBy(e => srcOf(e._1)).map { case (src, es) =>
+      src -> (es.size.toLong,
+        es.count(e => edges((e._2, e._1))).toLong)
+    }
+    val got = Graph.grReciprocity(spark, sf()).collect()
+    assert(got.length == srcOf.values.toSet.size)
+    got.foreach { r =>
+      val (ne, nm) = want.getOrElse(r.getString(0), (0L, 0L))
+      assert(r.getLong(1) == ne && r.getLong(2) == nm,
+        s"census at ${r.getString(0)}")
+      assert(r.getDouble(3) == graft.functions.Determinism.r6Jvm(
+        if (ne == 0) 0.0 else nm.toDouble / ne))
+    }
+    // the decision signal, pinned where the fixture can't: a swap ring
+    // (A↔B pairs) reads reciprocity 1.0; a one-way chain reads 0
+    import spark.implicits._
+    val ring = Seq(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L)
+      .toDF("src", "dst")
+    val chain = Seq(4L -> 5L, 5L -> 6L, 6L -> 7L).toDF("src", "dst")
+    val nodes = (0L to 7L)
+      .map(i => (i, if (i < 4) "ring" else "chain"))
+      .toDF("doc_id", "source")
+    val mixed = Graph.grReciprocityFromEdges(nodes,
+      ring.unionAll(chain)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(mixed("ring") == 1.0 && mixed("chain") == 0.0)
+  }
+
   test("gr_assortativity equals a local Newman-r recompute") {
     val (_, adj) = localGraph()
     val und = adj.toSeq.flatMap { case (s, ds) =>
