@@ -848,7 +848,7 @@ ORDER BY new_doc, corpus_doc"""
     * between pair sources.
     */
   private[graft] def ddClustersClosureSql(lshBody: String,
-      prefixCtes: String = ""): String =
+      prefixCtes: String = "", nodes: String = "documents"): String =
     s"""WITH RECURSIVE ${prefixCtes}lsh AS (
 $lshBody
 ), edges AS (
@@ -856,7 +856,7 @@ $lshBody
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM lsh
 ), reach(doc_id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM $nodes
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
 ), labels AS (
@@ -1537,6 +1537,94 @@ ORDER BY i.doc_a, i.doc_b"""
 SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine
 FROM pairs WHERE c >= $CosineMin
 ORDER BY vec_a, vec_b"""
+
+  // ------------------------------------------------------------------
+  // dd_semdedup — cluster-then-dedup over embeddings (SemDeDup shape)
+  // ------------------------------------------------------------------
+
+  /** SEMANTIC DEDUP, the cluster-then-dedup form (SemDeDup: k-means
+    * the embedding space FIRST, then look for near-duplicates only
+    * WITHIN a cell — the published recipe that made embedding dedup
+    * affordable at web scale, because the pair stream is bounded by
+    * Σ cell² instead of corpus²): k-means cells come from
+    * [[Similarity.kmAssign]]/[[Similarity.kmUpdate]] — the SAME
+    * trained chain sim_kmeans/sim_ivf_trained ship (seeds, rounds,
+    * fixed-point component sums: one copy of the semantics) — then
+    * within-cell pairs at the [[CosineMin]] threshold (the SAME
+    * threshold as the exact global pass, so dd_embed_cosine is this
+    * query's recall oracle: every within-cell pair is a global pair
+    * BY CONSTRUCTION, and the spec pins the refinement) feed the ONE
+    * star-CC implementation. Output is the dd_clusters contract over
+    * vec_ids (doc_id column carries the vec_id — the closure fragment
+    * is shared verbatim).
+    *
+    * Scale shape: the training rounds are corpus-size-independent past
+    * the scan (≤k-row broadcasts); the pair join is an equi-join ON
+    * CELL — at 100 TB the cap story is the cell-size census (the
+    * LshMaxBucket discipline applies unchanged if a cell swells).
+    */
+  def ddSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(col("v"), col("v")))
+      .localCheckpoint(true)
+    var cents = e.filter(col("vec_id") >= Similarity.NQueries &&
+        col("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    for (_ <- 1 to Similarity.KmIters)
+      cents = Similarity.kmUpdate(Similarity.kmAssign(e, cents))
+    cents = cents.localCheckpoint(true)
+    val assigned = Similarity.kmAssign(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .localCheckpoint(true)
+    val cos = gdot(col("a.v"), col("b.v")) /
+      sqrt(col("a.nrm") * col("b.nrm"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        cos.as("c"))
+      .filter(col("c") >= CosineMin)
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) =
+      connectedComponentsStar(e.select(col("vec_id")), pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddSemDedupSql: String = {
+    import Similarity.{kmAssignSql, kmUpdateSql, NQueries, IvfCells,
+      KmIters}
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "sdseeds" else s"sdc${i - 1}"
+      kmAssignSql(s"sda$i", prev) + "," + kmUpdateSql(s"sdc$i", s"sda$i")
+    }.mkString(",")
+    val prefix = s"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), sdseeds AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+),$rounds,${kmAssignSql("sd_assign", s"sdc$KmIters")}, sdpairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM sd_assign a JOIN sd_assign b
+    ON b.cell = a.cell AND a.vec_id < b.vec_id
+  WHERE ${dotSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm) >= $CosineMin
+), sdnodes AS (
+  SELECT vec_id AS doc_id FROM embeddings
+), """
+    ddClustersClosureSql("  SELECT doc_a, doc_b FROM sdpairs",
+      prefixCtes = prefix, nodes = "sdnodes")
+  }
 
   // ------------------------------------------------------------------
   // dd_cosine_sweep — threshold tuning table for embedding dedup

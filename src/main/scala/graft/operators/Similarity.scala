@@ -743,7 +743,7 @@ ORDER BY index_name, query_id"""
     * `<out>`; `cents` must expose (cent_id, cv, cn), `src` a
     * (vec_id, v, nrm) relation.
     */
-  private def kmAssignSql(out: String, cents: String,
+  private[graft] def kmAssignSql(out: String, cents: String,
       src: String = "n"): String = s"""
 ${out}_sc AS (
   SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -759,7 +759,7 @@ ${out}_sc AS (
     * `<out>` (cent_id, cv, cn) from an assignment CTE of `dim`-wide
     * vectors.
     */
-  private def kmUpdateSql(out: String, assigned: String,
+  private[graft] def kmUpdateSql(out: String, assigned: String,
       dim: Int = Dim): String = s"""
 ${out}_comp AS (
   SELECT a.cell, r.i AS pos,

@@ -748,4 +748,43 @@ class DedupSpec extends SparkSpec {
     // capped: just the redundant halves of the two organic pairs
     assert(mhRedundant(Some(Dedup.LshMaxBucket)) == 2L)
   }
+
+  test("dd_semdedup refines the exact global cosine clustering and " +
+    "keeps the min-id survivor per cluster") {
+    // global ground truth: union-find over the EXACT threshold pairs
+    // (the same CosineMin — cell restriction is semdedup's only
+    // difference, so every semdedup cluster must sit inside one
+    // global cluster)
+    val pairs = Dedup.ddEmbedCosine(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Dedup.ddSemDedup(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val n = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .count()
+    assert(got.length == n)
+    val byRep = got.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      // the dd_clusters contract: min-id rep, consistent size, the
+      // rep is the one survivor
+      assert(members.map(_._1).min == rep)
+      assert(members.forall(_._3 == members.length.toLong))
+      members.foreach(m => assert(m._4 == (m._1 == rep)))
+      // refinement: all members share one GLOBAL cosine cluster
+      assert(members.map(m => find(m._1)).distinct.length == 1,
+        s"semdedup cluster $rep spans global clusters")
+    }
+    // the fixture carries signal: duplicates exist and are dropped
+    assert(got.exists(!_._4), "no duplicate dropped")
+    assert(got.count(_._4) < n, "everything survived")
+  }
 }
