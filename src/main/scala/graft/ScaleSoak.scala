@@ -151,7 +151,25 @@ object ScaleSoak {
       // K corpus scans, each a projection + TakeOrdered top-1 — the
       // α readout says the sweep stays ∝ K·|corpus|
       "sim_kcenter_dense" -> ((s, dir, _) =>
-        graft.operators.Similarity.simKcenter(s, dir)))
+        graft.operators.Similarity.simKcenter(s, dir)),
+      // the SemDeDup k-dial, measured: fixed k lets cells grow ∝ n/k
+      // (pair stream rides Σ cell² → quadratic tail), k ∝ corpus
+      // holds cell size constant — the published recipe's posture
+      "dd_semdedup_kfixed" -> ((s, dir, _) =>
+        graft.operators.Dedup.ddSemDedupCfg(s, dir,
+          graft.operators.Similarity.IvfCells)),
+      "dd_semdedup_kdial" -> ((s, dir, m) =>
+        graft.operators.Dedup.ddSemDedupCfg(s, dir,
+          graft.operators.Similarity.IvfCells * m)),
+      // the balanced posture: k ∝ √corpus equalizes the n·k
+      // assignment pass and the Σ cell² pair pass at n^1.5 — the
+      // same 16√m rule the IVF probe dial measured
+      "dd_semdedup_ksqrt" -> ((s, dir, m) =>
+        graft.operators.Dedup.ddSemDedupCfg(s, dir,
+          math.max(graft.operators.Similarity.IvfCells,
+            Math.toIntExact(Math.round(
+              graft.operators.Similarity.IvfCells *
+                math.sqrt(m.toDouble)))))))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

@@ -1563,7 +1563,19 @@ ORDER BY vec_a, vec_b"""
     * CELL — at 100 TB the cap story is the cell-size census (the
     * LshMaxBucket discipline applies unchanged if a cell swells).
     */
-  def ddSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddSemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ddSemDedupCfg(spark, sfDir, Similarity.IvfCells)
+
+  /** [[ddSemDedup]] with the cell count as a parameter — the scale
+    * dial of this family (SemDeDup holds CELL SIZE constant by
+    * growing k with the corpus; a fixed bucket cap would be the wrong
+    * mitigation here because k-means cells grow ∝ n/k with the
+    * corpus, unlike LSH buckets). The shipped query pins
+    * [[Similarity.IvfCells]] for the oracle; ScaleSoak measures the
+    * dial (fixed k vs k ∝ corpus) on the 1–100× axis.
+    */
+  private[graft] def ddSemDedupCfg(spark: SparkSession, sfDir: String,
+      cells: Int): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val gdot = graft.functions.DotProduct.dot _
     val e = embeddings(spark, sfDir)
@@ -1571,7 +1583,7 @@ ORDER BY vec_a, vec_b"""
       .withColumn("nrm", gdot(col("v"), col("v")))
       .localCheckpoint(true)
     var cents = e.filter(col("vec_id") >= Similarity.NQueries &&
-        col("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+        col("vec_id") < Similarity.NQueries + cells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     for (_ <- 1 to Similarity.KmIters)

@@ -786,5 +786,14 @@ class DedupSpec extends SparkSpec {
     // the fixture carries signal: duplicates exist and are dropped
     assert(got.exists(!_._4), "no duplicate dropped")
     assert(got.count(_._4) < n, "everything survived")
+    // the k-dial seam keeps the contract at a different cell count:
+    // within-cell pairs are global pairs regardless of k, so the
+    // refinement must hold for ANY dial setting
+    val dial = Dedup.ddSemDedupCfg(spark, sf("sf0.01"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    dial.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => find(m._1)).distinct.length == 1,
+        "k=4 semdedup cluster spans global clusters")
+    }
   }
 }
