@@ -2727,7 +2727,10 @@ ORDER BY source"""
       .orderBy(col("source"), col("quartile"))
   }
 
-  val cpDsirSql: String = {
+  // LAZY: reads TextAnalysis.LmScale — eager init would bake 0 if
+  // Corpus is forced while TextAnalysis is mid-init (see
+  // Dedup.ddSemDedupSql's cross-object init note)
+  lazy val cpDsirSql: String = {
     import graft.functions.Determinism.r6Sql
     val scale = TextAnalysis.LmScale
     val b = DsirBuckets

@@ -1612,7 +1612,13 @@ ORDER BY vec_a, vec_b"""
       .orderBy(col("doc_id"))
   }
 
-  val ddSemDedupSql: String = {
+  // LAZY: this val reaches into Similarity, whose init can re-enter
+  // Dedup (via TextAnalysis→Corpus→Dedup.SpanN) — an eager init here
+  // suspends Dedup mid-init and bakes 0 into Corpus.ScrubN for the
+  // life of the JVM (the round-11 Filters object-init lesson, now in
+  // its cross-object form; measured as an order-dependent
+  // cp_scrub_spans failure in the full suite run).
+  lazy val ddSemDedupSql: String = {
     import Similarity.{kmAssignSql, kmUpdateSql, NQueries, IvfCells,
       KmIters}
     val rounds = (1 to KmIters).map { i =>
