@@ -169,7 +169,20 @@ object ScaleSoak {
           math.max(graft.operators.Similarity.IvfCells,
             Math.toIntExact(Math.round(
               graft.operators.Similarity.IvfCells *
-                math.sqrt(m.toDouble)))))))
+                math.sqrt(m.toDouble)))))),
+      // web-scale SemDeDup: k ∝ corpus (cell SIZE constant — pair pass
+      // ∝ n) made affordable by the two-level ANN assignment
+      // (kmAssignAnn: nCoarse = √k anchors, probe 4 — per-vector
+      // ~2√k dots where the exact dial pays k). Comparators measured
+      // in the same session: dd_semdedup_kdial (k ∝ n EXACT — the
+      // 120 s negative) and dd_semdedup_ksqrt (the exact winner).
+      "dd_semdedup_ann_klin" -> ((s, dir, m) => {
+        val k = graft.operators.Similarity.IvfCells * m
+        graft.operators.Dedup.ddSemDedupAnnCfg(s, dir, cells = k,
+          nCoarse = math.max(graft.operators.Dedup.SemDedupCoarse,
+            Math.toIntExact(Math.round(math.sqrt(k.toDouble)))),
+          probe = 4)
+      }))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

@@ -46,7 +46,7 @@ object Analytics {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
-  val evJsonSql: String = s"""
+  lazy val evJsonSql: String = s"""
 WITH e AS (
   -- json_valid guard: from_json is NULL on malformed input while a
   -- bare json_extract ERRORS — the guard keeps the twins aligned on
@@ -92,7 +92,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
       .orderBy(col("event_type"), col("day"))
   }
 
-  val evCubeSql: String = s"""
+  lazy val evCubeSql: String = s"""
 WITH e AS (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
     CAST(round(value * 100) AS BIGINT) AS cents
@@ -196,7 +196,7 @@ SELECT custkey, CAST(version AS BIGINT) AS version, status,
   n_orders
 FROM g"""
 
-  val whScd2Sql: String = whScd2Body + "\nORDER BY custkey, version"
+  lazy val whScd2Sql: String = whScd2Body + "\nORDER BY custkey, version"
 
   // ------------------------------------------------------------------
   // wh_snapshot — as-of dimension reconstruction from SCD2 history
@@ -226,7 +226,7 @@ FROM g"""
         col("valid_from"), col("is_current").as("still_current"))
       .orderBy(col("custkey"))
 
-  val whSnapshotSql: String = s"""
+  lazy val whSnapshotSql: String = s"""
 WITH scd AS (
   $whScd2Body
 )
@@ -274,7 +274,7 @@ ORDER BY custkey"""
       .orderBy(col("status_from"), col("status_to"))
   }
 
-  val whChurnSql: String = s"""
+  lazy val whChurnSql: String = s"""
 WITH scd AS (
   $whScd2Body
 ), s1 AS (
@@ -385,7 +385,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** Incremental == rebuild is the contract; ONE oracle definition. */
-  val whScd2ApplySql: String = whScd2Sql
+  lazy val whScd2ApplySql: String = whScd2Sql
 
   // ------------------------------------------------------------------
   // prof_summary — dataset profiling (nulls + exact distincts)
@@ -431,7 +431,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
       .orderBy(col("column_name"))
   }
 
-  val profSummarySql: String = ProfiledCols.map(c =>
+  lazy val profSummarySql: String = ProfiledCols.map(c =>
     s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
   COUNT(*) - COUNT($c) AS n_nulls,
   COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
@@ -571,7 +571,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
       .orderBy(col("column_name"), col("bin"))
   }
 
-  val profHistSql: String = HistCols.map { case (c, w) =>
+  lazy val profHistSql: String = HistCols.map { case (c, w) =>
     s"""SELECT '$c' AS column_name,
   CAST(round($c * 100) AS BIGINT) // $w AS bin,
   ${graft.functions.Determinism.r6Sql(
@@ -581,7 +581,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 FROM lineitem GROUP BY 1, 2, 3""" }
     .mkString("\nUNION ALL\n") + "\nORDER BY column_name, bin"
 
-  val profCorrSql: String = {
+  lazy val profCorrSql: String = {
     val pairs = CorrPairs
     def v(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
     // DuckDB's direct HUGEINT→DOUBLE cast is NOT correctly rounded
@@ -653,7 +653,7 @@ ORDER BY pair"""
       .orderBy(col("column_name"), col("rank"))
   }
 
-  val profTopkSql: String = {
+  lazy val profTopkSql: String = {
     val branches = TopValCols.map(c =>
       s"""SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value,
   COUNT(*) AS cnt FROM lineitem GROUP BY 2""").mkString("\nUNION ALL\n")
@@ -787,7 +787,7 @@ FROM r WHERE rank <= $TopValK ORDER BY column_name, rank"""
       .orderBy(col("event_type"))
   }
 
-  val profDriftSql: String = {
+  lazy val profDriftSql: String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH e AS (
@@ -891,7 +891,7 @@ FROM terms GROUP BY event_type ORDER BY event_type"""
       .orderBy(col("event_type"))
   }
 
-  val evAbtestSql: String = {
+  lazy val evAbtestSql: String = {
     // correctly-rounded HUGEINT→DOUBLE via VARCHAR (see profCorrSql)
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     val h = graft.functions.CrossHash
@@ -963,7 +963,7 @@ FROM m ORDER BY event_type"""
       .orderBy(col("event_type"))
   }
 
-  val evSeasonalitySql: String = s"""
+  lazy val evSeasonalitySql: String = s"""
 WITH e AS (
   SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow FROM events
 ), counts AS (
@@ -1021,7 +1021,7 @@ FROM t ORDER BY event_type"""
       .orderBy(col("lang"), col("source"))
   }
 
-  val profMiSql: String = s"""
+  lazy val profMiSql: String = s"""
 WITH cells AS (
   SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
 ), nx AS (
@@ -1082,7 +1082,7 @@ ORDER BY c.lang, c.source"""
       col("dep"))
   }
 
-  val profFdSql: String = FdPairs.map { case (table, det, dep) =>
+  lazy val profFdSql: String = FdPairs.map { case (table, det, dep) =>
     s"""SELECT '$table' AS tab, '$det' AS det, '$dep' AS dep,
   COUNT(*) AS n_rows,
   COUNT(DISTINCT $det) AS n_det,
@@ -1095,7 +1095,7 @@ ORDER BY c.lang, c.source"""
 FROM $table"""
   }.mkString("", "\nUNION ALL\n", "\nORDER BY tab, det, dep")
 
-  val whDqSql: String = """
+  lazy val whDqSql: String = """
 SELECT
   (SELECT COUNT(*) FROM orders) AS n_orders,
   (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct_orderkeys,
@@ -1174,7 +1174,7 @@ SELECT
       .orderBy(col("column_name"))
   }
 
-  val profMomentsSql: String = {
+  lazy val profMomentsSql: String = {
     def v(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     val momentCols = "CAST(COUNT(*) AS HUGEINT) AS n" +:
@@ -1251,7 +1251,7 @@ ORDER BY column_name"""
     }.reduce(_.unionByName(_)).orderBy(col("tab"), col("column_name"))
   }
 
-  val profColEntropySql: String = {
+  lazy val profColEntropySql: String = {
     val scale = graft.operators.TextAnalysis.LmScale
     val ent =
       s"(ln(CAST(n AS DOUBLE)) - CAST(clnc_micro AS DOUBLE) / $scale.0 / n)"
@@ -1408,7 +1408,7 @@ FROM (
     }.reduce(_.unionByName(_)).orderBy(col("tab"), col("column_name"))
   }
 
-  val profOutliersSql: String = {
+  lazy val profOutliersSql: String = {
     val ctes = OutlierCols.zipWithIndex.map { case ((tab, c), i) =>
       s"""g_$i AS (
   SELECT v, COUNT(*) AS cnt
@@ -1447,7 +1447,7 @@ ${arms.mkString("\nUNION ALL\n")}
 ORDER BY tab, column_name"""
   }
 
-  val profBenfordSql: String = {
+  lazy val profBenfordSql: String = {
     val pCase = "CASE d.digit " + BenfordP.zipWithIndex.map {
       case (p, i) => s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)"
     }.mkString(" ") + " END"
@@ -1519,7 +1519,7 @@ CROSS JOIN (
       .orderBy(col("status"))
   }
 
-  val whAgingSql: String = s"""
+  lazy val whAgingSql: String = s"""
 WITH o AS (
   SELECT o_orderstatus AS status,
     CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
@@ -1599,7 +1599,7 @@ FROM cw GROUP BY status ORDER BY status"""
       .orderBy(col("rank"))
   }
 
-  val whBasketSql: String = s"""
+  lazy val whBasketSql: String = s"""
 WITH op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ), marg AS (
@@ -1672,7 +1672,7 @@ ORDER BY r.rank"""
       .orderBy(col("event_type"))
   }
 
-  val profAutocorrSql: String = s"""
+  lazy val profAutocorrSql: String = s"""
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -1743,7 +1743,7 @@ FROM g ORDER BY event_type"""
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
-  val whLtvSql: String = s"""
+  lazy val whLtvSql: String = s"""
 WITH o AS (
   SELECT o_custkey,
     CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS m,
@@ -1821,7 +1821,7 @@ FROM w ORDER BY cohort_month, month_offset"""
       .orderBy(col("decile"))
   }
 
-  val whParetoSql: String = s"""
+  lazy val whParetoSql: String = s"""
 WITH per AS (
   SELECT o_custkey,
     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -1897,7 +1897,7 @@ FROM a ORDER BY decile"""
           .as("skew_ratio"))
       .orderBy(col("entity"))
 
-  val profSkewSql: String = SkewKeys.map { case (table, key) =>
+  lazy val profSkewSql: String = SkewKeys.map { case (table, key) =>
     s"""SELECT '$table.$key' AS entity,
   COUNT(*) AS n_groups,
   CAST(SUM(cnt) AS BIGINT) AS n_rows,
@@ -1962,7 +1962,7 @@ FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY $key)"""
       .orderBy(col("lang"))
   }
 
-  val profKsSql: String = s"""
+  lazy val profKsSql: String = s"""
 WITH d AS (
   SELECT lang, n_chars, ${Corpus.splitLabelSql} AS split FROM documents
 ), c AS (
@@ -2053,7 +2053,7 @@ ORDER BY lang"""
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val whPricingSql: String = s"""
+  lazy val whPricingSql: String = s"""
 WITH li AS (
   SELECT l_returnflag, l_linestatus,
     CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INTEGER)
@@ -2147,7 +2147,7 @@ FROM g ORDER BY l_returnflag, l_linestatus"""
       .orderBy(col("month"))
   }
 
-  val whShipLagSql: String = s"""
+  lazy val whShipLagSql: String = s"""
 WITH j AS (
   SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
     CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
@@ -2233,7 +2233,7 @@ FROM cw GROUP BY month ORDER BY month"""
       .orderBy(col("region"), col("nation"), col("year"))
   }
 
-  val whRegionalSql: String = s"""
+  lazy val whRegionalSql: String = s"""
 WITH f AS (
   SELECT r.r_name AS region, n.n_name AS nation,
     CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS INTEGER)
@@ -2307,7 +2307,7 @@ FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
       .orderBy(col("p_type"))
   }
 
-  val whHhiSql: String = {
+  lazy val whHhiSql: String = {
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     s"""
 WITH li AS (
@@ -2382,7 +2382,7 @@ FROM g ORDER BY p_type"""
       .orderBy(col("suppkey"))
   }
 
-  val whReturnsSql: String = {
+  lazy val whReturnsSql: String = {
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     s"""
 WITH li AS (
@@ -2478,7 +2478,7 @@ ORDER BY suppkey"""
     perCol.reduce(_ unionAll _)
   }
 
-  val profGiniSql: String = {
+  lazy val profGiniSql: String = {
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     GiniCols.map { case (table, c) =>
       s"""
@@ -2560,7 +2560,7 @@ FROM (
           .as("n_days_missing"))
   }
 
-  val evDqSql: String = """
+  lazy val evDqSql: String = """
 WITH e AS (
   SELECT event_id, user_id, value, props,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
@@ -2647,7 +2647,7 @@ FROM g"""
       .orderBy(col("event_type"))
   }
 
-  val evSrmSql: String = {
+  lazy val evSrmSql: String = {
     val h = graft.functions.CrossHash
       .md5LongSql("('ab-v1:' || CAST(user_id AS VARCHAR))")
     s"""
@@ -2719,7 +2719,7 @@ FROM g ORDER BY event_type"""
       .orderBy(col("nation"), col("year"))
   }
 
-  val whYoySql: String = s"""
+  lazy val whYoySql: String = s"""
 WITH o AS (
   SELECT o_custkey,
     CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INTEGER) AS year,
@@ -2837,7 +2837,7 @@ FROM lagged ORDER BY nation, year"""
       .orderBy(col("p_brand"))
   }
 
-  val whSmallOrdersSql: String = s"""
+  lazy val whSmallOrdersSql: String = s"""
 WITH li AS (
   SELECT l_partkey,
     CAST(round(l_quantity * 100) AS BIGINT) AS q100,
@@ -2909,7 +2909,7 @@ FROM g ORDER BY p_brand"""
       .orderBy(col("c_mktsegment"))
   }
 
-  val whIdleCustomersSql: String = s"""
+  lazy val whIdleCustomersSql: String = s"""
 WITH o AS (
   SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
 ), mx AS (
@@ -2983,7 +2983,7 @@ FROM g ORDER BY c_mktsegment"""
       .orderBy(col("priority"))
   }
 
-  val whPrioritySlaSql: String = s"""
+  lazy val whPrioritySlaSql: String = s"""
 WITH j AS (
   SELECT o.o_orderpriority AS priority, o.o_orderkey,
     CAST(CAST(li.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
@@ -3053,7 +3053,7 @@ FROM g ORDER BY priority"""
     * (count desc, key asc) — agreeing with it end-to-end is the
     * degenerate-regime contract.
     */
-  val profHeavyHittersExactSql: String = """
+  lazy val profHeavyHittersExactSql: String = """
 WITH c AS (
   SELECT l_partkey AS partkey, COUNT(*) AS cnt
   FROM lineitem GROUP BY l_partkey
@@ -3122,7 +3122,7 @@ FROM c, t ORDER BY rank"""
       .orderBy(col("event_type"))
   }
 
-  val evPowerSql: String = {
+  lazy val evPowerSql: String = {
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     val meanC = s"(${dbl("s")} / n)"
     val varC = s"(${dbl(s"(CAST(n AS HUGEINT) * ss - s * s)")} / " +
@@ -3266,7 +3266,7 @@ FROM m ORDER BY event_type"""
   private def zInterleaveSql(a: String, b: String): String =
     zInterleaveWith(a, b, (x, y) => s"(($x) // $y)")
 
-  val whZorderSql: String = {
+  lazy val whZorderSql: String = {
     val spanC = "(mxc - mnc + 1)"
     val spanD = "(mxd - mnd + 1)"
     val bc = s"(((c - mnc) * ${1 << ZorderBits}) // $spanC)"

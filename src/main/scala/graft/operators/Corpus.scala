@@ -29,9 +29,9 @@ object Corpus {
     when(bucket < TrainPct, "train")
       .when(bucket < TrainPct + ValPct, "val")
       .otherwise("test")
-  val splitBucketSql: String =
+  lazy val splitBucketSql: String =
     s"(${md5LongSql("('split-v1:' || doc_id)")} % 100)"
-  val splitLabelSql: String =
+  lazy val splitLabelSql: String =
     s"""CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
        WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
        ELSE 'test' END"""
@@ -50,7 +50,7 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val cpSplitSql: String = s"""
+  lazy val cpSplitSql: String = s"""
 SELECT doc_id,
   CAST($splitBucketSql AS INTEGER) AS bucket,
   $splitLabelSql AS split
@@ -70,7 +70,7 @@ FROM documents ORDER BY doc_id"""
     */
   def normExpr(text: Column): Column =
     regexp_replace(trim(lower(NfcNormalize.nfc(text))), "\\s+", " ")
-  val normSqlExpr: String =
+  lazy val normSqlExpr: String =
     "regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"
 
   def cpNormalize(spark: SparkSession, sfDir: String): DataFrame = {
@@ -84,7 +84,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val cpNormalizeSql: String = s"""
+  lazy val cpNormalizeSql: String = s"""
 WITH n AS (
   SELECT doc_id, $normSqlExpr AS norm
   FROM documents
@@ -138,7 +138,7 @@ FROM n ORDER BY doc_id"""
       .orderBy(col("dg"))
   }
 
-  val cpElectSql: String = s"""
+  lazy val cpElectSql: String = s"""
 WITH d AS (
   SELECT doc_id, md5($normSqlExpr) AS dg,
     CAST(len(list_distinct(
@@ -186,7 +186,7 @@ FROM r WHERE rk = 1 ORDER BY dg"""
       .orderBy(col("doc_id"))
   }
 
-  val cpPackSql: String = s"""
+  lazy val cpPackSql: String = s"""
 WITH t AS (
   SELECT doc_id,
     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
@@ -241,7 +241,7 @@ FROM c ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val cpPackShardedSql: String = s"""
+  lazy val cpPackShardedSql: String = s"""
 WITH t AS (
   SELECT doc_id,
     CAST(doc_id // $ShardDocs AS BIGINT) AS shard,
@@ -289,7 +289,7 @@ FROM c ORDER BY doc_id"""
       .orderBy(col("rank"))
   }
 
-  val cpVocabSql: String = s"""
+  lazy val cpVocabSql: String = s"""
 WITH tok AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
@@ -374,7 +374,7 @@ FROM r WHERE rank <= $VocabTopN ORDER BY rank"""
       .orderBy(col("doc_id"))
   }
 
-  val cpDecontamSql: String = {
+  lazy val cpDecontamSql: String = {
     val gram = (0 until DecontamN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""
 WITH toks AS (
@@ -462,7 +462,7 @@ WHERE graft_might_contain(
   }
 
   /** bloom == exact is the contract; ONE oracle definition. */
-  val cpDecontamBloomSql: String = cpDecontamSql
+  lazy val cpDecontamBloomSql: String = cpDecontamSql
 
   // ------------------------------------------------------------------
   // cp_mix — domain-mixture weighting (per-source downsampling)
@@ -488,7 +488,7 @@ WHERE graft_might_contain(
     case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
   }
 
-  val mixWeightSql: String =
+  lazy val mixWeightSql: String =
     MixWeightsBp.reverse.foldLeft(s"CAST($MixDefaultBp AS BIGINT)") {
       case (acc, (src, w)) =>
         s"CASE WHEN source = '$src' THEN CAST($w AS BIGINT) ELSE $acc END"
@@ -515,7 +515,7 @@ WHERE graft_might_contain(
       .orderBy(col("source"))
   }
 
-  val cpMixSql: String = {
+  lazy val cpMixSql: String = {
     val bucket = s"(${md5LongSql("('mix-v1:' || doc_id)")} % 10000)"
     val weight = mixWeightSql
     s"""
@@ -569,7 +569,7 @@ FROM d GROUP BY source, weight_bp ORDER BY source"""
       .orderBy(col("source"))
   }
 
-  val cpStatsSql: String = {
+  lazy val cpStatsSql: String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH t AS (
@@ -636,7 +636,7 @@ FROM a ORDER BY source"""
       .orderBy(col("source"), col("ctx_len"))
   }
 
-  val cpTruncationSql: String = {
+  lazy val cpTruncationSql: String = {
     import graft.functions.Determinism.r6Sql
     val cells = TruncLens.map(l =>
       s"SELECT CAST($l AS BIGINT) AS ctx_len").mkString(" UNION ALL ")
@@ -739,7 +739,7 @@ FROM a ORDER BY source, ctx_len"""
       .orderBy(col("doc_id"))
   }
 
-  val cpSampleSql: String = {
+  lazy val cpSampleSql: String = {
     val h = md5LongSql("('sample-v1:' || doc_id)")
     s"""
 WITH d AS (
@@ -879,7 +879,7 @@ FROM r WHERE rk <= quota ORDER BY doc_id"""
       .orderBy(col("split"), col("source"))
   }
 
-  val cpCurateSql: String = s"""
+  lazy val cpCurateSql: String = s"""
 WITH base AS (
   SELECT doc_id, source,
     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
@@ -909,7 +909,7 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
     * span as boilerplate. Matches [[Dedup.ddSpans]]' audit width, so
     * the audit's findings are exactly what this operator scrubs.
     */
-  val ScrubN: Int = Dedup.SpanN
+  lazy val ScrubN: Int = Dedup.SpanN
   val ScrubMinOccurrences = 2
 
   /** The C4-style substring-level scrub [[Dedup.ddSpans]] audits for:
@@ -972,7 +972,7 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
       .orderBy(col("doc_id"))
   }
 
-  val cpScrubSpansSql: String = {
+  lazy val cpScrubSpansSql: String = {
     val n = ScrubN
     val gram = (0 until n).map(k => s"t[j+$k]").mkString(" || ' ' || ")
     s"""
@@ -1028,7 +1028,7 @@ FROM d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id"""
     */
   def shuffleOrdExpr(id: Column): Column =
     CrossHash.md5Long(concat(lit("shuffle-v1:"), id.cast("string")))
-  val shuffleOrdSql: String = md5LongSql("('shuffle-v1:' || doc_id)")
+  lazy val shuffleOrdSql: String = md5LongSql("('shuffle-v1:' || doc_id)")
 
   /** Deterministic global shuffle order WITHOUT a global sort: the
     * classic zip-with-global-index decomposition. Pass 1 counts docs
@@ -1061,7 +1061,7 @@ FROM d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id"""
       .orderBy(col("global_pos"))
   }
 
-  val cpShuffleSql: String = s"""
+  lazy val cpShuffleSql: String = s"""
 WITH o AS (
   SELECT doc_id, $shuffleOrdSql AS ord FROM documents
 )
@@ -1105,7 +1105,7 @@ FROM o ORDER BY global_pos"""
           col("tokens")).as("skew_ratio"))
   }
 
-  val cpShardBalanceSql: String = {
+  lazy val cpShardBalanceSql: String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH pack AS (
@@ -1267,7 +1267,7 @@ FROM p GROUP BY phase ORDER BY phase"""
       .orderBy(col("ctx_len"))
   }
 
-  val cpFragSql: String = {
+  lazy val cpFragSql: String = {
     import graft.functions.Determinism.r6Sql
     val cells = FragLens.map(l =>
       s"""SELECT CAST(${l} AS BIGINT) AS ctx_len,
@@ -1358,7 +1358,7 @@ FROM g ORDER BY ctx_len"""
       .orderBy(col("vec_id"))
   }
 
-  val cpDecontamEmbedSql: String = {
+  lazy val cpDecontamEmbedSql: String = {
     import graft.functions.Determinism.r6Sql
     import graft.functions.CrossHash.dotSql
     s"""
@@ -1438,7 +1438,7 @@ ORDER BY co.vec_id"""
       .orderBy(col("source"))
   }
 
-  val cpEpochPlanSql: String = s"""
+  lazy val cpEpochPlanSql: String = s"""
 WITH per_src AS (
   SELECT source,
     COUNT(*) AS docs,
@@ -1550,7 +1550,7 @@ FROM totals t LEFT JOIN leaked l ON l.split = t.split
 ORDER BY t.split"""
   }
 
-  val cpSplitLeakageSql: String =
+  lazy val cpSplitLeakageSql: String =
     cpSplitLeakageSqlOf(Dedup.ddMinhashLshSql)
 
   /** [[cpSplitLeakage]] on the bucket-capped pair stream — the shipped
@@ -1564,7 +1564,7 @@ ORDER BY t.split"""
   def cpSplitLeakageCapped(spark: SparkSession, sfDir: String): DataFrame =
     cpSplitLeakageCfg(spark, sfDir, Some(Dedup.LshMaxBucket))
 
-  val cpSplitLeakageCappedSql: String =
+  lazy val cpSplitLeakageCappedSql: String =
     cpSplitLeakageSqlOf(Dedup.ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
@@ -1661,7 +1661,7 @@ ORDER BY t.split"""
         r6(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
   }
 
-  val cpDatasetCardSql: String = {
+  lazy val cpDatasetCardSql: String = {
     import graft.functions.Determinism.r6Sql
     val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
     s"""
@@ -1734,7 +1734,7 @@ FROM a CROSS JOIN t"""
       .orderBy(col("min_chars"))
   }
 
-  val cpLengthSweepSql: String = {
+  lazy val cpLengthSweepSql: String = {
     import graft.functions.Determinism.r6Sql
     val sums = LengthCutoffs.flatMap(c => Seq(
       s"CAST(SUM(CASE WHEN n_chars >= $c THEN 1 ELSE 0 END) AS BIGINT) AS k_$c",
@@ -1879,7 +1879,7 @@ UNION ALL${census("simhash", "sh")}
 ORDER BY family"""
   }
 
-  val cpDedupImpactSql: String =
+  lazy val cpDedupImpactSql: String =
     cpDedupImpactSqlOf(Dedup.ddMinhashLshSql)
 
   /** [[cpDedupImpact]] with the minhash family on the bucket-capped
@@ -1893,7 +1893,7 @@ ORDER BY family"""
   def cpDedupImpactCapped(spark: SparkSession, sfDir: String): DataFrame =
     cpDedupImpactCfg(spark, sfDir, Some(Dedup.LshMaxBucket))
 
-  val cpDedupImpactCappedSql: String =
+  lazy val cpDedupImpactCappedSql: String =
     cpDedupImpactSqlOf(Dedup.ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
@@ -1946,7 +1946,7 @@ ORDER BY family"""
       .orderBy(col("rank"))
   }
 
-  val cpBpePairsSql: String = {
+  lazy val cpBpePairsSql: String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH tok AS (
@@ -2197,7 +2197,7 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
     * both [[cpBpeTrainSql]] and [[cpBpeTokenizeSql]] (the fragment
     * rule: twins share text, they cannot drift).
     */
-  private val bpeCorpus0Sql: String = """corpus0 AS (
+  private lazy val bpeCorpus0Sql: String = """corpus0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
     regexp_replace(w, '(.)', ' \1 ', 'g') AS seg
   FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -2230,7 +2230,7 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
 )"""
     }.mkString(", ")
 
-  val cpBpeTrainSql: String = {
+  lazy val cpBpeTrainSql: String = {
     val out = (1 to BpeTrainMerges).map { r =>
       s"""SELECT $r AS merge_rank, e.pair, e.merged, e.n_occurrences,
   s.vocab_size, s.n_symbols FROM el$r e, st$r s"""
@@ -2352,7 +2352,7 @@ ORDER BY merge_rank"""
   }
 
   /** delta == full is the contract — ONE oracle definition. */
-  val cpBpeTrainDeltaSql: String = cpBpeTrainSql
+  lazy val cpBpeTrainDeltaSql: String = cpBpeTrainSql
 
   // ------------------------------------------------------------------
   // cp_bpe_tokenize — apply the trained merge table at document grain
@@ -2392,7 +2392,7 @@ ORDER BY merge_rank"""
       .orderBy(col("doc_id"))
   }
 
-  val cpBpeTokenizeSql: String = s"""
+  lazy val cpBpeTokenizeSql: String = s"""
 WITH $bpeCorpus0Sql, ${bpeRoundsSql(BpeTrainMerges)},
 tokc AS (
   SELECT w, len(string_split(trim(seg), '  ')) AS n_tok
@@ -2483,7 +2483,7 @@ GROUP BY d.doc_id ORDER BY d.doc_id"""
       .orderBy(col("source"))
   }
 
-  val cpWaterfillSql: String = {
+  lazy val cpWaterfillSql: String = {
     import graft.functions.Determinism.r6Sql
     val b = WaterfillBudget
     s"""
@@ -2578,7 +2578,7 @@ FROM out ORDER BY source"""
       .orderBy(col("source"))
   }
 
-  val cpCorpusDiffSql: String = {
+  lazy val cpCorpusDiffSql: String = {
     import graft.functions.CrossHash.md5LongSql
     s"""
 WITH a AS (
@@ -2834,7 +2834,7 @@ ORDER BY source, quartile"""
       .orderBy(col("lang"))
   }
 
-  val cpFertilitySql: String = {
+  lazy val cpFertilitySql: String = {
     import graft.functions.Determinism.r6Sql
     val perDoc = cpBpeTokenizeSql.replace("\n", "\n  ")
     s"""

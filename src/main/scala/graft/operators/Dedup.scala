@@ -66,7 +66,7 @@ object Dedup {
         min(col("id")).as("survivor_id"))
       .orderBy(col("body_key"))
 
-  val ddExactSql: String = RefOracle.modelCte + """
+  lazy val ddExactSql: String = RefOracle.modelCte + """
 SELECT md5(body) AS body_key, COUNT(*) AS cnt, MIN(id) AS survivor_id
 FROM comments GROUP BY md5(body) ORDER BY body_key"""
 
@@ -147,7 +147,7 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
     signature(spark, sfDir).orderBy(col("doc_id"))
 
   /** Oracle CTE: doc_id, shingle list `s`, shingle-hash list `hs`. */
-  private val shingleCteSql: String = s"""WITH toks AS (
+  private lazy val shingleCteSql: String = s"""WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
 ), sh AS (
@@ -169,7 +169,7 @@ FROM comments GROUP BY md5(body) ORDER BY body_key"""
     (0 until K).map(i =>
       s"list_min(list_transform($lst, h -> ((h * ${As(i)}) + ${Bs(i)}) % $P))")
 
-  val ddMinhashSql: String = shingleCteSql + s"""
+  lazy val ddMinhashSql: String = shingleCteSql + s"""
 SELECT doc_id,
   ${minhashColsSql.zipWithIndex.map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n  ")}
 FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
@@ -272,7 +272,7 @@ FROM hashed WHERE len(s) > 0 ORDER BY doc_id"""
     * consumed by the self-join (dd_minhash_lsh/dd_clusters) and the
     * asymmetric batch-vs-corpus join (dd_incremental); ONE copy.
     */
-  private val sigBandsCteSql: String = {
+  private lazy val sigBandsCteSql: String = {
     val mhCols = minhashColsSql.zipWithIndex
       .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
@@ -317,10 +317,10 @@ SELECT doc_a, doc_b,
 FROM verified
 WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
 
-  private val ddMinhashLshBodySql: String =
+  private lazy val ddMinhashLshBodySql: String =
     sigBandsCteSql + ", " + lshCandsVerifySql("bands")
 
-  val ddMinhashLshSql: String =
+  lazy val ddMinhashLshSql: String =
     ddMinhashLshBodySql + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
@@ -366,7 +366,7 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
     * [[ddClustersCappedSql]] (embedded as the closure's pair CTE), the
     * same one-copy discipline as [[ddMinhashLshBodySql]].
     */
-  private val ddMinhashLshCappedBodySql: String =
+  private lazy val ddMinhashLshCappedBodySql: String =
     sigBandsCteSql + s""", bkeep AS (
   SELECT band, key FROM bands GROUP BY band, key
   HAVING COUNT(*) <= $LshMaxBucket
@@ -375,7 +375,7 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
   JOIN bkeep s ON s.band = b.band AND s.key = b.key
 ), """ + lshCandsVerifySql("kept")
 
-  val ddMinhashLshCappedSql: String =
+  lazy val ddMinhashLshCappedSql: String =
     ddMinhashLshCappedBodySql + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
@@ -442,7 +442,7 @@ WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin"""
       .orderBy(col("bands"))
   }
 
-  val ddLshTuningSql: String = {
+  lazy val ddLshTuningSql: String = {
     val jexpr = "(CAST(i2 AS DOUBLE) / (na + nb2 - i2))"
     val cfgCtes = LshTuneConfigs.zipWithIndex.map { case ((nb, nr), i) =>
       val bandSelects = (0 until nb).map { b =>
@@ -582,7 +582,7 @@ FROM verified
 WHERE ${r6Sql("(CAST(i AS DOUBLE) / (na + nb - i))")} >= $MinhashJaccardMin
 ORDER BY new_doc, corpus_doc"""
 
-  val ddIncrementalSql: String = ddIncrementalSqlOf(s"""cands AS (
+  lazy val ddIncrementalSql: String = ddIncrementalSqlOf(s"""cands AS (
   SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key
@@ -596,7 +596,7 @@ ORDER BY new_doc, corpus_doc"""
   def ddIncrementalCapped(spark: SparkSession, sfDir: String): DataFrame =
     ddIncrementalCfg(spark, sfDir, Some(LshMaxBucket))
 
-  val ddIncrementalCappedSql: String = ddIncrementalSqlOf(s"""ckeep AS (
+  lazy val ddIncrementalCappedSql: String = ddIncrementalSqlOf(s"""ckeep AS (
   SELECT band, key FROM bands
   WHERE doc_id % $BatchMod <> $BatchRem
   GROUP BY band, key HAVING COUNT(*) <= $LshMaxBucket
@@ -869,9 +869,9 @@ SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
 
-  val ddClustersSql: String = ddClustersClosureSql(ddMinhashLshBodySql)
+  lazy val ddClustersSql: String = ddClustersClosureSql(ddMinhashLshBodySql)
 
-  val ddClustersCappedSql: String =
+  lazy val ddClustersCappedSql: String =
     ddClustersClosureSql(ddMinhashLshCappedBodySql)
 
   // ------------------------------------------------------------------
@@ -915,7 +915,7 @@ ORDER BY l.doc_id"""
   }
 
   /** Oracle CTE chain ending in `sig(doc_id, n_tokens, simhash)`. */
-  private val simhashCteSql: String = {
+  private lazy val simhashCteSql: String = {
     val bitSums = (0 until SimhashBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n    ")
@@ -936,7 +936,7 @@ ORDER BY l.doc_id"""
 )"""
   }
 
-  val ddSimhashSql: String = simhashCteSql + """
+  lazy val ddSimhashSql: String = simhashCteSql + """
 SELECT doc_id, n_tokens, simhash FROM sig ORDER BY doc_id"""
 
   // ------------------------------------------------------------------
@@ -970,7 +970,7 @@ SELECT doc_id, n_tokens, simhash FROM sig ORDER BY doc_id"""
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val ddSimhashPairsSql: String = {
+  lazy val ddSimhashPairsSql: String = {
     val chunkSelects = (0 until 4).map(c =>
       s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS val FROM sig")
       .mkString("\n  UNION ALL\n  ")
@@ -1050,7 +1050,7 @@ ORDER BY doc_a, doc_b"""
     * join) — a deliberately different plan than Spark's array-intersect,
     * which is what makes the cross-check meaningful.
     */
-  val ddNgramJaccardSql: String = s"""WITH base AS (
+  lazy val ddNgramJaccardSql: String = s"""WITH base AS (
   SELECT doc_id, n_chars,
     list_distinct(list_transform(range(1, length(lower(text)) - 3),
       i -> ${md5ModSql("substr(lower(text), i, 5)")})) AS g
@@ -1202,7 +1202,7 @@ ORDER BY doc_a, doc_b"""
   }
 
   /** LSH-verified == exact is the contract; ONE oracle definition. */
-  val ddNgramJaccardLshSql: String = ddNgramJaccardSql
+  lazy val ddNgramJaccardLshSql: String = ddNgramJaccardSql
 
   // ------------------------------------------------------------------
   // dd_ngram_jaccard_lsh_capped — the guard on the stream that SPILLED
@@ -1231,7 +1231,7 @@ ORDER BY doc_a, doc_b"""
     * [[minhashColsSqlOf]] arithmetic and the exact twin's gram
     * derivation (ONE copy of each fragment).
     */
-  private val ngramSigBandsCteSql: String = {
+  private lazy val ngramSigBandsCteSql: String = {
     val mhCols = minhashColsSqlOf("g").zipWithIndex
       .map { case (e, i) => s"$e AS mh_$i" }.mkString(",\n    ")
     val bandSelects = (0 until NgramLshBands).map { b =>
@@ -1255,7 +1255,7 @@ ORDER BY doc_a, doc_b"""
 )"""
   }
 
-  val ddNgramJaccardLshCappedSql: String = ngramSigBandsCteSql + s""", nbkeep AS (
+  lazy val ddNgramJaccardLshCappedSql: String = ngramSigBandsCteSql + s""", nbkeep AS (
   SELECT band, key FROM nbands GROUP BY band, key
   HAVING COUNT(*) <= $LshMaxBucket
 ), nkept AS (
@@ -1376,7 +1376,7 @@ ORDER BY doc_a, doc_b"""
     * prefix filter — a deliberately different candidate path, which is
     * what cross-checks the filter's completeness).
     */
-  val ddContainmentSql: String = s"""WITH toks AS (
+  lazy val ddContainmentSql: String = s"""WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
 ), base AS (
@@ -1517,7 +1517,7 @@ ORDER BY i.doc_a, i.doc_b"""
     * copy, the [[cosinePairs]] twin shared by the embed-cosine and
     * sweep oracles.
     */
-  private val cosinePairsCte: String = s"""WITH e AS (
+  private lazy val cosinePairsCte: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -1533,7 +1533,7 @@ ORDER BY i.doc_a, i.doc_b"""
     */
   def cosinePairsCteSql: String = cosinePairsCte
 
-  val ddEmbedCosineSql: String = cosinePairsCte + s"""
+  lazy val ddEmbedCosineSql: String = cosinePairsCte + s"""
 SELECT vec_a, vec_b, ${r6Sql("c")} AS cosine
 FROM pairs WHERE c >= $CosineMin
 ORDER BY vec_a, vec_b"""
@@ -1645,6 +1645,91 @@ ORDER BY vec_a, vec_b"""
   }
 
   // ------------------------------------------------------------------
+  // dd_semdedup_ann — the web-scale posture: ANN cell assignment
+  // ------------------------------------------------------------------
+
+  /** Coarse anchors for [[ddSemDedupAnn]]'s two-level assignment —
+    * √[[Similarity.IvfCells]], the measured 16√m rule applied to the
+    * centroid table itself.
+    */
+  val SemDedupCoarse: Int = 4
+
+  /** SEMANTIC DEDUP, the ANN-assignment form — the posture real
+    * web-scale SemDeDup deployments run (k ∝ corpus so cell SIZE
+    * stays constant, affordable because the per-vector assignment is
+    * a coarse-quantized probe, not an exact k-centroid argmin):
+    * [[ddSemDedup]] with every assignment pass (both Lloyd training
+    * rounds and the final cell assignment) routed through
+    * [[Similarity.kmAssignAnn]], dropping per-vector assignment cost
+    * from k to nCoarse + probe·(k/nCoarse) dot products.
+    *
+    * The shipped entry pins probe = nCoarse = [[SemDedupCoarse]] —
+    * the EXHAUSTIVE dial, where kmAssignAnn is argmin-identical to
+    * kmAssign BY CONSTRUCTION (every fine centroid is a candidate
+    * exactly once, same fold, same tie-break), so this query's oracle
+    * is [[ddSemDedupSql]] VERBATIM and the driver hash-proves
+    * ANN == exact every round — the sim_label_knn_ann /
+    * cp_decontam_bloom contract, closing the one pair-stream family
+    * that lacked it at its production dial. The probed k ∝ n posture
+    * is the ScaleSoak entry (`dd_semdedup_ann_klin`), measured against
+    * the exact k ∝ √n winner on the 1–100× axis.
+    */
+  def ddSemDedupAnn(spark: SparkSession, sfDir: String): DataFrame =
+    ddSemDedupAnnCfg(spark, sfDir, Similarity.IvfCells,
+      SemDedupCoarse, SemDedupCoarse)
+
+  /** [[ddSemDedupAnn]] with (cells, nCoarse, probe) as parameters —
+    * the k ∝ n scale dial: at 100× the soak runs cells = 16m,
+    * nCoarse = √cells, probe = 4, paying ~2√k dots per vector where
+    * the exact dial pays k.
+    */
+  private[graft] def ddSemDedupAnnCfg(spark: SparkSession, sfDir: String,
+      cells: Int, nCoarse: Int, probe: Int): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(col("v"), col("v")))
+      .localCheckpoint(true)
+    var cents = e.filter(col("vec_id") >= Similarity.NQueries &&
+        col("vec_id") < Similarity.NQueries + cells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    for (_ <- 1 to Similarity.KmIters)
+      cents = Similarity.kmUpdate(
+        Similarity.kmAssignAnn(e, cents, nCoarse, probe))
+    cents = cents.localCheckpoint(true)
+    val assigned = Similarity.kmAssignAnn(e, cents, nCoarse, probe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .localCheckpoint(true)
+    val cos = gdot(col("a.v"), col("b.v")) /
+      sqrt(col("a.nrm") * col("b.nrm"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        cos.as("c"))
+      .filter(col("c") >= CosineMin)
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) =
+      connectedComponentsStar(e.select(col("vec_id")), pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** At the shipped exhaustive dial the ANN assignment is
+    * argmin-identical to the exact one, so the oracle IS the exact
+    * form's — shared verbatim, the driver re-proves ANN == exact on
+    * every round's hash gate.
+    */
+  lazy val ddSemDedupAnnSql: String = ddSemDedupSql
+
+  // ------------------------------------------------------------------
   // dd_cosine_sweep — threshold tuning table for embedding dedup
   // ------------------------------------------------------------------
 
@@ -1680,7 +1765,7 @@ ORDER BY vec_a, vec_b"""
       .orderBy(col("threshold"))
   }
 
-  val ddCosineSweepSql: String = {
+  lazy val ddCosineSweepSql: String = {
     val lst = CosineSweep.mkString("[", ", ", "]")
     cosinePairsCte + s""", thr AS (
   SELECT unnest(CAST($lst AS DOUBLE[])) AS threshold
@@ -1762,7 +1847,7 @@ ORDER BY t.threshold"""
       .orderBy(col("doc_id"))
   }
 
-  val ddSpansSql: String = {
+  lazy val ddSpansSql: String = {
     val gram = (0 until SpanN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""
 WITH toks AS (
@@ -1862,7 +1947,7 @@ SELECT source_a, source_b, COUNT(*) AS n_pairs,
 FROM tagged GROUP BY source_a, source_b
 ORDER BY source_a, source_b"""
 
-  val ddDupSourcesSql: String = ddDupSourcesSqlOf(ddMinhashLshSql)
+  lazy val ddDupSourcesSql: String = ddDupSourcesSqlOf(ddMinhashLshSql)
 
   /** [[ddDupSources]] on the bucket-capped pair stream — the shipped
     * form of the [[ddDupSourcesCfg]] hook (see [[ddClustersCapped]]
@@ -1875,7 +1960,7 @@ ORDER BY source_a, source_b"""
   def ddDupSourcesCapped(spark: SparkSession, sfDir: String): DataFrame =
     ddDupSourcesCfg(spark, sfDir, Some(LshMaxBucket))
 
-  val ddDupSourcesCappedSql: String = ddDupSourcesSqlOf(ddMinhashLshCappedSql)
+  lazy val ddDupSourcesCappedSql: String = ddDupSourcesSqlOf(ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
   // dd_sizes — duplicate-cluster size histogram (the savings readout)
@@ -1902,7 +1987,7 @@ ORDER BY source_a, source_b"""
         ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
       .orderBy(col("cluster_size"))
 
-  val ddSizesSql: String = graft.queries.RefOracle.modelCte + """
+  lazy val ddSizesSql: String = graft.queries.RefOracle.modelCte + """
 , sizes AS (
   SELECT md5(body) AS k, COUNT(*) AS cluster_size
   FROM comments GROUP BY md5(body)
@@ -1984,7 +2069,7 @@ SELECT CAST(n_lexical AS BIGINT) AS n_lexical,
   END AS jaccard
 FROM counts"""
 
-  val ddFamilyOverlapSql: String = ddFamilyOverlapSqlOf(ddMinhashLshSql)
+  lazy val ddFamilyOverlapSql: String = ddFamilyOverlapSqlOf(ddMinhashLshSql)
 
   /** [[ddFamilyOverlap]] with the bucket-capped lexical stream — the
     * shipped form of [[ddFamilyOverlapCfg]]; the semantic (cosine)
@@ -1995,7 +2080,7 @@ FROM counts"""
   def ddFamilyOverlapCapped(spark: SparkSession, sfDir: String): DataFrame =
     ddFamilyOverlapCfg(spark, sfDir, Some(LshMaxBucket))
 
-  val ddFamilyOverlapCappedSql: String =
+  lazy val ddFamilyOverlapCappedSql: String =
     ddFamilyOverlapSqlOf(ddMinhashLshCappedSql)
 
   // ------------------------------------------------------------------
@@ -2073,7 +2158,7 @@ FROM counts"""
       .orderBy(col("matches"))
   }
 
-  val ddMinhashErrorSql: String = {
+  lazy val ddMinhashErrorSql: String = {
     val matchSql = (0 until K).map(i =>
       s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
     sigBandsCteSql + s""", cands AS (

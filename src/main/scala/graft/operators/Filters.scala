@@ -90,9 +90,9 @@ object Filters {
   private val okRep = s"($rep <= CAST($MaxRepetitionRatio AS DOUBLE))"
 
   /** Oracle-side twin of [[keepExpr]]. */
-  val keepSqlExpr: String = s"($okWords AND $okMwl AND $okSym AND $okRep)"
+  lazy val keepSqlExpr: String = s"($okWords AND $okMwl AND $okSym AND $okRep)"
 
-  val qfDecideSql: String = {
+  lazy val qfDecideSql: String = {
     s"""
 SELECT doc_id,
   CAST($words AS INTEGER) AS words,
@@ -152,7 +152,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val qfRepetitionSql: String = {
+  lazy val qfRepetitionSql: String = {
     val topFrac = "(CAST(top AS DOUBLE) / n)"
     val dup2 = "(CASE WHEN n2 > 0 THEN CAST(n2 - d2 AS DOUBLE) / n2 END)"
     val dup3 = "(CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3 END)"
@@ -216,7 +216,7 @@ FROM m ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val qfRedactSql: String = {
+  lazy val qfRedactSql: String = {
     val redacted = s"""regexp_replace(regexp_replace(regexp_replace(text,
       '$EmailPattern', '<EMAIL>', 'g'),
       '$UrlPattern', '<URL>', 'g'),
@@ -264,7 +264,7 @@ FROM documents ORDER BY doc_id"""
       .withColumn("keep", !col("too_repetitive") && !col("too_random"))
       .orderBy(col("doc_id"))
 
-  val qfLmFilterSql: String = TextAnalysis.lmCoreCtes + s"""
+  lazy val qfLmFilterSql: String = TextAnalysis.lmCoreCtes + s"""
 SELECT doc_id, n_tokens, surprisal_micro,
   surprisal_micro < $LmLoMicro * n_tokens AS too_repetitive,
   surprisal_micro > $LmHiMicro * n_tokens AS too_random,
@@ -305,7 +305,7 @@ FROM lm ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val qfCompositeSql: String = s"""
+  lazy val qfCompositeSql: String = s"""
 SELECT d.doc_id, d.keep AS heuristics_keep, r.is_repetitive,
   COALESCE(l.keep, false) AS lm_keep,
   (d.keep AND NOT r.is_repetitive AND COALESCE(l.keep, false)) AS keep
@@ -350,7 +350,7 @@ ORDER BY d.doc_id"""
             1000.0 / col("chars"))).as("pii_per_kchar"))
       .orderBy(col("source"))
 
-  val qfPiiCensusSql: String = s"""
+  lazy val qfPiiCensusSql: String = s"""
 WITH d AS (
   SELECT source,
     CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS e,
@@ -410,7 +410,7 @@ FROM g ORDER BY source"""
       .orderBy(col("source"))
   }
 
-  val qfSourceCensusSql: String = s"""
+  lazy val qfSourceCensusSql: String = s"""
 WITH q AS (
   ${qfDecideSql.replace("\n", "\n  ")}
 ), j AS (
@@ -649,7 +649,7 @@ ORDER BY c.source"""
     s"CAST(round($noise * 1000000) AS BIGINT)"
   }
 
-  val qfDpCensusSql: String = {
+  lazy val qfDpCensusSql: String = {
     def branch(label: String, eps: Double): String = {
       val key = s"(source || '$DpSeedDefault' || '$label')"
       s"""SELECT source, '$label' AS eps, n_docs,
@@ -740,7 +740,7 @@ ORDER BY source, eps"""
       .orderBy(col("source"), col("eps"))
   }
 
-  val qfDpCompositionSql: String = {
+  lazy val qfDpCompositionSql: String = {
     def branch(label: String, eps: Double, i: Int): String = {
       val key = s"(source || '$DpSeedDefault' || '$label' || '#r$i')"
       s"""SELECT source, '$label' AS eps, n_docs,
@@ -822,7 +822,7 @@ ORDER BY source, eps"""
       .orderBy(col("source"), col("eps"))
   }
 
-  val qfDpSumSql: String = {
+  lazy val qfDpSumSql: String = {
     val c = DpClipChars
     def branch(label: String, eps: Double): String = {
       val key = s"(source || '$DpSeedDefault' || 'sum#' || '$label')"
@@ -929,7 +929,7 @@ ORDER BY source, eps"""
     levels.reduce(_ unionAll _).orderBy(col("gen"), col("k"))
   }
 
-  val qfKAnonSql: String = {
+  lazy val qfKAnonSql: String = {
     val kRows = KAnonKs.map(k => s"SELECT $k AS k")
       .mkString(" UNION ALL ")
     val levels = KAnonLevels.map { case (label, width) =>

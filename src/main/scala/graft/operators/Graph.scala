@@ -91,7 +91,7 @@ object Graph {
   /** Oracle twin of [[grEdges]]: CTEs `ganchor` (n), `gedges`
     * (src, dst, out_deg). Embedded verbatim by every gr_* oracle.
     */
-  private[graft] val grEdgesSql: String = {
+  private[graft] lazy val grEdgesSql: String = {
     // UNION ALL rather than unnest-of-list: DuckDB 1.0.0 hits an
     // internal binder error pushing the self-loop filter into an
     // unnest projection; the union form also mirrors the Spark side
@@ -145,7 +145,7 @@ object Graph {
       .orderBy(col("side"), col("deg"))
   }
 
-  val grDegreeSql: String = {
+  lazy val grDegreeSql: String = {
     def side(tag: String, key: String): String =
       s"""SELECT '$tag' AS side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM (
@@ -285,7 +285,7 @@ ORDER BY side, deg"""
 ), $rounds"""
   }
 
-  val grPagerankSql: String = {
+  lazy val grPagerankSql: String = {
     val loop = prRoundsSql("SELECT COUNT(*) AS n FROM documents",
       s"($PrScale // a.n)", s"(${PrScale * 15L / 100L} // a.n)")
     s"""
@@ -347,7 +347,7 @@ ORDER BY d.doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val grComponentsSql: String = Dedup.ddClustersClosureSql(
+  lazy val grComponentsSql: String = Dedup.ddClustersClosureSql(
     "  SELECT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b\n" +
       "  FROM gedges GROUP BY 1, 2",
     prefixCtes = grEdgesSql + ", ")
@@ -409,7 +409,7 @@ ORDER BY d.doc_id"""
     * [[grTrustrankSql]] and the source-grain [[grSourceTrustSql]] —
     * one teleport definition, two readout grains.
     */
-  private val grTrustChainSql: String = {
+  private lazy val grTrustChainSql: String = {
     val share = s"($PrScale // a.ns)"
     val baseShare = s"(${PrScale * 15L / 100L} // a.ns)"
     val seed = "d.source = a.ssrc"
@@ -424,7 +424,7 @@ ORDER BY d.doc_id"""
 WITH $grEdgesSql, $loop"""
   }
 
-  val grTrustrankSql: String =
+  lazy val grTrustrankSql: String =
     s"""$grTrustChainSql
 SELECT d.doc_id, (d.source = a.ssrc) AS is_seed, p.r AS rank_u
 FROM documents d CROSS JOIN panchor a
@@ -461,7 +461,7 @@ ORDER BY d.doc_id"""
       .orderBy(col("source"))
   }
 
-  val grSourceTrustSql: String =
+  lazy val grSourceTrustSql: String =
     s"""$grTrustChainSql
 SELECT d.source,
   COUNT(*) AS n_docs,
@@ -555,7 +555,7 @@ ORDER BY d.source"""
       .orderBy(col("doc_id"))
   }
 
-  val grReachSql: String = {
+  lazy val grReachSql: String = {
     val micro = (1 to ReachHops)
       .map(k => s"WHEN d = $k THEN ${ReachMicro(k - 1)}")
       .mkString("CASE ", " ", " END")
@@ -662,7 +662,7 @@ ORDER BY d.doc_id"""
           .as("global_cc"))
   }
 
-  val grTrianglesSql: String =
+  lazy val grTrianglesSql: String =
     s"""
 WITH $grEdgesSql, und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -747,7 +747,7 @@ FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
   }
 
   /** Degree-oriented == id-ordered is a theorem; ONE oracle. */
-  val grTrianglesDegSql: String = grTrianglesSql
+  lazy val grTrianglesDegSql: String = grTrianglesSql
 
   // ------------------------------------------------------------------
   // gr_clustering — per-NODE triangle participation and local
@@ -817,7 +817,7 @@ FROM nn CROSS JOIN ne CROSS JOIN wj CROSS JOIN tri"""
       .orderBy(col("doc_id"))
   }
 
-  val grClusteringSql: String =
+  lazy val grClusteringSql: String =
     s"""
 WITH $grEdgesSql, und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -901,7 +901,7 @@ ORDER BY d.doc_id"""
       .orderBy(col("source"))
   }
 
-  val grReciprocitySql: String =
+  lazy val grReciprocitySql: String =
     s"""
 WITH $grEdgesSql, mut AS (
   SELECT f.src, COUNT(*) AS n_mutual
@@ -973,7 +973,7 @@ ORDER BY d.source"""
           col("den").cast("double"))).as("assortativity"))
   }
 
-  val grAssortativitySql: String = {
+  lazy val grAssortativitySql: String = {
     def h(x: String) = s"CAST($x AS HUGEINT)"
     // HUGEINT→DOUBLE via VARCHAR: the correctly-rounded path
     // (profCorrSql's measured finding; these moments pass 2^53 at
@@ -1098,7 +1098,7 @@ FROM f"""
       .orderBy(col("doc_id"))
   }
 
-  val grHitsSql: String = {
+  lazy val grHitsSql: String = {
     def half(prev: String, out: String, joinKey: String,
         outKey: String): String = {
       s"""${out}_raw AS (
@@ -1218,7 +1218,7 @@ ORDER BY d.doc_id"""
       .orderBy(col("k"), col("doc_id"))
   }
 
-  val grKcoreSql: String = {
+  lazy val grKcoreSql: String = {
     // alive CTEs are referenced 3× per round (degree needs both edge
     // endpoints alive, the peel needs the set itself) — MATERIALIZED
     // stops DuckDB's inliner from expanding the chain exponentially

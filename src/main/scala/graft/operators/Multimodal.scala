@@ -66,7 +66,7 @@ object Multimodal {
       md5(col("content")).as("content_md5"))
       .orderBy(col("doc_id"))
 
-  val mmIngestSql: String = """
+  lazy val mmIngestSql: String = """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image'
        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -93,8 +93,8 @@ FROM documents ORDER BY doc_id"""
   private def nfExpr(h: Column): Column = (lit(100) + h % 900).cast("int")
   private def strideExpr(nf: Column): Column =
     greatest(lit(1), floor(nf / lit(16.0)).cast("int"))
-  private val nfSql = "CAST(100 + h % 900 AS INTEGER)"
-  private val strideSql =
+  private lazy val nfSql = "CAST(100 + h % 900 AS INTEGER)"
+  private lazy val strideSql =
     s"greatest(1, CAST(floor(($nfSql) / CAST(16.0 AS DOUBLE)) AS INTEGER))"
 
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -124,7 +124,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val mmFeaturesSql: String = {
+  lazy val mmFeaturesSql: String = {
     val h = CrossHash.md5LongSql("text")
     s"""WITH m AS (
   SELECT doc_id,
@@ -187,7 +187,7 @@ FROM f ORDER BY doc_id"""
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val mmFramesSql: String = {
+  lazy val mmFramesSql: String = {
     val h = CrossHash.md5LongSql("text")
     s"""WITH m AS (
   SELECT doc_id, md5(text) AS content_md5, $h AS h
@@ -249,7 +249,7 @@ FROM fx ORDER BY doc_id, frame_idx"""
     * at all SFs): text is pure ASCII, so UTF-8 bytes == code points and
     * DuckDB's `ord(substr(text, i, 1))` reproduces `b & 0xff`.
     */
-  val mmDecodeStubSql: String = {
+  lazy val mmDecodeStubSql: String = {
     val bins = (0 until 8).map { k =>
       val cnt = s"len(list_filter(range(1, length(text) + 1), i -> (ord(substr(text, i, 1)) % 8) = $k))"
       r6Sql(s"CAST($cnt AS DOUBLE) / greatest(1, length(text))") + s" AS h$k"
@@ -629,7 +629,7 @@ FROM documents ORDER BY doc_id"""
     * (== bytes; fixture is pure ASCII — the mm_decode_stub
     * precondition), 60·s_k > total per bit.
     */
-  private val phashSigSql: String = {
+  private lazy val phashSigSql: String = {
     val blockSum = (k: Int) =>
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(range(1, length(text) + 1), i ->
@@ -655,7 +655,7 @@ FROM documents ORDER BY doc_id"""
 )"""
   }
 
-  val mmPhashSql: String = s"""WITH $phashSigSql
+  lazy val mmPhashSql: String = s"""WITH $phashSigSql
 SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
 
   /** Near-duplicate media pairs: hamming(sig) ≤ [[PhashHammingMax]],
@@ -745,9 +745,9 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
 )"""
   }
 
-  private val mmNearDupBodySql: String = mmNearDupBodySqlOf("bands", "")
+  private lazy val mmNearDupBodySql: String = mmNearDupBodySqlOf("bands", "")
 
-  private val mmNearDupCappedBodySql: String =
+  private lazy val mmNearDupCappedBodySql: String =
     mmNearDupBodySqlOf("kept", s""", bkeep AS (
   SELECT band, key FROM bands GROUP BY band, key
   HAVING COUNT(*) <= $MmMaxBucket
@@ -756,7 +756,7 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
   JOIN bkeep s ON s.band = b.band AND s.key = b.key
 )""")
 
-  val mmNearDupSql: String = s"""WITH $phashSigSql, $mmNearDupBodySql
+  lazy val mmNearDupSql: String = s"""WITH $phashSigSql, $mmNearDupBodySql
 SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
 
   /** The bucket-capped hamming pair stream as its own oracle-checked
@@ -770,7 +770,7 @@ SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
   def mmNearDupCapped(spark: SparkSession, sfDir: String): DataFrame =
     nearDupPairsOfCfg(signatures(spark, sfDir), Some(MmMaxBucket))
 
-  val mmNearDupCappedSql: String =
+  lazy val mmNearDupCappedSql: String =
     s"""WITH $phashSigSql, $mmNearDupCappedBodySql
 SELECT doc_a, doc_b, hamming FROM nd_pairs ORDER BY doc_a, doc_b"""
 
@@ -838,7 +838,7 @@ SELECT l.doc_id, l.lbl AS cluster_rep, s.cluster_size,
 FROM labels l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
 
-  val mmClustersSql: String = mmClustersSqlOf(mmNearDupBodySql)
+  lazy val mmClustersSql: String = mmClustersSqlOf(mmNearDupBodySql)
 
   /** Media duplicate clusters on the CAPPED pair stream — the
     * composition a 100 TB media dedup deploys (the
@@ -850,7 +850,7 @@ ORDER BY l.doc_id"""
   def mmClustersCapped(spark: SparkSession, sfDir: String): DataFrame =
     mmClustersCfg(spark, sfDir, Some(MmMaxBucket))
 
-  val mmClustersCappedSql: String = mmClustersSqlOf(mmNearDupCappedBodySql)
+  lazy val mmClustersCappedSql: String = mmClustersSqlOf(mmNearDupCappedBodySql)
 
   // ------------------------------------------------------------------
   // mm_dedup_impact — bytes-saved census of the media dedup
@@ -889,7 +889,7 @@ ORDER BY l.doc_id"""
       .orderBy(col("media_type"))
   }
 
-  val mmDedupImpactSql: String = {
+  lazy val mmDedupImpactSql: String = {
     import graft.functions.Determinism.r6Sql
     s"""
 WITH m AS (

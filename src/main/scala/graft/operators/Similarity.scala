@@ -96,7 +96,7 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     graft.functions.CrossHash.dotSql(a, b)
 
-  val simBruteforceTopkSql: String = s"""WITH e AS (
+  lazy val simBruteforceTopkSql: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -144,7 +144,7 @@ ORDER BY query_id, rank"""
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simLshAnnSql: String = {
+  lazy val simLshAnnSql: String = {
     val planesSql = PlaneInts.map(_.mkString("[", ", ", "]"))
     val bucketSql = planesSql.zipWithIndex.map { case (p, j) =>
       val h = s"list_transform(CAST($p AS BIGINT[]), k -> k / CAST(1024.0 AS DOUBLE))"
@@ -285,7 +285,7 @@ ORDER BY query_id, rank"""
   /** Shared IVF oracle core (e → n → cents → scored → assigned), ONE
     * copy for the serving query and the nprobe sweep.
     */
-  private val ivfCoreCtesSql: String = s"""e AS (
+  private lazy val ivfCoreCtesSql: String = s"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -340,7 +340,7 @@ probes_$tag AS (
       ORDER BY cs DESC, cent_id) AS rn FROM scored_$tag) WHERE rn = 1
 )"""
 
-  val simIvfAnnSql: String = s"""WITH $ivfCoreCtesSql, ${ivfServeTailSql("p", IvfProbe)}
+  lazy val simIvfAnnSql: String = s"""WITH $ivfCoreCtesSql, ${ivfServeTailSql("p", IvfProbe)}
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("c")} AS cosine
 FROM ranked_p WHERE rank <= $TopK
@@ -385,7 +385,7 @@ ORDER BY query_id, rank"""
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
-  val simIvfTuningSql: String = {
+  lazy val simIvfTuningSql: String = {
     val tails = IvfTuneProbes.map(p => ivfServeTailSql(s"t$p", p).trim)
     val arms = IvfTuneProbes.map { p =>
       s"""SELECT $p AS nprobe, $NQueries AS n_queries,
@@ -543,7 +543,7 @@ ORDER BY nprobe"""
       .orderBy(col("vec_id"))
   }
 
-  val simQuantizeSql: String = {
+  lazy val simQuantizeSql: String = {
     val listSum = (body: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         $body), (acc, x) -> acc + x)"""
@@ -633,6 +633,75 @@ FROM q ORDER BY vec_id"""
         transform(col("pcs"), s => s.getField("c")).as("cv"))
       .withColumn("cn", DotProduct.dot(col("cv"), col("cv")))
 
+  /** Two-level (coarse-quantized) variant of [[kmAssign]] — the
+    * assignment pass web-scale SemDeDup needs once k grows ∝ corpus: a
+    * vector scores the `nCoarse` coarse anchors, keeps its `probe`
+    * nearest coarse groups, and runs the exact argmin only over the
+    * fine centroids assigned to those groups — per-vector cost drops
+    * from k dot products to nCoarse + probe·(k/nCoarse), i.e. ~2·√k at
+    * the nCoarse ≈ √k, probe ≈ small dial.
+    *
+    * Determinism: coarse anchors are the `nCoarse` lowest-cent_id fine
+    * centroids (cent_ids are the seed vec_ids, stable across Lloyd
+    * rounds — a k-row TakeOrdered, never a window); every argmin is
+    * the same partial-aggregable `min(struct(dist, id))` fold as
+    * [[kmAssign]] (ties to the lowest id). EXHAUSTIVE CONTRACT: at
+    * probe ≥ nCoarse every fine centroid is a candidate exactly once
+    * (each belongs to exactly one coarse group), so the output is
+    * IDENTICAL to [[kmAssign]] — the [[simLabelKnnAnn]] pattern, which
+    * is what lets [[graft.operators.Dedup.ddSemDedupAnn]] share the
+    * exact form's oracle verbatim while the probed dial is the
+    * production posture.
+    *
+    * Scale shape: anchors and the grouped centroid table are ≤k-row
+    * broadcasts; the probe cut is a map-side crossJoin followed by ONE
+    * groupBy(vec_id) whose per-vector buffer is the nCoarse anchor
+    * scores (`slice(array_sort(collect_list(…)), 1, probe)` — the
+    * [[kmUpdate]] order-pinning idiom, partial-aggregated before the
+    * shuffle exactly like kmAssign's argmin); candidates then explode
+    * to probe·(k/nCoarse) rows per vector against the broadcast group
+    * table and collapse map-side again. Two n-row shuffles total,
+    * against kmAssign's one — the trade that buys the k → ~2√k
+    * per-vector dot-product drop.
+    */
+  def kmAssignAnn(vecs: DataFrame, cents: DataFrame, nCoarse: Int,
+      probe: Int): DataFrame = {
+    val anchors = cents.orderBy(col("cent_id")).limit(nCoarse)
+      .select(col("cent_id").as("anchor_id"), col("cv").as("av"),
+        col("cn").as("an"))
+    val groupDist = col("cn") -
+      lit(2.0) * DotProduct.dot(col("cv"), col("av")) + col("an")
+    val grouped = cents.crossJoin(broadcast(anchors))
+      .select(col("cent_id"), col("cv"), col("cn"),
+        groupDist.as("ad"), col("anchor_id"))
+      .groupBy(col("cent_id"))
+      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"),
+        min(struct(col("ad"), col("anchor_id"))).as("g"))
+      .select(col("g.anchor_id").as("grp"), col("cent_id"), col("cv"),
+        col("cn"))
+    val anchorDist = col("nrm") -
+      lit(2.0) * DotProduct.dot(col("v"), col("av")) + col("an")
+    val probed = vecs.crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(anchorDist.as("ad"), col("anchor_id")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        slice(array_sort(collect_list(col("sc"))), 1, probe).as("top"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(transform(col("top"), s => s.getField("anchor_id")))
+          .as("grp"))
+    val dist = col("nrm") -
+      lit(2.0) * DotProduct.dot(col("v"), col("cv")) + col("cn")
+    probed.join(broadcast(grouped), Seq("grp"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min(struct(col("dist"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("m.cent_id").as("cell"), col("m.dist").as("dist"))
+  }
+
   /** The training job SCALE.md's IVF note defers to: [[KmIters]]
     * Lloyd rounds from the same deterministic seed sample
     * [[simIvfAnn]] serves from, reported as per-centroid cell sizes,
@@ -708,7 +777,7 @@ FROM q ORDER BY vec_id"""
       .orderBy(col("index_name"), col("query_id"))
   }
 
-  val simRecallSql: String = {
+  lazy val simRecallSql: String = {
     val arm = (name: String, cte: String) => s"""
 SELECT '$name' AS index_name, q.query_id,
   COALESCE(h.hits, 0) AS hits,
@@ -835,7 +904,7 @@ ${out}_comp AS (
     * trained codebooks at `b{b}c{PqIters}`). ONE copy for the code
     * table ([[simPqSql]]) and the ADC audit ([[simPqAdcSql]]).
     */
-  private val pqCtesSql: String = {
+  private lazy val pqCtesSql: String = {
     val blockCtes = (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
@@ -858,7 +927,7 @@ ${out}_comp AS (
 ),$blockCtes"""
   }
 
-  val simPqSql: String = {
+  lazy val simPqSql: String = {
     s"""WITH $pqCtesSql
 SELECT f0.vec_id,
   f0.cell - $NQueries AS code_0, f1.cell - $NQueries AS code_1,
@@ -872,7 +941,7 @@ JOIN fin3 f3 USING (vec_id)
 ORDER BY f0.vec_id"""
   }
 
-  val simKmeansSql: String = {
+  lazy val simKmeansSql: String = {
     val rounds = (1 to KmIters).map { i =>
       val prev = if (i == 1) "seeds" else s"c${i - 1}"
       kmAssignSql(s"a$i", prev) + "," + kmUpdateSql(s"c$i", s"a$i")
@@ -983,7 +1052,7 @@ ORDER BY a.cent_id"""
       .orderBy(col("query_id"))
   }
 
-  val simPqAdcSql: String = {
+  lazy val simPqAdcSql: String = {
     val lutCtes = (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
@@ -1097,7 +1166,7 @@ ORDER BY s.query_id"""
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simMipsSql: String = s"""WITH e AS (
+  lazy val simMipsSql: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -1173,7 +1242,7 @@ ORDER BY query_id, rank"""
       .orderBy(col("pos"))
   }
 
-  val simDimStatsSql: String = {
+  lazy val simDimStatsSql: String = {
     // HUGEINT→DOUBLE via VARCHAR round-trip: correctly rounded where
     // the direct cast is not (see profCorrSql's measured note)
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
@@ -1272,7 +1341,7 @@ FROM st ORDER BY pos"""
       .orderBy(col("label"))
   }
 
-  val simLabelKnnSql: String =
+  lazy val simLabelKnnSql: String =
     graft.operators.Dedup.cosinePairsCteSql + s""", edges AS (
   SELECT vec_a AS query_id, vec_b AS nb, c FROM pairs
   UNION ALL
@@ -1358,7 +1427,7 @@ GROUP BY e.label ORDER BY label"""
     * definition (the [[graft.operators.Corpus.cpDecontamBloomSql]]
     * move).
     */
-  val simLabelKnnAnnSql: String = simLabelKnnSql
+  lazy val simLabelKnnAnnSql: String = simLabelKnnSql
 
   // ------------------------------------------------------------------
   // sim_semantic_clusters — embedding-grain duplicate clusters
@@ -1412,7 +1481,7 @@ GROUP BY e.label ORDER BY label"""
     * exhaustive-ANN (shared verbatim), and the production-dial
     * cluster oracles.
     */
-  private val ccClustersTailSql: String = s"""edges AS (
+  private lazy val ccClustersTailSql: String = s"""edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM sel
   UNION ALL
   SELECT vec_b AS src, vec_a AS dst FROM sel
@@ -1432,7 +1501,7 @@ ORDER BY l.vec_id"""
 
   /** Oracle: the shared unthresholded pair CTE + the dd_clusters
     * recursive-closure pattern at vec grain. */
-  val simSemanticClustersSql: String =
+  lazy val simSemanticClustersSql: String =
     "WITH RECURSIVE " +
       graft.operators.Dedup.cosinePairsCteSql.stripPrefix("WITH ") +
       s""", sel AS (
@@ -1511,7 +1580,7 @@ ORDER BY l.vec_id"""
   /** ANN-clusters == exact-clusters is the contract; ONE oracle
     * definition (the [[simLabelKnnAnnSql]] move).
     */
-  val simSemanticClustersAnnSql: String = simSemanticClustersSql
+  lazy val simSemanticClustersAnnSql: String = simSemanticClustersSql
 
   /** [[simSemanticClustersAnn]] at ANY (cells, probe) dial — the
     * ScaleSoak entry point for MEASURING the index-granularity rule
@@ -1570,7 +1639,7 @@ ORDER BY l.vec_id"""
   /** Oracle: IVF core + full-corpus probe list at the dial + the
     * shared CC tail.
     */
-  val simSemanticClustersDialSql: String =
+  lazy val simSemanticClustersDialSql: String =
     s"""WITH RECURSIVE $ivfCoreCtesSql, probes_d AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1651,7 +1720,7 @@ ORDER BY l.vec_id"""
       .orderBy(col("pos"))
   }
 
-  val simEmbedDriftSql: String = {
+  lazy val simEmbedDriftSql: String = {
     def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
     def mean(t: String) =
       s"(${dbl(s"s_$t")} / (CAST(n_$t AS DOUBLE) * ${DimFp}.0))"
@@ -1776,7 +1845,7 @@ FROM j ORDER BY pos"""
       .orderBy(col("query_id"))
   }
 
-  val simRpSql: String = {
+  lazy val simRpSql: String = {
     val planeSql = JlPlaneInts.map { p =>
       s"list_transform(CAST(${p.mkString("[", ", ", "]")} AS BIGINT[]), " +
         "k -> k / CAST(1024.0 AS DOUBLE))"
@@ -1996,7 +2065,7 @@ ORDER BY s.query_id"""
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simHybridRrfSql: String = {
+  lazy val simHybridRrfSql: String = {
     import TextAnalysis.{Bm25K1, Bm25B}
     val fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
     list(s ORDER BY term)), (acc, x) -> acc + x)"""
@@ -2145,7 +2214,7 @@ ORDER BY query_id, rank"""
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simHardNegativesSql: String = s"""WITH e AS (
+  lazy val simHardNegativesSql: String = s"""WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
   SELECT vec_id, label, v, ${dotSql("v", "v")} AS nrm FROM e
@@ -2231,7 +2300,7 @@ ORDER BY g.query_id, g.rank"""
       .orderBy(col("prefix_dim"), col("query_id"))
   }
 
-  val simMrlSql: String = {
+  lazy val simMrlSql: String = {
     def topkAt(d: Int, tag: String): String = s"""e$tag AS (
   SELECT vec_id, v[1:$d] AS pv FROM ebase
 ), n$tag AS (
@@ -2348,7 +2417,7 @@ ORDER BY c.prefix_dim, c.query_id"""
       .orderBy(col("sel_order"))
   }
 
-  val simKcenterSql: String = {
+  lazy val simKcenterSql: String = {
     def d2(p: String, c: String): String =
       s"($p.nrm + $c.cn - 2.0 * ${dotSql(s"$p.v", s"$c.cv")})"
     val rounds = (1 to KCenterK - 1).map { t =>

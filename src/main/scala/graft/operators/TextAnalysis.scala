@@ -52,7 +52,7 @@ object TextAnalysis {
       size(array_distinct(tokens(lower(col("text"))))).as("distinct_tokens"))
       .orderBy(col("doc_id"))
 
-  val taTokensSql: String = s"""
+  lazy val taTokensSql: String = s"""
 SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens,
@@ -94,7 +94,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val taQualitySql: String = {
+  lazy val taQualitySql: String = {
     val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
     val chars = "length(text)"
     val punct = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
@@ -161,7 +161,7 @@ FROM documents ORDER BY doc_id"""
     }
 
   /** Oracle twin of [[langPredExpr]] over the `text` column. */
-  val langPredSqlExpr: String = {
+  lazy val langPredSqlExpr: String = {
     val scores = langScoresSql
     val m = scores.map(_._2).mkString("greatest(", ", ", ")")
     scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }
@@ -179,7 +179,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
-  val taLangIdSql: String = s"""
+  lazy val taLangIdSql: String = s"""
 SELECT doc_id, lang,
   ${langScoresSql.map { case (l, s) => s"$s AS score_$l" }
       .mkString(",\n  ")},
@@ -219,7 +219,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
-  val taLangidConfusionSql: String = s"""
+  lazy val taLangidConfusionSql: String = s"""
 WITH p AS (
   SELECT lang, $langPredSqlExpr AS predicted_lang FROM documents
 ), c AS (
@@ -269,7 +269,7 @@ FROM w ORDER BY lang, predicted_lang"""
     aggregate(hashes, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P))
   }
 
-  val taFingerprintSql: String = {
+  lazy val taFingerprintSql: String = {
     val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     s"""
 SELECT doc_id,
@@ -328,7 +328,7 @@ FROM documents ORDER BY doc_id"""
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  val taKeywordsSql: String = s"""
+  lazy val taKeywordsSql: String = s"""
 WITH tok AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -397,7 +397,7 @@ ORDER BY doc_id, rank"""
       .orderBy(col("doc_id"))
   }
 
-  val taRaritySql: String = s"""
+  lazy val taRaritySql: String = s"""
 WITH tok AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -477,7 +477,7 @@ GROUP BY td.doc_id ORDER BY td.doc_id"""
       .orderBy(col("rank"))
   }
 
-  val taCollocSql: String = s"""
+  lazy val taCollocSql: String = s"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
@@ -547,7 +547,7 @@ ORDER BY k.rank"""
       .orderBy(col("doc_id"))
   }
 
-  val taReadabilitySql: String = {
+  lazy val taReadabilitySql: String = {
     val sentences = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
     val words = "len(regexp_split_to_array(trim(text), '\\s+'))"
     val syllables = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
@@ -627,7 +627,7 @@ FROM documents ORDER BY doc_id"""
     * surprisal_micro)` — ONE copy of the weight/aggregation semantics
     * for [[taNgramLmSql]] and the filter twin.
     */
-  val lmCoreCtes: String = s"""
+  lazy val lmCoreCtes: String = s"""
 WITH tok AS (
   SELECT doc_id,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -651,7 +651,7 @@ WITH tok AS (
   GROUP BY td.doc_id
 )"""
 
-  val taNgramLmSql: String = {
+  lazy val taNgramLmSql: String = {
     val mean =
       s"(CAST(surprisal_micro AS DOUBLE) / CAST($LmScale AS DOUBLE) / n_tokens)"
     lmCoreCtes + s"""
@@ -695,7 +695,7 @@ FROM lm ORDER BY doc_id"""
       .orderBy(col("source"))
   }
 
-  val taTtrSql: String = s"""
+  lazy val taTtrSql: String = s"""
 WITH tok AS (
   SELECT source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -751,7 +751,7 @@ FROM st GROUP BY source ORDER BY source"""
       .orderBy(col("doc_id"))
   }
 
-  val taEntropySql: String = {
+  lazy val taEntropySql: String = {
     val ent =
       s"(ln(CAST(SUM(c) AS DOUBLE)) - CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * $LmScale) AS BIGINT)) AS DOUBLE) / $LmScale.0 / SUM(c))"
     s"""
@@ -824,7 +824,7 @@ FROM td GROUP BY doc_id ORDER BY doc_id"""
       .orderBy(col("source"))
   }
 
-  val taZipfSql: String = s"""
+  lazy val taZipfSql: String = s"""
 WITH tok AS (
   SELECT source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -893,7 +893,7 @@ FROM a ORDER BY source"""
   /** Its oracle twin (same Σ max(0, len−(N−1)) arithmetic over the
     * `toks` CTE both consumers open with).
     */
-  private val gramTotalsSql: String =
+  private lazy val gramTotalsSql: String =
     s"""SELECT source,
     CAST(SUM(greatest(0, len(t) - ${DupGramN - 1})) AS BIGINT)
       AS total_grams
@@ -923,7 +923,7 @@ FROM a ORDER BY source"""
       .orderBy(col("source"))
   }
 
-  val taDupNgramsSql: String = {
+  lazy val taDupNgramsSql: String = {
     val gram = (0 until DupGramN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""
 WITH toks AS (
@@ -1006,7 +1006,7 @@ ORDER BY t.source"""
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  val taVocabOverlapSql: String = s"""
+  lazy val taVocabOverlapSql: String = s"""
 WITH v AS (
   SELECT DISTINCT source, term FROM (
     SELECT source,
@@ -1070,7 +1070,7 @@ ORDER BY i.source_a, i.source_b"""
       .orderBy(col("source"))
   }
 
-  val taNgramCoverageSql: String = {
+  lazy val taNgramCoverageSql: String = {
     val gram = (0 until DupGramN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""
 WITH toks AS (
@@ -1178,7 +1178,7 @@ ORDER BY t.source"""
     * [[taKlSourceSql]] and [[taJsdSql]] (the CrossHash never-duplicate
     * rule applied to a relation, not just an expression).
     */
-  private val sourceBucketCtesSql: String = s"""tok AS (
+  private lazy val sourceBucketCtesSql: String = s"""tok AS (
   SELECT source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
   FROM documents
@@ -1230,7 +1230,7 @@ ORDER BY t.source"""
       .orderBy(col("source"))
   }
 
-  val taKlSourceSql: String = s"""
+  lazy val taKlSourceSql: String = s"""
 WITH $sourceBucketCtesSql, n_s AS (
   SELECT source, SUM(c) AS n FROM full_counts GROUP BY source
 ), corpus_b AS (
@@ -1303,7 +1303,7 @@ FROM terms GROUP BY source ORDER BY source"""
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  val taJsdSql: String = s"""
+  lazy val taJsdSql: String = s"""
 WITH $sourceBucketCtesSql, n_s AS (
   SELECT source, SUM(c) AS n FROM full_counts GROUP BY source
 ), sb AS (
@@ -1376,7 +1376,7 @@ ORDER BY source_a, source_b"""
       .orderBy(col("rank"))
   }
 
-  val taBurstinessSql: String = s"""
+  lazy val taBurstinessSql: String = s"""
 WITH tok AS (
   SELECT doc_id, source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -1441,7 +1441,7 @@ FROM ranked WHERE rank <= $BurstTopK ORDER BY rank"""
       .orderBy(col("source"))
   }
 
-  val taChao1Sql: String = s"""
+  lazy val taChao1Sql: String = s"""
 WITH tok AS (
   SELECT source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -1533,7 +1533,7 @@ FROM g ORDER BY source"""
       .limit(Bm25TopK)
   }
 
-  val taBm25Sql: String = {
+  lazy val taBm25Sql: String = {
     val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""
 WITH tok AS (

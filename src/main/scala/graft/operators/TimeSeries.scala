@@ -62,7 +62,7 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
-  val evRollingSql: String = s"""
+  lazy val evRollingSql: String = s"""
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -180,7 +180,7 @@ ORDER BY event_type, day"""
       .orderBy(col("event_id"))
   }
 
-  val evAsofSql: String = """
+  lazy val evAsofSql: String = """
 SELECT l.event_id, l.user_id, l.event_type,
   r.event_id AS last_error_id,
   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_error
@@ -238,7 +238,7 @@ ORDER BY l.event_id"""
     * shared by [[evFunnelSql]] and [[evFunnelTimeSql]]: ONE copy of
     * the stage semantics.
     */
-  private val evFunnelCtes: String = """
+  private lazy val evFunnelCtes: String = """
 WITH base AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
 ), s1 AS (
@@ -273,7 +273,7 @@ WITH base AS (
   FROM agg
 )"""
 
-  val evFunnelSql: String = evFunnelCtes + """
+  lazy val evFunnelSql: String = evFunnelCtes + """
 SELECT user_id, view_us, click_us, purchase_us, stage
 FROM fin ORDER BY user_id"""
 
@@ -321,7 +321,7 @@ FROM fin ORDER BY user_id"""
         col("p50_us"), col("p90_us"))
   }
 
-  val evFunnelTimeSql: String = evFunnelCtes + s""", d AS (
+  lazy val evFunnelTimeSql: String = evFunnelCtes + s""", d AS (
   SELECT purchase_us - view_us AS d FROM fin WHERE purchase_us IS NOT NULL
 ), g AS (
   SELECT d, COUNT(*) AS cnt FROM d GROUP BY d
@@ -401,7 +401,7 @@ FROM q"""
         col("max_duration_sec"))
   }
 
-  val evSessionStatsSql: String = StreamingStats.evSessionsBody + s""", g AS (
+  lazy val evSessionStatsSql: String = StreamingStats.evSessionsBody + s""", g AS (
   SELECT duration_sec AS d, COUNT(*) AS cnt FROM sess_rows GROUP BY 1
 ), cw AS (
   SELECT d, cnt, SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
@@ -507,7 +507,7 @@ FROM q"""
       .orderBy(col("event_id"))
   }
 
-  val evRangeJoinSql: String = s"""
+  lazy val evRangeJoinSql: String = s"""
 WITH p AS (
   SELECT event_id, user_id, epoch_us(ts) AS us FROM events
   WHERE event_type = 'purchase'
@@ -557,7 +557,7 @@ ORDER BY a.event_id"""
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  val evRetentionSql: String = """
+  lazy val evRetentionSql: String = """
 WITH ud AS (
   SELECT DISTINCT user_id,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num
@@ -629,7 +629,7 @@ ORDER BY cohort_day, day_offset"""
       .orderBy(col("event_type"), col("day"))
   }
 
-  val evAnomalySql: String = {
+  lazy val evAnomalySql: String = {
     val mean = "(CAST(s1 AS DOUBLE) / cnt)"
     val varPop = "(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))"
     val z = s"((CAST(n AS DOUBLE) - $mean) / sqrt($varPop))"
@@ -720,7 +720,7 @@ FROM base ORDER BY event_type, day"""
       .orderBy(col("event_type"), col("day"))
   }
 
-  val evMadSql: String = {
+  lazy val evMadSql: String = {
     def medianOf(s: String, m: String): String = s"""
       CASE WHEN $m = 0 THEN NULL
         WHEN $m % 2 = 1 THEN CAST($s[CAST(($m + 1) / 2 AS INTEGER)] AS DOUBLE)
@@ -796,7 +796,7 @@ FROM mads ORDER BY event_type, day"""
       .orderBy(col("event_type"), col("day"))
   }
 
-  val evForecastSql: String = s"""
+  lazy val evForecastSql: String = s"""
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -852,7 +852,7 @@ FROM f ORDER BY event_type, day"""
       .orderBy(col("day"))
   }
 
-  val evActiveUsersSql: String = s"""
+  lazy val evActiveUsersSql: String = s"""
 WITH ud AS (
   SELECT DISTINCT user_id,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num
@@ -917,7 +917,7 @@ ORDER BY day"""
       .orderBy(col("rank"))
   }
 
-  val evPathsSql: String = s"""
+  lazy val evPathsSql: String = s"""
 WITH steps AS (
   SELECT event_type AS s1,
     lead(event_type, 1) OVER w AS s2,
@@ -970,7 +970,7 @@ FROM ranked WHERE rank <= $PathTopK ORDER BY rank"""
       .orderBy(col("event_type"), col("day"), col("rank"))
   }
 
-  val evTopkSql: String = s"""
+  lazy val evTopkSql: String = s"""
 WITH e AS (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
     event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
@@ -1035,7 +1035,7 @@ FROM r WHERE rank <= $TopKPerDay ORDER BY event_type, day, rank"""
       .orderBy(col("event_type"))
   }
 
-  val evGapsSql: String = s"""
+  lazy val evGapsSql: String = s"""
 WITH gaps AS (
   SELECT event_type,
     epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -1122,7 +1122,7 @@ FROM cw GROUP BY event_type ORDER BY event_type"""
       .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
   }
 
-  val evRfmSql: String = s"""
+  lazy val evRfmSql: String = s"""
 WITH per_user AS (
   SELECT user_id,
     MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)) AS last_day,
@@ -1186,7 +1186,7 @@ ORDER BY r_bucket, f_bucket, m_bucket"""
         col("n_events"), col("min_day_events"))
       .orderBy(col("event_type"))
 
-  val evCoverageSql: String = """
+  lazy val evCoverageSql: String = """
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -1235,7 +1235,7 @@ FROM g ORDER BY event_type"""
       .orderBy(col("event_type"), col("rank"), col("event_id"))
   }
 
-  val evValueTiersSql: String = s"""
+  lazy val evValueTiersSql: String = s"""
 WITH base AS (
   SELECT event_type, event_id, user_id,
     CAST(round(value * 100) AS BIGINT) AS cents
@@ -1282,7 +1282,7 @@ ORDER BY event_type, rank, event_id"""
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  val evMarkovSql: String = s"""
+  lazy val evMarkovSql: String = s"""
 WITH steps AS (
   SELECT event_type AS from_type,
     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1340,7 +1340,7 @@ FROM m ORDER BY from_type, to_type"""
       .orderBy(col("type_a"), col("type_b"))
   }
 
-  val evTypeOverlapSql: String = s"""
+  lazy val evTypeOverlapSql: String = s"""
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events
 ), t AS (
@@ -1426,7 +1426,7 @@ ORDER BY type_a, type_b"""
       .orderBy(col("event_type"))
   }
 
-  val evCusumSql: String = s"""
+  lazy val evCusumSql: String = s"""
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -1547,7 +1547,7 @@ ORDER BY p.event_type"""
       .orderBy(col("t_days"))
   }
 
-  val evSurvivalSql: String = s"""
+  lazy val evSurvivalSql: String = s"""
 WITH days AS (
   SELECT user_id, event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
@@ -1661,7 +1661,7 @@ FROM km WHERE d > 0 ORDER BY t_days"""
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
-  val evLagCorrSql: String = s"""
+  lazy val evLagCorrSql: String = s"""
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
@@ -1755,7 +1755,7 @@ FROM g ORDER BY type_a, type_b, lag"""
       .orderBy(col("click_day"))
   }
 
-  val evAttributionSql: String = s"""
+  lazy val evAttributionSql: String = s"""
 WITH p AS (
   SELECT event_id, user_id, epoch_us(ts) AS us,
     CAST(round(value * 100) AS BIGINT) AS cents
@@ -1847,7 +1847,7 @@ FROM w GROUP BY click_day_num ORDER BY click_day"""
       .orderBy(col("day"))
   }
 
-  val evGrowthAccountingSql: String = s"""
+  lazy val evGrowthAccountingSql: String = s"""
 WITH ud AS (
   SELECT DISTINCT user_id,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
@@ -1957,7 +1957,7 @@ ORDER BY s.day"""
       .limit(BotTopK)
   }
 
-  val evBotSql: String = s"""
+  lazy val evBotSql: String = s"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
 ), stats AS (
@@ -2060,7 +2060,7 @@ LIMIT $BotTopK"""
       .orderBy(col("day"))
   }
 
-  val evStickinessSql: String = s"""
+  lazy val evStickinessSql: String = s"""
 WITH ud AS (
   SELECT DISTINCT user_id,
     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day

@@ -18,7 +18,7 @@ package graft.queries
 object RefOracle {
 
   /** Shared Reddit-model CTE (posts from orders, comments from lineitem). */
-  val modelCte: String = """WITH posts_raw AS (
+  lazy val modelCte: String = """WITH posts_raw AS (
   SELECT
     o_orderkey AS id,
     CASE CAST(o_orderkey % 4 AS INTEGER)

@@ -147,10 +147,10 @@ object StreamingStats {
           .as("avg_value"))
       .orderBy(col("day"), col("event_type"))
 
-  private val sumCentsSql =
+  private lazy val sumCentsSql =
     "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0"
 
-  val evDailyStatsSql: String = s"""
+  lazy val evDailyStatsSql: String = s"""
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS exact_users,
@@ -829,7 +829,7 @@ WITH o AS (
   FROM s GROUP BY user_id, sess
 )"""
 
-  val evSessionsSql: String = evSessionsBody + """
+  lazy val evSessionsSql: String = evSessionsBody + """
 SELECT user_id, session_id, n_events, duration_sec, start_us,
   session_value
 FROM sess_rows ORDER BY user_id, session_id"""

@@ -796,4 +796,74 @@ class DedupSpec extends SparkSpec {
         "k=4 semdedup cluster spans global clusters")
     }
   }
+
+  test("dd_semdedup_ann: exhaustive dial is row-identical to the exact " +
+    "form; the probed dial under-assigns but still refines") {
+    // the shipped contract the shared oracle rests on — ANN == exact
+    // at probe = nCoarse, row for row
+    val exact = Dedup.ddSemDedup(spark, sf("sf0.01")).collect()
+      .map(_.toSeq).toSeq
+    val ann = Dedup.ddSemDedupAnn(spark, sf("sf0.01")).collect()
+      .map(_.toSeq).toSeq
+    assert(ann == exact, "exhaustive-probe ANN semdedup must equal exact")
+
+    // assignment-level contract, both dials: build one trained
+    // centroid table, then (a) kmAssignAnn at probe >= nCoarse equals
+    // kmAssign cell-and-dist; (b) at probe < nCoarse the argmin runs
+    // over a candidate SUBSET, so its dist can never beat the exact
+    // minimum and must itself be a real centroid distance
+    import org.apache.spark.sql.functions.{col => c}
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    val e = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(c("v"), c("v")))
+    var cents = e.filter(c("vec_id") >= Similarity.NQueries &&
+        c("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+      .select(c("vec_id").as("cent_id"), c("v").as("cv"),
+        c("nrm").as("cn"))
+    for (_ <- 1 to Similarity.KmIters)
+      cents = Similarity.kmUpdate(Similarity.kmAssign(e, cents))
+    val exactAsg = Similarity.kmAssign(e, cents)
+      .select(c("vec_id"), c("cell"), c("dist")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exhAsg = Similarity.kmAssignAnn(e, cents, 4, 4)
+      .select(c("vec_id"), c("cell"), c("dist")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(exhAsg == exactAsg,
+      "kmAssignAnn at probe = nCoarse must equal kmAssign exactly")
+    val centIds = cents.select(c("cent_id")).collect()
+      .map(_.getLong(0)).toSet
+    val probedAsg = Similarity.kmAssignAnn(e, cents, 4, 1)
+      .select(c("vec_id"), c("cell"), c("dist")).collect()
+    assert(probedAsg.length == exactAsg.size,
+      "every vector must still get a cell at probe < nCoarse")
+    probedAsg.foreach { r =>
+      val (id, cell, dist) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(centIds.contains(cell))
+      assert(dist >= exactAsg(id)._2 - 1e-12,
+        s"probed assignment beat the exact argmin for vec $id")
+    }
+    // the probed posture still REFINES the global clustering: the
+    // within-cell pair filter is the same CosineMin regardless of how
+    // cells were assigned
+    val gpairs = Dedup.ddEmbedCosine(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    gpairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    Dedup.ddSemDedupAnnCfg(spark, sf("sf0.01"),
+        cells = Similarity.IvfCells, nCoarse = 4, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.foreach { members =>
+        assert(members.map(m => find(m._1)).distinct.length == 1,
+          "probed-dial semdedup cluster spans global clusters")
+      }
+  }
 }
