@@ -182,7 +182,12 @@ object ScaleSoak {
           nCoarse = math.max(graft.operators.Dedup.SemDedupCoarse,
             Math.toIntExact(Math.round(math.sqrt(k.toDouble)))),
           probe = 4)
-      }))
+      }),
+      // the composed IVF+PQ serving index: candidates ∝ probe/cells of
+      // the CODE table (never the vectors) — the α readout says the
+      // equi-join-on-cell + broadcast-LUT plan stays ∝ corpus
+      "sim_ivfpq_ann" -> ((s, dir, _) =>
+        graft.operators.Similarity.simIvfPqAnn(s, dir)))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

@@ -2662,11 +2662,23 @@ ORDER BY source"""
   private[graft] def dsirWeightsOf(td: DataFrame,
       tsrc: DataFrame): DataFrame = {
     val scale = TextAnalysis.LmScale
-    val cnt = td.crossJoin(broadcast(tsrc))
+    val seen = td.crossJoin(broadcast(tsrc))
       .groupBy(col("b"))
       .agg(sum(col("tf")).as("cr"),
         sum(when(col("source") === col("tsrc"), col("tf"))
           .otherwise(lit(0L))).as("ct"))
+    // DENSE spine: all DsirBuckets rows exist even when no training
+    // token hashed into a bucket — the (cr=0, ct=0) row carries the
+    // add-1-smoothed PRIOR weight ln((tr+B)/(tt+B)), so the serving
+    // join (dsirStream) is total and live traffic whose tokens hash
+    // into an untrained bucket scores by the prior rather than a
+    // silent 0. Value-neutral for cpDsir: its per-doc join keys on
+    // td's own buckets, which are all seen by construction.
+    val cnt = td.sparkSession.range(0, DsirBuckets)
+      .select(col("id").as("b"))
+      .join(seen, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
     val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     cnt.crossJoin(broadcast(tot)).select(col("b"),
       round((log((col("ct") + 1).cast("double") /
@@ -2685,21 +2697,36 @@ ORDER BY source"""
     dsirWeightsOf(dsirTd(d), d.agg(min(col("source")).as("tsrc")))
   }
 
-  def cpDsir(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.Determinism.r6
-    val scale = TextAnalysis.LmScale
+  /** Per-doc DSIR frame (doc_id, source, imp_u, quartile) — ONE copy
+    * of the importance-sum + corpus-wide-quartile-cut semantics,
+    * aggregated by [[cpDsir]] into the census and resampled doc-wise
+    * by [[cpDsirSample]].
+    */
+  /** Per-doc importance frame (doc_id, source, imp_u) — the piece of
+    * [[dsirDocQuartiles]] before the quartile cut.
+    */
+  private[graft] def dsirPerDoc(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val td = dsirTd(d)
     val tsrc = d.agg(min(col("source")).as("tsrc")) // 1-row anchor
     val wt = dsirWeightsOf(td, tsrc)
-    val perDoc = d.select(col("doc_id"), col("source"))
+    d.select(col("doc_id"), col("source"))
       .join(td.join(broadcast(wt), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("wt")).as("imp")),
         Seq("doc_id"), "left")
-      .select(col("source"), coalesce(col("imp"), lit(0L)).as("imp_u"))
-    // corpus-wide quartile cuts: the ev_gaps ExactRank shape over the
-    // (distinct importance, count) census
+      .select(col("doc_id"), col("source"),
+        coalesce(col("imp"), lit(0L)).as("imp_u"))
+  }
+
+  /** Corpus-wide quartile cuts off a per-doc importance frame — the
+    * ev_gaps ExactRank shape over the (distinct importance, count)
+    * census; 1 row (q1, q2, q3). ONE copy, consumed by the batch
+    * quartile assignment and collected into the serving model
+    * ([[dsirModel]]).
+    */
+  private[graft] def dsirThresholdsOf(perDoc: DataFrame): DataFrame = {
     val g = perDoc.groupBy(col("imp_u")).agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("imp_u"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2707,15 +2734,26 @@ ORDER BY source"""
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cw = g.withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
-    val thr = cw.agg(
+    cw.agg(
       ExactRank.valueAt(1, 4, "n", col("imp_u")).as("q1"),
       ExactRank.valueAt(2, 4, "n", col("imp_u")).as("q2"),
       ExactRank.valueAt(3, 4, "n", col("imp_u")).as("q3"))
-    perDoc.crossJoin(broadcast(thr))
-      .select(col("source"), col("imp_u"),
+  }
+
+  private[graft] def dsirDocQuartiles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val perDoc = dsirPerDoc(spark, sfDir)
+    perDoc.crossJoin(broadcast(dsirThresholdsOf(perDoc)))
+      .select(col("doc_id"), col("source"), col("imp_u"),
         (lit(1) + (col("imp_u") > col("q1")).cast("int") +
           (col("imp_u") > col("q2")).cast("int") +
           (col("imp_u") > col("q3")).cast("int")).as("quartile"))
+  }
+
+  def cpDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val scale = TextAnalysis.LmScale
+    dsirDocQuartiles(spark, sfDir)
       .groupBy(col("source"), col("quartile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("imp_u")).as("sum_imp_u"))
       .withColumn("src_docs",
@@ -2730,12 +2768,17 @@ ORDER BY source"""
   // LAZY: reads TextAnalysis.LmScale — eager init would bake 0 if
   // Corpus is forced while TextAnalysis is mid-init (see
   // Dedup.ddSemDedupSql's cross-object init note)
-  lazy val cpDsirSql: String = {
-    import graft.functions.Determinism.r6Sql
+  /** Oracle CTE chain ending in `quart(doc_id, source, imp_u,
+    * quartile)` — the SQL twin of [[dsirDocQuartiles]], ONE copy
+    * shared by [[cpDsirSql]] and [[cpDsirSampleSql]]. (The oracle's
+    * weight CTE stays SPARSE — per-doc importance joins weights back
+    * to td's own buckets, so the dense padding [[dsirWeightsOf]]
+    * carries for the serving stream is invisible here.)
+    */
+  private lazy val dsirQuartCtesSql: String = {
     val scale = TextAnalysis.LmScale
     val b = DsirBuckets
-    s"""
-WITH tok AS (
+    s"""tok AS (
   SELECT doc_id, source,
     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
   FROM documents
@@ -2760,7 +2803,7 @@ WITH tok AS (
       AS wt
   FROM cnt CROSS JOIN tot
 ), per_doc AS (
-  SELECT d.source,
+  SELECT d.doc_id, d.source,
     COALESCE(i.imp, 0) AS imp_u
   FROM documents d LEFT JOIN (
     SELECT td.doc_id, CAST(SUM(td.tf * wt.wt) AS BIGINT) AS imp
@@ -2780,11 +2823,18 @@ WITH tok AS (
     ${ExactRank.valueAtSql(3, 4, "n", "imp_u")} AS q3
   FROM cw, t
 ), quart AS (
-  SELECT source, imp_u,
+  SELECT doc_id, source, imp_u,
     (1 + CAST(imp_u > q1 AS INTEGER) + CAST(imp_u > q2 AS INTEGER)
        + CAST(imp_u > q3 AS INTEGER)) AS quartile
   FROM per_doc CROSS JOIN thr
-), census AS (
+)"""
+  }
+
+  lazy val cpDsirSql: String = {
+    import graft.functions.Determinism.r6Sql
+    val scale = TextAnalysis.LmScale
+    s"""
+WITH $dsirQuartCtesSql, census AS (
   SELECT source, quartile, COUNT(*) AS n_docs,
     CAST(SUM(imp_u) AS BIGINT) AS sum_imp_u
   FROM quart GROUP BY source, quartile
@@ -2796,6 +2846,132 @@ SELECT source, quartile, n_docs,
     AS mean_imp
 FROM census
 ORDER BY source, quartile"""
+  }
+
+  // ------------------------------------------------------------------
+  // cp_dsir_sample — the applied DSIR resample
+  // ------------------------------------------------------------------
+
+  /** Micro-unit modulus for [[cpDsirSample]]'s salted-hash draw. */
+  val DsirSampleM = 1000000L
+
+  /** THE APPLIED DSIR RESAMPLE — the pipeline step a pretraining run
+    * actually executes off [[cpDsir]]'s census (the census publishes
+    * the table; this emits the resampled corpus): per (source,
+    * quartile) cell, docs are kept at the rate that makes every
+    * source's quartile PROFILE match the target source's —
+    * rate(s,q) = min(1, share(tsrc,q) / share(s,q)) — via a salted
+    * md5 draw (the cp_split/cp_sample discipline: a doc's fate never
+    * depends on other rows, is reproducible across engines, and the
+    * salt versions the draw).
+    *
+    * The acceptance test is EXACT INTEGER ARITHMETIC — keep iff
+    *   (h mod M) · n(s,q) · N(t)  <  n(t,q) · N(s) · M
+    * in decimal(38,0) — the rational rate never becomes a float, so
+    * the libm/rounding-boundary class the weight quantization guards
+    * against cannot exist here at all, and the min(1, ·) cap is free:
+    * when the rate ≥ 1 the right side is ≥ M·n(s,q)·N(t), which every
+    * h mod M < M satisfies. Target-source docs therefore ALWAYS
+    * survive (rate ≡ 1 cell by cell — the spec pins it).
+    *
+    * Scale shape: the per-doc frame is [[dsirDocQuartiles]] (one
+    * copy); cell counts and totals are a sources×4-row broadcast; the
+    * draw + compare are map-side — no shuffle beyond the frame's own.
+    */
+  def cpDsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = DsirSampleM
+    val dq = dsirDocQuartiles(spark, sfDir).localCheckpoint(true)
+    val cells = dq.groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_sq"))
+    val srcTot = dq.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tsrc = dq.agg(min(col("source")).as("tsrc")) // 1-row anchor
+    val tcells = cells.join(broadcast(tsrc),
+        col("source") === col("tsrc"))
+      .select(col("quartile"), col("n_sq").as("n_tq"))
+    val ttot = srcTot.join(broadcast(tsrc),
+        col("source") === col("tsrc"))
+      .select(col("n_s").as("n_t")) // 1-row anchor
+    val hm = CrossHash.md5Long(
+      concat(lit("dsir-sample-v1:"), col("doc_id").cast("string"))) % M
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    dq.join(broadcast(cells), Seq("source", "quartile"))
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(tcells), Seq("quartile"), "left")
+      .crossJoin(broadcast(ttot))
+      .select(col("doc_id"), col("source"), col("quartile"),
+        col("imp_u"), hm.as("hm"), col("n_sq"), col("n_s"),
+        coalesce(col("n_tq"), lit(0L)).as("n_tq"), col("n_t"))
+      .filter(dec(col("hm")) * dec(col("n_sq")) * dec(col("n_t")) <
+        dec(col("n_tq")) * dec(col("n_s")) * dec(lit(M)))
+      .select(col("doc_id"), col("source"), col("quartile"),
+        col("imp_u"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val cpDsirSampleSql: String = {
+    val M = DsirSampleM
+    s"""
+WITH $dsirQuartCtesSql, cells AS (
+  SELECT source, quartile, COUNT(*) AS n_sq FROM quart
+  GROUP BY source, quartile
+), src_tot AS (
+  SELECT source, COUNT(*) AS n_s FROM quart GROUP BY source
+), tcells AS (
+  SELECT c.quartile, c.n_sq AS n_tq FROM cells c, tsrc
+  WHERE c.source = tsrc.tsrc
+), ttot AS (
+  SELECT s.n_s AS n_t FROM src_tot s, tsrc WHERE s.source = tsrc.tsrc
+)
+SELECT q.doc_id, q.source, q.quartile, q.imp_u
+FROM quart q
+JOIN cells c ON c.source = q.source AND c.quartile = q.quartile
+JOIN src_tot st ON st.source = q.source
+LEFT JOIN tcells tc ON tc.quartile = q.quartile
+CROSS JOIN ttot
+WHERE CAST((${md5LongSql("('dsir-sample-v1:' || q.doc_id)")} % $M)
+      AS HUGEINT) * c.n_sq * ttot.n_t
+    < CAST(COALESCE(tc.n_tq, 0) AS HUGEINT) * st.n_s * $M
+ORDER BY q.doc_id"""
+  }
+
+  /** The DEPLOYED form of the DSIR resampler — everything the serving
+    * stream needs, snapshotted batch-side (the standard
+    * train-batch / serve-live split: weights, quartile cuts and cell
+    * rates are a MODEL, bounded by construction — 512 weights + 3
+    * cuts + sources×4 rates — so collecting them is deployment, not a
+    * driver-side compute): per-token bucket weights (DENSE, see
+    * [[dsirWeightsOf]]), the corpus quartile cuts, per-(source,
+    * quartile) cell counts, per-source totals, and the target cell
+    * counts + total the acceptance rationals need.
+    */
+  case class DsirModel(weights: Map[Long, Long], q1: Long, q2: Long,
+      q3: Long, nSq: Map[(String, Int), Long], nS: Map[String, Long],
+      nTq: Map[Int, Long], nT: Long)
+
+  /** Train + snapshot the [[DsirModel]] off the batch corpus — ONE
+    * copy of the semantics: weights via [[dsirWeights]], cuts via
+    * [[dsirThresholdsOf]], cell rates off [[dsirDocQuartiles]] —
+    * exactly the frames [[cpDsir]]/[[cpDsirSample]] aggregate, so the
+    * serving stream's decisions replay the batch resample bit for bit
+    * (StreamingSpec pins it).
+    */
+  private[graft] def dsirModel(spark: SparkSession,
+      sfDir: String): DsirModel = {
+    val w = dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = dsirThresholdsOf(dsirPerDoc(spark, sfDir)).collect().head
+    val dq = dsirDocQuartiles(spark, sfDir)
+      .select(col("source"), col("quartile")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val nSq = dq.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val nS = dq.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val tsrc = nS.keys.min
+    DsirModel(w, thr.getLong(0), thr.getLong(1), thr.getLong(2),
+      nSq, nS,
+      nSq.collect { case ((s, q), n) if s == tsrc => q -> n },
+      nS(tsrc))
   }
 
   // ------------------------------------------------------------------

@@ -1729,6 +1729,57 @@ ORDER BY vec_a, vec_b"""
     */
   lazy val ddSemDedupAnnSql: String = ddSemDedupSql
 
+  /** Probed anchors for [[ddSemDedupAnnDial]] — strictly below
+    * [[SemDedupCoarse]], so the dial is the real sub-exhaustive
+    * posture (the one a 100 TB deployment runs).
+    */
+  val SemDedupDialProbe: Int = 2
+
+  /** The ANN family's PRODUCTION ROW — the sub-exhaustive probe dial
+    * as its own hashed query (the dd_ngram_jaccard_lsh_capped /
+    * sim_semantic_clusters_dial convention: the exactness anchor
+    * ([[ddSemDedupAnn]]) pins ANN == exact, and THIS row pins the
+    * at-scale posture's exact output under its own oracle —
+    * [[Similarity.kmAssignAnnSql]], the probed assignment mirrored
+    * CTE for CTE): probe = [[SemDedupDialProbe]] < nCoarse, so a
+    * vector may train into and land in a near-best cell; refinement
+    * vs the global clustering still holds at ANY dial (the pair
+    * filter is the same CosineMin — spec-pinned), only pair recall
+    * moves.
+    */
+  def ddSemDedupAnnDial(spark: SparkSession, sfDir: String): DataFrame =
+    ddSemDedupAnnCfg(spark, sfDir, Similarity.IvfCells,
+      SemDedupCoarse, SemDedupDialProbe)
+
+  lazy val ddSemDedupAnnDialSql: String = {
+    import Similarity.{kmAssignAnnSql, kmUpdateSql, NQueries, IvfCells,
+      KmIters}
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "adseeds" else s"adc${i - 1}"
+      kmAssignAnnSql(s"ada$i", prev, SemDedupCoarse,
+        SemDedupDialProbe) + "," +
+        kmUpdateSql(s"adc$i", s"ada$i")
+    }.mkString(",")
+    val prefix = s"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), adseeds AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+),$rounds,${kmAssignAnnSql("ad_assign", s"adc$KmIters",
+      SemDedupCoarse, SemDedupDialProbe)}, adpairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM ad_assign a JOIN ad_assign b
+    ON b.cell = a.cell AND a.vec_id < b.vec_id
+  WHERE ${dotSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm) >= $CosineMin
+), adnodes AS (
+  SELECT vec_id AS doc_id FROM embeddings
+), """
+    ddClustersClosureSql("  SELECT doc_a, doc_b FROM adpairs",
+      prefixCtes = prefix, nodes = "adnodes")
+  }
+
   // ------------------------------------------------------------------
   // dd_cosine_sweep — threshold tuning table for embedding dedup
   // ------------------------------------------------------------------

@@ -850,6 +850,104 @@ ORDER BY source, eps"""
   }
 
   // ------------------------------------------------------------------
+  // qf_dp_ledger — mixed count+sum release sequence, one budget
+  // ------------------------------------------------------------------
+
+  /** MIXED-RELEASE DP LEDGER — the accounting table of a real release
+    * PROGRAM (qf_dp_composition sequences one statistic; an actual
+    * program interleaves kinds — a count release, then a volume
+    * release, then a refreshed count… — and under sequential
+    * composition the budget adds ACROSS KINDS the same as within
+    * one): per source × budget, the interleaved sequence of
+    * 2·[[DpReleases]] releases (odd seq = count, sensitivity 1; even
+    * seq = clipped sum, sensitivity [[DpClipChars]] — the multiply
+    * after micro-unit rounding, as qf_dp_sum), each with FRESH noise
+    * (the key carries program salt, kind, and round), the per-release
+    * charge, the RUNNING cumulative spend, and the cap verdict at
+    * each step — so the flip row is visible mid-sequence (at ε = 1.0
+    * the cap trips at seq 3; at ε = 0.1 the program never trips:
+    * both verdicts AND a mid-ledger flip on the fixture).
+    *
+    * Shared machinery end to end: ONE [[dpNoiseU]] builder (the
+    * exhaustive libm guard-band sweep already covers this ledger —
+    * same ε set, same grid), micro-unit integers, one source-grain
+    * groupBy then a (sources × budgets × 2k)-row projection.
+    */
+  def qfDpLedger(spark: SparkSession, sfDir: String): DataFrame =
+    qfDpLedgerCfg(spark, sfDir, DpSeedDefault)
+
+  /** [[qfDpLedger]] with the release-seed seam (see
+    * [[qfDpCensusCfg]]).
+    */
+  private[graft] def qfDpLedgerCfg(spark: SparkSession, sfDir: String,
+      seed: String): DataFrame = {
+    val c = DpClipChars
+    val per = docs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_chars"), lit(c))).as("true_sum"))
+    val rows = DpEps.flatMap { case (label, eps) =>
+      (1 to 2 * DpReleases).map { j =>
+        val kind = if (j % 2 == 1) "count" else "sum"
+        val rnd = (j - 1) / 2
+        val noise = dpNoiseU(concat(col("source"),
+          lit(s"${seed}mix#$label#$kind#r$rnd")), eps)
+        val trueU =
+          if (kind == "count") col("n_docs") * 1000000L
+          else col("true_sum") * 1000000L
+        val relU =
+          if (kind == "count") col("n_docs") * 1000000L + noise
+          else col("true_sum") * 1000000L + lit(c) * noise
+        per.select(col("source"), lit(label).as("eps"),
+          lit(j).as("seq_no"), lit(kind).as("kind"),
+          trueU.as("true_u"), relU.as("released_u"),
+          lit(math.round(eps * 1000000.0)).as("eps_u"))
+      }
+    }.reduce(_ unionAll _)
+    rows.select(col("source"), col("eps"), col("seq_no"), col("kind"),
+      col("true_u"), col("released_u"),
+      (col("released_u") - col("true_u")).as("err_u"), col("eps_u"),
+      (col("eps_u") * col("seq_no")).as("cum_eps_u"),
+      (col("eps_u") * col("seq_no") <= DpEpsCapU).as("within_cap"))
+      .orderBy(col("source"), col("eps"), col("seq_no"))
+  }
+
+  lazy val qfDpLedgerSql: String = {
+    val c = DpClipChars
+    def branch(label: String, eps: Double, j: Int): String = {
+      val kind = if (j % 2 == 1) "count" else "sum"
+      val rnd = (j - 1) / 2
+      val key = s"(source || '${DpSeedDefault}mix#$label#$kind#r$rnd')"
+      val noise = dpNoiseUSqlOf(key, eps)
+      val (trueU, relU) =
+        if (kind == "count")
+          ("n_docs * 1000000", s"n_docs * 1000000 + $noise")
+        else
+          ("true_sum * 1000000", s"true_sum * 1000000 + $c * $noise")
+      s"""SELECT source, '$label' AS eps, $j AS seq_no, '$kind' AS kind,
+    CAST($trueU AS BIGINT) AS true_u, CAST($relU AS BIGINT) AS released_u,
+    CAST(${math.round(eps * 1000000.0)} AS BIGINT) AS eps_u
+  FROM per"""
+    }
+    val branches = DpEps.flatMap { case (l, e) =>
+      (1 to 2 * DpReleases).map(j => branch(l, e, j))
+    }.mkString("\n  UNION ALL ")
+    s"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(LEAST(n_chars, $c)) AS BIGINT) AS true_sum
+  FROM documents GROUP BY source
+), released AS (
+  $branches
+)
+SELECT source, eps, CAST(seq_no AS INTEGER) AS seq_no, kind, true_u,
+  released_u, CAST(released_u - true_u AS BIGINT) AS err_u, eps_u,
+  CAST(eps_u * seq_no AS BIGINT) AS cum_eps_u,
+  eps_u * seq_no <= $DpEpsCapU AS within_cap
+FROM released
+ORDER BY source, eps, seq_no"""
+  }
+
+  // ------------------------------------------------------------------
   // qf_k_anon — k-anonymity / l-diversity release audit
   // ------------------------------------------------------------------
 

@@ -1153,10 +1153,13 @@ ORDER BY d.doc_id"""
 
   /** Published peel-round bound. The fixture reaches the fixpoint in
     * ≤ 7 rounds at both gate SFs (GraphSpec asserts the last round
-    * peels nothing, i.e. the bound is not a truncation here); a
-    * production run replaces the constant with a drops==0 convergence
-    * check — the bounded unroll is the hash-verifiable form (the
-    * [[grReach]] argument applied to peeling).
+    * peels nothing, i.e. the bound is not a truncation here); the
+    * bounded unroll is the hash-verifiable form (the [[grReach]]
+    * argument applied to peeling), and the production drops==0
+    * convergence check is a SHIPPED SEAM —
+    * [[grKcoreFromEdgesCfg]](converge = true), spec-pinned
+    * output-equal to this unroll — so the swap is a constructor
+    * argument, not an edit.
     */
   val KCoreRounds = 8
 
@@ -1186,7 +1189,29 @@ ORDER BY d.doc_id"""
 
   /** [[grKcore]] over an explicit edge set (real-link seam). */
   private[graft] def grKcoreFromEdges(nodes0: DataFrame,
-      e0: DataFrame): DataFrame = {
+      e0: DataFrame): DataFrame =
+    grKcoreFromEdgesCfg(nodes0, e0, KCoreRounds)
+
+  /** [[grKcore]] with the peel bound as a PARAMETER plus the
+    * production convergence form — the grReach/ddSemDedupCfg seam
+    * discipline, so "swap the constant for a drops==0 check" is a
+    * constructor argument rather than an edit:
+    *
+    *   - `converge = false` (the shipped dial): exactly `rounds`
+    *     unrolled peel rounds — the hash-verifiable form (both
+    *     engines unroll the same plan).
+    *   - `converge = true`: peel until a round drops NOTHING, bounded
+    *     by `rounds` as a runaway stop. The per-round `drop.isEmpty`
+    *     is one extra count job against an already-checkpointed
+    *     ≤survivors-sized frame — the standard price of a fixpoint
+    *     check, paid only by deployments whose graphs need it.
+    *     Output is IDENTICAL to any bounded unroll that reaches the
+    *     fixpoint (post-fixpoint layers are empty by definition) —
+    *     GraphSpec pins the equality on the fixture.
+    */
+  private[graft] def grKcoreFromEdgesCfg(nodes0: DataFrame,
+      e0: DataFrame, rounds: Int,
+      converge: Boolean = false): DataFrame = {
     val und = undEdges(e0)
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
@@ -1195,7 +1220,9 @@ ORDER BY d.doc_id"""
     val perK = KCoreKs.map { k =>
       var alive = nodes
       var layers = Seq.empty[DataFrame]
-      for (r <- 1 to KCoreRounds) {
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
         val deg = sym
           .join(alive.as("x"), col("u") === col("x.doc_id"))
           .join(alive.as("y"), col("v") === col("y.doc_id"))
@@ -1203,14 +1230,20 @@ ORDER BY d.doc_id"""
         val drop = alive.join(deg, alive("doc_id") === deg("u"), "left")
           .filter(coalesce(col("dg"), lit(0L)) < k)
           .select(alive("doc_id")).localCheckpoint(true)
-        layers :+= drop.select(col("doc_id"), lit(k).as("k"),
-          lit(r).as("peel_round"))
-        alive = alive.join(drop, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+        if (converge && drop.isEmpty) {
+          done = true // fixpoint: every later layer is empty too
+        } else {
+          layers :+= drop.select(col("doc_id"), lit(k).as("k"),
+            lit(r).as("peel_round"))
+          alive = alive.join(drop, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+        }
+        r += 1
       }
-      layers.reduce(_ unionAll _).unionAll(
-        alive.select(col("doc_id"), lit(k).as("k"),
-          lit(0).as("peel_round")))
+      // append-then-reduce so a graph whose round 1 already drops
+      // nothing (converge mode, whole graph in-core) still unions
+      (layers :+ alive.select(col("doc_id"), lit(k).as("k"),
+        lit(0).as("peel_round"))).reduce(_ unionAll _)
     }
     perK.reduce(_ unionAll _)
       .select(col("doc_id"), col("k"), col("peel_round"),

@@ -808,6 +808,42 @@ ${arm("lsh", "lsh")}
 ORDER BY index_name, query_id"""
   }
 
+  /** Oracle-side twin of one [[kmAssignAnn]]: emits `<out>_anch`,
+    * `<out>_grp`, `<out>_probe` and `<out>` (vec_id, v, nrm, cell,
+    * dist). Same anchor rule (nCoarse lowest cent_ids), same argmin
+    * tie-breaks (ORDER BY dist, id ↔ min(struct)), same [[dotSql]]
+    * fold order — the probed dial's own oracle, where the exhaustive
+    * dial needs none (it IS kmAssign).
+    */
+  private[graft] def kmAssignAnnSql(out: String, cents: String,
+      nCoarse: Int, probe: Int, src: String = "n"): String = s"""
+${out}_anch AS (
+  SELECT cent_id AS anchor_id, cv AS av, cn AS an
+  FROM $cents ORDER BY cent_id LIMIT $nCoarse
+), ${out}_grp AS (
+  SELECT cent_id, cv, cn, anchor_id AS grp FROM (
+    SELECT c.cent_id, c.cv, c.cn, a.anchor_id,
+      row_number() OVER (PARTITION BY c.cent_id
+        ORDER BY c.cn - 2 * ${dotSql("c.cv", "a.av")} + a.an,
+          a.anchor_id) AS rn
+    FROM $cents c CROSS JOIN ${out}_anch a) WHERE rn = 1
+), ${out}_probe AS (
+  SELECT vec_id, v, nrm, anchor_id AS grp FROM (
+    SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY n.nrm - 2 * ${dotSql("n.v", "a.av")} + a.an,
+          a.anchor_id) AS pr
+    FROM $src n CROSS JOIN ${out}_anch a) WHERE pr <= $probe
+), $out AS (
+  SELECT vec_id, v, nrm, cent_id AS cell, dist FROM (
+    SELECT p.vec_id, p.v, p.nrm, g.cent_id,
+      p.nrm - 2 * ${dotSql("p.v", "g.cv")} + g.cn AS dist,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY p.nrm - 2 * ${dotSql("p.v", "g.cv")} + g.cn,
+          g.cent_id) AS rn
+    FROM ${out}_probe p JOIN ${out}_grp g ON g.grp = p.grp) WHERE rn = 1
+)"""
+
   /** Oracle-side twin of one [[kmAssign]]: emits CTEs `<out>_sc` and
     * `<out>`; `cents` must expose (cent_id, cv, cn), `src` a
     * (vec_id, v, nrm) relation.
@@ -1117,6 +1153,149 @@ SELECT s.query_id, s.n_pairs,
   ${r6Sql("(CAST(s.mxe AS DOUBLE) / 1000000.0)")} AS max_abs_err
 FROM stats s LEFT JOIN overlap o ON o.query_id = s.query_id
 ORDER BY s.query_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_ivfpq_ann — the composed IVF + PQ serving index
+  // ------------------------------------------------------------------
+
+  /** IVF + PQ COMPOSED — the canonical billion-scale serving index
+    * (coarse quantizer prunes WHICH vectors are scored; product
+    * quantization prunes WHAT is read per vector): a query probes its
+    * [[IvfProbe]] nearest coarse cells (the sim_ivf_ann machinery,
+    * identical assignment and probe list), and candidates inside
+    * those cells are ranked by ASYMMETRIC DISTANCE over their
+    * [[PqM]]-byte PQ codes against the query's per-block lookup
+    * tables (the sim_pq_adc machinery, identical training chain) —
+    * the serving plan never touches a corpus vector: probed-cell
+    * membership joins the CODE table (4 small ints a vector), LUTs
+    * are queries × [[PqM]]·[[PqK]] rows broadcast.
+    *
+    * Output is the served ranking itself (query_id, rank, neighbor,
+    * adc) — sim_pq_adc reports what ADC costs in recall; THIS is the
+    * query a deployment actually runs, under its own oracle (both
+    * engines compose the same two shared chains CTE for CTE).
+    *
+    * Scale shape: at 100 TB the corpus-side state is codes + cell ids
+    * (≈ 12 bytes a vector here, vs 512 for raw doubles); scoring
+    * touches IvfProbe/IvfCells of the code table via an equi-join on
+    * cell, LUT joins are broadcasts, and the only corpus-keyed
+    * shuffle is the per-query top-k. The exact arms this audit tier
+    * keeps (sim_bruteforce_topk, sim_pq_adc's exact dot) remain the
+    * quadratic-by-contract anchors.
+    */
+  def simIvfPqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfPqAnnCfg(spark, sfDir, IvfProbe)
+
+  /** [[simIvfPqAnn]] with the probe dial — at probe = [[IvfCells]]
+    * every candidate is scored (the ADC ranking over the whole
+    * corpus), the spec's superset anchor.
+    */
+  private[graft] def simIvfPqAnnCfg(spark: SparkSession, sfDir: String,
+      probe: Int): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    val cents = vecs.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = ivfAssign(vecs, cents)
+      .select(col("vec_id"), col("cell"))
+    val probes = ivfProbeList(vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), cents, probe)
+      .select(col("query_id"), col("cell"))
+    val trained = (0 until PqM).map { b =>
+      val sub = pqSub(vecs, b)
+      var cb = sub
+        .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      for (_ <- 1 to PqIters) cb = kmUpdate(kmAssign(sub, cb))
+      val codes = kmAssign(sub, cb)
+        .select(col("vec_id"), col("cell").as(s"cell_$b"))
+      (b, cb, codes)
+    }
+    val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val luts = trained.map { case (b, cb, _) =>
+      q.select(col("query_id"),
+          slice(col("qv"), b * PqSubDim + 1, PqSubDim).as("qs"))
+        .crossJoin(broadcast(cb))
+        .select(col("query_id"), col("cent_id").as(s"cell_$b"),
+          DotProduct.dot(col("qs"), col("cv")).as(s"l_$b"))
+    }
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+    val pairs = luts.zipWithIndex.foldLeft(cand) { case (p, (l, b)) =>
+      p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+    }
+    val adc = ((col("l_0") + col("l_1")) + col("l_2")) + col("l_3")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    pairs.select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("adc")).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val simIvfPqAnnSql: String = {
+    val lutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""lut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM q CROSS JOIN b${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    s"""WITH $pqCtesSql, n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), icents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+), ${ivfScoredAssignedSql("ipq", "icents")}, probes_ipq AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS pr
+    FROM scored_ipq WHERE vec_id < $NQueries)
+  WHERE pr <= $IvfProbe
+), codes AS (
+  SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
+    f2.cell AS cell_2, f3.cell AS cell_3
+  FROM fin0 f0
+  JOIN fin1 f1 USING (vec_id)
+  JOIN fin2 f2 USING (vec_id)
+  JOIN fin3 f3 USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), $lutCtes, cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes_ipq p JOIN assigned_ipq a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+), scoredadc AS (
+  SELECT c.query_id, c.vec_id,
+    ((l0.l_0 + l1.l_1) + l2.l_2) + l3.l_3 AS adc
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut0 l0 ON l0.query_id = c.query_id AND l0.cell_0 = cd.cell_0
+  JOIN lut1 l1 ON l1.query_id = c.query_id AND l1.cell_1 = cd.cell_1
+  JOIN lut2 l2 ON l2.query_id = c.query_id AND l2.cell_2 = cd.cell_2
+  JOIN lut3 l3 ON l3.query_id = c.query_id AND l3.cell_3 = cd.cell_3
+), ranked AS (
+  SELECT query_id, vec_id, adc,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rank
+  FROM scoredadc
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("adc")} AS adc
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
   }
 
   // ------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Determinism.{r6, r6Sql}
 
@@ -613,6 +613,15 @@ ORDER BY day, event_type"""
     * Empty-token rows score exactly 0 — the batch twin's semantics
     * for empty text. State: one row per source.
     *
+    * The weight table is DENSE (all [[graft.operators.Corpus
+    * .DsirBuckets]] rows — [[graft.operators.Corpus.dsirWeightsOf]]
+    * pads untrained buckets with the add-1-smoothed prior weight
+    * ln((tr+B)/(tt+B))), so this stream-static join is TOTAL: live
+    * traffic whose tokens hash into a bucket the training corpus
+    * never populated scores by the smoothed prior, not a silent
+    * neutral 0 — a path the batch twin can never exercise because it
+    * trains and scores on the same corpus.
+    *
     * StreamingSpec pins replay equality with a local recompute of the
     * batch importance sums across a batch boundary.
     */
@@ -635,6 +644,92 @@ ORDER BY day, event_type"""
       .select(col("source"), col("n_docs"), col("imp_u"),
         graft.functions.Determinism.r6(col("imp_u").cast("double") /
           col("n_docs") / lit(1000000.0)).as("mean_imp"))
+  }
+
+  // ------------------------------------------------------------------
+  // streaming DSIR resampler — cp_dsir_sample's serving twin
+  // ------------------------------------------------------------------
+
+  /** The LIVE ADMISSION FILTER — [[graft.operators.Corpus
+    * .cpDsirSample]]'s serving form: the trained
+    * [[graft.operators.Corpus.DsirModel]] (weights, quartile cuts,
+    * cell rates — bounded by construction, deployed as literal maps:
+    * the stream-side join is gone entirely, every decision is
+    * MAP-SIDE arithmetic) scores each arriving doc, assigns its
+    * trained quartile, and applies the SAME exact-rational salted-hash
+    * acceptance as the batch resample — so on a replay of the training
+    * corpus the stream's decisions equal the batch sample BIT FOR BIT
+    * (token weights sum in integers, the draw is the same md5, the
+    * predicate the same decimal(38,0) rational — StreamingSpec pins
+    * it). Per source the monitor keeps seen / kept / live keep share —
+    * the resampler's drift pager (a feed whose live keep rate sinks
+    * below its census rate is drifting off-target).
+    *
+    * A doc from a (source, quartile) cell the training census never
+    * saw has NO rate — it is counted but NOT kept (keep rate 0: a new
+    * feed must be refit before admission, the conservative default;
+    * the pager shows it immediately as seen > 0, kept = 0).
+    *
+    * Per-doc importance uses `aggregate` over the token array against
+    * the 512-entry literal weight map — a CodegenFallback higher-order
+    * function, deliberate here: the alternative is a second streaming
+    * aggregation (unsupported) or a stream-static join per token
+    * (a shuffle the literal map makes unnecessary); serving cost is
+    * per-token-bounded and off the bench hot path.
+    */
+  def dsirSampleStream(docs: DataFrame,
+      m: graft.operators.Corpus.DsirModel): DataFrame = {
+    import graft.functions.CrossHash
+    import graft.operators.Corpus
+    val M = Corpus.DsirSampleM
+    val wKeys = m.weights.keys.toSeq.sorted
+    val wMap = map_from_arrays(
+      array(wKeys.map(lit(_)): _*),
+      array(wKeys.map(k => lit(m.weights(k))): _*))
+    val cellKeys = m.nSq.keys.toSeq.sorted
+    def cellMap(f: ((String, Int)) => Long) = map_from_arrays(
+      array(cellKeys.map { case (s, q) => lit(s"$s#$q") }: _*),
+      array(cellKeys.map(k => lit(f(k))): _*))
+    // per-token lambda reads the weight map through a NAMED column
+    // (the lambda-body rule: only attributes inside lambda bodies)
+    val imp = aggregate(
+      filter(graft.operators.TextAnalysis.tokens(lower(col("text"))),
+        t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc +
+        element_at(col("wm"), CrossHash.md5Mod(t) % Corpus.DsirBuckets))
+    val quart = lit(1) + (col("imp_u") > m.q1).cast("int") +
+      (col("imp_u") > m.q2).cast("int") +
+      (col("imp_u") > m.q3).cast("int")
+    val hm = CrossHash.md5Long(
+      concat(lit("dsir-sample-v1:"), col("doc_id").cast("string"))) % M
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val key = concat(col("source"), lit("#"), col("quartile"))
+    // n_tq keyed by quartile alone: reuse the cell map with the
+    // target source baked into the key at build time
+    val tqMap = map_from_arrays(
+      array(m.nTq.keys.toSeq.sorted.map(lit(_)): _*),
+      array(m.nTq.keys.toSeq.sorted.map(q => lit(m.nTq(q))): _*))
+    docs
+      .select(col("doc_id"), col("source"), col("text"), wMap.as("wm"))
+      .select(col("doc_id"), col("source"), imp.as("imp_u"))
+      .select(col("doc_id"), col("source"), col("imp_u"),
+        quart.as("quartile"), hm.as("hm"))
+      .select(col("source"),
+        // unseen training cell → NULL rate → kept = false
+        coalesce(
+          dec(col("hm")) * dec(element_at(cellMap(m.nSq), key)) *
+            dec(lit(m.nT)) <
+            dec(coalesce(element_at(tqMap, col("quartile")), lit(0L))) *
+              dec(element_at(cellMap { case (s, _) => m.nS(s) }, key)) *
+              dec(lit(M)),
+          lit(false)).as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .select(col("source"), col("n_seen"), col("n_kept"),
+        graft.functions.Determinism.r6(col("n_kept").cast("double") /
+          col("n_seen")).as("keep_share"))
   }
 
   // ------------------------------------------------------------------

@@ -1015,6 +1015,112 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cp_dsir weight quantization sits a safe margin from every " +
+    ".5 rounding boundary on the gate fixtures") {
+    // round(ln(...)·1e6) runs on data-dependent arguments in BOTH
+    // engines' libm; a pre-round value within ~1 ULP of a .5 micro-nat
+    // boundary could round differently between JVM and DuckDB ln and
+    // flip a BIGINT weight under the driver's exact-hash gate
+    // (qf_dp_census closed this class structurally with a quantized
+    // noise grid — here the arguments are corpus counts, so the guard
+    // is a fixture-change tripwire: if a new fixture lands a weight
+    // near a boundary, THIS fails loudly instead of the gate failing
+    // as a silent hash mismatch).
+    import graft.operators.Corpus
+    val B = Corpus.DsirBuckets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P) % B
+    }
+    for (sfName <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"${sf(sfName)}/documents.parquet")
+        .select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val tsrc = docs.map(_._1).min
+      val cr = scala.collection.mutable.Map.empty[Long, Long]
+      val ct = scala.collection.mutable.Map.empty[Long, Long]
+      docs.foreach { case (src, text) =>
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .foreach { t =>
+            val b = bucket(t)
+            cr(b) = cr.getOrElse(b, 0L) + 1L
+            if (src == tsrc) ct(b) = ct.getOrElse(b, 0L) + 1L
+          }
+      }
+      val (tr, tt) = (cr.values.sum, ct.values.sum)
+      // every bucket of the DENSE table, including the untrained-
+      // bucket prior row (ct = cr = 0)
+      val preRound = (0L until B).map { b =>
+        (math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+          math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + B))) *
+          1000000.0
+      }
+      preRound.foreach { v =>
+        val frac = v - math.floor(v)
+        assert(math.abs(frac - 0.5) > 1e-6,
+          f"$sfName: pre-round weight $v%.9f within 1e-6 of a .5 " +
+            "boundary — libm-fragile under the exact-hash gate")
+      }
+    }
+  }
+
+  test("cp_dsir_sample keeps exactly the rational-rate hash draw per " +
+    "cell, keeps the whole target source, and matches the census") {
+    import graft.operators.Corpus
+    val M = Corpus.DsirSampleM
+    // per-doc (source, quartile) frame straight from the shared
+    // builder — the census and the sample both hang off it, so
+    // reconciliation against it IS reconciliation against cp_dsir
+    val dq = Corpus.dsirDocQuartiles(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    val tsrc = dq.map(_._2).min
+    val nSq = dq.groupBy(d => (d._2, d._4)).view.mapValues(_.length.toLong)
+    val nS = dq.groupBy(_._2).view.mapValues(_.length.toLong)
+    val nT = nS(tsrc)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"dsir-sample-v1:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % M
+    }
+    // the exact rational acceptance — BigInt, so the local recompute
+    // can't overflow-or-round its way into agreeing by accident
+    def kept(id: Long, src: String, q: Int): Boolean = {
+      val nTq = nSq.getOrElse((tsrc, q), 0L)
+      BigInt(h(id)) * BigInt(nSq((src, q))) * BigInt(nT) <
+        BigInt(nTq) * BigInt(nS(src)) * BigInt(M)
+    }
+    val want = dq.filter(d => kept(d._1, d._2, d._4))
+      .map(d => (d._1, d._2, d._4, d._3)).toSet
+    val got = Corpus.cpDsirSample(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got == want, "sample set diverges from the rational draw")
+    // rate ≡ 1 theorem: every target-source doc survives
+    val tgtAll = dq.filter(_._2 == tsrc).map(_._1).toSet
+    assert(tgtAll.subsetOf(got.map(_._1)), "target source was thinned")
+    // fixture signal: at least one non-target cell is strictly
+    // subsampled and at least one doc from every source survives
+    assert(got.size < dq.length, "nothing was resampled away")
+    nS.keys.foreach { s =>
+      assert(got.exists(_._2 == s), s"source $s fully dropped")
+    }
+    // reconciliation with the published census: realized per-cell
+    // keep counts can never exceed the cell, and a cell at rate ≥ 1
+    // (target share ≥ source share) keeps EVERYTHING
+    nSq.foreach { case ((s, q), n) =>
+      val keptN = got.count(g => g._2 == s && g._3 == q).toLong
+      assert(keptN <= n)
+      val nTq = nSq.getOrElse((tsrc, q), 0L)
+      if (nTq * nS(s) >= n * nT)
+        assert(keptN == n, s"rate>=1 cell ($s,$q) was thinned")
+    }
+  }
+
   test("cp_fertility is exactly cp_bpe_tokenize rolled up to lang grain") {
     import graft.operators.Corpus
     val perDoc = Corpus.cpBpeTokenize(spark, sf()).collect()

@@ -865,5 +865,20 @@ class DedupSpec extends SparkSpec {
         assert(members.map(m => find(m._1)).distinct.length == 1,
           "probed-dial semdedup cluster spans global clusters")
       }
+    // the shipped production row (dd_semdedup_ann_dial, probe 2 < 4):
+    // full dd_clusters contract + refinement at the sub-exhaustive
+    // dial, total over the vec universe
+    val dialRows = Dedup.ddSemDedupAnnDial(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(dialRows.length == exact.length)
+    dialRows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep)
+      assert(members.forall(_._3 == members.length.toLong))
+      members.foreach(m => assert(m._4 == (m._1 == rep)))
+      assert(members.map(m => find(m._1)).distinct.length == 1,
+        s"dial cluster $rep spans global clusters")
+    }
+    assert(dialRows.exists(!_._4), "dial dropped no duplicate")
   }
 }

@@ -393,6 +393,78 @@ class FiltersSpec extends SparkSpec {
     }, "sum and count releases reused a noise draw")
   }
 
+  test("qf_dp_ledger: the mixed count+sum sequence equals a local " +
+    "recompute and the accounting identity holds step by step") {
+    import graft.operators.Filters
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val c = Filters.DpClipChars
+    val per = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(x => math.min(x._2, c)).sum)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noiseU(key: String, eps: Double): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P
+      val u = ((h % Filters.DpUGrid) + 0.5) / Filters.DpUGrid.toDouble
+      val sgn = if (u >= 0.5) 1.0 else -1.0
+      math.round(sgn * (-1.0 / eps) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1000000.0)
+    }
+    val got = Filters.qfDpLedger(spark, sf()).collect()
+    assert(got.length ==
+      per.size * Filters.DpEps.size * 2 * Filters.DpReleases)
+    got.foreach { r =>
+      val (src, label, seq, kind) =
+        (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))
+      val eps = Filters.DpEps.toMap.apply(label)
+      val epsU = math.round(eps * 1000000.0)
+      val (n, ts) = per(src)
+      val rnd = (seq - 1) / 2
+      val draw = noiseU(s"$src#dp#mix#$label#$kind#r$rnd", eps)
+      val (trueU, err) =
+        if (kind == "count") (n * 1000000L, draw)
+        else (ts * 1000000L, c * draw)
+      assert(kind == (if (seq % 2 == 1) "count" else "sum"))
+      assert(r.getLong(4) == trueU, s"true_u ($src,$label,$seq)")
+      assert(r.getLong(5) == trueU + err, s"released_u ($src,$label,$seq)")
+      assert(r.getLong(6) == err, s"err_u ($src,$label,$seq)")
+      assert(r.getLong(7) == epsU)
+      // the accounting identity: cumulative spend after release k is
+      // exactly k·ε — counts and sums charge the SAME budget
+      assert(r.getLong(8) == epsU * seq, s"cum ($src,$label,$seq)")
+      assert(r.getBoolean(9) == (epsU * seq <= Filters.DpEpsCapU))
+      // sensitivity scaling: a sum release's error is C·(unit draw),
+      // exactly divisible by the clip
+      if (kind == "sum") assert(r.getLong(6) % c == 0L)
+    }
+    // the fixture shows a MID-LEDGER flip (ε=1.0 trips the cap at
+    // seq 3) and a program that never trips (ε=0.1)
+    val eps1 = got.filter(_.getString(1) == "eps_1.0")
+    assert(eps1.filter(_.getInt(2) <= 2).forall(_.getBoolean(9)))
+    assert(eps1.filter(_.getInt(2) >= 3).forall(!_.getBoolean(9)))
+    assert(got.filter(_.getString(1) == "eps_0.1")
+      .forall(_.getBoolean(9)))
+    // fresh draws: within a (source, budget) program no two releases
+    // of the same kind share a draw, and the ledger's draws are its
+    // own (salted "mix#"), not the census's
+    per.keys.foreach { src =>
+      val unit = got.filter(r => r.getString(0) == src &&
+        r.getString(1) == "eps_1.0").map { r =>
+        if (r.getString(3) == "sum") r.getLong(6) / c else r.getLong(6)
+      }
+      assert(unit.distinct.length > 1, s"stale draws at $src")
+    }
+    val census = Filters.qfDpCensus(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got.filter(r => r.getString(3) == "count").exists { r =>
+      census((r.getString(0), r.getString(1))) != r.getLong(6)
+    }, "ledger count releases reuse the census draw")
+  }
+
   test("qf_k_anon: the audit equals a local class-census recompute and " +
     "the ladder exercises both verdicts on both axes") {
     import graft.operators.Filters

@@ -540,4 +540,34 @@ class GraphSpec extends SparkSpec {
     val core5 = want(5).collect { case (v, 0) => v }.toSet
     assert(core5.subsetOf(core4))
   }
+
+  test("gr_kcore convergence seam: the drops==0 production form equals " +
+    "the bounded unroll, and the rounds dial bites") {
+    import org.apache.spark.sql.functions.col
+    val nodes = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Graph.grEdges(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    val shipped = rows(Graph.grKcore(spark, sf()))
+    // the production swap: peel until a round drops nothing — same
+    // output as any bounded unroll that reaches the fixpoint
+    val converged = rows(Graph.grKcoreFromEdgesCfg(nodes, edges,
+      rounds = 64, converge = true))
+    assert(converged == shipped,
+      "convergence-check peel diverges from the bounded unroll")
+    // the dial is live: a truncating bound misclassifies late layers
+    // as in-core (peel_round 0), so the outputs must differ
+    val truncated = rows(Graph.grKcoreFromEdgesCfg(nodes, edges,
+      rounds = 1))
+    assert(truncated != shipped, "rounds dial does not bite")
+    // and truncation errs only toward 0 (docs it failed to peel),
+    // never invents a peel round
+    truncated.foreach { case (id, k, pr, _) =>
+      if (pr != 0)
+        assert(shipped.contains((id, k, pr, false)),
+          s"truncated peel invented a layer at ($id, $k)")
+    }
+  }
 }

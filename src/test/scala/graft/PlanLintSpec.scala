@@ -74,6 +74,9 @@ class PlanLintSpec extends SparkSpec {
     "cp_decontam_embed", "cp_dedup_impact", "cp_dedup_impact_capped",
     // cp_dsir: 1-row target-source / corpus-total / quartile anchors
     "cp_dsir",
+    // cp_dsir_sample: the same 1-row anchors plus the 1-row target
+    // total (ttot) the acceptance rational cross-joins
+    "cp_dsir_sample",
     "dd_family_overlap", "dd_family_overlap_capped", "dd_lsh_tuning",
     "ev_growth_accounting", "ev_lag_corr", "ev_session_stats",
     "ev_survival", "gr_degree", "gr_triangles", "gr_triangles_deg",
@@ -93,6 +96,9 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_trained",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
+    // sim_ivfpq_ann: per-block LUTs cross-join the 8-row trained
+    // codebooks (constant by construction, the sim_pq/sim_ivf shape)
+    "sim_ivfpq_ann",
     "sim_hard_negatives", "sim_mrl",
     // sim_kcenter: each round's carry joins ONE 1-row broadcast center;
     // the census joins the 8-row center table

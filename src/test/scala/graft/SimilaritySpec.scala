@@ -524,6 +524,91 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ivfpq_ann equals a full local probe+ADC recompute and the " +
+    "exhaustive probe can only improve the top score") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def subOf(v: Array[Double], b: Int): Array[Double] =
+      v.slice(b * S.PqSubDim, (b + 1) * S.PqSubDim)
+    // local IVF coarse quantizer (cosine argmax, ties → lowest cent)
+    val icents = (S.NQueries.toLong until (S.NQueries + S.IvfCells).toLong)
+      .filter(vecs.contains).map(id => id -> vecs(id))
+    def cs(v: Array[Double], c: Array[Double]): Double =
+      dot(v, c) / math.sqrt(dot(v, v) * dot(c, c))
+    val cellOf = vecs.map { case (id, v) =>
+      id -> -icents.map { case (cid, cv) => (cs(v, cv), -cid) }.max._2
+    }
+    def probesOf(q: Long, probe: Int): Set[Long] =
+      icents.map { case (cid, cv) => (cs(vecs(q), cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(probe).map(_._2)
+        .toSet
+    // local PQ train + code (the sim_pq_adc spec's mirror, one copy
+    // of the tie/fixed-point conventions)
+    def assign(subs: Map[Long, Array[Double]],
+        cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      subs.map { case (id, v) =>
+        val nrm = dot(v, v)
+        id -> cents.map { case (c, cv) =>
+          (nrm - 2.0 * dot(v, cv) + dot(cv, cv), c) }.min._2
+      }
+    def update(subs: Map[Long, Array[Double]],
+        asg: Map[Long, Long]): Seq[(Long, Array[Double])] =
+      asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, m) =>
+        val members = m.keys.toSeq.map(subs)
+        val n = members.size
+        cid -> (0 until S.PqSubDim).map { p =>
+          val s = members.map(v =>
+            math.floor(v(p) * S.KmFp + 0.5).toLong).sum
+          s.toDouble / (n.toDouble * S.KmFp)
+        }.toArray
+      }
+    val blocks = (0 until S.PqM).map { b =>
+      val subs = vecs.map { case (id, v) => id -> subOf(v, b) }
+      var cents: Seq[(Long, Array[Double])] =
+        (S.NQueries.toLong until (S.NQueries + S.PqK).toLong)
+          .map(id => id -> subs(id))
+      for (_ <- 1 to S.PqIters) cents = update(subs, assign(subs, cents))
+      (cents.toMap, assign(subs, cents))
+    }
+    def adcOf(q: Long, d: Long): Double = (0 until S.PqM)
+      .map(b => dot(subOf(vecs(q), b), blocks(b)._1(blocks(b)._2(d))))
+      .reduceLeft(_ + _)
+    def localRank(q: Long, probe: Int): Seq[(Long, Double)] = {
+      val cells = probesOf(q, probe)
+      vecs.keys.filter(d => d != q && cells.contains(cellOf(d)))
+        .toSeq.map(d => (d, r6Jvm(adcOf(q, d))))
+        .sortBy { case (d, a) => (-a, d) }.take(S.TopK)
+    }
+    val queries = (0L until S.NQueries.toLong).filter(vecs.contains)
+    val rows = Similarity.simIvfPqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = queries.flatMap { q =>
+      localRank(q, S.IvfProbe).zipWithIndex.map { case ((d, a), i) =>
+        (q, i + 1, d, a)
+      }
+    }
+    assert(rows.toSeq == want.toSeq,
+      "served IVF+PQ ranking diverges from the local recompute")
+    // probing MORE cells can only raise (or keep) the best ADC score
+    val exhaustive = Similarity
+      .simIvfPqAnnCfg(spark, dir, probe = S.IvfCells).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, _, a) =>
+      assert(exhaustive(q) >= a,
+        s"exhaustive top-1 worse than probed at query $q")
+    }
+  }
+
   test("sim_rp equals a full local JL-projection recompute") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.{Similarity => S}

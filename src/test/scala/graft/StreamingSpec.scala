@@ -1979,4 +1979,112 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("DSIR scorer scores tokens from untrained buckets by the " +
+    "smoothed prior, not a silent zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val wtDf = graft.operators.Corpus.dsirWeights(spark, sf())
+      .localCheckpoint(true)
+    val wt = wtDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the table is DENSE: every bucket has a weight row
+    assert(wt.size.toLong == graft.operators.Corpus.DsirBuckets)
+    // buckets the training corpus actually populated, recomputed
+    // locally with the same tokenize→hash→bucket rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) %
+        graft.functions.CrossHash.P) % graft.operators.Corpus.DsirBuckets
+    }
+    val trained = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .map(bucket).toSet
+    val untrained = (0L until graft.operators.Corpus.DsirBuckets)
+      .filterNot(trained)
+    assert(untrained.nonEmpty, "fixture fills every bucket — grow B")
+    // all untrained buckets share ONE weight: the smoothed prior,
+    // which is nonzero whenever the target is a strict sub-corpus
+    val priors = untrained.map(wt).distinct
+    assert(priors.length == 1)
+    val prior = priors.head
+    assert(prior != 0L, "prior must be distinguishable from neutral")
+    // a live token that hashes into an untrained bucket
+    val novel = (0 until 100000).iterator.map(i => s"zq${i}x")
+      .find(t => untrained.contains(bucket(t))).get
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingStats
+      .dsirStream(mem.toDF().toDF("source", "text"), wtDf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_novel").start()
+    try {
+      mem.addData(("live_feed", novel))
+      q.processAllAvailable()
+      val got = spark.table("dsir_novel").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("live_feed", 1L, prior)),
+        "novel-bucket token must carry the smoothed-prior weight")
+    } finally q.stop()
+  }
+
+  test("DSIR resampler stream replays the batch sample decisions bit " +
+    "for bit and zero-admits an unseen source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.operators.Corpus.dsirModel(spark, sf())
+    val docsAll = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val wantSeen = docsAll.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val wantKept = graft.operators.Corpus.cpDsirSample(spark, sf())
+      .select(col("source")).collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingStats.dsirSampleStream(
+        mem.toDF().toDF("doc_id", "source", "text"), m)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_samp").start()
+    try {
+      val (b1, b2) = docsAll.splitAt(docsAll.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("dsir_samp").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_samp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // bit-for-bit replay of the batch resample: per source, every
+      // doc seen and EXACTLY the batch-kept docs admitted
+      assert(got == wantSeen.map { case (s, n) =>
+        val k = wantKept.getOrElse(s, 0L)
+        (s, n, k, graft.functions.Determinism
+          .r6Jvm(k.toDouble / n))
+      }.toSet)
+      // target source admits everything (the rate-1 theorem, live)
+      val tsrc = wantSeen.keys.min
+      assert(got.exists(g => g._1 == tsrc && g._2 == g._3))
+      // and some source is genuinely thinned on the fixture
+      assert(got.exists(g => g._3 < g._2))
+      // census only grows across the batch boundary
+      assert(mid.nonEmpty)
+      mid.foreach { case (s, n) =>
+        assert(got.exists(g => g._1 == s && g._2 >= n))
+      }
+      // a source the training census never saw: counted, not admitted
+      mem.addData((999999001L, "zz_newfeed", "hello brand new world"))
+      q.processAllAvailable()
+      val novel = spark.table("dsir_samp").collect()
+        .filter(_.getString(0) == "zz_newfeed")
+      assert(novel.length == 1)
+      assert(novel.head.getLong(1) == 1L && novel.head.getLong(2) == 0L,
+        "unseen source must be seen-but-not-admitted")
+    } finally q.stop()
+  }
 }
