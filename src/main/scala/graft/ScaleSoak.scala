@@ -187,7 +187,11 @@ object ScaleSoak {
       // the CODE table (never the vectors) — the α readout says the
       // equi-join-on-cell + broadcast-LUT plan stays ∝ corpus
       "sim_ivfpq_ann" -> ((s, dir, _) =>
-        graft.operators.Similarity.simIvfPqAnn(s, dir)))
+        graft.operators.Similarity.simIvfPqAnn(s, dir)),
+      // LPA communities: 4 rounds of edges⋈labels + two partial-agg'd
+      // groupBys — must track gr_pagerank's α (same shape per round)
+      "gr_lpa_dense" -> ((s, dir, _) =>
+        graft.operators.Graph.grLpaFrom(soakDenseDocs(s, dir))))
 
   /** Re-densify the soak fixture's shifted doc_ids (copy i holds ids
     * i·10⁹ + [0, n₀)): id ↦ (id div 10⁹)·n₀ + id mod 10⁹ — a bijection

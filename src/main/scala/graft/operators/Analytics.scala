@@ -3326,4 +3326,79 @@ FROM checked
 GROUP BY layout, workload
 ORDER BY layout, workload"""
   }
+
+  // ------------------------------------------------------------------
+  // wh_compaction — small-file bin-packing plan (the nightly table job)
+  // ------------------------------------------------------------------
+
+  /** Target rows per compacted output file. */
+  val CompactTargetRows = 4096L
+
+  /** SMALL-FILE COMPACTION PLAN — the other half of the layout tier
+    * (wh_zorder decides HOW rows sort inside files; this decides which
+    * small files to COALESCE — the nightly bin-pack job every
+    * Iceberg/Delta table service runs, because a day-partitioned fact
+    * table accretes one under-sized file per partition per load and
+    * scan cost degrades with file COUNT, not bytes): the manifest —
+    * one entry per ship-day with its row count (rows are the size
+    * proxy the fixture affords; bytes plug into the same plan) — is
+    * packed IN TIME ORDER into bins of [[CompactTargetRows]]: bin =
+    * running-rows-before div target, the linear packing that
+    * PRESERVES temporal clustering (a size-sorted first-fit would
+    * interleave eras and undo partition pruning — the documented
+    * trade; Spark's own FilePartition packer makes the same
+    * linearity-for-locality choice). Per bin: input-file count, rows,
+    * covered day span, and fill ratio — the readout a table owner
+    * checks before firing the rewrite.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-agg'd groupBy
+    * to the day-grain manifest; the cumulative pack runs on the
+    * MANIFEST (≤ days rows, never the fact table) — the ev_gaps
+    * census-then-window discipline, so the single-partition window is
+    * bounded by the calendar, not the data.
+    */
+  def whCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Determinism.r6
+    val files = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(to_date(col("l_shipdate")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("rows"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("rows")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactTargetRows"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("rows"),
+        min(col("day")).cast("string").as("first_day"),
+        max(col("day")).cast("string").as("last_day"))
+      .select(col("bin"), col("n_files"), col("rows"),
+        col("first_day"), col("last_day"),
+        r6(col("rows").cast("double") / CompactTargetRows.toDouble)
+          .as("fill"))
+      .orderBy(col("bin"))
+  }
+
+  lazy val whCompactionSql: String = {
+    import graft.functions.Determinism.r6Sql
+    s"""
+WITH files AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS rows
+  FROM lineitem GROUP BY day
+), packed AS (
+  SELECT day, rows,
+    CAST(COALESCE(SUM(rows) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // $CompactTargetRows AS bin
+  FROM files
+)
+SELECT bin, COUNT(*) AS n_files, CAST(SUM(rows) AS BIGINT) AS rows,
+  CAST(MIN(day) AS VARCHAR) AS first_day,
+  CAST(MAX(day) AS VARCHAR) AS last_day,
+  ${r6Sql(s"(CAST(SUM(rows) AS DOUBLE) / $CompactTargetRows.0)")}
+    AS fill
+FROM packed
+GROUP BY bin
+ORDER BY bin"""
+  }
 }

@@ -1297,4 +1297,105 @@ SELECT doc_id, k, peel_round, peel_round = 0 AS in_core
 FROM ($unions)
 ORDER BY k, doc_id"""
   }
+
+  // ------------------------------------------------------------------
+  // gr_lpa — label-propagation communities (bounded synchronous rounds)
+  // ------------------------------------------------------------------
+
+  /** Published synchronous LPA round count. Deterministic whatever the
+    * graph does (the output is "labels after exactly R rounds", not a
+    * fixpoint claim — synchronous LPA can oscillate on bipartite
+    * structure, which is why the self-vote below is part of the
+    * published rule: a node's own label counts once, damping 2-cycles
+    * the same way the weighted-LPA literature does).
+    */
+  val LpaRounds = 4
+
+  /** LABEL-PROPAGATION COMMUNITIES — the cheap community detector a
+    * link-curation pass runs when connected components are too coarse
+    * (CC merges everything touching; LPA's majority vote splits a
+    * component along its dense cores — content farms and topic
+    * clusters surface as communities long before they dominate a
+    * whole component): every node starts as its own label; each
+    * synchronous round a node adopts the most common label among its
+    * neighbors PLUS ITSELF (one self-vote — the damping rule), ties
+    * to the smallest label; after [[LpaRounds]] rounds the census
+    * reports each doc's community and the community size.
+    *
+    * Purely integer — counts and min-label tie-breaks, no floats
+    * anywhere, so cross-engine parity is structural. Spark shape per
+    * round: one co-partitionable edge⋈labels join + a partial-agg'd
+    * (node, label) count + a partial-agg'd argmax
+    * (`max(struct(cnt, -lbl))` — the kmAssign fold, no per-node
+    * window); the label frame is checkpointed per round
+    * ([[grKcoreFromEdgesCfg]]'s lineage discipline). At 100 TB each
+    * round is pagerank's cost shape exactly.
+    */
+  def grLpa(spark: SparkSession, sfDir: String): DataFrame =
+    grLpaFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grLpa]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grLpaFrom(d0: DataFrame): DataFrame =
+    grLpaFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grLpa]] over an explicit edge set (real-link seam). */
+  private[graft] def grLpaFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val und = undEdges(e0)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes0.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val votes = sym
+        .join(labels.select(col("doc_id").as("u"), col("lbl")), Seq("u"))
+        .select(col("v").as("doc_id"), col("lbl"))
+        .unionAll(labels)
+      labels = votes.groupBy(col("doc_id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("doc_id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val grLpaSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""votes_$r AS (
+  SELECT s.v AS doc_id, l.lbl
+  FROM sym s JOIN lab_${r - 1} l ON l.doc_id = s.u
+  UNION ALL SELECT doc_id, lbl FROM lab_${r - 1}
+), cnt_$r AS (
+  SELECT doc_id, lbl, COUNT(*) AS c FROM votes_$r GROUP BY doc_id, lbl
+), lab_$r AS MATERIALIZED (
+  SELECT doc_id, lbl FROM (
+    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id
+      ORDER BY c DESC, lbl) AS rn
+    FROM cnt_$r) WHERE rn = 1
+)"""
+    }.mkString(", ")
+    s"""
+WITH $grEdgesSql, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM gedges
+), sym AS (
+  SELECT a AS u, b AS v FROM und
+  UNION ALL SELECT b AS u, a AS v FROM und
+), lab_0 AS MATERIALIZED (
+  SELECT doc_id, doc_id AS lbl FROM documents
+), $rounds, sizes AS (
+  SELECT lbl, COUNT(*) AS community_size FROM lab_$LpaRounds GROUP BY lbl
+)
+SELECT l.doc_id, l.lbl AS community, s.community_size
+FROM lab_$LpaRounds l JOIN sizes s ON s.lbl = l.lbl
+ORDER BY l.doc_id"""
+  }
 }

@@ -1194,6 +1194,22 @@ ORDER BY s.query_id"""
   private[graft] def simIvfPqAnnCfg(spark: SparkSession, sfDir: String,
       probe: Int): DataFrame = {
     val vecs = base(spark, sfDir).cache()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    ivfPqScored(vecs, probe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("adc")).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The candidate ADC stream (query_id, vec_id, adc) off the probed
+    * cells — ONE copy shared by the direct ADC ranking
+    * ([[simIvfPqAnnCfg]]) and the exact-rerank tail
+    * ([[simIvfPqRerankCfg]]).
+    */
+  private def ivfPqScored(vecs: DataFrame, probe: Int): DataFrame = {
     val cents = vecs.filter(col("vec_id") >= NQueries &&
         col("vec_id") < NQueries + IvfCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
@@ -1233,17 +1249,70 @@ ORDER BY s.query_id"""
       p.join(broadcast(l), Seq("query_id", s"cell_$b"))
     }
     val adc = ((col("l_0") + col("l_1")) + col("l_2")) + col("l_3")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(r6(col("adc")).desc, col("vec_id"))
     pairs.select(col("query_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Exact-rerank candidate budget per query — the second stage reads
+    * this many raw vectors, however large the corpus.
+    */
+  val RerankC = 25
+
+  /** RETRIEVE-THEN-RERANK — the standard recall repair on top of a
+    * compressed index (every production vector stack runs this shape:
+    * the IVF+PQ index proposes cheaply, then the top [[RerankC]]
+    * candidates are re-scored with EXACT cosine against their raw
+    * vectors and the final top-[[TopK]] comes from the exact scores):
+    * ADC's quantization error decides only WHICH ~C candidates
+    * surface, never the final order — the precision errors sim_pq_adc
+    * measures are repaired wherever the true neighbor made the cut.
+    *
+    * Exhaustive contract (spec-pinned): at probe = [[IvfCells]] and
+    * an uncapped C the candidate set is every non-self vector, so the
+    * exact rerank IS brute force — output row-identical to
+    * [[simBruteforceTopk]]. The shipped dial (probe = [[IvfProbe]],
+    * C = [[RerankC]]) is the production posture under its own oracle.
+    *
+    * Scale shape: stage 1 is [[simIvfPqAnn]]'s (codes + broadcast
+    * LUTs); stage 2 touches exactly queries × C raw vectors via an
+    * equi-join on vec_id — the ONLY full-width vector reads in the
+    * serving path, bounded by the dial, not the corpus.
+    */
+  def simIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfPqRerankCfg(spark, sfDir, IvfProbe, RerankC)
+
+  private[graft] def simIvfPqRerankCfg(spark: SparkSession,
+      sfDir: String, probe: Int, c: Int): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    val cand = ivfPqScored(vecs, probe)
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= c)
+      .select(col("query_id"), col("vec_id"))
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("c2").desc, col("vec_id"))
+    cand
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("c2"))
+      .withColumn("rank", row_number().over(wC))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), r6(col("adc")).as("adc"))
+        col("vec_id").as("neighbor_id"), r6(col("c2")).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  lazy val simIvfPqAnnSql: String = {
+  /** Oracle twin of [[ivfPqScored]] — CTEs through `scoredadc`
+    * (query_id, vec_id, adc), ONE copy for the direct ranking and the
+    * rerank tail.
+    */
+  private lazy val ivfPqScoredCtesSql: String = {
     val lutCtes = (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
@@ -1253,7 +1322,7 @@ ORDER BY s.query_id"""
   FROM q CROSS JOIN b${b}c$PqIters c
 )"""
     }.mkString(", ")
-    s"""WITH $pqCtesSql, n AS (
+    s"""$pqCtesSql, n AS (
   SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
 ), icents AS (
   SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
@@ -1286,7 +1355,10 @@ ORDER BY s.query_id"""
   JOIN lut1 l1 ON l1.query_id = c.query_id AND l1.cell_1 = cd.cell_1
   JOIN lut2 l2 ON l2.query_id = c.query_id AND l2.cell_2 = cd.cell_2
   JOIN lut3 l3 ON l3.query_id = c.query_id AND l3.cell_3 = cd.cell_3
-), ranked AS (
+)"""
+  }
+
+  lazy val simIvfPqAnnSql: String = s"""WITH $ivfPqScoredCtesSql, ranked AS (
   SELECT query_id, vec_id, adc,
     row_number() OVER (PARTITION BY query_id
       ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rank
@@ -1296,7 +1368,29 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("adc")} AS adc
 FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
-  }
+
+  lazy val simIvfPqRerankSql: String = s"""WITH $ivfPqScoredCtesSql, cand_c AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rk
+    FROM scoredadc) WHERE rk <= $RerankC
+), rr AS (
+  SELECT c.query_id, c.vec_id,
+    ${dotSql("nq.v", "nv.v")} / sqrt(nq.nrm * nv.nrm) AS c2
+  FROM cand_c c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.vec_id
+), rranked AS (
+  SELECT query_id, vec_id, c2,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c2 DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("c2")} AS cosine
+FROM rranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
 
   // ------------------------------------------------------------------
   // sim_mips — maximum-inner-product top-k via norm augmentation

@@ -1318,4 +1318,45 @@ class AnalyticsSpec extends SparkSpec {
         fs.toDouble / (nf * nq)))
     }
   }
+
+  test("wh_compaction equals a local time-ordered linear pack and the " +
+    "plan is contiguous, total-preserving, and actually coalesces") {
+    val days = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(to_date(col("l_shipdate")).as("day")).collect()
+      .map(_.getDate(0).toString)
+    val manifest = days.groupBy(identity).map { case (d, xs) =>
+      d -> xs.length.toLong
+    }.toSeq.sortBy(_._1)
+    val t = Analytics.CompactTargetRows
+    var cum = 0L
+    val packed = manifest.map { case (d, r) =>
+      val bin = cum / t; cum += r; (bin, d, r)
+    }
+    val want = packed.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (bin, fs) =>
+        (bin, fs.length.toLong, fs.map(_._3).sum,
+          fs.map(_._2).min, fs.map(_._2).max,
+          graft.functions.Determinism
+            .r6Jvm(fs.map(_._3).sum.toDouble / t.toDouble))
+    }
+    val got = Analytics.whCompaction(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))
+    assert(got.toSeq == want, "plan diverges from the local pack")
+    // contiguity in time: bins never interleave eras
+    got.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._5 < p(1)._4,
+        s"bins ${p(0)._1} and ${p(1)._1} overlap in time")
+    }
+    // total-preserving and genuinely coalescing
+    assert(got.map(_._3).sum == manifest.map(_._2).sum)
+    assert(got.length.toLong < manifest.length.toLong,
+      "no coalescing happened — raise the fixture or lower the target")
+    // the linear rule's bound: a bin opens before cum crosses its
+    // (bin+1)*target boundary, so rows < target + largest single file
+    val maxFile = manifest.map(_._2).max
+    got.foreach { case (b, _, rows, _, _, _) =>
+      assert(rows < t + maxFile, s"bin $b overflows the linear bound")
+    }
+  }
 }

@@ -541,6 +541,54 @@ class GraphSpec extends SparkSpec {
     assert(core5.subsetOf(core4))
   }
 
+  test("gr_lpa equals a local synchronous majority-vote recompute " +
+    "(self-vote damping, smallest-label ties) and genuinely splits " +
+    "components") {
+    val (n, adj) = localGraph()
+    val und = adj.toSeq.flatMap { case (s, ds) =>
+      ds.map(d => (math.min(s, d), math.max(s, d)))
+    }.distinct
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    var lbl = (0L until n.toLong).map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      lbl = (0L until n.toLong).map { v =>
+        val votes = nbrs.getOrElse(v, Seq.empty).map(lbl) :+ lbl(v)
+        val best = votes.groupBy(identity).toSeq
+          .map { case (l, xs) => (xs.length, -l) }.max
+        v -> -best._2
+      }.toMap
+    }
+    val sizes = lbl.values.toSeq.groupBy(identity).view
+      .mapValues(_.length.toLong)
+    val got = Graph.grLpa(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (id, comm, sz) =>
+      assert(comm == lbl(id), s"community at $id")
+      assert(sz == sizes(comm), s"size at $id")
+    }
+    // the detector does something CC can't: more than one community,
+    // fewer than one-per-node (majority voting actually merged), and
+    // at least one community that is a strict subset of its connected
+    // component (LPA splits along dense cores)
+    val nComms = lbl.values.toSet.size
+    assert(nComms > 1 && nComms < n)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val commOfComp = lbl.keys.toSeq.groupBy(find)
+      .map { case (c, vs) => c -> vs.map(lbl).toSet.size }
+    assert(commOfComp.values.exists(_ > 1),
+      "LPA never split a component — no finer than CC on this fixture")
+  }
+
   test("gr_kcore convergence seam: the drops==0 production form equals " +
     "the bounded unroll, and the rounds dial bites") {
     import org.apache.spark.sql.functions.col

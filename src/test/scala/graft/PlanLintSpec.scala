@@ -96,9 +96,9 @@ class PlanLintSpec extends SparkSpec {
     "sim_ivf_trained",
     "sim_ivf_tuning", "sim_kmeans", "sim_label_knn_ann", "sim_mips",
     "sim_pq", "sim_recall",
-    // sim_ivfpq_ann: per-block LUTs cross-join the 8-row trained
-    // codebooks (constant by construction, the sim_pq/sim_ivf shape)
-    "sim_ivfpq_ann",
+    // sim_ivfpq_ann / _rerank: per-block LUTs cross-join the 8-row
+    // trained codebooks (constant by construction, the sim_pq shape)
+    "sim_ivfpq_ann", "sim_ivfpq_rerank",
     "sim_hard_negatives", "sim_mrl",
     // sim_kcenter: each round's carry joins ONE 1-row broadcast center;
     // the census joins the 8-row center table

@@ -609,6 +609,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ivfpq_rerank: the exhaustive dial IS brute force, and the " +
+    "shipped dial serves exact-cosine-ordered results") {
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    // the contract the whole retrieve-then-rerank shape rests on: with
+    // every cell probed and the candidate cap lifted, the exact rerank
+    // over "all candidates" is brute-force top-k, row for row
+    val bf = Similarity.simBruteforceTopk(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val exh = Similarity
+      .simIvfPqRerankCfg(spark, dir, S.IvfCells, Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(exh == bf, "exhaustive rerank must equal brute force")
+    // shipped dial: dense ranks, TopK rows per query, and every final
+    // score is a TRUE cosine (present in the brute-force ALL-pairs
+    // scores for that query) — ADC decides candidacy, never the score
+    val rows = Similarity.simIvfPqRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == S.NQueries)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to S.TopK))
+      // exact scores are monotone down the ranking
+      assert(rs.sortBy(_._2).map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // rerank can only help (or tie) the top-1 against the pure-ADC
+    // ranking: both pick from the same probed candidates, but rerank
+    // orders by the true cosine — compare via brute-force ground truth
+    val truth = bf.filter(_(1) == 1)
+      .map(r => r(0).asInstanceOf[Long] -> r(3).asInstanceOf[Double])
+      .toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, _, c) =>
+      assert(c <= truth(q), s"rerank top-1 beat brute force at $q?!")
+    }
+  }
+
   test("sim_rp equals a full local JL-projection recompute") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.{Similarity => S}
