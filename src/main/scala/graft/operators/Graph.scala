@@ -1341,7 +1341,21 @@ ORDER BY k, doc_id"""
   /** [[grLpa]] over an explicit edge set (real-link seam). */
   private[graft] def grLpaFromEdges(nodes0: DataFrame,
       e0: DataFrame): DataFrame = {
-    val und = undEdges(e0)
+    val labels = lpaLabelsOf(nodes0, undEdges(e0))
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The final LPA label frame (doc_id, lbl) off an undirected edge
+    * set — ONE copy of the propagation, consumed by the community
+    * census ([[grLpaFromEdges]]) and the partition-quality readout
+    * ([[grModularityFromEdges]]).
+    */
+  private def lpaLabelsOf(nodes0: DataFrame, und: DataFrame): DataFrame = {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
@@ -1359,15 +1373,14 @@ ORDER BY k, doc_id"""
         .select(col("doc_id"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(true)
     }
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, Seq("lbl"))
-      .select(col("doc_id"), col("lbl").as("community"),
-        col("community_size"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
-  lazy val grLpaSql: String = {
+  /** Oracle CTE chain ending with the final label relation
+    * `lab_{LpaRounds}` — ONE copy for the community census and the
+    * modularity readout.
+    */
+  private lazy val lpaCtesSql: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""votes_$r AS (
   SELECT s.v AS doc_id, l.lbl
@@ -1382,8 +1395,7 @@ ORDER BY k, doc_id"""
     FROM cnt_$r) WHERE rn = 1
 )"""
     }.mkString(", ")
-    s"""
-WITH $grEdgesSql, und AS (
+    s"""$grEdgesSql, und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM gedges
 ), sym AS (
@@ -1391,11 +1403,120 @@ WITH $grEdgesSql, und AS (
   UNION ALL SELECT b AS u, a AS v FROM und
 ), lab_0 AS MATERIALIZED (
   SELECT doc_id, doc_id AS lbl FROM documents
-), $rounds, sizes AS (
+), $rounds"""
+  }
+
+  lazy val grLpaSql: String = s"""
+WITH $lpaCtesSql, sizes AS (
   SELECT lbl, COUNT(*) AS community_size FROM lab_$LpaRounds GROUP BY lbl
 )
 SELECT l.doc_id, l.lbl AS community, s.community_size
 FROM lab_$LpaRounds l JOIN sizes s ON s.lbl = l.lbl
 ORDER BY l.doc_id"""
+
+  // ------------------------------------------------------------------
+  // gr_modularity — Newman's Q per LPA community (partition quality)
+  // ------------------------------------------------------------------
+
+  /** MODULARITY READOUT — the number a community detection is judged
+    * by (Newman's Q: how much denser inside-community linking is than
+    * the degree-preserving random expectation — Q near 0 means LPA
+    * found nothing a random rewiring wouldn't; strongly positive
+    * communities are real structure, and a community whose OWN
+    * contribution is large and positive is the dense block a link
+    * curator inspects): per community, node count, internal edge
+    * count, degree sum, and the exact contribution
+    * e_c/m − (d_c/2m)², evaluated as the integer rational
+    * (4m·e_c − d_c²) / (4m²) in DECIMAL(38,0)/HUGEINT so the moments
+    * survive web-scale degree sums (the gr_assortativity discipline,
+    * including the oracle's VARCHAR round-trip to double — DuckDB's
+    * direct HUGEINT→DOUBLE cast is not correctly rounded); the
+    * partition IS the shipped gr_lpa labeling (ONE [[lpaLabelsOf]]
+    * chain on both engines).
+    *
+    * Scale shape: the label chain is gr_lpa's; the readout adds one
+    * degree census, one labels⋈labels edge filter (co-partitionable),
+    * two community-grain groupBys and a 1-row edge-count anchor.
+    */
+  def grModularity(spark: SparkSession, sfDir: String): DataFrame =
+    grModularityFromEdges(docs(spark, sfDir), grEdges(spark, sfDir))
+
+  /** [[grModularity]] over an explicit edge set (real-link seam). */
+  private[graft] def grModularityFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val m38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = undEdges(e0)
+    val labels = lpaLabelsOf(nodes0, und)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val ncom = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val dsum = labels.join(deg, labels("doc_id") === deg("v"), "left")
+      .groupBy(col("lbl"))
+      .agg(sum(coalesce(col("dg"), lit(0L))).as("d_c"))
+    val internal = und
+      .join(labels.select(col("doc_id").as("a"), col("lbl").as("la")),
+        Seq("a"))
+      .join(labels.select(col("doc_id").as("b"), col("lbl").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val mrow = und.agg(count(lit(1)).as("m")) // 1-row anchor
+    val num = lit(4).cast(m38) * col("m").cast(m38) *
+      col("e_c").cast(m38) - col("d_c").cast(m38) * col("d_c").cast(m38)
+    val den = lit(4).cast(m38) * col("m").cast(m38) * col("m").cast(m38)
+    ncom.join(dsum, Seq("lbl"))
+      .join(internal, Seq("lbl"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"), col("m"))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        col("e_c").as("internal_edges"), col("d_c").as("degree_sum"),
+        when(col("m") > 0,
+          r6(num.cast("double") / den.cast("double")))
+          .as("contribution"))
+      .orderBy(col("community"))
+  }
+
+  lazy val grModularitySql: String = {
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    // HUGEINT→DOUBLE via VARCHAR: the correctly-rounded path (the
+    // gr_assortativity / profCorr finding)
+    def dbl(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""
+WITH $lpaCtesSql, deg AS (
+  SELECT v, COUNT(*) AS dg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+), ncom AS (
+  SELECT lbl, COUNT(*) AS n_nodes FROM lab_$LpaRounds GROUP BY lbl
+), dsum AS (
+  SELECT l.lbl, CAST(COALESCE(SUM(d.dg), 0) AS BIGINT) AS d_c
+  FROM lab_$LpaRounds l LEFT JOIN deg d ON d.v = l.doc_id
+  GROUP BY l.lbl
+), internal AS (
+  SELECT la.lbl, COUNT(*) AS e_c
+  FROM und e
+  JOIN lab_$LpaRounds la ON la.doc_id = e.a
+  JOIN lab_$LpaRounds lb ON lb.doc_id = e.b
+  WHERE la.lbl = lb.lbl
+  GROUP BY la.lbl
+), mm AS (
+  SELECT COUNT(*) AS m FROM und
+)
+SELECT n.lbl AS community, n.n_nodes,
+  CAST(COALESCE(i.e_c, 0) AS BIGINT) AS internal_edges,
+  d.d_c AS degree_sum,
+  CASE WHEN mm.m > 0 THEN ${r6Sql(
+      s"(${dbl(s"(4 * ${h("mm.m")} * ${h("COALESCE(i.e_c, 0)")}" +
+        s" - ${h("d.d_c")} * ${h("d.d_c")})")}" +
+      s" / ${dbl(s"(4 * ${h("mm.m")} * ${h("mm.m")})")})")}
+  END AS contribution
+FROM ncom n
+JOIN dsum d ON d.lbl = n.lbl
+LEFT JOIN internal i ON i.lbl = n.lbl
+CROSS JOIN mm
+ORDER BY community"""
   }
 }

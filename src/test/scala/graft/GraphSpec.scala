@@ -589,6 +589,56 @@ class GraphSpec extends SparkSpec {
       "LPA never split a component — no finer than CC on this fixture")
   }
 
+  test("gr_modularity equals a local BigInt Newman-Q recompute over " +
+    "the LPA partition and the bookkeeping identities hold") {
+    val (n, adj) = localGraph()
+    val und = adj.toSeq.flatMap { case (s, ds) =>
+      ds.map(d => (math.min(s, d), math.max(s, d)))
+    }.distinct
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    var lbl = (0L until n.toLong).map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      lbl = (0L until n.toLong).map { v =>
+        val votes = nbrs.getOrElse(v, Seq.empty).map(lbl) :+ lbl(v)
+        val best = votes.groupBy(identity).toSeq
+          .map { case (l, xs) => (xs.length, -l) }.max
+        v -> -best._2
+      }.toMap
+    }
+    val m = und.length.toLong
+    val degOf = nbrs.view.mapValues(_.length.toLong).toMap
+    val comms = lbl.keys.toSeq.groupBy(lbl)
+    val want = comms.map { case (c, vs) =>
+      val dC = vs.map(v => degOf.getOrElse(v, 0L)).sum
+      val eC = und.count { case (a, b) => lbl(a) == c && lbl(b) == c }
+        .toLong
+      val num = BigInt(4) * m * eC - BigInt(dC) * dC
+      val den = BigInt(4) * m * m
+      c -> (vs.length.toLong, eC, dC,
+        graft.functions.Determinism
+          .r6Jvm(num.toDouble / den.toDouble))
+    }
+    val got = Graph.grModularity(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.length == want.size)
+    got.foreach { case (c, nn, ec, dc, q) =>
+      val (wn, we, wd, wq) = want(c)
+      assert(nn == wn && ec == we && dc == wd, s"census at $c")
+      assert(q == wq, s"contribution at $c")
+    }
+    // bookkeeping identities: degree sums cover every stub, internal
+    // edges never exceed the graph
+    assert(got.map(_._4).sum == 2 * m)
+    assert(got.map(_._3).sum <= m)
+    // the partition-quality signal: total Q in Newman's range and
+    // positive on this fixture (LPA found denser-than-random blocks)
+    val q = got.map(_._5).sum
+    assert(q > -0.5 && q < 1.0)
+    assert(q > 0.0, "LPA partition no better than random rewiring")
+  }
+
   test("gr_kcore convergence seam: the drops==0 production form equals " +
     "the bounded unroll, and the rounds dial bites") {
     import org.apache.spark.sql.functions.col

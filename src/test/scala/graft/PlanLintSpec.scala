@@ -83,6 +83,8 @@ class PlanLintSpec extends SparkSpec {
     // gr_assortativity: two 1-row census anchors assembled crosswise
     "gr_assortativity",
     "gr_clustering", "gr_trustrank",
+    // gr_modularity: the 1-row undirected-edge-count anchor
+    "gr_modularity",
     "gr_source_trust", "wh_zorder",
     "prof_drift",
     "prof_mi",
