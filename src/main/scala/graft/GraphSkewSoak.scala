@@ -159,7 +159,14 @@ object GraphSkewSoak {
       // the peel has no wedge join — a hub's F edges feed ONE
       // partial-agg'd degree key per round, so it must stay flat
       "gr_kcore" -> ((e: DataFrame) =>
-        Graph.grKcoreFromEdges(nodes, e)))
+        Graph.grKcoreFromEdges(nodes, e)),
+      // LPA's combine key is (node, LABEL): the hub's F spokes carry
+      // ~F distinct labels in round 1, so the hub's groupBy key set is
+      // F — LINEAR in the hub degree (one row per label after the
+      // map-side combine), never F² like a wedge join; the readout
+      // says whether that linearity holds in practice
+      "gr_lpa" -> ((e: DataFrame) =>
+        Graph.grLpaFromEdges(nodes, e)))
       .filter { case (name, _) => only.isEmpty || only(name) }
 
     def time(fn: => DataFrame): Double =
