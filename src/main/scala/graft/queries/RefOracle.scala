@@ -46,6 +46,10 @@ object RefOracle {
 ), posts AS (
   SELECT
     posts_raw.id,
+    -- RE2's \w here is ASCII-only; the Spark side uses (?U)\w (the
+    -- correct Python-parity semantics). They agree because fixture
+    -- titles are ASCII by construction — EnrichSpec pins that
+    -- invariant (see Enrich.cleanTitle's ORACLE SEAM note).
     trim(regexp_replace(posts_raw.title, '[^\w\s]', '', 'g')) AS title,
     posts_raw.author,
     posts_raw.subreddit,

@@ -49,6 +49,14 @@ object Enrich {
 
   /** T8 — strip non-word/non-space chars, then trim (script.py:216).
     * `(?U)` makes Java's `\w` Unicode-aware like Python's re (§7.4.3).
+    * ORACLE SEAM: DuckDB's RE2 `\w` is ASCII-only, so the oracle twin
+    * (RefOracle posts CTE) agrees with this column only on ASCII
+    * titles. The fixture synthesizes ASCII-only titles by construction
+    * (RedditModel.rawPosts / RefOracle's posts_raw share the literal
+    * templates); EnrichSpec pins that invariant so a fixture change
+    * that introduces non-ASCII fails a spec instead of silently
+    * hash-mismatching — this Unicode-aware side is the CORRECT
+    * (Python-parity) one, pinned by the T8 non-ASCII test.
     */
   def cleanTitle(title: Column): Column =
     trim(regexp_replace(title, "(?U)[^\\w\\s]", ""))

@@ -44,6 +44,21 @@ class EnrichSpec extends SparkSpec {
     assert(r.getAs[String]("title") == "Qué pasa mundo 世界 test")
   }
 
+  test("T8 oracle seam: fixture titles are ASCII, where (?U)\\w and " +
+    "RE2's ASCII \\w agree") {
+    // The DuckDB oracle cleans titles with RE2's ASCII-only \w while
+    // the Spark side uses the Unicode-correct (?U)\w. The twins agree
+    // iff titles stay ASCII — this pins the invariant so a fixture
+    // change surfacing non-ASCII fails HERE, not as a silent oracle
+    // hash mismatch (Enrich.cleanTitle ORACLE SEAM note).
+    val nonAscii = graft.model.RedditModel.rawPosts(spark, sf())
+      .filter(not(col("title").rlike("^\\p{ASCII}*$")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii fixture titles contain non-ASCII chars; the DuckDB " +
+        "oracle's ASCII \\w would diverge from (?U)\\w on them")
+  }
+
   test("T1 before T8: title_length measures the RAW title") {
     val r = enriched(postRow(title = "abc!!!"))
     assert(r.getAs[Int]("title_length") == 6) // raw, punctuated length
