@@ -438,15 +438,7 @@ ORDER BY nprobe"""
     */
   def simIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
     val e = base(spark, sfDir).cache()
-    var cents = e.filter(col("vec_id") >= NQueries &&
-        col("vec_id") < NQueries + IvfCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    for (_ <- 1 to KmIters) cents = kmUpdate(kmAssign(e, cents))
-    // pin the ≤k-row trained table: every probe config broadcasts it
-    // from BOTH ivfServe legs, and an unpinned plan re-runs the whole
-    // Lloyd chain per reference (measured 4.7 s → 3.7 s at sf0.1)
-    cents = cents.localCheckpoint(true)
+    val cents = trainedCents(e)
     val nCells = cents.agg(count(lit(1)).as("nc"))
     val bf = simBruteforceTopk(spark, sfDir)
       .select(col("query_id"), col("neighbor_id")).cache()
@@ -589,6 +581,24 @@ FROM q ORDER BY vec_id"""
     * of 2^39 vectors stays inside int64.
     */
   val KmFp: Long = 1L << 24
+
+  /** Kmeans-TRAINED IVF centroid table: [[KmIters]] Lloyd rounds from
+    * the [[IvfCells]] deterministic seeds (the [[simKmeans]] chain —
+    * fixed-point integer component sums, bitwise-stable under any
+    * partitioning). Pinned with an eager localCheckpoint: the ≤k-row
+    * table is broadcast from several consumers, and an unpinned plan
+    * re-runs the whole Lloyd chain per reference (measured
+    * 4.7 s → 3.7 s at sf0.1 on sim_ivf_trained). ONE copy for the
+    * trained-dial sweep and the residual-encoded IVF+PQ tier.
+    */
+  private def trainedCents(e: DataFrame): DataFrame = {
+    var cents = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    for (_ <- 1 to KmIters) cents = kmUpdate(kmAssign(e, cents))
+    cents.localCheckpoint(true)
+  }
 
   /** One assignment pass: every vector to its nearest centroid by
     * squared Euclidean distance, decomposed as |x|² − 2·x·c + |c|² so
@@ -899,6 +909,46 @@ ${out}_comp AS (
       slice(col("v"), b * PqSubDim + 1, PqSubDim).as("v"))
       .withColumn("nrm", DotProduct.dot(col("v"), col("v")))
 
+  /** Per-block PQ training trio (block, trained codebook, code table
+    * `vec_id → cell_b`) over arbitrary sub-vector frames — ONE copy
+    * for the ADC audit, the composed IVF+PQ index, and the
+    * residual-encoded variant. `subOf(b)` yields block b's
+    * (vec_id, v, nrm) frame; seeds are vec_ids [seedLo, seedLo+PqK).
+    */
+  private def pqTrainOn(subOf: Int => DataFrame,
+      seedLo: Int): Seq[(Int, DataFrame, DataFrame)] =
+    (0 until PqM).map { b =>
+      val sub = subOf(b)
+      var cb = sub
+        .filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      for (_ <- 1 to PqIters) cb = kmUpdate(kmAssign(sub, cb))
+      val codes = kmAssign(sub, cb)
+        .select(col("vec_id"), col("cell").as(s"cell_$b"))
+      (b, cb, codes)
+    }
+
+  /** Raw-sub-vector PQ training (the sim_pq / sim_pq_adc /
+    * sim_ivfpq_ann chain).
+    */
+  private def pqTrain(vecs: DataFrame): Seq[(Int, DataFrame, DataFrame)] =
+    pqTrainOn(b => pqSub(vecs, b), NQueries)
+
+  /** Per-query ADC lookup tables, one per block: queries × [[PqK]]
+    * rows of 〈q_sub_b, codebook centroid〉 — the broadcast side of
+    * every ADC join. `q` is a (query_id, qv) frame.
+    */
+  private def pqLuts(q: DataFrame,
+      trained: Seq[(Int, DataFrame, DataFrame)]): Seq[DataFrame] =
+    trained.map { case (b, cb, _) =>
+      q.select(col("query_id"),
+          slice(col("qv"), b * PqSubDim + 1, PqSubDim).as("qs"))
+        .crossJoin(broadcast(cb))
+        .select(col("query_id"), col("cent_id").as(s"cell_$b"),
+          DotProduct.dot(col("qs"), col("cv")).as(s"l_$b"))
+    }
+
   /** Product quantization — the compression that makes a 100 TB
     * vector corpus servable: each vector stored as [[PqM]] one-byte
     * codes (here 3 bits: [[PqK]]=8) instead of 64 doubles, with the
@@ -1032,28 +1082,12 @@ ORDER BY a.cent_id"""
     */
   def simPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = base(spark, sfDir).cache()
-    val trained = (0 until PqM).map { b =>
-      val sub = pqSub(vecs, b)
-      var cents = sub
-        .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      for (_ <- 1 to PqIters) cents = kmUpdate(kmAssign(sub, cents))
-      val codes = kmAssign(sub, cents)
-        .select(col("vec_id"), col("cell").as(s"cell_$b"))
-      (b, cents, codes)
-    }
+    val trained = pqTrain(vecs)
     val corp = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
       .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
     val q = vecs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val luts = trained.map { case (b, cents, _) =>
-      q.select(col("query_id"),
-          slice(col("qv"), b * PqSubDim + 1, PqSubDim).as("qs"))
-        .crossJoin(broadcast(cents))
-        .select(col("query_id"), col("cent_id").as(s"cell_$b"),
-          DotProduct.dot(col("qs"), col("cv")).as(s"l_$b"))
-    }
+    val luts = pqLuts(q, trained)
     val exact = DotProduct.dot(col("qv"), col("v"))
     val pairs0 = q.join(corp, col("vec_id") =!= col("query_id"))
       .select(col("query_id") +: col("vec_id") +: exact.as("d") +:
@@ -1220,27 +1254,11 @@ ORDER BY s.query_id"""
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), cents, probe)
       .select(col("query_id"), col("cell"))
-    val trained = (0 until PqM).map { b =>
-      val sub = pqSub(vecs, b)
-      var cb = sub
-        .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      for (_ <- 1 to PqIters) cb = kmUpdate(kmAssign(sub, cb))
-      val codes = kmAssign(sub, cb)
-        .select(col("vec_id"), col("cell").as(s"cell_$b"))
-      (b, cb, codes)
-    }
+    val trained = pqTrain(vecs)
     val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
     val q = vecs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val luts = trained.map { case (b, cb, _) =>
-      q.select(col("query_id"),
-          slice(col("qv"), b * PqSubDim + 1, PqSubDim).as("qs"))
-        .crossJoin(broadcast(cb))
-        .select(col("query_id"), col("cent_id").as(s"cell_$b"),
-          DotProduct.dot(col("qs"), col("cv")).as(s"l_$b"))
-    }
+    val luts = pqLuts(q, trained)
     val cand = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
@@ -1391,6 +1409,525 @@ SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("c2")} AS cosine
 FROM rranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_ivfpq_residual — RESIDUAL-encoded IVF+PQ (the FAISS IVFPQ)
+  // ------------------------------------------------------------------
+
+  /** Seed base for the RESIDUAL codebooks: vec_ids [[RpqSeedBase]] ..
+    * +[[PqK]]. The raw-PQ seed range ([NQueries, NQueries+PqK)) is
+    * unusable here — those ids coincide with the IVF cell seeds, whose
+    * residuals are exactly zero (a seed vector's nearest cell is
+    * itself, cosine 1), which would collapse every residual codebook
+    * to a single point.
+    */
+  val RpqSeedBase: Int = NQueries + IvfCells
+
+  /** Residual frame: each vector's difference from its IVF cell
+    * centroid, `r = x − c_cell(x)` — what FAISS's IVFPQ actually
+    * quantizes (raw-sub-vector codes are [[simPq]]'s form). Runs
+    * through the codegen'd [[graft.functions.VectorSub]]; exact
+    * element-wise subtraction, so both engines produce bitwise-equal
+    * residuals. Scale shape: one broadcast of the ≤[[IvfCells]]-row
+    * centroid table against the assignment stream — map-side only.
+    */
+  private def residFrame(vecs: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(vecs, cents)
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorSub.sub(col("v"), col("cv")).as("r"))
+
+  /** Block `b`'s residual sub-vector frame (the [[pqSub]] shape over
+    * residuals).
+    */
+  private def residSub(resid: DataFrame, b: Int): DataFrame =
+    resid.select(col("vec_id"),
+      slice(col("r"), b * PqSubDim + 1, PqSubDim).as("v"))
+      .withColumn("nrm", DotProduct.dot(col("v"), col("v")))
+
+  /** RESIDUAL-encoded IVF+PQ — the composition FAISS actually ships
+    * (and where its recall-per-byte comes from): PQ codebooks are
+    * trained on and codes encode the RESIDUAL `x − c_cell(x)` rather
+    * than x itself, so the quantizer spends its 2^3·[[PqM]] cells on
+    * the small within-cell displacement instead of re-describing the
+    * coarse structure the IVF assignment already captured. Estimated
+    * inner product decomposes exactly:
+    * `q·x̂ = q·c_cell + Σ_b 〈q_sub_b, codebook_b[code_b]〉` — the
+    * first term is a queries × [[IvfCells]] broadcast table, the sum
+    * is the usual per-block LUT joins ([[simIvfPqAnn]]'s machinery,
+    * shared codebook across cells as in FAISS).
+    *
+    * Output is the served ranking (query_id, rank, neighbor, adc),
+    * sim_ivfpq_ann's contract with residual codes; the recall-per-byte
+    * comparison against the raw-code path at EQUAL bytes is its own
+    * query, [[simResidualGain]].
+    *
+    * Scale shape: identical to [[simIvfPqAnn]] — corpus-side state is
+    * codes + cell id (~12 bytes/vector), candidate generation is the
+    * probe equi-join on cell, every LUT/centroid join broadcasts, and
+    * the only corpus-keyed shuffle is the per-query top-k. The
+    * residual TRAINING pass adds one broadcast-join (centroid lookup)
+    * and the same Lloyd machinery over residual sub-frames.
+    */
+  def simIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfPqResidualCfg(spark, sfDir, IvfProbe)
+
+  /** [[simIvfPqResidual]] with the probe dial — at probe =
+    * [[IvfCells]] every vector is a candidate (the full-corpus
+    * residual-ADC ranking), the spec's superset anchor.
+    */
+  private[graft] def simIvfPqResidualCfg(spark: SparkSession,
+      sfDir: String, probe: Int): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    ivfPqResidScored(vecs, probe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("adc")).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Residual-ADC candidate stream (query_id, vec_id, adc) off the
+    * probed cells — [[ivfPqScored]]'s twin with residual codes plus
+    * the q·c_cell term.
+    */
+  private def ivfPqResidScored(vecs: DataFrame, probe: Int): DataFrame = {
+    graft.functions.VectorSub.register(vecs.sparkSession)
+    // TRAINED coarse quantizer (the FAISS deployment): residuals are
+    // only small — and residual codes only pay — against cell MEANS.
+    // Against sampled raw-vector anchors the residual norm ‖x−c‖ is
+    // √(2−2cos) for unit vectors, often LARGER than ‖x‖, and the gain
+    // audit measured the encoding LOSING there (recall 0.025 vs raw
+    // 0.100 at sf0.001); sim_residual_gain ships the trained-cell
+    // measurement.
+    val cents = trainedCents(vecs)
+    val resid = residFrame(vecs, cents)
+    val trained = pqTrainOn(b => residSub(resid, b), RpqSeedBase)
+    val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val luts = pqLuts(q, trained)
+    // q·c_cell — the coarse term of the residual decomposition:
+    // queries × IvfCells rows, broadcast
+    val qc = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        DotProduct.dot(col("qv"), col("cv")).as("qc"))
+    val probes = ivfProbeList(vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), cents, probe)
+      .select(col("query_id"), col("cell"))
+    val cand = probes
+      .join(resid.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+    val pairs = luts.zipWithIndex.foldLeft(cand) { case (p, (l, b)) =>
+      p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+    }
+    val adc = (((col("qc") + col("l_0")) + col("l_1")) + col("l_2")) +
+      col("l_3")
+    pairs.join(broadcast(qc), Seq("query_id", "cell"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+  }
+
+  /** Residual-chain oracle CTEs: IVF assignment (`assigned_rq`,
+    * cosine — the [[ivfAssign]] convention), residuals, per-block
+    * residual codebooks/codes (`rfin$b`, trained at `rb${b}c$PqIters`),
+    * query LUTs (`rlut$b`), the coarse q·c table (`qcr`), and the
+    * probed residual-ADC stream `scoredadc_rq`. Assumes `e`, `n`, `q`
+    * CTEs exist. ONE copy for the served ranking and the gain audit.
+    */
+  private def residCtesSql(probe: Int): String = {
+    val blockCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      val rounds = (1 to PqIters).map { i =>
+        val prev = if (i == 1) s"rseeds$b" else s"rb${b}c${i - 1}"
+        kmAssignSql(s"rb${b}a$i", prev, s"rsub$b") + "," +
+          kmUpdateSql(s"rb${b}c$i", s"rb${b}a$i", PqSubDim)
+      }.mkString(",")
+      s"""rsub$b AS (
+  SELECT vec_id, r[$lo:$hi] AS v,
+    ${dotSql(s"(r[$lo:$hi])", s"(r[$lo:$hi])")} AS nrm
+  FROM resid
+), rseeds$b AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM rsub$b
+  WHERE vec_id >= $RpqSeedBase AND vec_id < ${RpqSeedBase + PqK}
+),$rounds,${kmAssignSql(s"rfin$b", s"rb${b}c$PqIters", s"rsub$b")}"""
+    }.mkString(",")
+    val lutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""rlut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM q CROSS JOIN rb${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    val kmRounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "rkseeds" else s"rkc${i - 1}"
+      kmAssignSql(s"rka$i", prev) + "," + kmUpdateSql(s"rkc$i", s"rka$i")
+    }.mkString(",")
+    s"""rkseeds AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
+),$kmRounds, rcents AS (
+  SELECT cent_id, cv, cn FROM rkc$KmIters
+), ${ivfScoredAssignedSql("rq", "rcents")}, resid AS (
+  SELECT a.vec_id, a.cell,
+    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS r
+  FROM assigned_rq a JOIN rcents c ON c.cent_id = a.cell
+),$blockCtes, rcodes AS (
+  SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
+    f2.cell AS cell_2, f3.cell AS cell_3
+  FROM rfin0 f0
+  JOIN rfin1 f1 USING (vec_id)
+  JOIN rfin2 f2 USING (vec_id)
+  JOIN rfin3 f3 USING (vec_id)
+), $lutCtes, qcr AS (
+  SELECT q.query_id, c.cent_id AS cell, ${dotSql("q.qv", "c.cv")} AS qc
+  FROM q CROSS JOIN rcents c
+), probes_rq AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, cent_id) AS pr
+    FROM scored_rq WHERE vec_id < $NQueries)
+  WHERE pr <= $probe
+), cand_rq AS (
+  SELECT p.query_id, a.cell, a.vec_id
+  FROM probes_rq p JOIN assigned_rq a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+), scoredadc_rq AS (
+  SELECT c.query_id, c.vec_id,
+    (((g.qc + l0.l_0) + l1.l_1) + l2.l_2) + l3.l_3 AS adc
+  FROM cand_rq c
+  JOIN rcodes cd ON cd.vec_id = c.vec_id
+  JOIN qcr g ON g.query_id = c.query_id AND g.cell = c.cell
+  JOIN rlut0 l0 ON l0.query_id = c.query_id AND l0.cell_0 = cd.cell_0
+  JOIN rlut1 l1 ON l1.query_id = c.query_id AND l1.cell_1 = cd.cell_1
+  JOIN rlut2 l2 ON l2.query_id = c.query_id AND l2.cell_2 = cd.cell_2
+  JOIN rlut3 l3 ON l3.query_id = c.query_id AND l3.cell_3 = cd.cell_3
+)"""
+  }
+
+  lazy val simIvfPqResidualSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), ${residCtesSql(IvfProbe)}, ranked AS (
+  SELECT query_id, vec_id, adc,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rank
+  FROM scoredadc_rq
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("adc")} AS adc
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_rerank_tuning — recall@k vs the rerank-depth dial C
+  // ------------------------------------------------------------------
+
+  /** Rerank depths swept, cheap → generous; includes the shipped
+    * [[RerankC]].
+    */
+  val RerankTuneCs: Seq[Int] = Seq(5, 10, 25, 50)
+
+  /** The rerank-depth dial table — the tuning-trio convention
+    * ([[Dedup.ddLshTuning]] / [[simIvfTuning]] / this) applied to the
+    * retrieve-then-rerank stage: per candidate budget C, how many raw
+    * vectors stage 2 actually reads (the serving cost that C buys)
+    * and recall@[[TopK]] of the exact-reranked result against the
+    * brute-force ground truth. ONE ADC candidate stream
+    * ([[ivfPqScored]], the shipped index's own ranking) serves every
+    * row — the [[simIvfTuning]] shape; the C = [[RerankC]] row IS the
+    * shipped [[simIvfPqRerank]] dial (spec-pinned).
+    *
+    * Monotonicity is a theorem here, not luck: a global-top-k item
+    * that survives the candidate cut ranks ≤ k in any superset's
+    * exact ranking (at most k−1 items score above it anywhere), so
+    * hits(C) = |candidates_C ∩ global top-k| — non-decreasing in C.
+    * The spec pins it; a violation means the tie-break conventions
+    * diverged somewhere.
+    *
+    * Scale shape: the sweep re-windows one cached candidate stream
+    * per arm and pays queries × C raw-vector reads in stage 2 —
+    * bounded by the dial, not the corpus (sim_ivfpq_rerank's
+    * posture × |RerankTuneCs|).
+    */
+  def simRerankTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    val ranked = ivfPqScored(vecs, IvfProbe)
+      .withColumn("rk", row_number().over(wAdc))
+      .cache()
+    val bf = simBruteforceTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    RerankTuneCs.map { c =>
+      val cand = ranked.filter(col("rk") <= c)
+        .select(col("query_id"), col("vec_id"))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("c2").desc, col("vec_id"))
+      val served = cand
+        .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
+          Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), cos.as("c2"))
+        .withColumn("rank", row_number().over(wC))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val reads = cand.agg(count(lit(1)).as("raw_reads"))
+      served.join(bf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(reads))
+        .select(lit(c).as("rerank_c"),
+          lit(NQueries).as("n_queries"),
+          col("raw_reads").cast("long").as("raw_reads"),
+          col("hits").cast("long").as("total_hits"),
+          r6(col("hits").cast("double") /
+            lit((NQueries * TopK).toDouble)).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy(col("rerank_c"))
+  }
+
+  lazy val simRerankTuningSql: String = {
+    val arms = RerankTuneCs.map { c =>
+      s"""cand_rt$c AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rk
+    FROM scoredadc) WHERE rk <= $c
+), served_rt$c AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT c.query_id, c.vec_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY ${dotSql("nq.v", "nv.v")} / sqrt(nq.nrm * nv.nrm)
+          DESC, c.vec_id) AS rank
+    FROM cand_rt$c c
+    JOIN n nq ON nq.vec_id = c.query_id
+    JOIN n nv ON nv.vec_id = c.vec_id
+  ) WHERE rank <= $TopK
+)"""
+    }
+    val rows = RerankTuneCs.map { c =>
+      s"""SELECT $c AS rerank_c, $NQueries AS n_queries,
+  (SELECT COUNT(*) FROM cand_rt$c) AS raw_reads,
+  (SELECT COUNT(*) FROM served_rt$c s
+    JOIN bfp b ON b.query_id = s.query_id
+      AND b.neighbor_id = s.neighbor_id) AS total_hits,
+  ${r6Sql(s"""(CAST((SELECT COUNT(*) FROM served_rt$c s
+    JOIN bfp b ON b.query_id = s.query_id
+      AND b.neighbor_id = s.neighbor_id) AS DOUBLE) /
+    CAST(${NQueries * TopK}.0 AS DOUBLE))""")} AS recall_at_k"""
+    }
+    s"""WITH $ivfPqScoredCtesSql, ${arms.mkString(", ")}, bf AS (
+  $simBruteforceTopkSql
+), bfp AS (
+  SELECT query_id, neighbor_id FROM bf
+)
+${rows.mkString("\nUNION ALL\n")}
+ORDER BY rerank_c"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_residual_gain — residual vs raw PQ codes at EQUAL bytes
+  // ------------------------------------------------------------------
+
+  /** The measurement behind shipping residual encoding: both code
+    * paths store EXACTLY the same corpus-side state (cell id +
+    * [[PqM]] 3-bit codes/vector), differing only in WHAT the codes
+    * describe — the raw vector ([[simPq]]) or its within-cell residual
+    * ([[simIvfPqResidual]], the FAISS form). Per variant, every
+    * non-self (query, vector) pair is scored by its estimated inner
+    * product over the FULL corpus (no probing — isolating quantization
+    * quality from candidate recall), and the row reports top-[[TopK]]
+    * recall of the estimated ranking against the exact ranking plus
+    * mean/max |dot − est| (micro-quantized integer folds, the
+    * [[simPqAdc]] convention).
+    *
+    * Audit tier: the exact arm is |queries| × corpus by contract
+    * (the same ground-truth posture as sim_pq_adc / sim_bruteforce);
+    * the production serving paths stay probed + broadcast-shaped.
+    */
+  def simResidualGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    graft.functions.VectorSub.register(spark)
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = q
+      .join(vecs.select(col("vec_id"), col("v")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        DotProduct.dot(col("qv"), col("v")).as("d"))
+      .cache()
+    def cutBy(df: DataFrame, c: String): DataFrame = df
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(r6(col(c)).desc, col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val dCut = cutBy(exact, "d")
+    // raw arm: est = Σ_b LUT_b (sim_pq_adc's estimator)
+    val rawTrained = pqTrain(vecs)
+    val rawCodes = rawTrained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+    val rawLuts = pqLuts(q, rawTrained)
+    val estRaw = rawLuts.zipWithIndex.foldLeft(
+        q.select(col("query_id"))
+          .join(rawCodes, col("vec_id") =!= col("query_id"))) {
+        case (p, (l, b)) => p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+      }
+      .select(col("query_id"), col("vec_id"),
+        (((col("l_0") + col("l_1")) + col("l_2")) + col("l_3")).as("est"))
+    // residual arm: est = q·c_cell + Σ_b residual-LUT_b, over the
+    // TRAINED cells (see ivfPqResidScored's note)
+    val cents = trainedCents(vecs)
+    val resid = residFrame(vecs, cents)
+    val resTrained = pqTrainOn(b => residSub(resid, b), RpqSeedBase)
+    val resCodes = resTrained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val resLuts = pqLuts(q, resTrained)
+    val qc = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        DotProduct.dot(col("qv"), col("cv")).as("qc"))
+    val estRes = resLuts.zipWithIndex.foldLeft(
+        q.select(col("query_id"))
+          .join(resCodes, col("vec_id") =!= col("query_id"))) {
+        case (p, (l, b)) => p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+      }
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .select(col("query_id"), col("vec_id"),
+        ((((col("qc") + col("l_0")) + col("l_1")) + col("l_2")) +
+          col("l_3")).as("est"))
+    def arm(name: String, est: DataFrame): DataFrame = {
+      val scored = exact.join(est, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("est"),
+          round(abs(col("d") - col("est")) * 1000000.0).cast("long")
+            .as("err_u"))
+        .cache()
+      val hits = cutBy(scored, "est")
+        .join(dCut, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      scored
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("err_u")).cast("long").as("serr"),
+          max(col("err_u")).as("mxe"))
+        // 1-row × 1-row: the BNLJ here broadcasts a single aggregate
+        // row (PlanLintSpec-allowlisted constant-size anchor)
+        .crossJoin(broadcast(hits))
+        .select(lit(name).as("variant"), col("n_pairs"),
+          col("hits").cast("long").as("total_hits"),
+          r6(col("hits").cast("double") /
+            lit((NQueries * TopK).toDouble)).as(s"recall_at_$TopK"),
+          r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
+            .as("mean_abs_err"),
+          r6(col("mxe").cast("double") / 1000000.0).as("max_abs_err"))
+    }
+    arm("raw", estRaw).unionByName(arm("residual", estRes))
+      .orderBy(col("variant"))
+  }
+
+  lazy val simResidualGainSql: String = {
+    val rawLutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""rawlut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM q CROSS JOIN b${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    def armSql(tag: String): String = s"""
+SELECT '$tag' AS variant,
+  (SELECT COUNT(*) FROM scored_$tag) AS n_pairs,
+  CAST((SELECT c FROM hits_$tag) AS BIGINT) AS total_hits,
+  ${r6Sql(s"""(CAST((SELECT c FROM hits_$tag) AS DOUBLE) /
+    CAST(${NQueries * TopK}.0 AS DOUBLE))""")} AS recall_at_$TopK,
+  ${r6Sql(s"""(CAST((SELECT SUM(err_u) FROM scored_$tag) AS DOUBLE) /
+    (SELECT COUNT(*) FROM scored_$tag) / 1000000.0)""")} AS mean_abs_err,
+  ${r6Sql(s"""(CAST((SELECT MAX(err_u) FROM scored_$tag) AS DOUBLE) /
+    1000000.0)""")} AS max_abs_err"""
+    s"""WITH $pqCtesSql, n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), ${residCtesSql(IvfCells)}, rawcodes AS (
+  SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
+    f2.cell AS cell_2, f3.cell AS cell_3
+  FROM fin0 f0
+  JOIN fin1 f1 USING (vec_id)
+  JOIN fin2 f2 USING (vec_id)
+  JOIN fin3 f3 USING (vec_id)
+), $rawLutCtes, exact AS (
+  SELECT q.query_id, n2.vec_id, ${dotSql("q.qv", "n2.v")} AS d
+  FROM q JOIN n n2 ON n2.vec_id <> q.query_id
+), dcut AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("d")} DESC, vec_id) AS rk
+    FROM exact) WHERE rk <= $TopK
+), estraw AS (
+  SELECT q.query_id, cd.vec_id,
+    ((l0.l_0 + l1.l_1) + l2.l_2) + l3.l_3 AS est
+  FROM q
+  JOIN rawcodes cd ON cd.vec_id <> q.query_id
+  JOIN rawlut0 l0 ON l0.query_id = q.query_id AND l0.cell_0 = cd.cell_0
+  JOIN rawlut1 l1 ON l1.query_id = q.query_id AND l1.cell_1 = cd.cell_1
+  JOIN rawlut2 l2 ON l2.query_id = q.query_id AND l2.cell_2 = cd.cell_2
+  JOIN rawlut3 l3 ON l3.query_id = q.query_id AND l3.cell_3 = cd.cell_3
+), estres AS (
+  SELECT q.query_id, cd.vec_id,
+    (((g.qc + l0.l_0) + l1.l_1) + l2.l_2) + l3.l_3 AS est
+  FROM q
+  JOIN rcodes cd ON cd.vec_id <> q.query_id
+  JOIN assigned_rq a ON a.vec_id = cd.vec_id
+  JOIN qcr g ON g.query_id = q.query_id AND g.cell = a.cell
+  JOIN rlut0 l0 ON l0.query_id = q.query_id AND l0.cell_0 = cd.cell_0
+  JOIN rlut1 l1 ON l1.query_id = q.query_id AND l1.cell_1 = cd.cell_1
+  JOIN rlut2 l2 ON l2.query_id = q.query_id AND l2.cell_2 = cd.cell_2
+  JOIN rlut3 l3 ON l3.query_id = q.query_id AND l3.cell_3 = cd.cell_3
+), scored_raw AS (
+  SELECT x.query_id, x.vec_id, r.est,
+    CAST(round(abs(x.d - r.est) * 1000000.0) AS BIGINT) AS err_u
+  FROM exact x
+  JOIN estraw r ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+), scored_residual AS (
+  SELECT x.query_id, x.vec_id, r.est,
+    CAST(round(abs(x.d - r.est) * 1000000.0) AS BIGINT) AS err_u
+  FROM exact x
+  JOIN estres r ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+), cut_raw AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("est")} DESC, vec_id) AS rk
+    FROM scored_raw) WHERE rk <= $TopK
+), cut_residual AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("est")} DESC, vec_id) AS rk
+    FROM scored_residual) WHERE rk <= $TopK
+), hits_raw AS (
+  SELECT COUNT(*) AS c FROM cut_raw JOIN dcut USING (query_id, vec_id)
+), hits_residual AS (
+  SELECT COUNT(*) AS c
+  FROM cut_residual JOIN dcut USING (query_id, vec_id)
+)
+${armSql("raw")}
+UNION ALL
+${armSql("residual")}
+ORDER BY variant"""
+  }
 
   // ------------------------------------------------------------------
   // sim_mips — maximum-inner-product top-k via norm augmentation

@@ -647,6 +647,163 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_rerank_tuning: recall and reads are monotone in C, reads " +
+    "are bounded by the dial, and the shipped C row IS sim_ivfpq_rerank") {
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    val rows = Similarity.simRerankTuning(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == S.RerankTuneCs)
+    // the monotonicity theorem: hits(C) = |candidates_C ∩ global
+    // top-k| is non-decreasing in C (and so are the raw reads)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3, s"recall fell from C=${a._1} to ${b._1}")
+        assert(a._2 <= b._2, s"reads fell from C=${a._1} to ${b._1}")
+      case _ => ()
+    }
+    // stage 2 reads at most C raw vectors per query — the dial bound
+    rows.foreach { case (c, reads, _, _) =>
+      assert(reads <= c.toLong * S.NQueries,
+        s"C=$c read $reads raw vectors")
+    }
+    // the C = RerankC row is the shipped production dial: its recall
+    // must equal what sim_ivfpq_rerank's own output scores against
+    // the brute-force ground truth
+    val bf = Similarity.simBruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.simIvfPqRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = (bf & rr).size
+    val prod = rows.find(_._1 == S.RerankC).get
+    assert(prod._3 == hits.toLong)
+    assert(prod._4 == graft.functions.Determinism.r6Jvm(
+      hits.toDouble / (S.NQueries * S.TopK)))
+  }
+
+  test("sim_ivfpq_residual equals a full local recompute (trained " +
+    "cells, residual codebooks, coarse-term ADC) and the exhaustive " +
+    "probe can only improve the top score") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def subOf(v: Array[Double], b: Int): Array[Double] =
+      v.slice(b * S.PqSubDim, (b + 1) * S.PqSubDim)
+    // local Lloyd mirror (L2 assign, smallest-dist-then-smallest-cent
+    // ties, KmFp fixed-point means) — any dimension
+    def assign(subs: Map[Long, Array[Double]],
+        cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      subs.map { case (id, v) =>
+        val nrm = dot(v, v)
+        id -> cents.map { case (c, cv) =>
+          (nrm - 2.0 * dot(v, cv) + dot(cv, cv), c) }.min._2
+      }
+    def update(subs: Map[Long, Array[Double]], asg: Map[Long, Long],
+        dim: Int): Seq[(Long, Array[Double])] =
+      asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, m) =>
+        val members = m.keys.toSeq.map(subs)
+        val n = members.size
+        cid -> (0 until dim).map { p =>
+          val s = members.map(v =>
+            math.floor(v(p) * S.KmFp + 0.5).toLong).sum
+          s.toDouble / (n.toDouble * S.KmFp)
+        }.toArray
+      }
+    // trained coarse quantizer: KmIters Lloyd rounds from the IVF seeds
+    var icents: Seq[(Long, Array[Double])] =
+      (S.NQueries.toLong until (S.NQueries + S.IvfCells).toLong)
+        .filter(vecs.contains).map(id => id -> vecs(id))
+    for (_ <- 1 to S.KmIters)
+      icents = update(vecs, assign(vecs, icents), S.Dim)
+    // serving cell: cosine argmax over the TRAINED cells, ties → lowest
+    def cs(v: Array[Double], c: Array[Double]): Double =
+      dot(v, c) / math.sqrt(dot(v, v) * dot(c, c))
+    val cellOf = vecs.map { case (id, v) =>
+      id -> -icents.map { case (cid, cv) => (cs(v, cv), -cid) }.max._2
+    }
+    def probesOf(q: Long, probe: Int): Set[Long] =
+      icents.map { case (cid, cv) => (cs(vecs(q), cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(probe).map(_._2)
+        .toSet
+    val centOf = icents.toMap
+    // residuals vs the trained cell means; codebooks seeded at
+    // RpqSeedBase (the raw-PQ seeds are the IVF seeds, whose residuals
+    // would be zero only for SAMPLED cells — still kept disjoint)
+    val resid = vecs.map { case (id, v) =>
+      val c = centOf(cellOf(id))
+      id -> v.indices.map(i => v(i) - c(i)).toArray
+    }
+    val blocks = (0 until S.PqM).map { b =>
+      val subs = resid.map { case (id, r) => id -> subOf(r, b) }
+      var cb: Seq[(Long, Array[Double])] =
+        (S.RpqSeedBase.toLong until (S.RpqSeedBase + S.PqK).toLong)
+          .filter(subs.contains).map(id => id -> subs(id))
+      for (_ <- 1 to S.PqIters)
+        cb = update(subs, assign(subs, cb), S.PqSubDim)
+      (cb.toMap, assign(subs, cb))
+    }
+    def adcOf(q: Long, d: Long): Double = {
+      val coarse = dot(vecs(q), centOf(cellOf(d)))
+      (0 until S.PqM).foldLeft(coarse) { (acc, b) =>
+        acc + dot(subOf(vecs(q), b), blocks(b)._1(blocks(b)._2(d)))
+      }
+    }
+    def localRank(q: Long, probe: Int): Seq[(Long, Double)] = {
+      val cells = probesOf(q, probe)
+      vecs.keys.filter(d => d != q && cells.contains(cellOf(d)))
+        .toSeq.map(d => (d, r6Jvm(adcOf(q, d))))
+        .sortBy { case (d, a) => (-a, d) }.take(S.TopK)
+    }
+    val queries = (0L until S.NQueries.toLong).filter(vecs.contains)
+    val rows = Similarity.simIvfPqResidual(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = queries.flatMap { q =>
+      localRank(q, S.IvfProbe).zipWithIndex.map { case ((d, a), i) =>
+        (q, i + 1, d, a)
+      }
+    }
+    assert(rows.toSeq == want.toSeq,
+      "served residual IVF+PQ ranking diverges from the local recompute")
+    // probing MORE cells can only raise (or keep) the best ADC score
+    val exhaustive = Similarity
+      .simIvfPqResidualCfg(spark, dir, probe = S.IvfCells).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, _, a) =>
+      assert(exhaustive(q) >= a,
+        s"exhaustive top-1 worse than probed at query $q")
+    }
+  }
+
+  test("sim_residual_gain: equal pair counts, and residual codes beat " +
+    "raw codes on mean quantization error at equal bytes") {
+    val rows = Similarity.simResidualGain(spark, sf("sf0.001")).collect()
+    assert(rows.length == 2)
+    val byV = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_abs_err"))).toMap
+    assert(byV.keySet == Set("raw", "residual"))
+    // both variants score the identical full-corpus pair set
+    assert(byV("raw")._1 == byV("residual")._1)
+    // the claim residual encoding ships on: quantizing x − c_cell(x)
+    // against TRAINED cells estimates the inner product closer than
+    // quantizing x itself, at the same 4 codes/vector. (recall@5 is
+    // too coarse to pin at 8 queries — it flipped between fixture SFs;
+    // SCALE.md records both readings.)
+    assert(byV("residual")._2 < byV("raw")._2,
+      s"residual mean_abs_err ${byV("residual")._2} not below raw " +
+        s"${byV("raw")._2}")
+  }
+
   test("sim_rp equals a full local JL-projection recompute") {
     import graft.functions.Determinism.r6Jvm
     import graft.operators.{Similarity => S}
