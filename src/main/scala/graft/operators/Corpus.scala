@@ -928,7 +928,22 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
     * Emits counts + md5/length of the scrubbed text, not the text —
     * the downstream contract is content-addressable.
     */
-  def cpScrubSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared scrub core — tokenized docs (doc_id, toks), the token
+    * stream (doc_id, i, tok), and the DISTINCT covered positions
+    * (doc_id, i) of every ≥[[ScrubMinOccurrences]]-occurrence
+    * word-[[ScrubN]]-gram. ONE copy for the flat scrub
+    * ([[cpScrubSpans]]) and the maximal-span form
+    * ([[cpScrubMaximal]]); the two queries differ only in how they
+    * REPORT the identical covered set.
+    */
+  /** The scrub tier's shared streams — tokenized docs (doc_id, toks),
+    * the token stream (doc_id, i, tok), and the positional gram-hash
+    * stream (doc_id, gpos, h). Text is read and hashed ONCE per
+    * consumer query; every scrub variant differs only in which gram
+    * WINDOWS it marks for removal.
+    */
+  private def scrubStreams(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val n = ScrubN
     val d = docs(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
@@ -944,6 +959,13 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
       posexplode(graft.functions.WordGramHashes
         .gramsAll(lower(col("text")), n, modded = false))
         .as(Seq("gpos", "h")))
+    (d, tokRows, gramRows)
+  }
+
+  private def scrubCore(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val n = ScrubN
+    val (d, tokRows, gramRows) = scrubStreams(spark, sfDir)
     // occurrence counts as a window over h: text is read and hashed
     // ONCE, and the one shuffle carries the (doc, pos, hash) stream.
     // The groupBy-heavy-set + broadcast-join-back alternative narrows
@@ -957,6 +979,15 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("i"))
       .distinct()
+    (d, tokRows, covered)
+  }
+
+  /** Shared report tail — kept-token reassembly (order-pinned
+    * collect) + the per-doc count/hash columns. Identical output
+    * shape for every scrub REMOVAL policy.
+    */
+  private def scrubReport(d: DataFrame, tokRows: DataFrame,
+      covered: DataFrame): DataFrame = {
     val kept = tokRows.join(covered, Seq("doc_id", "i"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -972,11 +1003,18 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
       .orderBy(col("doc_id"))
   }
 
-  lazy val cpScrubSpansSql: String = {
+  def cpScrubSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val (d, tokRows, covered) = scrubCore(spark, sfDir)
+    scrubReport(d, tokRows, covered)
+  }
+
+  /** Oracle twin of [[scrubStreams]] — the shared `d` / `tokrows` /
+    * `grams` / `hg` CTE prefix, ONE copy for every scrub variant.
+    */
+  private lazy val scrubStreamCtesSql: String = {
     val n = ScrubN
     val gram = (0 until n).map(k => s"t[j+$k]").mkString(" || ' ' || ")
-    s"""
-WITH d AS (
+    s"""d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
 ), tokrows AS (
@@ -988,15 +1026,30 @@ WITH d AS (
   FROM d
 ), hg AS (
   SELECT doc_id, gpos, ${md5LongSql("gram")} AS h FROM grams
-), marked AS (
+)"""
+  }
+
+  /** Oracle twin of [[scrubCore]] — [[scrubStreamCtesSql]] plus the
+    * all-occurrences `marked` / `cov` covered set, ONE copy for the
+    * flat scrub and the maximal-span report.
+    */
+  private lazy val scrubCtesSql: String = {
+    val n = ScrubN
+    s"""$scrubStreamCtesSql, marked AS (
   SELECT doc_id, gpos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM hg
 ), cov AS (
   SELECT DISTINCT m.doc_id, m.gpos + r.off AS i
   FROM marked m, range(0, $n) r(off)
   WHERE m.cnt >= $ScrubMinOccurrences
-), kept AS (
+)"""
+  }
+
+  /** Oracle twin of [[scrubReport]] over a covered-positions CTE —
+    * the kept/reassemble tail every scrub variant shares.
+    */
+  private def scrubReportSql(cov: String): String = s"""kept AS (
   SELECT t.doc_id, t.i, t.tok FROM tokrows t
-  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+  LEFT JOIN $cov c ON c.doc_id = t.doc_id AND c.i = t.i
   WHERE c.doc_id IS NULL
 ), ka AS (
   SELECT doc_id, COUNT(*) AS n_kept,
@@ -1008,6 +1061,149 @@ SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
   CAST(length(COALESCE(ka.s, '')) AS INTEGER) AS scrubbed_chars,
   md5(COALESCE(ka.s, '')) AS scrubbed_md5
 FROM d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id"""
+
+  lazy val cpScrubSpansSql: String =
+    s"""
+WITH $scrubCtesSql, ${scrubReportSql("cov")}"""
+
+  // ------------------------------------------------------------------
+  // cp_scrub_maximal — coalesce duplicated grams into MAXIMAL spans
+  // ------------------------------------------------------------------
+
+  /** The Lee-et-al exact-substring-dedup reporting contract on the
+    * same covered set: adjacent/overlapping duplicated
+    * word-[[ScrubN]]-grams are coalesced into MAXIMAL per-doc spans
+    * BEFORE removal, so a repeated passage excises as ONE span
+    * (start–end) instead of a pile of overlapping gram windows — the
+    * structure an engineer audits ("what passages got cut?") and the
+    * unit a keep-first policy would operate on. The covered TOKEN set
+    * is identical to [[cpScrubSpans]] by construction (a union of
+    * intervals equals the union of its coalesced intervals), so
+    * n_removed and the reassembled text hash match the flat scrub
+    * row for row — CorpusSpec pins both, plus the one-span excision.
+    *
+    * Shape: span coalescing is the classic gaps-and-islands rewrite —
+    * island id = i − row_number() over (doc, i) — so the only step on
+    * top of the shared [[scrubCore]] is a per-doc window over COVERED
+    * positions (bounded by doc length, partitioned by doc_id: no
+    * global window, nothing quadratic) and two doc-grain groupBys.
+    * Span strings assemble inside the aggregate via the order-pinned
+    * `array_sort(collect_list(struct))` idiom.
+    */
+  def cpScrubMaximal(spark: SparkSession, sfDir: String): DataFrame = {
+    val (d, tokRows, covered) = scrubCore(spark, sfDir)
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = covered
+      .withColumn("isl", col("i") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("n_removed"),
+        concat_ws(";", transform(
+          array_sort(collect_list(struct(col("s"), col("e")))),
+          t => concat(t.getField("s").cast("string"), lit("-"),
+            t.getField("e").cast("string")))).as("spans"))
+    val kept = tokRows.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("i"), col("tok")))),
+        s => s.getField("tok"))).as("s2"))
+    d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("spans"), lit("")).as("spans"),
+        md5(coalesce(col("s2"), lit(""))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val cpScrubMaximalSql: String = s"""
+WITH $scrubCtesSql, isl AS (
+  SELECT doc_id, i,
+    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM cov
+), spans AS (
+  SELECT doc_id, isl, MIN(i) AS s, MAX(i) AS e
+  FROM isl GROUP BY doc_id, isl
+), perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+    string_agg(s || '-' || e, ';' ORDER BY s) AS spans
+  FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tokrows t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i
+  WHERE c.doc_id IS NULL
+), ka AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS s2
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+  COALESCE(p.spans, '') AS spans,
+  md5(COALESCE(ka.s2, '')) AS scrubbed_md5
+FROM d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN ka USING (doc_id)
+ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------------
+  // cp_scrub_keepfirst — keep ONE occurrence of each duplicated span
+  // ------------------------------------------------------------------
+
+  /** The keep-first removal policy — what Lee et al.'s exact substring
+    * dedup actually does (and the variant [[cpScrubSpans]]' contract
+    * note promises): a duplicated word-[[ScrubN]]-gram's FIRST
+    * corpus-wide occurrence (smallest (doc_id, gpos) — a total order:
+    * the pair is unique per gram row) KEEPS its window; every later
+    * occurrence's window is removed. Content survives exactly once
+    * instead of vanishing corpus-wide — the policy a training-corpus
+    * curator wants when boilerplate is still *information* the first
+    * time it appears.
+    *
+    * One delta from the flat scrub's plan: the marking window gains an
+    * ORDER BY ((doc_id, gpos) inside the same PARTITION BY h), turning
+    * COUNT(*) into row_number() — occurrence rank ≥ 2 ⟹ scrub. Same
+    * single (doc, pos, hash) shuffle, same anti-join + reassembly tail
+    * ([[scrubReport]], one copy). A position covered by a LATER
+    * occurrence of one gram but only first occurrences of others is
+    * still removed (the union-of-marked-windows contract, unchanged).
+    *
+    * Scale note: ORDER BY inside the h-partition makes the window a
+    * sort-window rather than an unbounded aggregate, but the partition
+    * is the gram's occurrence list — bounded by that gram's corpus
+    * frequency, and the heavy tail is exactly the boilerplate this
+    * operator exists to find (C4 caps nothing here either; a guard
+    * would be the LshMaxBucket pattern if a soak ever showed the
+    * sort-partition cliff).
+    */
+  def cpScrubKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = ScrubN
+    val (d, tokRows, gramRows) = scrubStreams(spark, sfDir)
+    val wOcc = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("gpos"))
+    val covered = gramRows.withColumn("occ", row_number().over(wOcc))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("i"))
+      .distinct()
+    scrubReport(d, tokRows, covered)
+  }
+
+  lazy val cpScrubKeepFirstSql: String = {
+    val n = ScrubN
+    s"""
+WITH $scrubStreamCtesSql, markedk AS (
+  SELECT doc_id, gpos, row_number() OVER (PARTITION BY h
+    ORDER BY doc_id, gpos) AS occ
+  FROM hg
+), covk AS (
+  SELECT DISTINCT m.doc_id, m.gpos + r.off AS i
+  FROM markedk m, range(0, $n) r(off)
+  WHERE m.occ >= 2
+), ${scrubReportSql("covk")}"""
   }
 
   // ------------------------------------------------------------------

@@ -423,6 +423,128 @@ class CorpusSpec extends SparkSpec {
     assert(rows(3L).getString(4) == md5hex("tail1 tail2"))
     assert(rows(4L).getString(4) == md5hex("other1 other2"))
   }
+  test("cp_scrub_maximal: a repeated passage excises as ONE maximal " +
+    "span, adjacent islands coalesce, and the covered set is exactly " +
+    "cp_scrub_spans'") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_scrubmax_").toString
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val blockA = (1 to 8).map(i => s"s$i").mkString(" ")
+    val blockB = (1 to 8).map(i => s"t$i").mkString(" ")
+    Seq(
+      (0L, s"a1 a2 a3 $passage z1 z2 z3"), // passage at tokens 3..14
+      (1L, s"$passage w1 w2"),             // the duplicating copy
+      (2L, "one two three"),               // < 8 tokens: untouched
+      (3L, s"$blockA g1 g2 $blockB"),      // TWO separated spans
+      (4L, s"$blockA h1 h2 h3 $blockB"),   // the duplicating copy
+      (5L, s"$blockA $blockB"))            // adjacent spans → ONE
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Corpus.cpScrubMaximal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // the headline contract: a 12-token repeated passage (5 ≥2×
+    // 8-grams, all overlapping) reports as ONE maximal span, not 5
+    // gram windows
+    assert(rows(0L).getAs[Long]("n_spans") == 1)
+    assert(rows(0L).getAs[String]("spans") == "3-14")
+    assert(rows(0L).getAs[Long]("n_removed") == 12)
+    assert(rows(0L).getAs[String]("scrubbed_md5") ==
+      md5hex("a1 a2 a3 z1 z2 z3"))
+    assert(rows(1L).getAs[String]("spans") == "0-11")
+    // untouched doc: zero spans, empty span list
+    assert(rows(2L).getAs[Long]("n_spans") == 0)
+    assert(rows(2L).getAs[String]("spans") == "")
+    // two separated duplicated blocks stay two spans, in order
+    assert(rows(3L).getAs[Long]("n_spans") == 2)
+    assert(rows(3L).getAs[String]("spans") == "0-7;10-17")
+    assert(rows(3L).getAs[String]("scrubbed_md5") == md5hex("g1 g2"))
+    // ADJACENT duplicated blocks coalesce into one maximal span
+    assert(rows(5L).getAs[Long]("n_spans") == 1)
+    assert(rows(5L).getAs[String]("spans") == "0-15")
+    // covered-set equality with the flat scrub, on the synthetic dir
+    // AND the fixture: same n_removed and same reassembled text hash
+    // per doc (the union of intervals == union of coalesced intervals)
+    Seq(dir, sf("sf0.001")).foreach { d =>
+      val flat = Corpus.cpScrubSpans(spark, d).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_removed"), r.getAs[String]("scrubbed_md5")))
+        .toMap
+      Corpus.cpScrubMaximal(spark, d).collect().foreach { r =>
+        val (nr, h) = flat(r.getLong(0))
+        assert(r.getAs[Long]("n_removed") == nr, s"doc ${r.getLong(0)}")
+        assert(r.getAs[String]("scrubbed_md5") == h, s"doc ${r.getLong(0)}")
+        // structural sanity: spans are disjoint, non-adjacent, each
+        // ≥ ScrubN long, and their lengths sum to n_removed
+        val sp = r.getAs[String]("spans")
+        val ivs = if (sp.isEmpty) Seq.empty else sp.split(";").toSeq
+          .map { s => val Array(a, b) = s.split("-"); (a.toLong, b.toLong) }
+        assert(ivs.size.toLong == r.getAs[Long]("n_spans"))
+        assert(ivs.map { case (a, b) => b - a + 1 }.sum ==
+          r.getAs[Long]("n_removed"))
+        ivs.foreach { case (a, b) =>
+          assert(b - a + 1 >= Corpus.ScrubN.toLong) }
+        ivs.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 > e1 + 1,
+            s"uncoalesced adjacency in doc ${r.getLong(0)}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("cp_scrub_keepfirst: the first corpus-wide occurrence survives, " +
+    "later occurrences scrub, and removal is never more than the flat " +
+    "scrub's") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_scrubkf_").toString
+    val blockA = (1 to 8).map(i => s"s$i").mkString(" ")
+    Seq(
+      (0L, "a b c d e f g h i j"), // first occurrence of every gram
+      (1L, "a b c d e f g h i j"), // exact dup → fully scrubbed
+      (2L, s"$blockA tail1 tail2"), // first occurrence of blockA
+      (3L, s"$blockA other1 other2")) // later occurrence → scrubbed
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Corpus.cpScrubKeepFirst(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // the policy: doc 0 holds every gram's FIRST occurrence → intact;
+    // doc 1 is all later occurrences → fully scrubbed (content
+    // survives exactly once, unlike cp_scrub_spans where BOTH vanish)
+    assert(rows(0L).getAs[Long]("n_removed") == 0)
+    assert(rows(0L).getAs[String]("scrubbed_md5") ==
+      md5hex("a b c d e f g h i j"))
+    assert(rows(1L).getAs[Long]("n_removed") == 10)
+    assert(rows(1L).getAs[String]("scrubbed_md5") == md5hex(""))
+    // shared block: kept in the lower doc_id, scrubbed in the higher
+    assert(rows(2L).getAs[Long]("n_removed") == 0)
+    assert(rows(3L).getAs[Long]("n_removed") == 8)
+    assert(rows(3L).getAs[String]("scrubbed_md5") ==
+      md5hex("other1 other2"))
+    // dominance on the fixture: keep-first removes a SUBSET of the
+    // flat scrub's positions in every doc (same marked grams minus
+    // the first occurrences)
+    val flat = Corpus.cpScrubSpans(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    var strictlyFewer = 0
+    Corpus.cpScrubKeepFirst(spark, sf("sf0.001")).collect().foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= flat(r.getLong(0)),
+        s"doc ${r.getLong(0)} removed more than the flat scrub")
+      if (r.getAs[Long]("n_removed") < flat(r.getLong(0)))
+        strictlyFewer += 1
+    }
+    // and the policy genuinely bites on the fixture (some first
+    // occurrences survive)
+    assert(strictlyFewer > 0)
+  }
+
   test("cp_decontam_embed flags exactly the brute-force cosine neighbors") {
     val vecs = graft.operators.Dedup.embeddings(spark, sf("sf0.001"))
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")

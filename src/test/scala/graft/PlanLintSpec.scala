@@ -101,6 +101,16 @@ class PlanLintSpec extends SparkSpec {
     // sim_ivfpq_ann / _rerank: per-block LUTs cross-join the 8-row
     // trained codebooks (constant by construction, the sim_pq shape)
     "sim_ivfpq_ann", "sim_ivfpq_rerank",
+    // sim_ivfpq_residual: the same 8-row codebook LUT cross-joins plus
+    // the queries × ≤IvfCells coarse-term table (both constant)
+    "sim_ivfpq_residual",
+    // sim_rerank_tuning: the ivfpq LUT cross-joins + per-arm 1-row
+    // raw-reads aggregates crossed into the census rows
+    "sim_rerank_tuning",
+    // sim_residual_gain: the NQueries-row query side against the code
+    // tables (the sim_pq_adc audit shape) + 1-row hit/err aggregates
+    // crossed into the census row
+    "sim_residual_gain",
     "sim_hard_negatives", "sim_mrl",
     // sim_kcenter: each round's carry joins ONE 1-row broadcast center;
     // the census joins the 8-row center table
