@@ -30,12 +30,19 @@ object Bench {
   private def calibrate(spark: SparkSession): Seq[Double] =
     (0 to CalibReps).map { rep =>
       val t0 = System.nanoTime()
-      spark.range(0L, CalibRows, 1L, 16)
-        .select(xxhash64(col("id")).as("h"), (col("id") % 256).as("g"))
-        .groupBy(col("g")).agg(sum(col("h")).as("s"))
-        .agg(sum(col("s")), count(lit(1)))
-        .queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      // hash mod 2^20 keeps the ANSI-mode sum far from int64 overflow
+      // (2^25 rows × 2^20 max ≪ 2^63); a raw xxhash64 sum overflowed
+      // and killed the whole bench on first ship
+      val ok = try {
+        spark.range(0L, CalibRows, 1L, 16)
+          .select((xxhash64(col("id")) % 1048576).as("h"),
+            (col("id") % 256).as("g"))
+          .groupBy(col("g")).agg(sum(col("h")).as("s"))
+          .agg(sum(col("s")), count(lit(1)))
+          .queryExecution.toRdd.count()
+        true
+      } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }.drop(1) // rep 0 is the untimed-in-spirit codegen warm-up
 
   private def minMed(s: Seq[Double]): (Double, Double) = {
