@@ -1301,29 +1301,7 @@ ORDER BY s.query_id"""
   private[graft] def simIvfPqRerankCfg(spark: SparkSession,
       sfDir: String, probe: Int, c: Int): DataFrame = {
     val vecs = base(spark, sfDir).cache()
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(r6(col("adc")).desc, col("vec_id"))
-    val cand = ivfPqScored(vecs, probe)
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= c)
-      .select(col("query_id"), col("vec_id"))
-    val q = vecs.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val cos = DotProduct.dot(col("qv"), col("v")) /
-      sqrt(col("qn") * col("nrm"))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("c2").desc, col("vec_id"))
-    cand
-      .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
-        Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), cos.as("c2"))
-      .withColumn("rank", row_number().over(wC))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), r6(col("c2")).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankTail(vecs, ivfPqScored(vecs, probe), c)
   }
 
   /** Oracle twin of [[ivfPqScored]] — CTEs through `scoredadc`
@@ -1628,6 +1606,101 @@ ORDER BY query_id, rank"""
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
   ${r6Sql("adc")} AS adc
 FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
+  // ------------------------------------------------------------------
+  // sim_residual_rerank — the full FAISS deployment: residual index
+  // proposes, exact cosine finishes
+  // ------------------------------------------------------------------
+
+  /** The composition a production vector stack actually deploys end
+    * to end: the RESIDUAL-encoded IVF+PQ index
+    * ([[simIvfPqResidual]]'s candidate stream — trained cells,
+    * residual codes, coarse-term ADC) proposes the top [[RerankC]]
+    * candidates per query, and exact cosine over their raw vectors
+    * decides the final top-[[TopK]] — [[simIvfPqRerank]]'s second
+    * stage verbatim, ONE shared tail.
+    *
+    * Exhaustive contract (spec-pinned, the same theorem as the
+    * raw-code rerank): at probe = [[IvfCells]] and an uncapped C the
+    * candidate set is every non-self vector, so the exact rerank IS
+    * brute force — row-identical to [[simBruteforceTopk]]; the ADC
+    * estimator (raw or residual) decides only WHICH candidates
+    * surface, never a final score.
+    *
+    * Scale shape: stage 1 is sim_ivfpq_residual's (codes + cell id at
+    * rest, broadcast LUTs + coarse table, probe equi-join); stage 2
+    * touches exactly queries × C raw vectors via an equi-join on
+    * vec_id — the only full-width vector reads in the path.
+    */
+  def simResidualRerank(spark: SparkSession, sfDir: String): DataFrame =
+    simResidualRerankCfg(spark, sfDir, IvfProbe, RerankC)
+
+  private[graft] def simResidualRerankCfg(spark: SparkSession,
+      sfDir: String, probe: Int, c: Int): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    rerankTail(vecs, ivfPqResidScored(vecs, probe), c)
+  }
+
+  /** The shared exact-rerank tail: cut the candidate stream to its
+    * top `c` by r6'd ADC (vec_id ties), re-score those raw vectors
+    * with exact cosine, return the final top-[[TopK]]. ONE copy for
+    * the raw-code and residual-code deployments.
+    */
+  private def rerankTail(vecs: DataFrame, scored: DataFrame,
+      c: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+    val cand = scored
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= c)
+      .select(col("query_id"), col("vec_id"))
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cos = DotProduct.dot(col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("c2").desc, col("vec_id"))
+    cand
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("c2"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), r6(col("c2")).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val simResidualRerankSql: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), ${residCtesSql(IvfProbe)}, cand_rr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rk
+    FROM scoredadc_rq) WHERE rk <= $RerankC
+), rr AS (
+  SELECT c.query_id, c.vec_id,
+    ${dotSql("nq.v", "nv.v")} / sqrt(nq.nrm * nv.nrm) AS c2
+  FROM cand_rr c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.vec_id
+), rranked AS (
+  SELECT query_id, vec_id, c2,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c2 DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+  ${r6Sql("c2")} AS cosine
+FROM rranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
 
   // ------------------------------------------------------------------

@@ -107,6 +107,9 @@ class PlanLintSpec extends SparkSpec {
     // sim_rerank_tuning: the ivfpq LUT cross-joins + per-arm 1-row
     // raw-reads aggregates crossed into the census rows
     "sim_rerank_tuning",
+    // sim_residual_rerank: sim_ivfpq_residual's codebook/coarse-table
+    // cross-joins feeding the shared rerank tail
+    "sim_residual_rerank",
     // sim_residual_gain: the NQueries-row query side against the code
     // tables (the sim_pq_adc audit shape) + 1-row hit/err aggregates
     // crossed into the census row

@@ -647,6 +647,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_residual_rerank: the exhaustive dial IS brute force, and " +
+    "the shipped dial serves exact-cosine-ordered results") {
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    // the theorem carries over from the raw-code rerank unchanged:
+    // with every cell probed and the cap lifted the candidate set is
+    // every non-self vector, and the exact rerank over everything is
+    // brute force — the RESIDUAL estimator decides only candidacy
+    val bf = Similarity.simBruteforceTopk(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val exh = Similarity
+      .simResidualRerankCfg(spark, dir, S.IvfCells, Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(exh == bf, "exhaustive residual rerank must equal brute force")
+    // shipped dial: dense ranks, TopK rows per query, exact scores
+    // monotone down each ranking, and the top-1 never beats truth
+    val rows = Similarity.simResidualRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == S.NQueries)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to S.TopK))
+      assert(rs.sortBy(_._2).map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    val truth = bf.filter(_(1) == 1)
+      .map(r => r(0).asInstanceOf[Long] -> r(3).asInstanceOf[Double])
+      .toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, _, c) =>
+      assert(c <= truth(q), s"residual rerank top-1 beat brute force at $q?!")
+    }
+  }
+
   test("sim_rerank_tuning: recall and reads are monotone in C, reads " +
     "are bounded by the dial, and the shipped C row IS sim_ivfpq_rerank") {
     import graft.operators.{Similarity => S}
