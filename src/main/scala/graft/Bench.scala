@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+import scala.util.control.NonFatal
 object Bench {
 
   /** Iterations per query; the reported number is the per-query MIN, so
@@ -33,6 +34,8 @@ object Bench {
       // hash mod 2^20 keeps the ANSI-mode sum far from int64 overflow
       // (2^25 rows × 2^20 max ≪ 2^63); a raw xxhash64 sum overflowed
       // and killed the whole bench on first ship
+      // NonFatal ONLY: a fatal error (OOM, linkage) must kill the
+      // bench loudly, not masquerade as one slow calibration rep
       val ok = try {
         spark.range(0L, CalibRows, 1L, 16)
           .select((xxhash64(col("id")) % 1048576).as("h"),
@@ -41,12 +44,17 @@ object Bench {
           .agg(sum(col("s")), count(lit(1)))
           .queryExecution.toRdd.count()
         true
-      } catch { case _: Throwable => false }
+      } catch { case NonFatal(_) => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }.drop(1) // rep 0 is the untimed-in-spirit codegen warm-up
 
+  /** min/median over the VALID samples only — a failed rep's -1.0
+    * sentinel must not sort to the front and poison the calibration
+    * anchor the driver normalizes by; failures are counted separately
+    * (`calib_fails` in the JSON).
+    */
   private def minMed(s: Seq[Double]): (Double, Double) = {
-    val so = s.sorted
+    val so = s.filter(_ >= 0.0).sorted
     if (so.isEmpty) (-1.0, -1.0) else (so.head, so(so.size / 2))
   }
 
@@ -171,9 +179,25 @@ object Bench {
       val s = samples(n)
       if (s.isEmpty) 0.0 else s.sorted.apply(s.size / 2)
     }.sum
-    val calib = s""""calib_start":{"min":$csMin,"med":$csMed},"calib_end":{"min":$ceMin,"med":$ceMed}"""
+    // Calibration-normalized per-query read (round-17 verdict item 5):
+    // the anchor is the run's best valid calibration sample — the
+    // box's demonstrated quiet-case speed for a fixed constant-work
+    // plan. queries_norm = per-query min ÷ anchor, a dimensionless
+    // "multiples of the probe" number that is comparable ACROSS
+    // rounds/boxes without a quiet-box re-run: if a query's norm is
+    // flat while its raw seconds moved, the delta was box state, not
+    // a plan change (BASELINE.md documents the read).
+    val calibAll = (calibStart ++ calibEnd).filter(_ >= 0.0)
+    val calibFails = (calibStart ++ calibEnd).count(_ < 0.0)
+    val anchor = if (calibAll.isEmpty) -1.0 else calibAll.min
+    val qsNorm = results.map { case (k, v) =>
+      val nv = if (anchor > 0 && v >= 0) math.round(v / anchor * 1000.0) / 1000.0
+        else -1.0
+      s"\"" + k + "\":" + nv
+    }.mkString("{", ",", "}")
+    val calib = s""""calib_start":{"min":$csMin,"med":$csMed},"calib_end":{"min":$ceMin,"med":$ceMed},"calib_anchor":$anchor,"calib_fails":$calibFails"""
     val order = if (parityLast) "parity_last" else "parity_first"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"parity_sec_med":$parityMed,"ext_sec":${total - parity},"iters":$Iters,"order":"$order",$calib,"load_before":"$loadBefore","load_after":"$loadAfter","queries":$qs,"stats":$stats,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","parity_sec":$parity,"parity_sec_med":$parityMed,"ext_sec":${total - parity},"iters":$Iters,"order":"$order",$calib,"load_before":"$loadBefore","load_after":"$loadAfter","queries":$qs,"queries_norm":$qsNorm,"stats":$stats,"sf":"$sfDir"}"""
     println(full)
     // The one-line-with-per-query-map contract stands, but bounded log
     // tails truncated it two rounds running (BENCH_r06/r07 "parsed":

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Subtraction is exact per element (no fold), so parity with the
   * oracle's `list_transform(range(...), i -> a[i] - b[i])` is
   * bitwise by IEEE-754, independent of partitioning.
+  *
+  * Length mismatch is a loud runtime ERROR, not a truncation: the
+  * oracle twin iterates `range(1, Dim+1)` and would emit NULL
+  * elements where a silently-truncating Spark side emits a shorter
+  * array — a latent hash-mismatch seam if the fixed-Dim embedding
+  * invariant ever broke. Divergence must surface as a failure.
   */
 case class VectorSub(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +49,11 @@ case class VectorSub(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
@@ -56,7 +66,12 @@ case class VectorSub(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val arr = ctx.freshName("arr")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |if ($a.numElements() != $b.numElements()) {
+        |  throw new IllegalArgumentException(
+        |    "graft_vsub: array length mismatch (" + $a.numElements() +
+        |    " vs " + $b.numElements() + ")");
+        |}
+        |int $n = $a.numElements();
         |double[] $arr = new double[$n];
         |for (int $i = 0; $i < $n; $i++) {
         |  $arr[$i] = $a.getDouble($i) - $b.getDouble($i);

@@ -928,14 +928,6 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
     * Emits counts + md5/length of the scrubbed text, not the text —
     * the downstream contract is content-addressable.
     */
-  /** Shared scrub core — tokenized docs (doc_id, toks), the token
-    * stream (doc_id, i, tok), and the DISTINCT covered positions
-    * (doc_id, i) of every ≥[[ScrubMinOccurrences]]-occurrence
-    * word-[[ScrubN]]-gram. ONE copy for the flat scrub
-    * ([[cpScrubSpans]]) and the maximal-span form
-    * ([[cpScrubMaximal]]); the two queries differ only in how they
-    * REPORT the identical covered set.
-    */
   /** The scrub tier's shared streams — tokenized docs (doc_id, toks),
     * the token stream (doc_id, i, tok), and the positional gram-hash
     * stream (doc_id, gpos, h). Text is read and hashed ONCE per
@@ -962,6 +954,14 @@ GROUP BY b.split, b.source ORDER BY b.split, b.source"""
     (d, tokRows, gramRows)
   }
 
+  /** Shared scrub core — tokenized docs (doc_id, toks), the token
+    * stream (doc_id, i, tok), and the DISTINCT covered positions
+    * (doc_id, i) of every ≥[[ScrubMinOccurrences]]-occurrence
+    * word-[[ScrubN]]-gram. ONE copy for the flat scrub
+    * ([[cpScrubSpans]]) and the maximal-span form
+    * ([[cpScrubMaximal]]); the two queries differ only in how they
+    * REPORT the identical covered set.
+    */
   private def scrubCore(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val n = ScrubN
@@ -1184,8 +1184,14 @@ ORDER BY d.doc_id"""
     val (d, tokRows, gramRows) = scrubStreams(spark, sfDir)
     val wOcc = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("gpos"))
+    // occurrence rank ≥ ScrubMinOccurrences ⟺ "not the first
+    // occurrence" while the threshold is 2 — the SAME constant the
+    // flat scrub counts against, so the documented "identical marked
+    // grams minus first occurrences" relationship (CorpusSpec's
+    // dominance pin) is coupled to it by construction, not by a
+    // duplicated literal
     val covered = gramRows.withColumn("occ", row_number().over(wOcc))
-      .filter(col("occ") >= 2)
+      .filter(col("occ") >= ScrubMinOccurrences)
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("i"))
       .distinct()
@@ -1202,7 +1208,7 @@ WITH $scrubStreamCtesSql, markedk AS (
 ), covk AS (
   SELECT DISTINCT m.doc_id, m.gpos + r.off AS i
   FROM markedk m, range(0, $n) r(off)
-  WHERE m.occ >= 2
+  WHERE m.occ >= $ScrubMinOccurrences
 ), ${scrubReportSql("covk")}"""
   }
 

@@ -914,6 +914,18 @@ ${out}_comp AS (
     * for the ADC audit, the composed IVF+PQ index, and the
     * residual-encoded variant. `subOf(b)` yields block b's
     * (vec_id, v, nrm) frame; seeds are vec_ids [seedLo, seedLo+PqK).
+    *
+    * Both outputs are PINNED with eager localCheckpoints (the
+    * [[trainedCents]] discipline): the codebook is ≤[[PqK]] rows yet
+    * its lineage is a full Lloyd pass, and an unpinned plan re-runs
+    * that chain once per consumer — the served ranking, the rerank
+    * tail, and each LUT all reference it, and the r17 driver measured
+    * sim_residual_rerank at 19.3 s min (vs ~10 s for the underlying
+    * index) from exactly this re-evaluation. The code table is
+    * corpus-keyed (one int per vector per block) — cheap at rest,
+    * expensive to re-derive. Values are bitwise-stable under the
+    * pinning: [[kmUpdate]] folds fixed-point integer sums, so eager
+    * materialization is hash-neutral by construction.
     */
   private def pqTrainOn(subOf: Int => DataFrame,
       seedLo: Int): Seq[(Int, DataFrame, DataFrame)] =
@@ -924,9 +936,11 @@ ${out}_comp AS (
         .select(col("vec_id").as("cent_id"), col("v").as("cv"),
           col("nrm").as("cn"))
       for (_ <- 1 to PqIters) cb = kmUpdate(kmAssign(sub, cb))
-      val codes = kmAssign(sub, cb)
+      val pinned = cb.localCheckpoint(true)
+      val codes = kmAssign(sub, pinned)
         .select(col("vec_id"), col("cell").as(s"cell_$b"))
-      (b, cb, codes)
+        .localCheckpoint(true)
+      (b, pinned, codes)
     }
 
   /** Raw-sub-vector PQ training (the sim_pq / sim_pq_adc /
@@ -1482,7 +1496,12 @@ ORDER BY query_id, rank"""
     // 0.100 at sf0.001); sim_residual_gain ships the trained-cell
     // measurement.
     val cents = trainedCents(vecs)
-    val resid = residFrame(vecs, cents)
+    // cached, not re-derived per block: the residual frame feeds all
+    // PqM training passes (seed filter + Lloyd + final assignment
+    // each) plus the candidate join below — ~a dozen evaluations of
+    // the assignment+broadcast-subtract chain without the cache. The
+    // first eager pqTrainOn checkpoint populates it.
+    val resid = residFrame(vecs, cents).cache()
     val trained = pqTrainOn(b => residSub(resid, b), RpqSeedBase)
     val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
     val q = vecs.filter(col("vec_id") < NQueries)
@@ -1866,7 +1885,7 @@ ORDER BY rerank_c"""
     // residual arm: est = q·c_cell + Σ_b residual-LUT_b, over the
     // TRAINED cells (see ivfPqResidScored's note)
     val cents = trainedCents(vecs)
-    val resid = residFrame(vecs, cents)
+    val resid = residFrame(vecs, cents).cache() // see ivfPqResidScored
     val resTrained = pqTrainOn(b => residSub(resid, b), RpqSeedBase)
     val resCodes = resTrained.map(_._3).reduce(_.join(_, Seq("vec_id")))
       .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
