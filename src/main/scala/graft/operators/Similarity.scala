@@ -265,12 +265,20 @@ ORDER BY query_id, rank"""
   }
 
   /** Probe list: the `probe` best cells per query vector (query_id,
-    * qv, qn, cell) — queries is any (query_id, qv, qn) table.
+    * qv, qn, cell) — queries is any (query_id, qv, qn) table. With
+    * `keepPr` the cell's probe RANK rides along, so a single
+    * widest-probe stream can serve every narrower probe arm by
+    * filtering `pr <= p` (the two-axis tuning grid's trick — cells
+    * partition vectors, so each (query, vector) candidate carries
+    * exactly one cell's rank).
     */
   private def ivfProbeList(queries: DataFrame, cents: DataFrame,
-      probe: Int): DataFrame = {
+      probe: Int, keepPr: Boolean = false): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("cent_id"))
+    val kept = Seq(col("query_id"), col("qv"), col("qn"),
+      col("cent_id").as("cell")) ++
+      (if (keepPr) Seq(col("pr")) else Nil)
     queries
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("qn"),
@@ -278,8 +286,7 @@ ORDER BY query_id, rank"""
           sqrt(col("qn") * col("cn"))).as("cs"), col("cent_id"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= probe)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("cent_id").as("cell"))
+      .select(kept: _*)
   }
 
   /** Shared IVF oracle core (e → n → cents → scored → assigned), ONE
@@ -1257,7 +1264,14 @@ ORDER BY s.query_id"""
     * ([[simIvfPqAnnCfg]]) and the exact-rerank tail
     * ([[simIvfPqRerankCfg]]).
     */
-  private def ivfPqScored(vecs: DataFrame, probe: Int): DataFrame = {
+  private def ivfPqScored(vecs: DataFrame, probe: Int): DataFrame =
+    ivfPqScoredPr(vecs, probe)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+
+  /** [[ivfPqScored]] with each candidate's probe rank `pr` kept — the
+    * widest-probe stream the two-axis tuning grid filters per arm.
+    */
+  private def ivfPqScoredPr(vecs: DataFrame, probe: Int): DataFrame = {
     val cents = vecs.filter(col("vec_id") >= NQueries &&
         col("vec_id") < NQueries + IvfCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
@@ -1266,8 +1280,8 @@ ORDER BY s.query_id"""
       .select(col("vec_id"), col("cell"))
     val probes = ivfProbeList(vecs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")), cents, probe)
-      .select(col("query_id"), col("cell"))
+        col("nrm").as("qn")), cents, probe, keepPr = true)
+      .select(col("query_id"), col("cell"), col("pr"))
     val trained = pqTrain(vecs)
     val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
     val q = vecs.filter(col("vec_id") < NQueries)
@@ -1275,19 +1289,30 @@ ORDER BY s.query_id"""
     val luts = pqLuts(q, trained)
     val cand = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("pr"))
       .join(codes, Seq("vec_id"))
     val pairs = luts.zipWithIndex.foldLeft(cand) { case (p, (l, b)) =>
       p.join(broadcast(l), Seq("query_id", s"cell_$b"))
     }
     val adc = ((col("l_0") + col("l_1")) + col("l_2")) + col("l_3")
-    pairs.select(col("query_id"), col("vec_id"), adc.as("adc"))
+    pairs.select(col("query_id"), col("vec_id"), adc.as("adc"),
+      col("pr"))
   }
 
   /** Exact-rerank candidate budget per query — the second stage reads
     * this many raw vectors, however large the corpus.
+    *
+    * Re-picked from the two-axis [[simRerankTuning]] grid (round 18,
+    * sf0.01): at probe = [[IvfProbe]] the recall-vs-C curve bends at
+    * C ≈ 50 (0.225 → 0.275 → 0.325 across C = 25/50/100 — beyond 50
+    * the probe-4 candidate pool is exhausted of true positives and
+    * the binding constraint flips from reads to proposals), while
+    * widening the probe only pays at C ≥ 50 (probe 8: 0.300 at 50,
+    * 0.475 at 100) — at DOUBLE the stage-1 scan fraction. C = 50 at
+    * the unchanged probe is the cheap knee: stage-2 cost is still
+    * queries × C (trivial at scale), stage-1 posture untouched.
     */
-  val RerankC = 25
+  val RerankC = 50
 
   /** RETRIEVE-THEN-RERANK — the standard recall repair on top of a
     * compressed index (every production vector stack runs this shape:
@@ -1318,11 +1343,16 @@ ORDER BY s.query_id"""
     rerankTail(vecs, ivfPqScored(vecs, probe), c)
   }
 
-  /** Oracle twin of [[ivfPqScored]] — CTEs through `scoredadc`
-    * (query_id, vec_id, adc), ONE copy for the direct ranking and the
-    * rerank tail.
+  /** Oracle twin of [[ivfPqScored]]/[[ivfPqScoredPr]] — CTEs through
+    * `scoredadc` (query_id, vec_id, adc[, pr]), ONE copy for the
+    * direct ranking, the rerank tail, and (probe-widened, with the
+    * probe rank kept) the two-axis tuning grid.
     */
-  private lazy val ivfPqScoredCtesSql: String = {
+  private def ivfPqScoredCtesSqlAt(probe: Int,
+      withPr: Boolean): String = {
+    val prSel = if (withPr) ", pr" else ""
+    val prCand = if (withPr) ", p.pr" else ""
+    val prAdc = if (withPr) ", c.pr" else ""
     val lutCtes = (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
@@ -1338,11 +1368,11 @@ ORDER BY s.query_id"""
   SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
   WHERE vec_id >= $NQueries AND vec_id < ${NQueries + IvfCells}
 ), ${ivfScoredAssignedSql("ipq", "icents")}, probes_ipq AS (
-  SELECT vec_id AS query_id, cent_id AS cell FROM (
+  SELECT vec_id AS query_id, cent_id AS cell$prSel FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY cs DESC, cent_id) AS pr
     FROM scored_ipq WHERE vec_id < $NQueries)
-  WHERE pr <= $IvfProbe
+  WHERE pr <= $probe
 ), codes AS (
   SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
     f2.cell AS cell_2, f3.cell AS cell_3
@@ -1353,12 +1383,12 @@ ORDER BY s.query_id"""
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
 ), $lutCtes, cand AS (
-  SELECT p.query_id, a.vec_id
+  SELECT p.query_id, a.vec_id$prCand
   FROM probes_ipq p JOIN assigned_ipq a
     ON a.cell = p.cell AND a.vec_id <> p.query_id
 ), scoredadc AS (
   SELECT c.query_id, c.vec_id,
-    ((l0.l_0 + l1.l_1) + l2.l_2) + l3.l_3 AS adc
+    ((l0.l_0 + l1.l_1) + l2.l_2) + l3.l_3 AS adc$prAdc
   FROM cand c
   JOIN codes cd ON cd.vec_id = c.vec_id
   JOIN lut0 l0 ON l0.query_id = c.query_id AND l0.cell_0 = cd.cell_0
@@ -1367,6 +1397,9 @@ ORDER BY s.query_id"""
   JOIN lut3 l3 ON l3.query_id = c.query_id AND l3.cell_3 = cd.cell_3
 )"""
   }
+
+  private lazy val ivfPqScoredCtesSql: String =
+    ivfPqScoredCtesSqlAt(IvfProbe, withPr = false)
 
   lazy val simIvfPqAnnSql: String = s"""WITH $ivfPqScoredCtesSql, ranked AS (
   SELECT query_id, vec_id, adc,
@@ -1537,33 +1570,39 @@ ORDER BY query_id, rank"""
     * probed residual-ADC stream `scoredadc_rq`. Assumes `e`, `n`, `q`
     * CTEs exist. ONE copy for the served ranking and the gain audit.
     */
-  private def residCtesSql(probe: Int): String = {
-    val blockCtes = (0 until PqM).map { b =>
+  /** Per-block PQ training chain CTEs over a (vec_id, …, r) frame
+    * `src`: sub-slices `${pfx}sub$b`, seeds, Lloyd rounds, and the
+    * final assignment `${pfx}fin$b` — ONE copy for the residual
+    * codes (pfx "r", src "resid") and the OPQ-rotated codes
+    * (pfx "o", src "rres").
+    */
+  private def pqBlockTrainSql(src: String, pfx: String): String =
+    (0 until PqM).map { b =>
       val lo = b * PqSubDim + 1
       val hi = (b + 1) * PqSubDim
       val rounds = (1 to PqIters).map { i =>
-        val prev = if (i == 1) s"rseeds$b" else s"rb${b}c${i - 1}"
-        kmAssignSql(s"rb${b}a$i", prev, s"rsub$b") + "," +
-          kmUpdateSql(s"rb${b}c$i", s"rb${b}a$i", PqSubDim)
+        val prev = if (i == 1) s"${pfx}seeds$b" else s"${pfx}b${b}c${i - 1}"
+        kmAssignSql(s"${pfx}b${b}a$i", prev, s"${pfx}sub$b") + "," +
+          kmUpdateSql(s"${pfx}b${b}c$i", s"${pfx}b${b}a$i", PqSubDim)
       }.mkString(",")
-      s"""rsub$b AS (
+      s"""${pfx}sub$b AS (
   SELECT vec_id, r[$lo:$hi] AS v,
     ${dotSql(s"(r[$lo:$hi])", s"(r[$lo:$hi])")} AS nrm
-  FROM resid
-), rseeds$b AS (
-  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM rsub$b
+  FROM $src
+), ${pfx}seeds$b AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM ${pfx}sub$b
   WHERE vec_id >= $RpqSeedBase AND vec_id < ${RpqSeedBase + PqK}
-),$rounds,${kmAssignSql(s"rfin$b", s"rb${b}c$PqIters", s"rsub$b")}"""
+),$rounds,${kmAssignSql(s"${pfx}fin$b", s"${pfx}b${b}c$PqIters", s"${pfx}sub$b")}"""
     }.mkString(",")
-    val lutCtes = (0 until PqM).map { b =>
-      val lo = b * PqSubDim + 1
-      val hi = (b + 1) * PqSubDim
-      s"""rlut$b AS (
-  SELECT q.query_id, c.cent_id AS cell_$b,
-    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
-  FROM q CROSS JOIN rb${b}c$PqIters c
-)"""
-    }.mkString(", ")
+
+  /** Residual-chain PREFIX CTEs: trained coarse cells (`rkseeds` →
+    * `rcents` via the Lloyd rounds), the cosine IVF assignment
+    * (`assigned_rq`), and the residual frame `resid` (vec_id, cell,
+    * r) — shared verbatim by the residual-code chain
+    * ([[residCtesSql]]) and the OPQ-rotated variant
+    * ([[simOpqGainSql]]). Assumes `n` exists.
+    */
+  private lazy val residPrefixSql: String = {
     val kmRounds = (1 to KmIters).map { i =>
       val prev = if (i == 1) "rkseeds" else s"rkc${i - 1}"
       kmAssignSql(s"rka$i", prev) + "," + kmUpdateSql(s"rkc$i", s"rka$i")
@@ -1577,7 +1616,21 @@ ORDER BY query_id, rank"""
   SELECT a.vec_id, a.cell,
     list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS r
   FROM assigned_rq a JOIN rcents c ON c.cent_id = a.cell
-),$blockCtes, rcodes AS (
+)"""
+  }
+
+  private def residCtesSql(probe: Int): String = {
+    val blockCtes = pqBlockTrainSql("resid", "r")
+    val lutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""rlut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM q CROSS JOIN rb${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    s"""$residPrefixSql,$blockCtes, rcodes AS (
   SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
     f2.cell AS cell_2, f3.cell AS cell_3
   FROM rfin0 f0
@@ -1729,7 +1782,15 @@ ORDER BY query_id, rank"""
   /** Rerank depths swept, cheap → generous; includes the shipped
     * [[RerankC]].
     */
-  val RerankTuneCs: Seq[Int] = Seq(5, 10, 25, 50)
+  val RerankTuneCs: Seq[Int] = Seq(5, 10, 25, 50, 100)
+
+  /** Probe widths swept (the grid's second axis); includes the
+    * shipped [[IvfProbe]]. One candidate stream at the WIDEST probe
+    * serves every arm: cells partition vectors, so each candidate
+    * carries exactly one probe rank and `pr <= p` recovers the
+    * narrower stream exactly.
+    */
+  val RerankTuneProbes: Seq[Int] = Seq(IvfProbe, 8)
 
   /** The rerank-depth dial table — the tuning-trio convention
     * ([[Dedup.ddLshTuning]] / [[simIvfTuning]] / this) applied to the
@@ -1748,18 +1809,25 @@ ORDER BY query_id, rank"""
     * The spec pins it; a violation means the tie-break conventions
     * diverged somewhere.
     *
+    * Two-axis grid (round-18): probe ∈ [[RerankTuneProbes]] ×
+    * C ∈ [[RerankTuneCs]] — the probe axis varies how many candidates
+    * stage 1 PROPOSES, the C axis how many stage 2 re-reads. ONE
+    * candidate stream at the widest probe serves every arm: cells
+    * partition vectors, so each candidate carries its cell's probe
+    * rank and `pr <= p` recovers the narrower stream exactly. Recall
+    * is monotone in C per probe (the theorem above); it is NOT
+    * provably monotone in probe at fixed C — a wider probe's extra
+    * candidates can crowd a true neighbor out of the top-C ADC cut —
+    * which is exactly why the knee needs measuring.
+    *
     * Scale shape: the sweep re-windows one cached candidate stream
     * per arm and pays queries × C raw-vector reads in stage 2 —
     * bounded by the dial, not the corpus (sim_ivfpq_rerank's
-    * posture × |RerankTuneCs|).
+    * posture × the grid size).
     */
   def simRerankTuning(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = base(spark, sfDir).cache()
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(r6(col("adc")).desc, col("vec_id"))
-    val ranked = ivfPqScored(vecs, IvfProbe)
-      .withColumn("rk", row_number().over(wAdc))
-      .cache()
+    val wide = ivfPqScoredPr(vecs, RerankTuneProbes.max).cache()
     val bf = simBruteforceTopk(spark, sfDir)
       .select(col("query_id"), col("neighbor_id")).cache()
     val q = vecs.filter(col("vec_id") < NQueries)
@@ -1767,8 +1835,12 @@ ORDER BY query_id, rank"""
         col("nrm").as("qn"))
     val cos = DotProduct.dot(col("qv"), col("v")) /
       sqrt(col("qn") * col("nrm"))
-    RerankTuneCs.map { c =>
-      val cand = ranked.filter(col("rk") <= c)
+    val arms = for { p <- RerankTuneProbes; c <- RerankTuneCs } yield {
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(r6(col("adc")).desc, col("vec_id"))
+      val cand = wide.filter(col("pr") <= p)
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= c)
         .select(col("query_id"), col("vec_id"))
       val wC = Window.partitionBy(col("query_id"))
         .orderBy(col("c2").desc, col("vec_id"))
@@ -1784,53 +1856,57 @@ ORDER BY query_id, rank"""
       served.join(bf, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(reads))
-        .select(lit(c).as("rerank_c"),
+        .select(lit(p).as("probe"), lit(c).as("rerank_c"),
           lit(NQueries).as("n_queries"),
           col("raw_reads").cast("long").as("raw_reads"),
           col("hits").cast("long").as("total_hits"),
           r6(col("hits").cast("double") /
             lit((NQueries * TopK).toDouble)).as("recall_at_k"))
-    }.reduce(_.unionByName(_)).orderBy(col("rerank_c"))
+    }
+    arms.reduce(_.unionByName(_))
+      .orderBy(col("probe"), col("rerank_c"))
   }
 
   lazy val simRerankTuningSql: String = {
-    val arms = RerankTuneCs.map { c =>
-      s"""cand_rt$c AS (
+    val grid = for { p <- RerankTuneProbes; c <- RerankTuneCs }
+      yield (p, c)
+    val arms = grid.map { case (p, c) =>
+      s"""cand_rt${p}_$c AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
       row_number() OVER (PARTITION BY query_id
         ORDER BY ${r6Sql("adc")} DESC, vec_id) AS rk
-    FROM scoredadc) WHERE rk <= $c
-), served_rt$c AS (
+    FROM scoredadc WHERE pr <= $p) WHERE rk <= $c
+), served_rt${p}_$c AS (
   SELECT query_id, vec_id AS neighbor_id FROM (
     SELECT c.query_id, c.vec_id,
       row_number() OVER (PARTITION BY c.query_id
         ORDER BY ${dotSql("nq.v", "nv.v")} / sqrt(nq.nrm * nv.nrm)
           DESC, c.vec_id) AS rank
-    FROM cand_rt$c c
+    FROM cand_rt${p}_$c c
     JOIN n nq ON nq.vec_id = c.query_id
     JOIN n nv ON nv.vec_id = c.vec_id
   ) WHERE rank <= $TopK
 )"""
     }
-    val rows = RerankTuneCs.map { c =>
-      s"""SELECT $c AS rerank_c, $NQueries AS n_queries,
-  (SELECT COUNT(*) FROM cand_rt$c) AS raw_reads,
-  (SELECT COUNT(*) FROM served_rt$c s
+    val rows = grid.map { case (p, c) =>
+      s"""SELECT $p AS probe, $c AS rerank_c, $NQueries AS n_queries,
+  (SELECT COUNT(*) FROM cand_rt${p}_$c) AS raw_reads,
+  (SELECT COUNT(*) FROM served_rt${p}_$c s
     JOIN bfp b ON b.query_id = s.query_id
       AND b.neighbor_id = s.neighbor_id) AS total_hits,
-  ${r6Sql(s"""(CAST((SELECT COUNT(*) FROM served_rt$c s
+  ${r6Sql(s"""(CAST((SELECT COUNT(*) FROM served_rt${p}_$c s
     JOIN bfp b ON b.query_id = s.query_id
       AND b.neighbor_id = s.neighbor_id) AS DOUBLE) /
     CAST(${NQueries * TopK}.0 AS DOUBLE))""")} AS recall_at_k"""
     }
-    s"""WITH $ivfPqScoredCtesSql, ${arms.mkString(", ")}, bf AS (
+    s"""WITH ${ivfPqScoredCtesSqlAt(RerankTuneProbes.max, withPr = true)}, ${arms.mkString(", ")}, bf AS (
   $simBruteforceTopkSql
 ), bfp AS (
   SELECT query_id, neighbor_id FROM bf
 )
 ${rows.mkString("\nUNION ALL\n")}
-ORDER BY rerank_c"""
+ORDER BY probe, rerank_c"""
   }
 
   // ------------------------------------------------------------------
@@ -1853,6 +1929,46 @@ ORDER BY rerank_c"""
     * (the same ground-truth posture as sim_pq_adc / sim_bruteforce);
     * the production serving paths stay probed + broadcast-shaped.
     */
+  /** Top-[[TopK]] cut of (query_id, vec_id, `c`) by r6'd score with
+    * vec_id ties — the gain audits' shared ranking cut.
+    */
+  private def gainCut(df: DataFrame, c: String): DataFrame = df
+    .withColumn("rk", row_number().over(Window
+      .partitionBy(col("query_id"))
+      .orderBy(r6(col(c)).desc, col("vec_id"))))
+    .filter(col("rk") <= TopK)
+    .select(col("query_id"), col("vec_id"))
+
+  /** One gain-audit arm row: recall of the estimated ranking against
+    * the exact cut plus micro-quantized |dot − est| stats — ONE copy
+    * for [[simResidualGain]]'s raw/residual arms and [[simOpqGain]].
+    */
+  private def gainArm(exact: DataFrame, dCut: DataFrame, name: String,
+      est: DataFrame): DataFrame = {
+    val scored = exact.join(est, Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("vec_id"), col("est"),
+        round(abs(col("d") - col("est")) * 1000000.0).cast("long")
+          .as("err_u"))
+      .cache()
+    val hits = gainCut(scored, "est")
+      .join(dCut, Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    scored
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("err_u")).cast("long").as("serr"),
+        max(col("err_u")).as("mxe"))
+      // 1-row × 1-row: the BNLJ here broadcasts a single aggregate
+      // row (PlanLintSpec-allowlisted constant-size anchor)
+      .crossJoin(broadcast(hits))
+      .select(lit(name).as("variant"), col("n_pairs"),
+        col("hits").cast("long").as("total_hits"),
+        r6(col("hits").cast("double") /
+          lit((NQueries * TopK).toDouble)).as(s"recall_at_$TopK"),
+        r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
+          .as("mean_abs_err"),
+        r6(col("mxe").cast("double") / 1000000.0).as("max_abs_err"))
+  }
+
   def simResidualGain(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = base(spark, sfDir).cache()
     graft.functions.VectorSub.register(spark)
@@ -1864,13 +1980,7 @@ ORDER BY rerank_c"""
       .select(col("query_id"), col("vec_id"),
         DotProduct.dot(col("qv"), col("v")).as("d"))
       .cache()
-    def cutBy(df: DataFrame, c: String): DataFrame = df
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(r6(col(c)).desc, col("vec_id"))))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("vec_id"))
-    val dCut = cutBy(exact, "d")
+    val dCut = gainCut(exact, "d")
     // raw arm: est = Σ_b LUT_b (sim_pq_adc's estimator)
     val rawTrained = pqTrain(vecs)
     val rawCodes = rawTrained.map(_._3).reduce(_.join(_, Seq("vec_id")))
@@ -1902,31 +2012,8 @@ ORDER BY rerank_c"""
       .select(col("query_id"), col("vec_id"),
         ((((col("qc") + col("l_0")) + col("l_1")) + col("l_2")) +
           col("l_3")).as("est"))
-    def arm(name: String, est: DataFrame): DataFrame = {
-      val scored = exact.join(est, Seq("query_id", "vec_id"))
-        .select(col("query_id"), col("vec_id"), col("est"),
-          round(abs(col("d") - col("est")) * 1000000.0).cast("long")
-            .as("err_u"))
-        .cache()
-      val hits = cutBy(scored, "est")
-        .join(dCut, Seq("query_id", "vec_id"))
-        .agg(count(lit(1)).as("hits"))
-      scored
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("err_u")).cast("long").as("serr"),
-          max(col("err_u")).as("mxe"))
-        // 1-row × 1-row: the BNLJ here broadcasts a single aggregate
-        // row (PlanLintSpec-allowlisted constant-size anchor)
-        .crossJoin(broadcast(hits))
-        .select(lit(name).as("variant"), col("n_pairs"),
-          col("hits").cast("long").as("total_hits"),
-          r6(col("hits").cast("double") /
-            lit((NQueries * TopK).toDouble)).as(s"recall_at_$TopK"),
-          r6(col("serr").cast("double") / col("n_pairs") / 1000000.0)
-            .as("mean_abs_err"),
-          r6(col("mxe").cast("double") / 1000000.0).as("max_abs_err"))
-    }
-    arm("raw", estRaw).unionByName(arm("residual", estRes))
+    gainArm(exact, dCut, "raw", estRaw)
+      .unionByName(gainArm(exact, dCut, "residual", estRes))
       .orderBy(col("variant"))
   }
 
@@ -2019,6 +2106,194 @@ ${armSql("raw")}
 UNION ALL
 ${armSql("residual")}
 ORDER BY variant"""
+  }
+
+  // ------------------------------------------------------------------
+  // sim_opq_gain — OPQ-style rotated residual PQ at EQUAL bytes
+  // ------------------------------------------------------------------
+
+  /** MMIX-LCG keys behind the OPQ rotation (seed 91 — a fresh stream
+    * in the [[PlaneInts]]/[[JlPlaneInts]] discipline). */
+  private val OpqKeys: IndexedSeq[Long] = {
+    var x = 91L
+    IndexedSeq.fill(Dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 1
+    }
+  }
+
+  /** The OPQ rotation as a SIGNED PERMUTATION: target dim j reads
+    * source dim [[OpqPerm]](j) with sign [[OpqSign]](j). A signed
+    * permutation is exactly orthogonal (R·Rᵀ = I) with entries in
+    * {−1, 0, 1}, so BOTH engines apply the bitwise-identical map
+    * (negation and reordering are exact in IEEE-754) — the
+    * cross-engine-honest stand-in for OPQ's learned rotation, and the
+    * part of OPQ that matters here: REDISTRIBUTING dims across the
+    * contiguous sub-vector blocks the quantizer cuts, so no block is
+    * stuck with whatever correlation structure the original dim order
+    * happened to have.
+    */
+  val OpqPerm: IndexedSeq[Int] =
+    (0 until Dim).sortBy(i => (OpqKeys(i), i)).toIndexedSeq
+  val OpqSign: IndexedSeq[Int] =
+    OpqPerm.map(i => if (((OpqKeys(i) >> 7) & 1L) == 0L) 1 else -1)
+
+  /** `R·v` for the signed permutation — 64 element_at reads inside
+    * whole-stage codegen; no higher-order functions. */
+  private def opqRotate(v: Column): Column =
+    array((0 until Dim).map { j =>
+      val e = element_at(v, OpqPerm(j) + 1)
+      if (OpqSign(j) == 1) e else -e
+    }: _*)
+
+  /** SQL twin of [[opqRotate]] — generated from the SAME
+    * [[OpqPerm]]/[[OpqSign]] constants, the CrossHash one-source
+    * rule. */
+  private def opqRotateSql(v: String): String =
+    (0 until Dim).map { j =>
+      val t = s"$v[${OpqPerm(j) + 1}]"
+      if (OpqSign(j) == 1) t else s"-$t"
+    }.mkString("[", ", ", "]")
+
+  /** OPQ-STYLE rotated residual PQ at EQUAL BYTES — the third arm of
+    * the code-quality ladder (raw → residual → rotated residual; read
+    * beside [[simResidualGain]]'s two rows, same corpus, same
+    * estimator audit): residuals are rotated by the fixed signed
+    * permutation BEFORE codebook training and encoding, queries are
+    * rotated identically, and since R is orthogonal the estimated
+    * inner product still decomposes exactly —
+    * `q·x̂ = q·c_cell + Σ_b 〈(Rq)_sub_b, codebook_b[code_b]〉` with
+    * the codebooks living in rotated space. Corpus-side state is
+    * IDENTICAL to the other arms: cell id + [[PqM]] 3-bit codes.
+    *
+    * What OPQ (Ge et al., CVPR 2013) learns — a rotation minimizing
+    * quantization error — is approximated here by dim-scrambling
+    * alone, the part a hash-verified cross-engine audit can carry:
+    * the rotation's job of decorrelating the CONTIGUOUS blocks the
+    * quantizer cuts is done by redistribution; the learned-rotation
+    * refinement would need float SVD iterations no oracle can
+    * reproduce bitwise. The row quantifies what that redistribution
+    * buys (or costs) on THIS corpus vs the unrotated residual arm.
+    *
+    * Audit tier: the exact arm is |queries| × corpus by contract
+    * (sim_residual_gain's posture); the rotation itself is map-side
+    * (64 reads per vector, no shuffle), training is the same
+    * broadcast Lloyd machinery, and at 100 TB the audit runs on a
+    * sample like every other exact-arm audit.
+    */
+  def simOpqGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = base(spark, sfDir).cache()
+    graft.functions.VectorSub.register(spark)
+    val q = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = q
+      .join(vecs.select(col("vec_id"), col("v")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        DotProduct.dot(col("qv"), col("v")).as("d"))
+      .cache()
+    val dCut = gainCut(exact, "d")
+    val cents = trainedCents(vecs)
+    val resid = residFrame(vecs, cents).cache()
+    // rotated residual frame — materialized as a named column below
+    // the training consumers (the plan-hygiene rule: no non-attribute
+    // Column re-evaluated per consumer)
+    val rres = resid.select(col("vec_id"), col("cell"),
+      opqRotate(col("r")).as("r")).cache()
+    val trained = pqTrainOn(b => residSub(rres, b), RpqSeedBase)
+    val codes = trained.map(_._3).reduce(_.join(_, Seq("vec_id")))
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val qrot = q.select(col("query_id"),
+      opqRotate(col("qv")).as("qv"))
+    val luts = pqLuts(qrot, trained)
+    // coarse term q·c_cell stays in ORIGINAL space (the cell
+    // centroids are not rotated — only the residual the codes encode)
+    val qc = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id").as("cell"),
+        DotProduct.dot(col("qv"), col("cv")).as("qc"))
+    val est = luts.zipWithIndex.foldLeft(
+        q.select(col("query_id"))
+          .join(codes, col("vec_id") =!= col("query_id"))) {
+        case (p, (l, b)) => p.join(broadcast(l), Seq("query_id", s"cell_$b"))
+      }
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .select(col("query_id"), col("vec_id"),
+        ((((col("qc") + col("l_0")) + col("l_1")) + col("l_2")) +
+          col("l_3")).as("est"))
+    gainArm(exact, dCut, "opq_residual", est)
+  }
+
+  lazy val simOpqGainSql: String = {
+    val lutCtes = (0 until PqM).map { b =>
+      val lo = b * PqSubDim + 1
+      val hi = (b + 1) * PqSubDim
+      s"""olut$b AS (
+  SELECT q.query_id, c.cent_id AS cell_$b,
+    ${dotSql(s"(q.qv[$lo:$hi])", "c.cv")} AS l_$b
+  FROM oq q CROSS JOIN ob${b}c$PqIters c
+)"""
+    }.mkString(", ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+), $residPrefixSql, rres AS (
+  SELECT vec_id, cell, ${opqRotateSql("r")} AS r FROM resid
+),${pqBlockTrainSql("rres", "o")}, ocodes AS (
+  SELECT f0.vec_id, f0.cell AS cell_0, f1.cell AS cell_1,
+    f2.cell AS cell_2, f3.cell AS cell_3
+  FROM ofin0 f0
+  JOIN ofin1 f1 USING (vec_id)
+  JOIN ofin2 f2 USING (vec_id)
+  JOIN ofin3 f3 USING (vec_id)
+), oq AS (
+  SELECT query_id, ${opqRotateSql("qv")} AS qv FROM q
+), $lutCtes, oqc AS (
+  SELECT q.query_id, c.cent_id AS cell, ${dotSql("q.qv", "c.cv")} AS qc
+  FROM q CROSS JOIN rcents c
+), exact AS (
+  SELECT q.query_id, n2.vec_id, ${dotSql("q.qv", "n2.v")} AS d
+  FROM q JOIN n n2 ON n2.vec_id <> q.query_id
+), dcut AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("d")} DESC, vec_id) AS rk
+    FROM exact) WHERE rk <= $TopK
+), estopq AS (
+  SELECT q.query_id, cd.vec_id,
+    (((g.qc + l0.l_0) + l1.l_1) + l2.l_2) + l3.l_3 AS est
+  FROM q
+  JOIN ocodes cd ON cd.vec_id <> q.query_id
+  JOIN assigned_rq a ON a.vec_id = cd.vec_id
+  JOIN oqc g ON g.query_id = q.query_id AND g.cell = a.cell
+  JOIN olut0 l0 ON l0.query_id = q.query_id AND l0.cell_0 = cd.cell_0
+  JOIN olut1 l1 ON l1.query_id = q.query_id AND l1.cell_1 = cd.cell_1
+  JOIN olut2 l2 ON l2.query_id = q.query_id AND l2.cell_2 = cd.cell_2
+  JOIN olut3 l3 ON l3.query_id = q.query_id AND l3.cell_3 = cd.cell_3
+), scored_opq AS (
+  SELECT x.query_id, x.vec_id, r.est,
+    CAST(round(abs(x.d - r.est) * 1000000.0) AS BIGINT) AS err_u
+  FROM exact x
+  JOIN estopq r ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+), cut_opq AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY ${r6Sql("est")} DESC, vec_id) AS rk
+    FROM scored_opq) WHERE rk <= $TopK
+), hits_opq AS (
+  SELECT COUNT(*) AS c FROM cut_opq JOIN dcut USING (query_id, vec_id)
+)
+SELECT 'opq_residual' AS variant,
+  (SELECT COUNT(*) FROM scored_opq) AS n_pairs,
+  CAST((SELECT c FROM hits_opq) AS BIGINT) AS total_hits,
+  ${r6Sql(s"""(CAST((SELECT c FROM hits_opq) AS DOUBLE) /
+    CAST(${NQueries * TopK}.0 AS DOUBLE))""")} AS recall_at_$TopK,
+  ${r6Sql(s"""(CAST((SELECT SUM(err_u) FROM scored_opq) AS DOUBLE) /
+    (SELECT COUNT(*) FROM scored_opq) / 1000000.0)""")} AS mean_abs_err,
+  ${r6Sql(s"""(CAST((SELECT MAX(err_u) FROM scored_opq) AS DOUBLE) /
+    1000000.0)""")} AS max_abs_err"""
   }
 
   // ------------------------------------------------------------------

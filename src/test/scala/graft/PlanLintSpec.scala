@@ -114,6 +114,10 @@ class PlanLintSpec extends SparkSpec {
     // tables (the sim_pq_adc audit shape) + 1-row hit/err aggregates
     // crossed into the census row
     "sim_residual_gain",
+    // sim_opq_gain: the identical audit shape over the ROTATED code
+    // tables (NQueries-row query side + 8-row codebook LUTs + 1-row
+    // hit/err aggregates)
+    "sim_opq_gain",
     "sim_hard_negatives", "sim_mrl",
     // sim_kcenter: each round's carry joins ONE 1-row broadcast center;
     // the census joins the 8-row center table

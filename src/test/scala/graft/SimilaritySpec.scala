@@ -681,39 +681,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sim_rerank_tuning: recall and reads are monotone in C, reads " +
-    "are bounded by the dial, and the shipped C row IS sim_ivfpq_rerank") {
+  test("sim_rerank_tuning: recall and reads are monotone in C per " +
+    "probe, reads are bounded by the dial, and the shipped " +
+    "(probe, C) row IS sim_ivfpq_rerank") {
     import graft.operators.{Similarity => S}
     val dir = sf("sf0.001")
     val rows = Similarity.simRerankTuning(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
-        r.getDouble(4)))
-      .sortBy(_._1)
-    assert(rows.map(_._1).toSeq == S.RerankTuneCs)
-    // the monotonicity theorem: hits(C) = |candidates_C ∩ global
-    // top-k| is non-decreasing in C (and so are the raw reads)
-    rows.sliding(2).foreach {
-      case Array(a, b) =>
-        assert(a._3 <= b._3, s"recall fell from C=${a._1} to ${b._1}")
-        assert(a._2 <= b._2, s"reads fell from C=${a._1} to ${b._1}")
-      case _ => ()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      (for { p <- S.RerankTuneProbes; c <- S.RerankTuneCs }
+        yield (p, c)))
+    // the monotonicity theorem holds per probe arm: hits(C) =
+    // |candidates_C ∩ global top-k| is non-decreasing in C (and so
+    // are the raw reads); across PROBES at fixed C it is NOT a
+    // theorem (a wider probe can crowd out a true neighbor), so no
+    // cross-probe pin
+    rows.groupBy(_._1).values.foreach { arm =>
+      arm.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4,
+            s"recall fell from C=${a._2} to ${b._2} at probe=${a._1}")
+          assert(a._3 <= b._3,
+            s"reads fell from C=${a._2} to ${b._2} at probe=${a._1}")
+        case _ => ()
+      }
     }
     // stage 2 reads at most C raw vectors per query — the dial bound
-    rows.foreach { case (c, reads, _, _) =>
+    rows.foreach { case (p, c, reads, _, _) =>
       assert(reads <= c.toLong * S.NQueries,
-        s"C=$c read $reads raw vectors")
+        s"probe=$p C=$c read $reads raw vectors")
     }
-    // the C = RerankC row is the shipped production dial: its recall
-    // must equal what sim_ivfpq_rerank's own output scores against
-    // the brute-force ground truth
+    // the (probe = IvfProbe, C = RerankC) row is the shipped
+    // production dial: its recall must equal what sim_ivfpq_rerank's
+    // own output scores against the brute-force ground truth
     val bf = Similarity.simBruteforceTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val rr = Similarity.simIvfPqRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val hits = (bf & rr).size
-    val prod = rows.find(_._1 == S.RerankC).get
-    assert(prod._3 == hits.toLong)
-    assert(prod._4 == graft.functions.Determinism.r6Jvm(
+    val prod = rows.find(r => r._1 == S.IvfProbe && r._2 == S.RerankC).get
+    assert(prod._4 == hits.toLong)
+    assert(prod._5 == graft.functions.Determinism.r6Jvm(
       hits.toDouble / (S.NQueries * S.TopK)))
   }
 
@@ -836,6 +846,110 @@ class SimilaritySpec extends SparkSpec {
     assert(byV("residual")._2 < byV("raw")._2,
       s"residual mean_abs_err ${byV("residual")._2} not below raw " +
         s"${byV("raw")._2}")
+  }
+
+  test("sim_opq_gain equals a full local recompute (signed-permutation " +
+    "rotation, rotated residual codebooks, coarse-term ADC) and the " +
+    "rotation is a genuine signed permutation") {
+    import graft.functions.Determinism.r6Jvm
+    import graft.operators.{Similarity => S}
+    val dir = sf("sf0.001")
+    // the rotation's structural contract: a permutation of 0..Dim-1
+    // with ±1 signs — exactly orthogonal, so negation+reorder is the
+    // bitwise-identical map on both engines
+    assert(S.OpqPerm.sorted == (0 until S.Dim))
+    assert(S.OpqSign.forall(s => s == 1 || s == -1))
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def subOf(v: Array[Double], b: Int): Array[Double] =
+      v.slice(b * S.PqSubDim, (b + 1) * S.PqSubDim)
+    def assign(subs: Map[Long, Array[Double]],
+        cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      subs.map { case (id, v) =>
+        val nrm = dot(v, v)
+        id -> cents.map { case (c, cv) =>
+          (nrm - 2.0 * dot(v, cv) + dot(cv, cv), c) }.min._2
+      }
+    def update(subs: Map[Long, Array[Double]], asg: Map[Long, Long],
+        dim: Int): Seq[(Long, Array[Double])] =
+      asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, m) =>
+        val members = m.keys.toSeq.map(subs)
+        val n = members.size
+        cid -> (0 until dim).map { p =>
+          val s = members.map(v =>
+            math.floor(v(p) * S.KmFp + 0.5).toLong).sum
+          s.toDouble / (n.toDouble * S.KmFp)
+        }.toArray
+      }
+    var icents: Seq[(Long, Array[Double])] =
+      (S.NQueries.toLong until (S.NQueries + S.IvfCells).toLong)
+        .filter(vecs.contains).map(id => id -> vecs(id))
+    for (_ <- 1 to S.KmIters)
+      icents = update(vecs, assign(vecs, icents), S.Dim)
+    def cs(v: Array[Double], c: Array[Double]): Double =
+      dot(v, c) / math.sqrt(dot(v, v) * dot(c, c))
+    val cellOf = vecs.map { case (id, v) =>
+      id -> -icents.map { case (cid, cv) => (cs(v, cv), -cid) }.max._2
+    }
+    val centOf = icents.toMap
+    val resid = vecs.map { case (id, v) =>
+      val c = centOf(cellOf(id))
+      id -> v.indices.map(i => v(i) - c(i)).toArray
+    }
+    def rot(v: Array[Double]): Array[Double] =
+      (0 until S.Dim).map(j => S.OpqSign(j) * v(S.OpqPerm(j))).toArray
+    val rres = resid.map { case (id, r) => id -> rot(r) }
+    val blocks = (0 until S.PqM).map { b =>
+      val subs = rres.map { case (id, r) => id -> subOf(r, b) }
+      var cb: Seq[(Long, Array[Double])] =
+        (S.RpqSeedBase.toLong until (S.RpqSeedBase + S.PqK).toLong)
+          .filter(subs.contains).map(id => id -> subs(id))
+      for (_ <- 1 to S.PqIters)
+        cb = update(subs, assign(subs, cb), S.PqSubDim)
+      (cb.toMap, assign(subs, cb))
+    }
+    // est(q, d) = q·c_cell(d) + Σ_b 〈(Rq)_sub_b, cb_b[code_b(d)]〉 —
+    // the Spark side's left-to-right fold verbatim
+    def estOf(q: Long, d: Long): Double = {
+      val rq = rot(vecs(q))
+      val coarse = dot(vecs(q), centOf(cellOf(d)))
+      (0 until S.PqM).foldLeft(coarse) { (acc, b) =>
+        acc + dot(subOf(rq, b), blocks(b)._1(blocks(b)._2(d)))
+      }
+    }
+    def errU(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val queries = (0L until S.NQueries.toLong).filter(vecs.contains)
+    val pairs = for {
+      q <- queries; d <- vecs.keys.toSeq.sorted if d != q
+    } yield (q, d, dot(vecs(q), vecs(d)), estOf(q, d))
+    // .values, NOT .flatMap on the Map — mapping a Map to (q, d)
+    // tuples re-keys by q and silently keeps ONE pair per query (the
+    // same Map-collapse trap the gr_lpa spec's first draft hit)
+    def cut(score: ((Long, Long, Double, Double)) => Double) =
+      pairs.groupBy(_._1).values.flatMap { ps =>
+        ps.sortBy(p => (-r6Jvm(score(p)), p._2)).take(S.TopK)
+          .map(p => (p._1, p._2))
+      }.toSet
+    val hits = (cut(_._3) & cut(_._4)).size
+    val errs = pairs.map(p => errU(math.abs(p._3 - p._4) * 1000000.0))
+    val row = Similarity.simOpqGain(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getString(0) == "opq_residual")
+    assert(r.getAs[Long]("n_pairs") == pairs.size.toLong)
+    assert(r.getAs[Long]("total_hits") == hits.toLong)
+    assert(r.getAs[Double](s"recall_at_${S.TopK}") ==
+      r6Jvm(hits.toDouble / (S.NQueries * S.TopK)))
+    assert(r.getAs[Double]("mean_abs_err") ==
+      r6Jvm(errs.sum.toDouble / pairs.size / 1000000.0))
+    assert(r.getAs[Double]("max_abs_err") ==
+      r6Jvm(errs.max.toDouble / 1000000.0))
   }
 
   test("sim_rp equals a full local JL-projection recompute") {
