@@ -1529,4 +1529,109 @@ LEFT JOIN internal i ON i.lbl = n.lbl
 CROSS JOIN mm
 ORDER BY community"""
   }
+
+  // ------------------------------------------------------------------
+  // gr_scc — strongly connected components (bounded-witness)
+  // ------------------------------------------------------------------
+
+  /** Witness radius for [[grScc]]'s mutual-reachability closure — the
+    * [[ReachHops]] truncation applied to the DIRECTED question. */
+  val SccHops: Int = ReachHops
+
+  /** Strongly-connected components of the DIRECTED citation graph —
+    * the link-ring detector the undirected views miss: gr_components
+    * merges everything TOUCHING (a spam ring pointing at a victim page
+    * lands in the victim's component), while a directed cycle is
+    * evidence of coordination — A cites B cites C cites A doesn't
+    * happen by accident at ring scale, and PageRank famously inflates
+    * inside exactly these cycles (the "link farm" structure).
+    *
+    * Bounded-witness contract (the [[grReach]] truncation applied to
+    * SCCs): node u joins v's component when BOTH directed paths v→u
+    * and u→v exist within [[SccHops]] hops. SOUNDNESS is a theorem —
+    * if v and w each mutually reach the group's min-id anchor m, then
+    * v→m→w and w→m→v are real paths, so every reported group is a
+    * subset of one TRUE SCC (never a merge error); COMPLETENESS is
+    * bounded — a true SCC whose mutual witnesses need > SccHops hops
+    * reports as a refinement (split along the witness radius), the
+    * same honest truncation real centrality pipelines ship.
+    *
+    * Output: per document its scc_id (min doc_id over the
+    * mutual-witness set, self included — singletons are their own
+    * component) and the component size at that id.
+    *
+    * Scale shape: ONE forward bounded-hop closure (the [[grReach]]
+    * BSP frontier plan — hop k is an equi-join on the frontier key
+    * plus a distinct, volume bounded by n·out_deg^k, lineage pinned
+    * per hop), then mutuality as a SELF-equi-join of the pair set on
+    * the swapped key (co-partitionable, linear in the closure), one
+    * min-groupBy, one size-groupBy. Unlike [[grReach]] the closure
+    * KEEPS self-pairs — a cycle through v must record (v, v) or
+    * longer paths could not extend through a revisit.
+    */
+  def grScc(spark: SparkSession, sfDir: String): DataFrame =
+    grSccFrom(docs(spark, sfDir))
+
+  /** [[grScc]] over any dense-id frame (ScaleSoak seam). */
+  private[graft] def grSccFrom(d0: DataFrame): DataFrame =
+    grSccFromEdges(d0, grEdgesFrom(d0))
+
+  /** [[grScc]] over an explicit edge set — the real-link seam. */
+  private[graft] def grSccFromEdges(nodes0: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val d = nodes0.select(col("doc_id"))
+    val e = e0.select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var hops = Vector(e.select(col("src").as("v"), col("dst").as("u"))
+      .distinct().localCheckpoint(true))
+    for (_ <- 2 to SccHops) {
+      val prev = hops.last
+      val next = prev.join(e, prev("u") === e("src"))
+        .select(prev("v"), e("dst").as("u"))
+        .distinct().localCheckpoint(true)
+      hops = hops :+ next
+    }
+    val fwd = hops.reduce(_ unionAll _).distinct()
+      .localCheckpoint(true)
+    val rev = fwd.select(col("u").as("v"), col("v").as("u"))
+    val mutual = fwd.join(rev, Seq("v", "u"))
+    val selfs = d.select(col("doc_id").as("v"), col("doc_id").as("u"))
+    val sid = mutual.unionAll(selfs)
+      .groupBy(col("v")).agg(min(col("u")).as("scc_id"))
+    val sz = sid.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    sid.join(sz, Seq("scc_id"))
+      .select(col("v").as("doc_id"), col("scc_id"), col("scc_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val grSccSql: String = {
+    val hopCtes = (2 to SccHops).map { k =>
+      s"""s$k AS (
+  SELECT DISTINCT h.v, e.dst AS u
+  FROM s${k - 1} h JOIN gedges e ON e.src = h.u
+)"""
+    }.mkString(", ")
+    val hopUnion = (1 to SccHops)
+      .map(k => s"SELECT v, u FROM s$k").mkString("\n    UNION ALL ")
+    s"""
+WITH $grEdgesSql, s1 AS (
+  SELECT DISTINCT src AS v, dst AS u FROM gedges
+), $hopCtes, fwd AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    $hopUnion)
+), mutual AS (
+  SELECT f.v, f.u FROM fwd f JOIN fwd g ON g.v = f.u AND g.u = f.v
+), closed AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION ALL SELECT v, u FROM mutual
+), sid AS (
+  SELECT v, MIN(u) AS scc_id FROM closed GROUP BY v
+), sz AS (
+  SELECT scc_id, COUNT(*) AS scc_size FROM sid GROUP BY scc_id
+)
+SELECT s.v AS doc_id, s.scc_id, CAST(z.scc_size AS BIGINT) AS scc_size
+FROM sid s JOIN sz z ON z.scc_id = s.scc_id
+ORDER BY doc_id"""
+  }
 }
