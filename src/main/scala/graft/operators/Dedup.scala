@@ -764,8 +764,12 @@ ORDER BY new_doc, corpus_doc"""
       // convergence = set equality, tested the cheap sound way: both
       // relations are DISTINCT sets, so |ss| = |edges| plus ss ⊆ edges
       // (one anti-join) implies ss = edges — this halves the old
-      // two-sided exceptAll cost, and the count doubles as the lazy
-      // checkpoint's materializing action (3 jobs/round → ≤2)
+      // two-sided exceptAll cost, the count doubles as the lazy
+      // checkpoint's materializing action, and the && SHORT-CIRCUIT
+      // means non-final rounds (counts differ) never pay the subset
+      // join at all (a round-18 A/B that folded both probes into one
+      // always-on join measured WORSE for exactly that reason —
+      // 2.69 → 3.38 s on gr_components)
       val nSs = ss.count()
       val same = nSs == nEdges && ss.exceptAll(edges).isEmpty
       edges = ss

@@ -75,17 +75,42 @@ object Graph {
     */
   private[graft] def grEdgesFrom(d: DataFrame): DataFrame = {
     val n = d.agg(count(lit(1)).as("n"))
-    val hashes = d
+    // Round-18 (guide §2.4 — remove shuffles outright): the union →
+    // DISTINCT → count-over-window form paid two corpus-keyed
+    // exchanges (pair dedup, then out_deg by src) for facts that are
+    // all LOCAL to one input row — every target derives from the same
+    // per-doc hash, so a duplicate (src, dst) can only be a collision
+    // among the GraphOutDeg affine transforms of that one row, and
+    // out_deg is the kept-target count. Both are literal pairwise
+    // comparisons inside whole-stage codegen (GraphOutDeg is a
+    // compile-time constant; no higher-order functions): the edge set
+    // now derives map-side in a single scan with ZERO exchanges.
+    // Values are unchanged — same pairs, same out_deg (GraphSpec pins
+    // equality with the distinct+window form on the fixture).
+    val ts = (0 until GraphOutDeg).map { i =>
+      val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
+      expr(s"((h * $a + $b) % $P) % n").as(s"t$i")
+    }
+    val targets = d
       .select(col("doc_id").as("src"), CrossHash.md5Mod(col("text")).as("h"))
       .crossJoin(broadcast(n)) // 1-row anchor (PlanLint allowlisted)
-    val links = (0 until GraphOutDeg).map { i =>
-      val (a, b) = (CrossHash.MinHashAs(i), CrossHash.MinHashBs(i))
-      hashes.select(col("src"),
-        expr(s"((h * $a + $b) % $P) % n").as("dst"))
-    }.reduce(_ unionAll _)
-    val edges = links.filter(col("dst") =!= col("src")).distinct()
-    edges.withColumn("out_deg",
-      count(lit(1)).over(Window.partitionBy(col("src"))))
+      .select(col("src") +: ts: _*)
+    // keep t_i unless it self-loops or repeats an earlier transform
+    val keeps = (0 until GraphOutDeg).map { i =>
+      (0 until i).foldLeft(col(s"t$i") =!= col("src")) { (acc, j) =>
+        acc && col(s"t$i") =!= col(s"t$j")
+      }
+    }
+    val outDeg = keeps.map(_.cast("long"))
+      .reduce(_ + _).as("out_deg")
+    targets
+      .select(col("src"),
+        explode(array(keeps.zipWithIndex.map { case (k, i) =>
+          when(k, col(s"t$i"))
+        }: _*)).as("dst"),
+        outDeg)
+      .filter(col("dst").isNotNull)
+      .select(col("src"), col("dst"), col("out_deg"))
   }
 
   /** Oracle twin of [[grEdges]]: CTEs `ganchor` (n), `gedges`
@@ -241,9 +266,20 @@ ORDER BY side, deg"""
     * difference between the two algorithms, so it is the only
     * parameter.
     */
-  private def prLoop(nodes: DataFrame, e: DataFrame): DataFrame = {
+  private def prLoop(nodes0: DataFrame, e: DataFrame): DataFrame = {
+    // Round-18: `nodes` is consumed once per round (the teleport join)
+    // — unpinned, every round re-derived it from the documents scan
+    // (PrIters redundant corpus scans per query at 100 TB); ONE eager
+    // pin pays the scan once. The per-round `ranks` checkpoint is
+    // GONE: each round's frame has exactly one consumer (the next
+    // round's propagate join), so the whole PrIters-round fixpoint is
+    // one linear plan evaluated in a single action — same number of
+    // exchanges, PrIters fewer driver-synchronized jobs, and shuffle
+    // files already give each stage a materialized retry boundary.
+    // (Contrast kcore/star-CC, whose per-round frames have ≥2
+    // consumers and MUST pin — see grKcoreFromEdgesCfg.)
+    val nodes = nodes0.localCheckpoint(true)
     var ranks = nodes.select(col("doc_id"), col("r0").as("r"))
-      .localCheckpoint(true)
     for (_ <- 1 to PrIters) {
       val in = e.join(ranks.select(col("doc_id"), col("r")),
           e("src") === col("doc_id"))
@@ -253,7 +289,6 @@ ORDER BY side, deg"""
         .select(nodes("doc_id"),
           expr(s"base + ($PrDampNum * coalesce(s, CAST(0 AS BIGINT)))" +
             " div 100").as("r"))
-        .localCheckpoint(true)
     }
     ranks
   }
@@ -522,15 +557,31 @@ ORDER BY d.source"""
     val e = e0.select(col("src"), col("dst"))
       .localCheckpoint(true)
     // hop tables: pairs (v, u) with u reachable in ≤k hops, deduped
-    // per hop; self excluded throughout
+    // per hop; self excluded throughout. Round-18: hop 1 IS the edge
+    // set — (src, dst) is pair-distinct by construction — so its old
+    // distinct+pin paid an exchange and a driver job for a projection
+    // of the already-pinned e; and the LAST hop has exactly one
+    // consumer (the union), so its dedup exchange now runs inside the
+    // final job instead of a separate driver-synchronized one. Only
+    // interior hops (two consumers: the union and the next hop's
+    // frontier join) keep the eager pin. Hop 1 is a LAZY checkpoint —
+    // no driver job, but fresh attribute ids so the frontier
+    // self-join and the hop union stay unambiguous.
     var hops = Vector(e.select(col("src").as("v"), col("dst").as("u"))
-      .distinct().localCheckpoint(true))
-    for (_ <- 2 to ReachHops) {
+      .localCheckpoint(false))
+    for (h <- 2 to ReachHops) {
       val prev = hops.last
-      val next = prev.join(e, prev("u") === e("src"))
+      val next0 = prev.join(e, prev("u") === e("src"))
         .select(prev("v"), e("dst").as("u"))
         .filter(col("v") =!= col("u"))
-        .distinct().localCheckpoint(true)
+        .distinct()
+      // interior hops pin eagerly (two consumers); the last hop
+      // checkpoints LAZILY — no driver job, it materializes inside
+      // the final action. (Direct column refs, no SubqueryAlias: an
+      // aliased frontier join here poisons the hop union's constraint
+      // rewrite with out-of-scope attributes — found the hard way on
+      // gr_scc's spec.)
+      val next = next0.localCheckpoint(h < ReachHops)
       hops = hops :+ next
     }
     val withDist = hops.zipWithIndex.map { case (h, i) =>
@@ -1062,12 +1113,22 @@ FROM f"""
       .localCheckpoint(true)
     val n = d.agg(count(lit(1)).as("n"))
     val nodes = d.localCheckpoint(true)
-    // one side's propagate + floor-renormalize step
+    // One side's propagate + floor-renormalize step. Round-18: `raw`
+    // is referenced twice (the renormalize join and the 1-row total
+    // its broadcast divides by) — a LAZY checkpoint guarantees the
+    // edges⋈ranks propagate evaluates once per half-round regardless
+    // of exchange-reuse luck: the broadcast build materializes it,
+    // the probe side reads the stored blocks. Driver job count is
+    // unchanged (the eager output pin per half-round stays — an A/B
+    // that moved the eager pin onto `raw` instead read 2.47 → 2.94 s,
+    // the extra normalize-join latency per round costing more than
+    // the pin saved).
     def halfRound(prev: DataFrame, joinKey: String,
         outKey: String): DataFrame = {
       val raw = e.join(prev.select(col("doc_id"), col("r")),
           e(joinKey) === col("doc_id"))
         .groupBy(e(outKey).as("g")).agg(sum(col("r")).as("s"))
+        .localCheckpoint(false)
       val tot = raw.agg(sum(col("s")).as("t"))
       nodes.join(raw, nodes("doc_id") === raw("g"), "left")
         .crossJoin(broadcast(tot))
@@ -1217,7 +1278,19 @@ ORDER BY d.doc_id"""
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
     val nodes = nodes0.select(col("doc_id")).localCheckpoint(true)
-    val perK = KCoreKs.map { k =>
+    // Round-18, two changes (values unchanged, GraphSpec re-pins):
+    //  - the per-round `drop` frame is now a LAZY checkpoint: its
+    //    first evaluation — inside the same driver-synchronized job
+    //    that pins the round's `alive` — materializes it, and the
+    //    final layer union reads the stored blocks instead of
+    //    re-running the round's degree join (2 eager jobs/round → 1
+    //    with zero recompute; the star-CC loop already uses exactly
+    //    this trick for its edge frames);
+    //  - the [[KCoreKs]] peel chains never interact, so they
+    //    materialize CONCURRENTLY ([[graft.operators.Par]] — guide
+    //    §2.6): one chain's shuffle tail back-fills with the other's
+    //    tasks instead of idling the executor.
+    val perK = graft.operators.Par.run(KCoreKs.map { k => () =>
       var alive = nodes
       var layers = Seq.empty[DataFrame]
       var r = 1
@@ -1229,7 +1302,7 @@ ORDER BY d.doc_id"""
           .groupBy(col("u")).agg(count(lit(1)).as("dg"))
         val drop = alive.join(deg, alive("doc_id") === deg("u"), "left")
           .filter(coalesce(col("dg"), lit(0L)) < k)
-          .select(alive("doc_id")).localCheckpoint(true)
+          .select(alive("doc_id")).localCheckpoint(false)
         if (converge && drop.isEmpty) {
           done = true // fixpoint: every later layer is empty too
         } else {
@@ -1244,7 +1317,7 @@ ORDER BY d.doc_id"""
       // nothing (converge mode, whole graph in-core) still unions
       (layers :+ alive.select(col("doc_id"), lit(k).as("k"),
         lit(0).as("peel_round"))).reduce(_ unionAll _)
-    }
+    })
     perK.reduce(_ unionAll _)
       .select(col("doc_id"), col("k"), col("peel_round"),
         (col("peel_round") === 0).as("in_core"))
@@ -1582,22 +1655,39 @@ ORDER BY community"""
     val d = nodes0.select(col("doc_id"))
     val e = e0.select(col("src"), col("dst"))
       .localCheckpoint(true)
+    // hop 1 is the pair-distinct edge set (no dedup exchange; lazy
+    // checkpoint for fresh attribute ids, no driver job); the last
+    // hop's dedup folds into the fwd-closure job (single consumer) —
+    // the grReach round-18 note applies verbatim
     var hops = Vector(e.select(col("src").as("v"), col("dst").as("u"))
-      .distinct().localCheckpoint(true))
-    for (_ <- 2 to SccHops) {
+      .localCheckpoint(false))
+    for (h <- 2 to SccHops) {
       val prev = hops.last
-      val next = prev.join(e, prev("u") === e("src"))
+      val next0 = prev.join(e, prev("u") === e("src"))
         .select(prev("v"), e("dst").as("u"))
-        .distinct().localCheckpoint(true)
+        .distinct()
+      // last hop lazy (materializes inside the fwd-closure job, no
+      // separate driver round-trip), interior hops eager
+      val next = next0.localCheckpoint(h < SccHops)
       hops = hops :+ next
     }
     val fwd = hops.reduce(_ unionAll _).distinct()
       .localCheckpoint(true)
+    // mutuality = existence of the swapped pair: LEFT SEMI, not inner
+    // (guide §3) — fwd is a distinct set, so semi ≡ inner here but the
+    // probe side never materializes into the output (and the join's
+    // constraint set stays on fwd's own columns)
     val rev = fwd.select(col("u").as("v"), col("v").as("u"))
-    val mutual = fwd.join(rev, Seq("v", "u"))
-    val selfs = d.select(col("doc_id").as("v"), col("doc_id").as("u"))
-    val sid = mutual.unionAll(selfs)
-      .groupBy(col("v")).agg(min(col("u")).as("scc_id"))
+    val mutual = fwd.join(rev, Seq("v", "u"), "left_semi")
+    // self-closure without the union: min over (mutual ∪ self-pairs)
+    // per v ≡ least(min_mutual(v), v), with nodes absent from the
+    // mutual set defaulting to themselves — one less unionAll branch
+    // through the groupBy shuffle (n self-rows never shuffle at all)
+    val mins = mutual.groupBy(col("v")).agg(min(col("u")).as("mn"))
+    val sid = d.select(col("doc_id").as("v"))
+      .join(mins, Seq("v"), "left")
+      .select(col("v"),
+        least(coalesce(col("mn"), col("v")), col("v")).as("scc_id"))
     val sz = sid.groupBy(col("scc_id"))
       .agg(count(lit(1)).as("scc_size"))
     sid.join(sz, Seq("scc_id"))

@@ -933,10 +933,18 @@ ${out}_comp AS (
     * expensive to re-derive. Values are bitwise-stable under the
     * pinning: [[kmUpdate]] folds fixed-point integer sums, so eager
     * materialization is hash-neutral by construction.
+    *
+    * The [[PqM]] block chains are INDEPENDENT (each reads only its own
+    * sub-vector slice), so their eager materializations run
+    * CONCURRENTLY ([[Par.run]] — guide §2.6): 2·PqM sequential driver
+    * jobs collapse to 2 parallel rounds, and one chain's shuffle tail
+    * back-fills with the next chain's tasks. Results keep input order;
+    * values are unchanged (each chain's arithmetic is fixed-point and
+    * chains never interact).
     */
   private def pqTrainOn(subOf: Int => DataFrame,
       seedLo: Int): Seq[(Int, DataFrame, DataFrame)] =
-    (0 until PqM).map { b =>
+    Par.run((0 until PqM).map { b => () =>
       val sub = subOf(b)
       var cb = sub
         .filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
@@ -944,11 +952,17 @@ ${out}_comp AS (
           col("nrm").as("cn"))
       for (_ <- 1 to PqIters) cb = kmUpdate(kmAssign(sub, cb))
       val pinned = cb.localCheckpoint(true)
+      // the code table has exactly ONE consumer (the per-block join
+      // into the served/audited code stream), so its checkpoint is
+      // LAZY: no separate driver job — it materializes inside the
+      // consumer's first action and later references read the stored
+      // blocks (round-18; the codebook keeps the eager pin, it
+      // anchors both this assignment and every LUT broadcast)
       val codes = kmAssign(sub, pinned)
         .select(col("vec_id"), col("cell").as(s"cell_$b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       (b, pinned, codes)
-    }
+    })
 
   /** Raw-sub-vector PQ training (the sim_pq / sim_pq_adc /
     * sim_ivfpq_ann chain).
@@ -1835,35 +1849,50 @@ ORDER BY query_id, rank"""
         col("nrm").as("qn"))
     val cos = DotProduct.dot(col("qv"), col("v")) /
       sqrt(col("qn") * col("nrm"))
-    val arms = for { p <- RerankTuneProbes; c <- RerankTuneCs } yield {
+    // Round-18 restructure (guide §2.4 — share one exchange across
+    // arms): the C axis only ever FILTERS the per-probe ADC ranking,
+    // so the ranking window and the exact re-score run ONCE per probe
+    // over the C=max superset (each candidate carries its ADC rank
+    // `rk`; `rk <= c` recovers arm (p, c)'s candidate set exactly, and
+    // the 1:1 vec/query joins make counts and c2 values identical to
+    // the per-arm form). Windows 10 → 2, raw-vector joins 10 → 2; the
+    // bounded queries×maxC scored frame is cached and re-read by the
+    // 5 C arms. Values are unchanged by construction — same rows,
+    // same cosine per row, same tie-breaks.
+    val maxC = RerankTuneCs.max
+    val arms = for { p <- RerankTuneProbes } yield {
       val wAdc = Window.partitionBy(col("query_id"))
         .orderBy(r6(col("adc")).desc, col("vec_id"))
-      val cand = wide.filter(col("pr") <= p)
+      val scoredMax = wide.filter(col("pr") <= p)
         .withColumn("rk", row_number().over(wAdc))
-        .filter(col("rk") <= c)
-        .select(col("query_id"), col("vec_id"))
-      val wC = Window.partitionBy(col("query_id"))
-        .orderBy(col("c2").desc, col("vec_id"))
-      val served = cand
+        .filter(col("rk") <= maxC)
+        .select(col("query_id"), col("vec_id"), col("rk"))
         .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
           Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"), cos.as("c2"))
-        .withColumn("rank", row_number().over(wC))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      val reads = cand.agg(count(lit(1)).as("raw_reads"))
-      served.join(bf, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(reads))
-        .select(lit(p).as("probe"), lit(c).as("rerank_c"),
-          lit(NQueries).as("n_queries"),
-          col("raw_reads").cast("long").as("raw_reads"),
-          col("hits").cast("long").as("total_hits"),
-          r6(col("hits").cast("double") /
-            lit((NQueries * TopK).toDouble)).as("recall_at_k"))
+        .select(col("query_id"), col("vec_id"), col("rk"), cos.as("c2"))
+        .cache()
+      for (c <- RerankTuneCs) yield {
+        val cand = scoredMax.filter(col("rk") <= c)
+        val wC = Window.partitionBy(col("query_id"))
+          .orderBy(col("c2").desc, col("vec_id"))
+        val served = cand
+          .withColumn("rank", row_number().over(wC))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val reads = cand.agg(count(lit(1)).as("raw_reads"))
+        served.join(bf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(reads))
+          .select(lit(p).as("probe"), lit(c).as("rerank_c"),
+            lit(NQueries).as("n_queries"),
+            col("raw_reads").cast("long").as("raw_reads"),
+            col("hits").cast("long").as("total_hits"),
+            r6(col("hits").cast("double") /
+              lit((NQueries * TopK).toDouble)).as("recall_at_k"))
+      }
     }
-    arms.reduce(_.unionByName(_))
+    arms.flatten.reduce(_.unionByName(_))
       .orderBy(col("probe"), col("rerank_c"))
   }
 

@@ -92,6 +92,23 @@ class GraphSpec extends SparkSpec {
       ids.distinct.length == ids.length)
   }
 
+  test("grEdgesFrom map-side derivation: edge set, duplicate-freedom " +
+    "and out_deg equal the local rebuild (round-18 shuffle removal)") {
+    // the distinct+window form paid two exchanges for per-row facts;
+    // this pins the zero-exchange rewrite to the Spark-free rebuild
+    val (_, adj) = localGraph()
+    val got = Graph.grEdges(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val expPairs = adj.toSeq
+      .flatMap { case (u, ds) => ds.map(d => (u, d)) }.toSet
+    assert(gotPairs == expPairs, "edge set drifted")
+    assert(got.length == gotPairs.size, "duplicate (src, dst) emitted")
+    got.foreach { case (u, _, od) =>
+      assert(od == adj(u).length.toLong, s"out_deg at $u")
+    }
+  }
+
   test("gr_pagerank equals an independent local integer recompute") {
     val (n, adj) = localGraph()
     // local fixpoint: BigInt-free long arithmetic, same published rule
