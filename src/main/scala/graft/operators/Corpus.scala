@@ -2910,6 +2910,11 @@ ORDER BY source"""
   private[graft] def dsirPerDoc(spark: SparkSession,
       sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
+    // NOT cached (round-18 A/B): td feeds two consumers, but the
+    // tokenize+md5 pass is cheap at this grain and the cache's
+    // columnar materialization barrier measured SLOWER
+    // (cp_dsir +25%, cp_dsir_sample +78% box-normalized) — the
+    // ta_vocab_overlap lesson does not transfer to cheap frames
     val td = dsirTd(d)
     val tsrc = d.agg(min(col("source")).as("tsrc")) // 1-row anchor
     val wt = dsirWeightsOf(td, tsrc)

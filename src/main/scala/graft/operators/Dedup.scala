@@ -1026,11 +1026,16 @@ ORDER BY doc_a, doc_b"""
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedJaccardGE.register(spark)
     graft.functions.CharGramHashSet.register(spark)
+    // cached: BOTH join sides consume the gram-set frame, and the
+    // per-char md5 gram hashing is the query's dominant map cost —
+    // uncached it runs once per side (the ta_vocab_overlap lesson;
+    // round-18)
     val base = docs(spark, sfDir)
       .select(
         col("doc_id"), col("n_chars"),
         floor(col("n_chars") / BucketW).as("bkt"),
         graft.functions.CharGramHashSet.gramHashes(lower(col("text"))).as("g"))
+      .cache()
     val left = base.select(col("doc_id").as("doc_a"),
       col("n_chars").as("len_a"), col("bkt"), col("g").as("ga"))
     val right = base.select(col("doc_id").as("doc_b"),
@@ -1156,11 +1161,17 @@ ORDER BY doc_a, doc_b"""
     // gram-less docs (< 5 chars ⇔ empty gram set) drop on the cheap
     // length predicate BEFORE the hash-set expression (the signature()
     // pushdown note); they cannot appear in the exact twin's output.
+    // cached: the gram-set frame feeds the signature pass AND both
+    // verify-join sides (3 consumers; 5 gram-hash evaluations once
+    // the band self-join doubles the signature subtree) — the
+    // ta_vocab_overlap lesson applied to the dominant map cost
+    // (round-18)
     val base = docs(spark, sfDir)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("n_chars"),
         graft.functions.CharGramHashSet.gramHashes(lower(col("text")))
           .as("g"))
+      .cache()
     val sig = base
       .select(col("doc_id"), col("n_chars"),
         graft.functions.MinHash16.mins(col("g")).as("mh"))
@@ -1345,6 +1356,10 @@ ORDER BY doc_a, doc_b"""
       .withColumn("na", size(col("g")).cast("long"))
       // smallest overlap with round(i/na, 6) >= ContainMin, exactly
       .withColumn("o_min", expr(s"($boundary7 * na + 9999999) div 10000000"))
+      // cached: the shingle-set frame feeds the gram explode (3 reads)
+      // and both verify-join sides — uncached, the md5 shingle hashing
+      // re-runs per consumer (the ta_vocab_overlap lesson; round-18)
+      .cache()
     val grams = base.select(col("doc_id"), col("na"), col("o_min"),
       explode(col("g")).as("gr"))
     val df = grams.groupBy(col("gr")).agg(count(lit(1)).as("df"))

@@ -695,7 +695,10 @@ SELECT doc_id, media_type, n_bytes, sig FROM sigs ORDER BY doc_id"""
     val bands = maxBucket match {
       case Some(cap) =>
         // cached: the guard consumes the band table twice (census +
-        // guard join) — the ddMinhashLshCfg lesson
+        // guard join) — the ddMinhashLshCfg lesson. (A round-18 A/B
+        // that cached the uncapped path too measured SLOWER across
+        // the mm family — the synthetic-media signature pass is
+        // cheaper than the cache's materialization barrier.)
         val bandsC = bandsAll.cache()
         bandsC.join(bandsC.groupBy(col("band"), col("key"))
             .agg(count(lit(1)).as("bsz"))
