@@ -206,8 +206,13 @@ object Bench {
     // artifact survives any log capture; (2) emit one SHORT line per
     // query before the final summary so even a tail-only capture holds
     // every number (142 lines ≈ 6 KB).
+    // cpu-suffixed default (round-19, verdict item 7): the driver
+    // benches at TWO core counts; a shared default name let the
+    // low-core scaling run overwrite the 32-core per-query map
+    // (PERF_r18 lost its per-query table to exactly that). stdout
+    // contract unchanged — this only names the auxiliary file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
+      s"BENCH_FULL_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -1568,19 +1568,32 @@ FROM cw GROUP BY status ORDER BY status"""
     * part marginals broadcast back onto the top pairs.
     */
   def whBasket(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached: the distinct basket relation feeds four consumers (two
-    // join sides, marginals, the order total) — without the cache each
-    // re-runs the scan + distinct exchange (plan audit: 5 scans → 1)
-    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.functions.SortedPairs.register(spark)
+    // Round-19 restructure (guide §2.4/§3, verdict item 6): the pair
+    // generator was a SELF-JOIN of the distinct (order, part) relation
+    // on the order key — the distinct's exchange plus two join-side
+    // exchanges, the cached relation scanned twice. One groupBy(order)
+    // + collect_set now builds each order's sorted basket (the same
+    // dedup the distinct did, ONE exchange), and the codegen'd
+    // graft_sorted_pairs emits the (a < b) pairs map-side — baskets
+    // are lines-per-order small by construction (TPC-H ≈ 4 parts,
+    // sf0.1 max 17), so the per-order pair array is bounded. The pair
+    // stream, the marginals and the order total all read the one
+    // cached basket relation.
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("parts"))
       .cache()
-    val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val marg = baskets
+      .select(explode(col("parts")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
     // 1-row scalar via broadcast cross join — no driver-side count
-    val orders = op.agg(countDistinct(col("o")).as("n_orders"))
-    val pairs = op.select(col("o"), col("p").as("part_a"))
-      .join(op.select(col("o"), col("p").as("part_b")), Seq("o"))
-      .filter(col("part_a") < col("part_b"))
+    val orders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(graft.functions.SortedPairs.pairs(col("parts")))
+        .as("pr"))
+      .select(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
     val w = Window.orderBy(col("n_ab").desc, col("part_a"), col("part_b"))

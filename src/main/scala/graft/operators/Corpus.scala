@@ -2376,8 +2376,14 @@ FROM t WHERE rank <= $BpeTopPairs ORDER BY rank"""
       words: DataFrame, merges: Int): (Seq[DataFrame], DataFrame) = {
     var corpus = bpeInitialCorpus(words).localCheckpoint(true)
     val rows = (1 to merges).map { r =>
+      // election computed once, used twice (merge replay + output
+      // row) — LAZY pin (round 19): its first evaluation rides the
+      // same driver job that pins the round's corpus (the broadcast
+      // build materializes it), so each round pays ONE
+      // driver-synchronized job instead of two; the output row later
+      // reads the stored 1-row block
       val elected = bpeElect(bpePairCensus(corpus))
-        .localCheckpoint(true) // election computed once, used twice
+        .localCheckpoint(false)
       corpus = bpeApplyMerge(corpus, elected).localCheckpoint(true)
       val stats = corpus
         .select(col("freq"), explode(split(trim(col("seg")), "  ")).as("s"))
@@ -2526,8 +2532,13 @@ ORDER BY merge_rank"""
       // the final stats collection; a standalone contains()-filter
       // touched pass = a second corpus scan per round, the very cost
       // the delta exists to avoid.)
+      // LAZY pin (round 19, same move as the full loop): the merge
+      // rewrite's broadcast build is the first evaluation, the output
+      // row reads stored blocks — one driver job per round, not two.
+      // The prior round's lazy census now ALSO materializes under the
+      // rewrite job rather than a standalone election job.
       val elected = bpeElect(cens.filter(col("raw").contains(" ")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val applied = corpus
         .crossJoin(broadcast(elected.select(col("raw").as("eraw"),
           col("merged").as("emerged"))))

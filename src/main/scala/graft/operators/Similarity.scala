@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, KmArgmin, KmArgminAnn}
 import graft.functions.Determinism.{r6, r6Sql}
 import graft.operators.Dedup.embeddings
 
@@ -252,16 +252,25 @@ ORDER BY query_id, rank"""
     * layout at rest.
     */
   private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val centScore = DotProduct.dot(col("v"), col("cv")) /
-      sqrt(col("nrm") * col("cn"))
-    e.crossJoin(broadcast(cents))
+    // Row-local cosine argmax over the collected ≤k-row centroid
+    // array ([[graft.functions.KmArgmin]] metric 1 — the
+    // `max(struct(cs, -cent_id))` fold as one codegen'd loop): the
+    // assignment pass is now map-side, where the old
+    // crossJoin→groupBy(vec_id) shape shuffled every vector (with its
+    // full v, for the first(v) carry-along) once per assignment
+    // (guide §2.4). Same dot products, same tie-breaks — DedupSpec
+    // pins equality with the declarative form.
+    KmArgmin.register(e.sparkSession)
+    val centsArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
+        .as("cs"))
+    val win = element_at(col("cs"), col("ci") + 1)
+    e.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cs"),
+        KmArgmin.argminIdx(col("v"), col("nrm"), col("cs"), 1).as("ci"))
+      .filter(col("ci").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm"),
-        centScore.as("cs"), col("cent_id"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("m.nc")).as("cell"))
+        win.getField("cent_id").as("cell"))
   }
 
   /** Probe list: the `probe` best cells per query vector (query_id,
@@ -616,16 +625,31 @@ FROM q ORDER BY vec_id"""
     * [[simIvfAnn]]'s assignment).
     */
   def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = col("nrm") -
-      lit(2.0) * DotProduct.dot(col("v"), col("cv")) + col("cn")
-    vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        dist.as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min(struct(col("dist"), col("cent_id"))).as("m"))
+    // Row-local argmin over the collected ≤k-row centroid array
+    // ([[graft.functions.KmArgmin]] metric 0 — the
+    // `min(struct(dist, cent_id))` fold as one codegen'd loop): the
+    // assignment pass is map-side, where the old crossJoin→
+    // groupBy(vec_id) shape shuffled every vector (carrying its full
+    // v) once PER ASSIGNMENT — one corpus-wide full-width Exchange
+    // per Lloyd round per training chain at 100 TB (guide §2.4).
+    // The winner's dist re-derives through the same nrm − 2·dot + cn
+    // association the loop scored it with, so values are bitwise
+    // identical to the declarative form (DedupSpec pins it; the
+    // oracle twin is unchanged).
+    KmArgmin.register(vecs.sparkSession)
+    DotProduct.register(vecs.sparkSession)
+    val centsArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cn")))
+        .as("cs"))
+    val win = element_at(col("cs"), col("ci") + 1)
+    vecs.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cs"),
+        KmArgmin.argminIdx(col("v"), col("nrm"), col("cs"), 0).as("ci"))
+      .filter(col("ci").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("m.cent_id").as("cell"), col("m.dist").as("dist"))
+        win.getField("cent_id").as("cell"),
+        (col("nrm") - lit(2.0) * DotProduct.dot(col("v"),
+          win.getField("cv")) + win.getField("cn")).as("dist"))
   }
 
   /** One update pass: per-cell component means via posexplode +
@@ -671,52 +695,52 @@ FROM q ORDER BY vec_id"""
     * production posture.
     *
     * Scale shape: anchors and the grouped centroid table are ≤k-row
-    * broadcasts; the probe cut is a map-side crossJoin followed by ONE
-    * groupBy(vec_id) whose per-vector buffer is the nCoarse anchor
-    * scores (`slice(array_sort(collect_list(…)), 1, probe)` — the
-    * [[kmUpdate]] order-pinning idiom, partial-aggregated before the
-    * shuffle exactly like kmAssign's argmin); candidates then explode
-    * to probe·(k/nCoarse) rows per vector against the broadcast group
-    * table and collapse map-side again. Two n-row shuffles total,
-    * against kmAssign's one — the trade that buys the k → ~2√k
-    * per-vector dot-product drop.
+    * broadcasts, and BOTH levels of the argmin run row-locally inside
+    * one codegen'd loop ([[graft.functions.KmArgminAnn]] — round 19;
+    * the declarative form paid TWO full-width n-row shuffles per
+    * assignment, the top-probe collect_list groupBy and the
+    * post-explode argmin groupBy). The whole assignment pass is now
+    * map-side — zero corpus-keyed exchanges — while the per-vector
+    * dot-product count keeps the k → ~2√k drop (nCoarse anchor scores
+    * + probe·(k/nCoarse) candidate scores per vector).
     */
   def kmAssignAnn(vecs: DataFrame, cents: DataFrame, nCoarse: Int,
       probe: Int): DataFrame = {
+    val sp = vecs.sparkSession
+    KmArgmin.register(sp)
+    KmArgminAnn.register(sp)
+    DotProduct.register(sp)
     val anchors = cents.orderBy(col("cent_id")).limit(nCoarse)
       .select(col("cent_id").as("anchor_id"), col("cv").as("av"),
         col("cn").as("an"))
-    val groupDist = col("cn") -
-      lit(2.0) * DotProduct.dot(col("cv"), col("av")) + col("an")
-    val grouped = cents.crossJoin(broadcast(anchors))
-      .select(col("cent_id"), col("cv"), col("cn"),
-        groupDist.as("ad"), col("anchor_id"))
-      .groupBy(col("cent_id"))
-      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"),
-        min(struct(col("ad"), col("anchor_id"))).as("g"))
-      .select(col("g.anchor_id").as("grp"), col("cent_id"), col("cv"),
-        col("cn"))
-    val anchorDist = col("nrm") -
-      lit(2.0) * DotProduct.dot(col("v"), col("av")) + col("an")
-    val probed = vecs.crossJoin(broadcast(anchors))
+    val anchorsArr = anchors
+      .agg(collect_list(struct(col("anchor_id"), col("av"), col("an")))
+        .as("ancs"))
+    // per-centroid coarse-group assignment — the same row-local
+    // euclid argmin ([[KmArgmin]] metric 0 ≡ min(struct(ad,
+    // anchor_id))), over the ≤nCoarse anchor array
+    val gwin = element_at(col("ancs"), col("ai") + 1)
+    val grouped = cents.crossJoin(broadcast(anchorsArr))
+      .select(col("cent_id"), col("cv"), col("cn"), col("ancs"),
+        KmArgmin.argminIdx(col("cv"), col("cn"), col("ancs"), 0)
+          .as("ai"))
+      .filter(col("ai").isNotNull)
+      .select(gwin.getField("anchor_id").as("grp"), col("cent_id"),
+        col("cv"), col("cn"))
+    val groupedArr = grouped
+      .agg(collect_list(
+        struct(col("grp"), col("cent_id"), col("cv"), col("cn")))
+        .as("gs"))
+    val vwin = element_at(col("gs"), col("gi") + 1)
+    vecs.crossJoin(broadcast(anchorsArr)).crossJoin(broadcast(groupedArr))
+      .select(col("vec_id"), col("v"), col("nrm"), col("gs"),
+        KmArgminAnn.argminIdx(col("v"), col("nrm"), col("ancs"),
+          col("gs"), probe).as("gi"))
+      .filter(col("gi").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm"),
-        struct(anchorDist.as("ad"), col("anchor_id")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        slice(array_sort(collect_list(col("sc"))), 1, probe).as("top"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(transform(col("top"), s => s.getField("anchor_id")))
-          .as("grp"))
-    val dist = col("nrm") -
-      lit(2.0) * DotProduct.dot(col("v"), col("cv")) + col("cn")
-    probed.join(broadcast(grouped), Seq("grp"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        dist.as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min(struct(col("dist"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("m.cent_id").as("cell"), col("m.dist").as("dist"))
+        vwin.getField("cent_id").as("cell"),
+        (col("nrm") - lit(2.0) * DotProduct.dot(col("v"),
+          vwin.getField("cv")) + vwin.getField("cn")).as("dist"))
   }
 
   /** The training job SCALE.md's IVF note defers to: [[KmIters]]
@@ -1834,16 +1858,20 @@ ORDER BY query_id, rank"""
     * candidates can crowd a true neighbor out of the top-C ADC cut —
     * which is exactly why the knee needs measuring.
     *
-    * Scale shape: the sweep re-windows one cached candidate stream
-    * per arm and pays queries × C raw-vector reads in stage 2 —
-    * bounded by the dial, not the corpus (sim_ivfpq_rerank's
-    * posture × the grid size).
+    * Scale shape (round 19): the whole grid rides ONE ranking pass
+    * over the widest-probe scored stream (every arm's ADC rank is a
+    * conditional running count under one window spec) and ONE
+    * queries × maxC raw-vector read — bounded by the dial, not the
+    * corpus, and no longer multiplied by the probe-arm count.
     */
   def simRerankTuning(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = base(spark, sfDir).cache()
-    val wide = ivfPqScoredPr(vecs, RerankTuneProbes.max).cache()
+    // wide and bf each have exactly ONE consumer after the round-19
+    // probe-axis sharing — their round-18 caches were dropped (a
+    // single-consumer cache is a pure materialization barrier)
+    val wide = ivfPqScoredPr(vecs, RerankTuneProbes.max)
     val bf = simBruteforceTopk(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id")).cache()
+      .select(col("query_id"), col("neighbor_id"))
     val q = vecs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -1860,39 +1888,78 @@ ORDER BY query_id, rank"""
     // 5 C arms. Values are unchanged by construction — same rows,
     // same cosine per row, same tie-breaks.
     val maxC = RerankTuneCs.max
-    val arms = for { p <- RerankTuneProbes } yield {
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(r6(col("adc")).desc, col("vec_id"))
-      val scoredMax = wide.filter(col("pr") <= p)
-        .withColumn("rk", row_number().over(wAdc))
-        .filter(col("rk") <= maxC)
-        .select(col("query_id"), col("vec_id"), col("rk"))
-        .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
-          Seq("vec_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"), col("rk"), cos.as("c2"))
-        .cache()
-      for (c <- RerankTuneCs) yield {
-        val cand = scoredMax.filter(col("rk") <= c)
-        val wC = Window.partitionBy(col("query_id"))
-          .orderBy(col("c2").desc, col("vec_id"))
-        val served = cand
-          .withColumn("rank", row_number().over(wC))
-          .filter(col("rank") <= TopK)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        val reads = cand.agg(count(lit(1)).as("raw_reads"))
-        served.join(bf, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("hits"))
-          .crossJoin(broadcast(reads))
-          .select(lit(p).as("probe"), lit(c).as("rerank_c"),
-            lit(NQueries).as("n_queries"),
-            col("raw_reads").cast("long").as("raw_reads"),
-            col("hits").cast("long").as("total_hits"),
-            r6(col("hits").cast("double") /
-              lit((NQueries * TopK).toDouble)).as("recall_at_k"))
-      }
+    val grid = for { p <- RerankTuneProbes; c <- RerankTuneCs }
+      yield (p, c)
+    // Round-19 restructure (guide §2.4 — share the PROBE axis too):
+    // the round-18 form still sorted the corpus-sized scored stream
+    // and re-read the raw vectors once per probe arm (2 windows,
+    // 2 joins). Both arms now ride ONE window pass: with the stream
+    // ordered by the shared (query, r6(adc) desc, vec_id) spec, a
+    // row's ADC rank inside the pr <= p arm is the conditional
+    // RUNNING COUNT of pr <= p rows — `sum(when(pr <= p, 1))` over a
+    // rows-frame — and every such conditional rank shares one
+    // WindowExec (identical spec ⇒ one sort). The exact re-score
+    // joins run once over the union of the per-arm C=max cuts; arm
+    // (p, c)'s candidates are exactly the rows with pr <= p and
+    // rk_p <= c, its serving cut the rows whose conditional c2 rank
+    // cr_{p,c} (same running-count trick on the (c2 desc, vec_id)
+    // spec) is <= TopK — so rows, cosines and tie-breaks are
+    // unchanged arm for arm, and ONE aggregate + a 10-struct explode
+    // replaces the 10 per-arm count subtrees. Windows over the
+    // corpus-sized stream 2 → 1, raw-vector joins 2 → 1; values are
+    // identical by construction (oracle SQL untouched).
+    val wRun = Window.partitionBy(col("query_id"))
+      .orderBy(r6(col("adc")).desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rkCols = RerankTuneProbes.map(p =>
+      sum(when(col("pr") <= p, 1L).otherwise(0L)).over(wRun)
+        .as(s"rk_$p"))
+    val keepAny = RerankTuneProbes.map(p =>
+      col("pr") <= p && col(s"rk_$p") <= maxC).reduce(_ || _)
+    val scoredMax = wide
+      .select(col("query_id") +: col("vec_id") +: col("pr") +:
+        rkCols: _*)
+      .filter(keepAny)
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id") +: col("vec_id") +: col("pr") +:
+        cos.as("c2") +: RerankTuneProbes.map(p => col(s"rk_$p")): _*)
+    val wC2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("c2").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crCols = grid.map { case (p, c) =>
+      sum(when(col("pr") <= p && col(s"rk_$p") <= c, 1L).otherwise(0L))
+        .over(wC2).as(s"cr_${p}_$c")
     }
-    arms.flatten.reduce(_.unionByName(_))
+    val flags = scoredMax
+      .select(col("query_id") +: col("vec_id") +: col("pr") +:
+        (RerankTuneProbes.map(p => col(s"rk_$p")) ++ crCols): _*)
+      .join(bf.select(col("query_id"),
+        col("neighbor_id").as("vec_id"), lit(true).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+    val armAggs = grid.flatMap { case (p, c) =>
+      val in = col("pr") <= p && col(s"rk_$p") <= c
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"reads_${p}_$c"),
+        sum(when(in && col(s"cr_${p}_$c") <= TopK && col("hit"), 1L)
+          .otherwise(0L)).as(s"hits_${p}_$c"))
+    }
+    val one = flags.agg(armAggs.head, armAggs.tail: _*)
+    val armStructs = array(grid.map { case (p, c) =>
+      struct(lit(p).as("probe"), lit(c).as("rerank_c"),
+        lit(NQueries).as("n_queries"),
+        col(s"reads_${p}_$c").cast("long").as("raw_reads"),
+        col(s"hits_${p}_$c").cast("long").as("total_hits"),
+        r6(col(s"hits_${p}_$c").cast("double") /
+          lit((NQueries * TopK).toDouble)).as("recall_at_k"))
+    }: _*)
+    one.select(explode(armStructs).as("r"))
+      .select(col("r.probe").as("probe"), col("r.rerank_c").as("rerank_c"),
+        col("r.n_queries").as("n_queries"),
+        col("r.raw_reads").as("raw_reads"),
+        col("r.total_hits").as("total_hits"),
+        col("r.recall_at_k").as("recall_at_k"))
       .orderBy(col("probe"), col("rerank_c"))
   }
 

@@ -881,4 +881,126 @@ class DedupSpec extends SparkSpec {
     }
     assert(dialRows.exists(!_._4), "dial dropped no duplicate")
   }
+
+  test("row-local argmin assignment (KmArgmin/KmArgminAnn) is bitwise " +
+    "identical to the declarative crossJoin→groupBy folds") {
+    // round-19: kmAssign / kmAssignAnn / the IVF cosine argmax moved
+    // from crossJoin(broadcast)→groupBy(vec_id) (one/two corpus-keyed
+    // Exchanges per assignment) to one codegen'd row-local loop. The
+    // declarative pre-round-19 forms live HERE as the pinned twins.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col => c}
+    graft.functions.DotProduct.register(spark)
+    val gdot = graft.functions.DotProduct.dot _
+    def refKmAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val dist = c("nrm") - lit(2.0) * gdot(c("v"), c("cv")) + c("cn")
+      vecs.crossJoin(broadcast(cents))
+        .select(c("vec_id"), c("v"), c("nrm"), c("cent_id"),
+          dist.as("dist"))
+        .groupBy(c("vec_id"))
+        .agg(first(c("v")).as("v"), first(c("nrm")).as("nrm"),
+          min(struct(c("dist"), c("cent_id"))).as("m"))
+        .select(c("vec_id"), c("v"), c("nrm"),
+          c("m.cent_id").as("cell"), c("m.dist").as("dist"))
+    }
+    def refKmAssignAnn(vecs: DataFrame, cents: DataFrame, nCoarse: Int,
+        probe: Int): DataFrame = {
+      val anchors = cents.orderBy(c("cent_id")).limit(nCoarse)
+        .select(c("cent_id").as("anchor_id"), c("cv").as("av"),
+          c("cn").as("an"))
+      val groupDist = c("cn") - lit(2.0) * gdot(c("cv"), c("av")) + c("an")
+      val grouped = cents.crossJoin(broadcast(anchors))
+        .select(c("cent_id"), c("cv"), c("cn"), groupDist.as("ad"),
+          c("anchor_id"))
+        .groupBy(c("cent_id"))
+        .agg(first(c("cv")).as("cv"), first(c("cn")).as("cn"),
+          min(struct(c("ad"), c("anchor_id"))).as("g"))
+        .select(c("g.anchor_id").as("grp"), c("cent_id"), c("cv"),
+          c("cn"))
+      val anchorDist = c("nrm") - lit(2.0) * gdot(c("v"), c("av")) + c("an")
+      val probed = vecs.crossJoin(broadcast(anchors))
+        .select(c("vec_id"), c("v"), c("nrm"),
+          struct(anchorDist.as("ad"), c("anchor_id")).as("sc"))
+        .groupBy(c("vec_id"))
+        .agg(first(c("v")).as("v"), first(c("nrm")).as("nrm"),
+          slice(array_sort(collect_list(c("sc"))), 1, probe).as("top"))
+        .select(c("vec_id"), c("v"), c("nrm"),
+          explode(transform(c("top"), s => s.getField("anchor_id")))
+            .as("grp"))
+      val dist = c("nrm") - lit(2.0) * gdot(c("v"), c("cv")) + c("cn")
+      probed.join(broadcast(grouped), Seq("grp"))
+        .select(c("vec_id"), c("v"), c("nrm"), c("cent_id"),
+          dist.as("dist"))
+        .groupBy(c("vec_id"))
+        .agg(first(c("v")).as("v"), first(c("nrm")).as("nrm"),
+          min(struct(c("dist"), c("cent_id"))).as("m"))
+        .select(c("vec_id"), c("v"), c("nrm"),
+          c("m.cent_id").as("cell"), c("m.dist").as("dist"))
+    }
+    val e = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", gdot(c("v"), c("v")))
+    var cents = e.filter(c("vec_id") >= Similarity.NQueries &&
+        c("vec_id") < Similarity.NQueries + Similarity.IvfCells)
+      .select(c("vec_id").as("cent_id"), c("v").as("cv"),
+        c("nrm").as("cn"))
+    for (_ <- 1 to Similarity.KmIters)
+      cents = Similarity.kmUpdate(Similarity.kmAssign(e, cents))
+    cents = cents.localCheckpoint(true)
+    def asMap(df: DataFrame): Map[Long, (Long, Long)] =
+      df.select(c("vec_id"), c("cell"), c("dist")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toMap
+    val refFlat = asMap(refKmAssign(e, cents))
+    val newFlat = asMap(Similarity.kmAssign(e, cents))
+    assert(newFlat == refFlat,
+      "row-local kmAssign diverged from the declarative fold")
+    for (probe <- Seq(1, 2, 4)) {
+      val ref = asMap(refKmAssignAnn(e, cents, 4, probe))
+      val neu = asMap(Similarity.kmAssignAnn(e, cents, 4, probe))
+      assert(neu == ref,
+        s"row-local kmAssignAnn diverged at probe=$probe")
+    }
+    // cosine argmax (the ivfAssign metric): max(struct(cs, -cent_id))
+    // vs KmArgmin metric 1 over the collected table
+    graft.functions.KmArgmin.register(spark)
+    val centsArr = cents
+      .agg(collect_list(struct(c("cent_id"), c("cv"), c("cn"))).as("cs"))
+    val win = element_at(c("cs"), c("ci") + 1)
+    val newCos = e.crossJoin(broadcast(centsArr))
+      .select(c("vec_id"), c("cs"),
+        graft.functions.KmArgmin.argminIdx(c("v"), c("nrm"), c("cs"), 1)
+          .as("ci"))
+      .filter(c("ci").isNotNull)
+      .select(c("vec_id"), win.getField("cent_id").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refCos = e.crossJoin(broadcast(cents))
+      .select(c("vec_id"),
+        (gdot(c("v"), c("cv")) / sqrt(c("nrm") * c("cn"))).as("cs"),
+        c("cent_id"))
+      .groupBy(c("vec_id"))
+      .agg(max(struct(c("cs"), (-c("cent_id")).as("nc"))).as("m"))
+      .select(c("vec_id"), (-c("m.nc")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newCos == refCos,
+      "row-local cosine argmax diverged from the declarative fold")
+  }
+
+  test("SortedPairs equals the (i < j) self-join enumeration") {
+    import spark.implicits._
+    graft.functions.SortedPairs.register(spark)
+    val cases = Seq(
+      Seq(1L, 3L, 7L, 9L), // normal basket
+      Seq(5L), // singleton: no pairs
+      Seq.empty[Long], // empty: no pairs
+      Seq(2L, 4L))
+    val got = cases.toDF("parts")
+      .select(graft.functions.SortedPairs.pairs(col("parts")).as("prs"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))))
+    val want = cases.map(s =>
+      for { i <- s.indices; j <- s.indices if i < j } yield (s(i), s(j)))
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
 }
