@@ -19,6 +19,13 @@ import org.apache.spark.sql.execution.SparkPlan
   *     Filter (the per-row hot path); interpreted + boxed evaluation.
   *     Aggregate-buffer internals are exempt — Spark's own sketch
   *     aggregates (HLL++) are ImperativeAggregates by design.
+  *   - `global_window`: a WindowExec (or WindowGroupLimitExec) with NO
+  *     partition spec — every input row moves to ONE partition.
+  *     Acceptable ONLY when the window's input is bounded by
+  *     construction (a value census, a sources/day-grain relation) or
+  *     is a documented bit-parity baseline with a sharded 100 TB twin;
+  *     each instance must be allowlisted with its reason in
+  *     PlanLintSpec (the round-18 verdict's item 3, mechanized).
   *
   * Usage: sbt "runMain graft.PlanLint <sfDir> [namesCsv]"
   * PlanLintSpec pins the findings of this sweep; the tool exists for
@@ -36,6 +43,15 @@ object PlanLint {
           out += (("cartesian", n.simpleStringWithNodeId()))
         case "BroadcastNestedLoopJoin" =>
           out += (("bnlj", n.simpleStringWithNodeId()))
+        case _ => ()
+      }
+      n match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty =>
+          out += (("global_window", n.simpleStringWithNodeId()))
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty =>
+          out += (("global_window", n.simpleStringWithNodeId()))
         case _ => ()
       }
     }

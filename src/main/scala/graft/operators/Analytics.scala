@@ -437,37 +437,40 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
   COUNT(DISTINCT $c) AS n_distinct FROM lineitem""")
     .mkString("\nUNION ALL\n") + "\nORDER BY column_name"
 
-  /** The 100 TB relief for [[profSummary]]: every column profiled in
-    * ONE scan and ONE aggregate. `approx_count_distinct` is a
-    * mergeable HyperLogLog++ sketch (rsd 0.02; deterministic — the
-    * hash is fixed), so the whole profile is a single map-side
-    * partial agg per partition plus a tiny merge: no per-column
-    * distinct shuffle, no Expand, no re-reads. The exact union form
-    * re-keys the corpus once per column; this reads it once, period.
-    * rsd 0.02 is the measured knee: 0.01's 16K-register buffers fall
-    * off the aggregate fast path (12.2 s vs 2.1 s at sf0.1 — see
-    * SCALE.md). Not oracle-hashable (DuckDB's HLL differs), so
-    * `AnalyticsSpec` pins it instead: n_rows/n_nulls EXACTLY equal
-    * the exact twin's, each approx distinct within 2%, and the plan
-    * has exactly one lineitem scan and no Expand.
+  /** The 100 TB relief for [[profSummary]]: `approx_count_distinct`
+    * is a mergeable HyperLogLog++ sketch (rsd 0.02; deterministic —
+    * the hash is fixed), so each column's profile is a map-side
+    * partial agg plus a tiny merge: no per-column DISTINCT shuffle,
+    * ever. rsd 0.02 is the measured knee: 0.01's 16K-register buffers
+    * fall off the aggregate fast path (12.2 s vs 2.1 s at sf0.1 — see
+    * SCALE.md).
+    *
+    * Round 19: one BRANCH per column (the [[profSummary]] union
+    * shape) instead of one 23-buffer aggregate — the all-in-one agg's
+    * UnsafeRow buffer is ~7.5k long slots (11 × 683-word HLL
+    * registers) and its generated update/merge path measured 3.3 s at
+    * sf0.1 vs 1.3 s for the EXACT union twin; per-branch the buffer
+    * is one column's 683 words. Each branch's scan prunes to exactly
+    * its one column, so total bytes read across branches equal the
+    * old single scan's (columnar format), and there is still no
+    * distinct shuffle and no Expand. Per-column values are IDENTICAL
+    * (same sketch on the same input). Not oracle-hashable (DuckDB's
+    * HLL differs), so `AnalyticsSpec` pins it instead: n_rows/n_nulls
+    * EXACTLY equal the exact twin's, each approx distinct within 2%,
+    * one pruned scan per column, and no Expand.
     */
   def profSummaryApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     require(ProfiledCols.forall(li.columns.contains),
       s"lineitem is missing one of $ProfiledCols")
-    val aggs = count(lit(1)).as("n_rows") +:
-      ProfiledCols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"ad_$c")))
-    // the reshape below runs on the single aggregate output row —
-    // driver-side trivial, never on per-input rows
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(col("n_rows"), explode(array(ProfiledCols.map(c =>
-        struct(lit(c).as("column_name"),
-          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
-          col(s"ad_$c").as("n_distinct_approx"))): _*)).as("p"))
-      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
-        col("p.n_distinct_approx"))
+    ProfiledCols.map { c =>
+      li.select(col(c))
+        .agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_notnull"),
+          approx_count_distinct(col(c), 0.02).as("ad"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_nulls"),
+          col("ad").as("n_distinct_approx"))
+    }.reduce(_.unionByName(_))
       .orderBy(col("column_name"))
   }
 
@@ -1596,10 +1599,15 @@ FROM cw GROUP BY status ORDER BY status"""
       .select(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
+    // top-k cut BEFORE the rank (round 19 — the cp_vocab/ev_paths
+    // idiom): orderBy+limit plans as a TakeOrdered, so the global
+    // rank window runs over ≤BasketTopK rows instead of moving the
+    // whole pair census to one partition
     val w = Window.orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
     pairs
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= BasketTopK)
       .join(broadcast(marg.select(col("p").as("part_a"),
         col("n").as("n_a"))), "part_a")
       .join(broadcast(marg.select(col("p").as("part_b"),

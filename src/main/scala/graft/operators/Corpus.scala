@@ -1997,8 +1997,12 @@ ORDER BY min_chars"""
   private[graft] def cpDedupImpactCfg(spark: SparkSession, sfDir: String,
       maxBucket: Option[Int]): DataFrame = {
     import graft.functions.Determinism.r6
+    // cached (round-19 A/B): the per-doc token-count frame feeds FIVE
+    // consumers (the totals anchor + all four family censuses) —
+    // without the cache each re-runs the tokenize pass over documents
     val d = docs(spark, sfDir).select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .cache()
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"))
     val exact = docs(spark, sfDir)

@@ -39,11 +39,17 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     val approxDf = Analytics.profSummaryApprox(spark, sf("sf0.01"))
-    // plan contract: the whole profile is ONE lineitem scan with no
-    // Expand and no per-column distinct shuffle
+    // plan contract (round 19: one branch per column — same total
+    // bytes as one full-width scan): one PRUNED scan per profiled
+    // column, no Expand, and no per-column distinct shuffle
     val plan = approxDf.queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"expected exactly one scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size ==
+      Analytics.ProfiledCols.size,
+      s"expected one pruned scan per column:\n$plan")
+    Analytics.ProfiledCols.foreach { c =>
+      assert(plan.contains(s"ReadSchema: struct<$c:"),
+        s"branch scan for $c must prune to its one column:\n$plan")
+    }
     assert(!plan.contains("Expand"), s"no Expand allowed:\n$plan")
     val approx = approxDf.collect()
     assert(approx.length == exact.size)

@@ -139,6 +139,41 @@ class PlanLintSpec extends SparkSpec {
     "sim_kmeans" -> Set("aggregate", "zip_with", "lambdafunction",
       "namedlambdavariable"))
 
+  /** Queries permitted an UNPARTITIONED WindowExec (round-18 verdict
+    * item 3, mechanized): every entry's window input is bounded by
+    * construction — a value/census grain that does not scale with
+    * corpus rows, a constant scaffold, a TakeOrdered top-k cut — or
+    * is the documented bit-parity baseline with a sharded 100 TB
+    * twin. A NEW query that plans a global window must either justify
+    * its bounded input here or change shape.
+    */
+  private val globalWindowOk: Map[String, String] = Map(
+    "cp_pack" -> ("bit-parity baseline for the oracle's global " +
+      "running total; the 100 TB shape is cpPackSharded (site doc)"),
+    "cp_shuffle" -> "shard-offset cumsum over the shard-count census",
+    "cp_frag" -> "pack-plan shard/boundary census grain",
+    "cp_vocab" -> "rank over the <=VocabTopN TakeOrdered cut",
+    "cp_bpe_pairs" -> "rank over the adjacent-char-pair census",
+    "cp_curriculum" -> "cut over the (score_micro, count) value census",
+    "cp_dsir" -> "ExactRank quartiles over the (imp_u, count) census",
+    "cp_epoch_plan" -> "full-frame anchor over the sources relation",
+    "cp_waterfill" -> "fill-level windows over the sources relation",
+    "prof_benford" -> "9-row digit scaffold total",
+    "prof_gini" -> "cumsum over the (cent-value, count) census",
+    "prof_outliers" -> "fence quartiles over the (value, count) census",
+    "ev_funnel_time" -> "percentiles over the (delay, count) census",
+    "ev_session_stats" -> "percentiles over the (duration, count) census",
+    "ev_paths" -> "rank over the <=PathTopK TakeOrdered cut",
+    "ev_rfm" -> ("full-frame anchor over the per-user census " +
+      "(chosen over a second corpus scan — site doc)"),
+    "ev_survival" -> "KM cumsum over the (t_obs, count) census",
+    "ev_stickiness" -> "day-scaffold cumsum (day grain)",
+    "ta_colloc" -> "rank over the bigram-collocation census",
+    "ta_burstiness" -> "burstiness stats over a day/vocab census",
+    "wh_basket" -> "rank over the <=BasketTopK TakeOrdered cut",
+    "wh_compaction" -> "cumsum over the (ship-day, count) census",
+    "wh_pareto" -> "decile cut over the (cents, count) value census")
+
   private lazy val findings: Map[String, Seq[(String, String)]] =
     SparkEntry.queries.map { case (name, fn) =>
       name -> PlanLint.findings(fn(spark, sf()).queryExecution.sparkPlan)
@@ -160,6 +195,20 @@ class PlanLintSpec extends SparkSpec {
     // hygiene: no stale allowlist entries
     val stale = bnljOk.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"allowlisted but not shipped: $stale")
+  }
+
+  test("global (unpartitioned) windows only over bounded-by-construction inputs") {
+    val bad = findings.toSeq.flatMap { case (n, fs) =>
+      fs.collect { case ("global_window", d)
+          if !globalWindowOk.contains(n) => s"$n $d" }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    val flagged = findings.collect {
+      case (n, fs) if fs.exists(_._1 == "global_window") => n
+    }.toSet
+    val stale = globalWindowOk.keySet.filterNot(flagged.contains)
+    assert(stale.isEmpty,
+      s"allowlisted but no global window planned (stale): $stale")
   }
 
   test("hot-path interpreted expressions are the designed per-row customs") {
