@@ -1997,12 +1997,16 @@ ORDER BY min_chars"""
   private[graft] def cpDedupImpactCfg(spark: SparkSession, sfDir: String,
       maxBucket: Option[Int]): DataFrame = {
     import graft.functions.Determinism.r6
-    // cached (round-19 A/B): the per-doc token-count frame feeds FIVE
-    // consumers (the totals anchor + all four family censuses) —
-    // without the cache each re-runs the tokenize pass over documents
+    // NOT cached (round-19 A/B negative): d feeds five consumers (the
+    // totals anchor + four family censuses), and a micro A/B showed a
+    // .cache() winning — but BOTH full-sweep runs showed it LOSING
+    // (cp_dedup_impact +0.5–0.9 s, capped twin +0.7–1.1 s): the four
+    // censuses are independent subtrees of one action, so without the
+    // cache their scans run concurrently, while the cache serializes
+    // everything behind one materialization barrier. The round-18
+    // micro-vs-sweep warning, demonstrated.
     val d = docs(spark, sfDir).select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .cache()
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"))
     val exact = docs(spark, sfDir)

@@ -3272,6 +3272,13 @@ ORDER BY s.query_id"""
   private def hybridRrfFuse(spark: SparkSession, sfDir: String,
       semEdges: DataFrame): DataFrame = {
     import TextAnalysis.{docs, tokens, Bm25K1, Bm25B}
+    // NOT cached (round-19 A/B negative): td feeds four consumers,
+    // but a .cache() here measured sim_hybrid_rrf 2.33 → 3.77 s and
+    // the _ann twin 2.35 → 3.70 s in the full sweep — the columnar
+    // materialization barrier plus losing the per-consumer column
+    // pruning (each consumer reads a narrow slice of td) costs more
+    // than the recomputed tokenize. The cp_dsir lesson at corpus
+    // grain: multi-consumer ≠ cache-profitable.
     val td = docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
